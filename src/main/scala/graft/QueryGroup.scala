@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A themed bundle of named queries plus their DuckDB oracle SQL.
+  * SparkEntry merges all groups; the driver's correctness gate runs
+  * each query at sf0.01 and hash-compares against the oracle.
+  *
+  * Invariants every entry must satisfy:
+  *   - identical output column NAMES in Spark and oracle SQL,
+  *   - a fully deterministic total ORDER BY on both sides,
+  *   - numerics via graft.core.Exact / ExactSql (no raw double sums).
+  */
+trait QueryGroup {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  /** Oracle SQL per query name; omit entries that aren't SQL-expressible
+    * (the driver then records a weaker rows-only check). */
+  def oracles: Map[String, String]
+}
