@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All implemented query groups, one per SURVEY.md §2 theme. */
+  val groups: Seq[QueryGroup] = Seq(
+    RelationalQueries,
+    JoinQueries,
+    AggQueries,
+    OverWindowQueries,
+    TimeWindowQueries,
+    ScalarFuncQueries,
+    PatternQueries,
+    TextQueries,
+    DedupQueries,
+    EmbeddingQueries,
+  )
+
+  /** Flagship query (SpendReport, SURVEY §7.2 step 1): hourly spend per
+    * user over `events`. Driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TimeWindowQueries.queries("tw_spendreport")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    groups.flatMap(_.oracleSql).toMap
 }

@@ -1,0 +1,23 @@
+package graft.agg
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom UDAF mirroring the reference's `maxAndMin` AggregateFunction
+  * (TabApiTest.scala:1453-1484; TabFunction.scala:30-70): one pass,
+  * emits both extrema. Implemented as a typed `Aggregator` so Spark
+  * plans it as a regular partial/final aggregate — map-side combine
+  * included, no buffering of the group.
+  */
+case class MaxMinAcc(mx: Double, mn: Double, n: Long)
+
+object MaxMin extends Aggregator[Double, MaxMinAcc, MaxMinAcc] {
+  def zero: MaxMinAcc = MaxMinAcc(Double.NegativeInfinity, Double.PositiveInfinity, 0L)
+  def reduce(b: MaxMinAcc, a: Double): MaxMinAcc =
+    MaxMinAcc(math.max(b.mx, a), math.min(b.mn, a), b.n + 1)
+  def merge(a: MaxMinAcc, b: MaxMinAcc): MaxMinAcc =
+    MaxMinAcc(math.max(a.mx, b.mx), math.min(a.mn, b.mn), a.n + b.n)
+  def finish(r: MaxMinAcc): MaxMinAcc = r
+  def bufferEncoder: Encoder[MaxMinAcc] = Encoders.product[MaxMinAcc]
+  def outputEncoder: Encoder[MaxMinAcc] = Encoders.product[MaxMinAcc]
+}

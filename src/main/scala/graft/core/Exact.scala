@@ -25,6 +25,10 @@ object Exact {
 
   /** avg = exact-sum / count, with a single final double division. */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Order-independent exact DISTINCT sum, surfaced as double. */
+  def dsum_distinct(c: Column): Column =
+    sum_distinct(c.cast(Dec)).cast("double")
 }
 
 /** SQL snippets mirroring Exact for the DuckDB oracle strings. */
@@ -33,4 +37,6 @@ object ExactSql {
     s"CAST(SUM(CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
   def davg(e: String): String =
     s"(${dsum(e)} / COUNT($e))"
+  def dsumDistinct(e: String): String =
+    s"CAST(SUM(DISTINCT CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
 }

@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that builds the engine's SparkSession.
+  *
+  * Every conf here is scale-motivated, not test-motivated:
+  *   - `shuffle.partitions` sized to the core count (local runs); on a
+  *     real cluster AQE coalesces post-shuffle partitions anyway.
+  *   - AQE on: runtime re-planning (skew-join splitting, dynamic
+  *     coalescing, broadcast demotion/promotion) is the 100 TB safety net.
+  *   - UTC session TZ: cross-engine timestamp determinism.
+  *   - `nanosAsLong`: the driver's `events` table is TIMESTAMP(NANOS)
+  *     parquet which Spark's vectorized reader otherwise rejects; set
+  *     once here instead of as a hidden side effect per read
+  *     (see Tables.load for the ns->us truncation).
+  */
+object Sessions {
+  def cpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+
+  def build(appName: String): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

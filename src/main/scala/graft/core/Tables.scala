@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * events documents embeddings.
   *
   * The `events` table stores TIMESTAMP(NANOS) parquet, which Spark's
-  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong` and truncate ns -> us with
-  * integer division, which matches DuckDB's read-time truncation
-  * exactly (both engines see identical microsecond values).
+  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions.build
+  * sets `spark.sql.legacy.parquet.nanosAsLong` once; here we truncate
+  * ns -> us with floor division, which matches DuckDB's read-time
+  * truncation exactly (both engines see identical microsecond values;
+  * floor vs toward-zero only differs pre-1970, guarded for anyway).
   */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -25,13 +26,20 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
+      // Defensive: keep sessions built outside Sessions.build working.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // Floor division in pure integer arithmetic: `/` would go through
+        // DOUBLE (precision loss at ~1.7e18 ns) and `div` truncates toward
+        // zero (wrong pre-1970). pmod keeps it exact and floor-like.
+        .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Register every table as a temp view (for spark.sql queries). */
+  /** Register every table as a temp view (for spark.sql queries).
+    * Views are lazy logical plans — registering all ten costs nothing
+    * until a query actually scans one.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

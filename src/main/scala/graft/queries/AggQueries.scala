@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, ExactSql}
+
+/** §2.5 aggregations: group-by/HAVING, rollup/cube/grouping sets,
+  * distinct aggs, min_by/max_by, UDAF, table-aggregate top-N emit,
+  * approx distinct.
+  *
+  * Reference surface: QueryTest.scala:357-582, 875-896;
+  * TabApiTest.scala:360-573, 1453-1520; Transform.scala:226-266;
+  * hot-item CountAgg; UvCountWithBloomByWindow.scala (approx distinct).
+  *
+  * Scale: every query here is a single hash-aggregate plan with
+  * map-side partial aggregation; rollup/cube expand via Catalyst's
+  * Expand operator (no extra scans). No collect-based paths.
+  */
+object AggQueries extends GroupBase {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary (reduceGroup/agg semantics,
+    // DataSetFunc.scala:120-145)
+    "agg_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base"),
+          Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          Exact.davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // GROUP BY + HAVING (QueryTest.scala:357-388)
+    "agg_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 15)
+        .orderBy("o_custkey")),
+
+    // ROLLUP + grouping_id (QueryTest.scala:428-455)
+    "agg_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+             Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    // CUBE (QueryTest.scala:503-528)
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
+
+    // GROUPING SETS (QueryTest.scala:557-582) — SQL frontend
+    "agg_grouping_sets" -> ((s, d) =>
+      sql(s, d,
+        """SELECT o_orderstatus, o_orderpriority, grouping_id() AS gid,
+                  count(*) AS cnt
+           FROM orders
+           GROUP BY o_orderstatus, o_orderpriority
+             GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+                    o_orderpriority ASC NULLS FIRST""")),
+
+    // distinct aggregates (TabApiTest.scala:360-531)
+    "agg_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             Exact.dsum_distinct(col("l_quantity")).as("sum_dq"),
+             countDistinct(col("l_suppkey"), col("l_linestatus")).as("n_pair"))
+        .orderBy("l_returnflag")),
+
+    // min_by / max_by (DataStreamFunc.scala:175-185; HourlyTips maxBy):
+    // struct ordering makes ties deterministic cross-engine.
+    "agg_maxby" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+             min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"),
+             max(col("o_totalprice")).as("top_price"))
+        .orderBy("o_orderstatus")),
+
+    // custom UDAF, one-pass max+min (TabApiTest.scala:1453-1484)
+    "agg_udaf_maxmin" -> ((s, d) => {
+      val mm = udaf(graft.agg.MaxMin)
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(mm(col("c_acctbal")).as("mm"))
+        .select(col("c_mktsegment"), col("mm.mx").as("mx"),
+          col("mm.mn").as("mn"), col("mm.n").as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // table aggregate emitting top-3 rows per group
+    // (TabApiTest.scala:1488-1520 top-N flatAggregate): collect-sort-
+    // slice-explode — the multiset equals the window-rank top-3.
+    "agg_top3_emit" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(slice(sort_array(collect_list(col("value")), asc = false), 1, 3).as("top3"))
+        .select(col("event_type"), explode(col("top3")).as("v"))
+        .orderBy(col("event_type"), col("v").desc)),
+
+    // global single-row stats (windowAll-style global agg,
+    // Window.scala:258-290)
+    "agg_global_stats" -> ((s, d) =>
+      t(s, d, "events")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("user_id")).as("n_users"),
+             Exact.dsum(col("value")).as("sum_v"),
+             Exact.davg(col("value")).as("avg_v"),
+             min(col("value")).as("min_v"), max(col("value")).as("max_v"))),
+
+    // approx_count_distinct (HLL++): the engine-side analogue of the
+    // reference's Bloom-filter UV (UvCountWithBloomByWindow.scala:13-39).
+    // No DuckDB oracle — sketch values are engine-specific; the
+    // ScalaTest asserts <5% relative error vs exact.
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${ExactSql.dsum("l_quantity")} AS sum_qty,
+          ${ExactSql.dsum("l_extendedprice")} AS sum_base,
+          ${ExactSql.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc,
+          ${ExactSql.davg("l_quantity")} AS avg_qty,
+          count(*) AS cnt
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""",
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+          count(*) AS cnt, ${ExactSql.dsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS cnt
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_distinct" ->
+      s"""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+          ${ExactSql.dsumDistinct("l_quantity")} AS sum_dq,
+          count(DISTINCT (l_suppkey, l_linestatus)) AS n_pair
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_maxby" ->
+      """SELECT m.o_orderstatus, t.k AS top_order, b.k AS bottom_order,
+                m.mx AS top_price
+         FROM (SELECT o_orderstatus, max(o_totalprice) AS mx
+               FROM orders GROUP BY 1) m
+         JOIN (SELECT o_orderstatus, o_orderkey AS k,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+               FROM orders) t
+           ON m.o_orderstatus = t.o_orderstatus AND t.rn = 1
+         JOIN (SELECT o_orderstatus, o_orderkey AS k,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+               FROM orders) b
+           ON m.o_orderstatus = b.o_orderstatus AND b.rn = 1
+         ORDER BY m.o_orderstatus""",
+    "agg_udaf_maxmin" ->
+      """SELECT c_mktsegment, max(c_acctbal) AS mx, min(c_acctbal) AS mn,
+                count(c_acctbal) AS n
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_top3_emit" ->
+      """SELECT event_type, value AS v FROM (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC) AS rn
+           FROM events) x
+         WHERE rn <= 3 ORDER BY event_type, v DESC""",
+    "agg_global_stats" ->
+      s"""SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
+          ${ExactSql.dsum("value")} AS sum_v, ${ExactSql.davg("value")} AS avg_v,
+          min(value) AS min_v, max(value) AS max_v FROM events""",
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane LSH bucketer as the 100 TB scale path (bucket
+  * first, search within buckets — candidate sets shrink ~2^planes).
+  *
+  * Cross-engine determinism: dot products are LEFT FOLDS over the
+  * array (Spark `aggregate`, DuckDB `list_reduce`) with per-element
+  * promotion to double — both engines produce bit-identical doubles,
+  * so rank ordering matches exactly and no score rounding is needed.
+  * Hyperplane weights are small integers from a fixed formula
+  * ((i*31 + j*17) % 13) - 6 — exactly representable, no RNG.
+  */
+object EmbeddingQueries extends GroupBase {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private val Planes = 8
+  private val Dim = 64
+  private def weight(i: Int, j: Int): Int = ((i * 31 + j * 17) % 13) - 6
+  /** Integer hyperplane i as an array literal column. */
+  private def plane(i: Int): Column =
+    array((0 until Dim).map(j => lit(weight(i, j).toDouble)): _*)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vector norms + dims — the plumbing op (schema/typed-array path)
+    "emb_norms" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"), size(col("embedding")).as("dim"),
+        norm(col("embedding")).as("l2"))
+        .orderBy("vec_id")),
+
+    // brute-force cosine top-5 per query vector (vec_id < 10):
+    // the exact ANN baseline. The tiny query side broadcasts; the
+    // big side streams — no shuffle of the corpus.
+    "emb_knn" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot(col("qv"), col("embedding")) /
+            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "nid", "rank")
+        .orderBy("qid", "rank")
+    }),
+
+    // per-label centroids via posexplode + sorted sequential fold —
+    // partition-parallel (shuffles (label, pos), never collects to the
+    // driver). Decimal-cast sums can hit rounding ties (a float that
+    // is exactly n.5 at the decimal scale rounds HALF_UP in Spark,
+    // half-even in DuckDB), so the cross-engine-exact mean is a
+    // sort + left fold in double. At 100 TB scale swap the in-group
+    // sort for a compensated-sum Aggregator (order-insensitive to
+    // ~1 ulp); the fold here is the oracle-exact flavor.
+    "emb_centroid" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(collect_list(col("x").cast("double")).as("xs"),
+             count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (aggregate(sort_array(col("xs")), lit(0.0), (acc, v) => acc + v) /
+            col("n")).as("c"))
+        .orderBy("label", "pos")),
+
+    // random-hyperplane LSH bucket assignment (the ANN scale path:
+    // equal buckets → candidate; 8 planes → 256-way partitioning)
+    "emb_lsh_buckets" -> ((s, d) => {
+      val bucket = (0 until Planes).map(i =>
+        when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
+        .reduce(_ + _)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), bucket.as("bucket"))
+        .orderBy("vec_id")
+    }),
+  )
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        (acc, x) -> acc + x)"""
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private def planeSql(i: Int): String =
+    (0 until Dim).map(j => s"${weight(i, j)}.0").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "emb_norms" ->
+      s"""SELECT vec_id, len(embedding) AS dim, ${normSql("embedding")} AS l2
+          FROM embeddings ORDER BY vec_id""",
+    "emb_knn" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                     WHERE vec_id < 10),
+          scored AS (
+            SELECT qid, e.vec_id AS nid,
+                   ${dotSql("qv", "e.embedding")} /
+                     (${normSql("qv")} * ${normSql("e.embedding")}) AS cos
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+          ranked AS (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, nid) AS rank
+            FROM scored)
+          SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+          ORDER BY qid, rank""",
+    "emb_centroid" ->
+      """SELECT label, i - 1 AS pos,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(
+                  array_agg(CAST(embedding[i] AS DOUBLE)))),
+                  (acc, v) -> acc + v) / count(*) AS c
+         FROM embeddings, range(1, 65) r(i)
+         GROUP BY label, i ORDER BY label, pos""",
+    "emb_lsh_buckets" -> {
+      val terms = (0 until Planes).map(i =>
+        s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT vec_id, CAST($terms AS BIGINT) AS bucket
+          FROM embeddings ORDER BY vec_id"""
+    },
+  )
+}

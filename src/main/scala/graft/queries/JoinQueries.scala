@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Exact
+import graft.core.ExactSql
+import graft.operators.AsOfJoin
+
+/** §2.4 joins: equi (all types), semi/anti, cross, hints, cogroup,
+  * interval join, window join, as-of/temporal join.
+  *
+  * Reference surface: QueryTest.scala:216-247, 587-700, 1040-1091;
+  * DataSetFunc.scala:334-517; DataStreamFunc.scala:360-505, 1514-1685;
+  * TableSQLFunc.scala:1223-1341, 1462-1530.
+  *
+  * Scale notes (100 TB):
+  *   - region/nation are the only broadcast sides (Tables.broadcastable);
+  *     fact-fact joins shuffle on their keys and rely on AQE for skew.
+  *   - interval/window joins always carry an EQUI key (user_id / window
+  *     bucket) so Catalyst picks SortMerge/ShuffledHash, never a
+  *     nested-loop range join.
+  *   - the as-of join is the one-shuffle sort-merge design (AsOfJoin).
+  */
+object JoinQueries extends GroupBase {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // inner equi-join chain + broadcast dims (QueryTest.scala:587-700)
+    "join_inner_chain" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("cnt"))
+        .orderBy("r_name")),
+
+    // left outer join + agg over possibly-empty side (DataSetFunc.scala:394-445)
+    "join_left" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(Exact.dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+        .orderBy("c_custkey")),
+
+    // right outer join (same result shape, right-join plan)
+    "join_right" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(Exact.dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+        .orderBy("c_custkey")),
+
+    // full outer join (DataSetFunc.scala:394-445)
+    "join_full" -> ((s, d) => {
+      val cn = t(s, d, "customer").filter(col("c_nationkey") < 15)
+        .select(col("c_nationkey").as("cn")).distinct()
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("sn")).distinct()
+      cn.join(sn, col("cn") === col("sn"), "full")
+        .orderBy(col("cn").asc_nulls_first, col("sn").asc_nulls_first)
+    }),
+
+    // cross join (DataSetFunc.scala:477-517)
+    "join_cross" -> ((s, d) =>
+      t(s, d, "region")
+        .crossJoin(t(s, d, "orders").select("o_orderstatus").distinct())
+        .select("r_name", "o_orderstatus").orderBy("r_name", "o_orderstatus")),
+
+    // semi join via EXISTS semantics (QueryTest.scala:216-247)
+    "join_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // anti join via NOT EXISTS semantics (QueryTest.scala:216-247)
+    "join_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // physical join-strategy hints (DataSetFunc.scala:334-384):
+    // SHUFFLE_HASH for the fact-fact pair, broadcast for the dim.
+    "join_hints" -> ((s, d) =>
+      t(s, d, "lineitem").hint("SHUFFLE_HASH")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+             Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")),
+
+    // cogroup as relational full-outer of two grouped aggregates
+    // (DataSetFunc.scala:456-465; DataStreamFunc.scala:360-505)
+    "join_cogroup" -> ((s, d) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val p = t(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, Seq("nk"), "full")
+        .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    }),
+
+    // interval join (DataStreamFunc.scala:1640-1685; QueryTest.scala:1040-1091):
+    // signup -> purchase pairs within 1h, equi key user_id keeps the
+    // plan a shuffled equi-join with a range residual.
+    "join_interval" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("a_ts"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("b_ts"))
+      a.join(b, Seq("user_id"))
+        .filter(col("b_ts") > col("a_ts") &&
+                col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // tumbling window join (DataStreamFunc.scala:1514-1637): same
+    // 1h bucket + same user, click joined to view counts.
+    "join_window" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("user_id"))
+        .agg(count(lit(1)).as("n_click"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("user_id"))
+        .agg(count(lit(1)).as("n_view"))
+      clicks.join(views, Seq("ws", "user_id"))
+        .orderBy("ws", "user_id")
+    }),
+
+    // as-of / temporal join (TableSQLFunc.scala:1462-1530): each
+    // purchase event enriched with the user's most recent prior click
+    // value; one-shuffle sort-merge design (AsOfJoin).
+    "join_asof" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_value"), col("event_id").asc_nulls_first)
+        .select("event_id", "user_id", "click_value")
+        .orderBy("event_id")
+    }),
+  )
+
+  private val rev = "l_extendedprice * (1.0 - l_discount)"
+
+  def oracleSql: Map[String, String] = Map(
+    "join_inner_chain" ->
+      s"""SELECT r_name, ${ExactSql.dsum(rev)} AS revenue, count(*) AS cnt
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name""",
+    "join_left" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+          COALESCE(${ExactSql.dsum("o_totalprice")}, 0.0) AS spend
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_right" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+          COALESCE(${ExactSql.dsum("o_totalprice")}, 0.0) AS spend
+          FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_full" ->
+      """SELECT cn, sn FROM
+           (SELECT DISTINCT c_nationkey AS cn FROM customer WHERE c_nationkey < 15) c
+         FULL OUTER JOIN
+           (SELECT DISTINCT s_nationkey AS sn FROM supplier) s
+         ON cn = sn ORDER BY cn ASC NULLS FIRST, sn ASC NULLS FIRST""",
+    "join_cross" ->
+      """SELECT r_name, o_orderstatus
+         FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) o
+         ORDER BY r_name, o_orderstatus""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_hints" ->
+      s"""SELECT p_brand, count(*) AS cnt, ${ExactSql.dsum("l_quantity")} AS sum_qty
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY p_brand ORDER BY p_brand""",
+    "join_cogroup" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nk,
+                COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+         ON c.nk = s.nk ORDER BY nk""",
+    "join_interval" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS a_ts FROM events
+               WHERE event_type = 'signup') a
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS b_ts FROM events
+               WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id
+          AND b_ts > a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "join_window" ->
+      """SELECT c.ws, c.user_id, n_click, n_view
+         FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, user_id,
+                      count(*) AS n_click
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+         JOIN (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, user_id,
+                      count(*) AS n_view
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+           ON c.ws = v.ws AND c.user_id = v.user_id
+         ORDER BY c.ws, c.user_id""",
+    "join_asof" ->
+      """SELECT event_id, p.user_id, c.value AS click_value
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+               WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY event_id""",
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2.10/§2.11 pattern detection, batch-relational form of the
+  * reference's concrete CEP scenarios. The generic NFA operator for
+  * streaming lives in graft.streaming (flatMapGroupsWithState); these
+  * queries express the same *detections* declaratively so Catalyst
+  * plans them (and the DuckDB oracle can verify them).
+  *
+  * Reference scenarios:
+  *   - login-fail: N fails within T (FailMatchByCep.scala;
+  *     CEPDemo.scala times(n)+within)
+  *   - order timeout: A not followed by B within T
+  *     (TimeoutMatchByCep.scala, OrderPaymentCheckByCEPApp.scala:36-50)
+  *   - fraud: small-then-large within T (FraudDetector.scala:17-60)
+  *   - two-stream match (TxMatchDetection.scala:9-47)
+  *
+  * Scale: all four are equi-keyed self-joins or time-range window
+  * frames — one shuffle on user_id; the range predicate is a residual
+  * filter on a sort-merge join, never a nested loop.
+  */
+object PatternQueries extends GroupBase {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A followed by B within 1h (CEP followedBy + within):
+    // signups that converted to a purchase
+    "pat_seq_within" -> ((s, d) =>
+      sql(s, d,
+        """SELECT a.user_id, count(*) AS n_converted
+           FROM (SELECT user_id, ts, event_id FROM events
+                 WHERE event_type = 'signup') a
+           WHERE EXISTS (
+             SELECT 1 FROM events b
+             WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+               AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+           GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    // N fails within T (login-fail, times(3) within 30m): error events
+    // whose trailing-30m error count reaches 3
+    "pat_nfails" -> ((s, d) =>
+      sql(s, d,
+        """SELECT user_id, event_id, n_err FROM (
+             SELECT user_id, event_id,
+                    count(*) OVER (PARTITION BY user_id ORDER BY ts
+                                   RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                                   AND CURRENT ROW) AS n_err
+             FROM events WHERE event_type = 'error') x
+           WHERE n_err >= 3 ORDER BY user_id, event_id""")),
+
+    // A NOT followed by B within T (order timeout): signups with no
+    // purchase within 1h
+    "pat_timeout" -> ((s, d) =>
+      sql(s, d,
+        """SELECT a.user_id, a.event_id FROM (
+             SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'signup') a
+           WHERE NOT EXISTS (
+             SELECT 1 FROM events b
+             WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+               AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+           ORDER BY a.user_id, a.event_id""")),
+
+    // small-then-large within 1 minute (FraudDetector.scala:17-60):
+    // consecutive-event variant via lag()
+    "pat_fraud" -> ((s, d) =>
+      sql(s, d,
+        """SELECT user_id, event_id, prev_v, value FROM (
+             SELECT user_id, event_id, value, ts,
+                    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             FROM events WHERE event_type = 'purchase') x
+           WHERE prev_v < 10.0 AND value > 400.0
+             AND ts <= prev_ts + INTERVAL 1 MINUTE
+           ORDER BY user_id, event_id""")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pat_seq_within" ->
+      """SELECT a.user_id, count(*) AS n_converted
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+               WHERE event_type = 'signup') a
+         WHERE EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+             AND CAST(b.ts AS TIMESTAMP) > a.ts
+             AND CAST(b.ts AS TIMESTAMP) <= a.ts + INTERVAL 1 HOUR)
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "pat_nfails" ->
+      """SELECT user_id, event_id, n_err FROM (
+           SELECT user_id, event_id,
+                  count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                                 AND CURRENT ROW) AS n_err
+           FROM events WHERE event_type = 'error') x
+         WHERE n_err >= 3 ORDER BY user_id, event_id""",
+    "pat_timeout" ->
+      """SELECT a.user_id, a.event_id FROM (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+           WHERE event_type = 'signup') a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM events b
+           WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+             AND CAST(b.ts AS TIMESTAMP) > a.ts
+             AND CAST(b.ts AS TIMESTAMP) <= a.ts + INTERVAL 1 HOUR)
+         ORDER BY a.user_id, a.event_id""",
+    "pat_fraud" ->
+      """SELECT user_id, event_id, prev_v, value FROM (
+           SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+                  lag(value) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_v,
+                  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+           FROM events WHERE event_type = 'purchase') x
+         WHERE prev_v < 10.0 AND value > 400.0
+           AND ts <= prev_ts + INTERVAL 1 MINUTE
+         ORDER BY user_id, event_id""",
+  )
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3 projection/filter/row transforms, §2.7 sort/limit, §2.8 set ops.
+  *
+  * Reference surface: Transform.scala:21-116 (map/filter/flatMap),
+  * QueryTest.scala:128-344 (set ops, distinct, sort/limit),
+  * DataSetFunc.scala:595-658, 989-1013 (sortPartition/first/zipWithIndex).
+  *
+  * All are single-pass DataFrame ops: filters/projections reach the
+  * parquet scan (PushedFilters), set ops hash-shuffle once on the full
+  * row — at 100 TB each stays a one-shuffle plan.
+  */
+object RelationalQueries extends GroupBase {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // filter + project + computed column (Transform.scala:21-116;
+    // computed columns CreateTest.scala:171-196)
+    "rel_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01") &&
+                col("l_shipdate") <  lit("1999-01-01") &&
+                col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // CASE WHEN buckets + group count (QueryTest.scala computed-col idiom)
+    "rel_case_when" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 10000, "small")
+            .when(col("o_totalprice") < 100000, "mid")
+            .otherwise("large"))
+        .groupBy("bucket", "o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket", "o_orderstatus")),
+
+    // SELECT DISTINCT (QueryTest.scala:317-344)
+    "rel_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")),
+
+    // ORDER BY + LIMIT + OFFSET (QueryTest.scala:296-315; TabApiTest.scala:978-1000)
+    "rel_sort_limit_offset" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(5).limit(10)),
+
+    // UNION ALL (QueryTest.scala:128-154)
+    "rel_union_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderstatus")
+        .unionAll(o.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 400000)
+          .select("o_orderkey", "o_orderstatus"))
+        .orderBy("o_orderkey", "o_orderstatus")
+    }),
+
+    // UNION with dedup (QueryTest.scala:128-154)
+    "rel_union_distinct" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_totalprice") > 300000).select("o_custkey")
+        .union(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+        .distinct().orderBy("o_custkey")
+    }),
+
+    // EXCEPT (QueryTest.scala:166-212)
+    "rel_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk")).distinct()
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct())
+        .orderBy("nk")),
+
+    // INTERSECT (QueryTest.scala:166-212)
+    "rel_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk")).distinct()
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct())
+        .orderBy("nk")),
+
+    // INTERSECT ALL — multiset (TabApiTest.scala:860-975)
+    "rel_intersect_all" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.filter(year(col("l_shipdate")) < 1998).select("l_returnflag", "l_linestatus")
+        .intersectAll(li.filter(year(col("l_shipdate")) >= 1998)
+          .select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // EXCEPT ALL — multiset (TabApiTest.scala:860-975)
+    "rel_except_all" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.filter(col("l_linenumber") <= 2).select("l_returnflag")
+        .exceptAll(li.filter(col("l_linenumber") > 2).select("l_returnflag"))
+        .orderBy("l_returnflag")
+    }),
+
+    // fromElements/fromCollection (Source.scala:21-64) — inline rows
+    // joined against a table; the tiny side broadcasts by size.
+    "rel_inline_values" -> ((s, d) => {
+      import s.implicits._
+      val tags = Seq((0, "west"), (1, "east"), (2, "north"))
+        .toDF("rk", "tag")
+      t(s, d, "region")
+        .join(tags, col("r_regionkey") === col("rk"))
+        .select("r_name", "tag").orderBy("r_name")
+    }),
+
+    // zipWithIndex (DataSetFunc.scala:989-1013): deterministic dense ids.
+    // monotonically_increasing_id is partition-dependent, so the
+    // deterministic (and distributed) form is row_number over the
+    // natural key order.
+    "rel_zip_index" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "orders").select("o_orderkey")
+        .withColumn("idx",
+          row_number().over(Window.orderBy("o_orderkey")) - 1)
+        .orderBy("o_orderkey").limit(100)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_shipdate < TIMESTAMP '1999-01-01' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "rel_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 10000 THEN 'small'
+                     WHEN o_totalprice < 100000 THEN 'mid'
+                     ELSE 'large' END AS bucket,
+                o_orderstatus, count(*) AS cnt
+         FROM orders GROUP BY 1, 2 ORDER BY bucket, o_orderstatus""",
+    "rel_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "rel_sort_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5""",
+    "rel_union_all" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderstatus = 'O' AND o_totalprice > 400000
+         ORDER BY o_orderkey, o_orderstatus""",
+    "rel_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_custkey""",
+    "rel_except" ->
+      """SELECT DISTINCT c_nationkey AS nk FROM customer
+         EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier
+         ORDER BY nk""",
+    "rel_intersect" ->
+      """SELECT DISTINCT c_nationkey AS nk FROM customer
+         INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier
+         ORDER BY nk""",
+    "rel_intersect_all" ->
+      """SELECT l_returnflag, l_linestatus FROM lineitem WHERE year(l_shipdate) < 1998
+         INTERSECT ALL
+         SELECT l_returnflag, l_linestatus FROM lineitem WHERE year(l_shipdate) >= 1998
+         ORDER BY l_returnflag, l_linestatus""",
+    "rel_except_all" ->
+      """SELECT l_returnflag FROM lineitem WHERE l_linenumber <= 2
+         EXCEPT ALL
+         SELECT l_returnflag FROM lineitem WHERE l_linenumber > 2
+         ORDER BY l_returnflag""",
+    "rel_inline_values" ->
+      """SELECT r_name, tag FROM region
+         JOIN (VALUES (0, 'west'), (1, 'east'), (2, 'north')) v(rk, tag)
+           ON r_regionkey = rk
+         ORDER BY r_name""",
+    "rel_zip_index" ->
+      """SELECT o_orderkey, (row_number() OVER (ORDER BY o_orderkey)) - 1 AS idx
+         FROM orders ORDER BY o_orderkey LIMIT 100""",
+  )
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, ExactSql}
+
+/** §2.5 event-time windowed aggregation, batch flavor: TUMBLE / HOP /
+  * SESSION windows, offset windows, non-keyed (windowAll) aggs, and the
+  * per-window top-N ("hot items") pipeline.
+  *
+  * Reference surface: SpendReportJob.scala:95-102 (flagship),
+  * TableSQLFunc.scala:951-963 (TUMBLE/HOP/SESSION SQL),
+  * TableDemo.scala:650-893 (all three window kinds in both API styles),
+  * TumbleOffsetApp.scala:41 (offset), HotItems.scala:176-201 +
+  * TopNHotItems.scala:15-52 (windowed top-N).
+  *
+  * The streaming flavors of these (withWatermark + window over
+  * readStream) share the same window expressions; see
+  * graft.streaming.* and the ScalaTest streaming suites.
+  *
+  * Scale: window bucketing is an element-wise projection (no shuffle);
+  * each agg is one hash-shuffle on (bucket, key). session windows use
+  * Spark's native session_window, which plans to a single
+  * partial-merge aggregate, not a self-join.
+  */
+object TimeWindowQueries extends GroupBase {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FLAGSHIP — SpendReport: hourly spend per user
+    // (SpendReportJob.scala:95-102)
+    "tw_spendreport" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("user_id"))
+        .agg(Exact.dsum(col("value")).as("spend"))
+        .orderBy("w_start", "user_id")),
+
+    // TUMBLE with start+end columns (TableSQLFunc.scala:951-963):
+    // uses Spark's native window() bucketing
+    "tw_tumble" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("cnt"), col("sum_v"))
+        .orderBy("w_start", "event_type")),
+
+    // HOP / sliding window, 1h size, 15m slide (TableDemo.scala:650-893)
+    "tw_hop" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")),
+
+    // SESSION window, 30m gap, per user (TableDemo.scala session;
+    // session_window is Spark's native gap-session operator)
+    "tw_session" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"),
+          col("cnt"), col("sum_v"))
+        .orderBy("user_id", "s_start")),
+
+    // tumbling window with a 30m offset (TumbleOffsetApp.scala:41)
+    "tw_tumble_offset" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w_start"), col("cnt"))
+        .orderBy("w_start")),
+
+    // windowAll — global per-window agg, no key (Window.scala:258-290;
+    // HourlyTipsSolution.scala:37-38 second stage)
+    "tw_windowall" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"),
+             countDistinct(col("user_id")).as("uv"))
+        .orderBy("w_start")),
+
+    // per-window top-3 hot item types (HotItems + TopNHotItems
+    // semantics: window count then rank within window)
+    "tw_topn_hot" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("w_start")
+        .orderBy(col("cnt").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("w_start", "rn")
+    }),
+
+    // daily min/max/count (floor/ceil-to-unit family over time)
+    "tw_daily" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_v"),
+             max(col("value")).as("max_v"))
+        .orderBy("day")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "tw_spendreport" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, user_id,
+          ${ExactSql.dsum("value")} AS spend
+          FROM events GROUP BY 1, 2 ORDER BY w_start, user_id""",
+    "tw_tumble" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+          date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
+          event_type, count(*) AS cnt, ${ExactSql.dsum("value")} AS sum_v
+          FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "tw_hop" ->
+      """SELECT ws AS w_start, event_type, count(*) AS cnt FROM (
+           SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                    - k.k * INTERVAL '15 minutes' AS ws,
+                  CAST(ts AS TIMESTAMP) AS tss, event_type
+           FROM events, (SELECT unnest(range(4)) AS k) k) x
+         WHERE tss < ws + INTERVAL 1 HOUR
+         GROUP BY ws, event_type ORDER BY w_start, event_type""",
+    "tw_session" ->
+      s"""WITH g AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN lag(CAST(ts AS TIMESTAMP))
+                          OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                          OR CAST(ts AS TIMESTAMP)
+                             - lag(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                             >= INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events),
+          sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+          SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTES AS s_end,
+                 user_id, count(*) AS cnt, ${ExactSql.dsum("value")} AS sum_v
+          FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "tw_tumble_offset" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP),
+                            INTERVAL '30 minutes') AS w_start, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY w_start""",
+    "tw_windowall" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+          count(*) AS cnt, ${ExactSql.dsum("value")} AS sum_v,
+          count(DISTINCT user_id) AS uv
+          FROM events GROUP BY 1 ORDER BY w_start""",
+    "tw_topn_hot" ->
+      """SELECT w_start, event_type, cnt, rn FROM (
+           SELECT w_start, event_type, cnt,
+                  row_number() OVER (PARTITION BY w_start
+                                     ORDER BY cnt DESC, event_type) AS rn
+           FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+                        event_type, count(*) AS cnt
+                 FROM events GROUP BY 1, 2) c) x
+         WHERE rn <= 3 ORDER BY w_start, rn""",
+    "tw_daily" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, count(*) AS cnt,
+                min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY 1 ORDER BY day""",
+  )
+}
