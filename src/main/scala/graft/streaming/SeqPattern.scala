@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** CEP-lite: per-key sequence-pattern detection as an NFA interpreted
+  * inside `flatMapGroupsWithState` — the Spark-native port of the
+  * reference's CEP library core (CEPDemo.scala:32-949) and
+  * MATCH_RECOGNIZE skeleton (TableSQLFunc.scala:1569-2240).
+  *
+  * Round-2 scope (the semantics every concrete reference scenario
+  * uses): ordered steps with per-step predicates, contiguity
+  * `strict` (CEP `next`) or `relaxed` (`followedBy`), `WITHIN`
+  * horizon, and AFTER MATCH SKIP PAST LAST ROW. Quantifiers
+  * (`times/oneOrMore/greedy`) and alternative skip strategies are the
+  * round-3 extension — they change the partial-match expansion rule,
+  * not this operator's shape.
+  *
+  * State is the set of live partial matches per key, pruned by the
+  * `within` horizon on every element — bounded by (pattern length ×
+  * events inside the horizon), independent of stream length, so the
+  * state store stays O(keys × horizon density) at any scale.
+  */
+object SeqPattern {
+  /** One NFA step: name + predicate over (kind, value). */
+  case class Step(name: String, kinds: Set[String], minValue: Double = Double.MinValue) {
+    def matches(e: KeyedEvent): Boolean =
+      kinds.contains(e.kind) && e.value >= minValue
+  }
+
+  case class Partial(stepIdx: Int, tss: List[Long], vals: List[Double])
+  case class MatchOut(key: Long, startTs: Timestamp, endTs: Timestamp,
+                      values: Seq[Double])
+
+  implicit val matchEnc: Encoder[MatchOut] = Encoders.product[MatchOut]
+  /** State = live partial matches, wrapped in a Product for encoding. */
+  case class PartialSet(xs: List[Partial])
+
+  /** Run the pattern over a keyed stream. `strict` = CEP `next`
+    * (no intervening event may break the chain); relaxed = `followedBy`. */
+  def detect(ds: Dataset[KeyedEvent], steps: Seq[Step], withinMs: Long,
+             strict: Boolean): Dataset[MatchOut] = {
+    import ds.sparkSession.implicits._
+    val stepsB = steps.toIndexedSeq
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[PartialSet, MatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, events, state: GroupState[PartialSet]) =>
+          var partials = state.getOption.map(_.xs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[MatchOut]
+          events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            // prune expired partials
+            partials = partials.filter(p => t - p.tss.head <= withinMs)
+            // advance existing partials
+            val advanced = partials.flatMap { p =>
+              if (stepsB(p.stepIdx).matches(e))
+                List(Partial(p.stepIdx + 1, p.tss :+ t, p.vals :+ e.value))
+              else if (strict) Nil // strict contiguity: chain broken
+              else List(p)         // relaxed: partial survives
+            }
+            // start a new partial on step 0
+            val started =
+              if (stepsB(0).matches(e))
+                List(Partial(1, List(t), List(e.value)))
+              else Nil
+            val (complete, live) =
+              (advanced ++ started).partition(_.stepIdx >= stepsB.length)
+            complete.foreach { m =>
+              out += MatchOut(key, new Timestamp(m.tss.head),
+                new Timestamp(m.tss.last), m.vals)
+            }
+            // AFTER MATCH SKIP PAST LAST ROW: a match clears live partials
+            partials = if (complete.nonEmpty) Nil else live
+          }
+          state.update(PartialSet(partials))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Keyed event shape shared by the stateful operators (mirrors the
+  * reference's keyed DataStream element: key + event time + tag +
+  * measure). */
+case class KeyedEvent(key: Long, ts: Timestamp, kind: String, value: Double)
+
+case class CountWindowOut(key: Long, windowSeq: Long, cnt: Long, sum: Double)
+case class AlertOut(key: Long, kind: String, firstTs: Timestamp,
+                    lastTs: Timestamp, detail: Double)
+
+/** Stateful streaming operators (SURVEY §2.11 / §7.2 step 4), each a
+  * `flatMapGroupsWithState` over a keyed stream — Spark's analogue of
+  * the reference's KeyedProcessFunction + ValueState + timers.
+  *
+  * State per key is O(1) (counters / a single pending event), so at
+  * 1000 executors the state store scales with #keys, never with
+  * #events — the property that keeps these safe at 100 TB/day.
+  *
+  * Reference semantics ported:
+  *   - count windows: Window.scala:201-256 (countWindow tumbling)
+  *   - fraud small-then-large: FraudDetector.scala:17-60
+  *   - A-not-followed-by-B timeout: TimeoutMatchByCep.scala /
+  *     OrderPaymentCheckByCEPApp.scala:36-50, LongRidesSolution.scala
+  *   - dedup-by-key state flag: DuplicatorApp.scala:11-40
+  */
+object StatefulOps {
+  implicit val keyedEventEnc: Encoder[KeyedEvent] = Encoders.product[KeyedEvent]
+  implicit val countOutEnc: Encoder[CountWindowOut] = Encoders.product[CountWindowOut]
+  implicit val alertEnc: Encoder[AlertOut] = Encoders.product[AlertOut]
+
+  /** Tumbling COUNT window (fires every `n` events per key) — the
+    * operator Spark lacks natively (no count-based triggers). */
+  def countTumblingWindow(ds: Dataset[KeyedEvent], n: Int): Dataset[CountWindowOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Double), CountWindowOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, events, state: GroupState[(Long, Long, Double)]) =>
+          var (seq, cnt, sum) = state.getOption.getOrElse((0L, 0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CountWindowOut]
+          events.foreach { e =>
+            cnt += 1; sum += e.value
+            if (cnt == n) {
+              out += CountWindowOut(key, seq, cnt, sum)
+              seq += 1; cnt = 0; sum = 0.0
+            }
+          }
+          state.update((seq, cnt, sum))
+          out.iterator
+      }
+  }
+
+  /** Fraud pattern: a small (< smallMax) event immediately followed by
+    * a large (> largeMin) event within `gapMs` — FraudDetector
+    * semantics (ValueState flag + timer ≈ stored small-event ts).
+    * State is the pending small-event ts in millis, -1 = none
+    * (sentinel instead of Option: O(1) state, product-encodable). */
+  def fraudDetector(ds: Dataset[KeyedEvent], smallMax: Double, largeMin: Double,
+                    gapMs: Long): Dataset[AlertOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, AlertOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, events, state: GroupState[Long]) =>
+          var pendingSmall: Long = state.getOption.getOrElse(-1L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+          // per-key arrival order = event-time order within a batch
+          events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            if (pendingSmall >= 0 && e.value > largeMin &&
+                e.ts.getTime - pendingSmall <= gapMs) {
+              out += AlertOut(key, "fraud", new Timestamp(pendingSmall), e.ts, e.value)
+              pendingSmall = -1L
+            }
+            if (e.value < smallMax) pendingSmall = e.ts.getTime
+            else if (e.value > largeMin) pendingSmall = -1L
+          }
+          state.update(pendingSmall)
+          out.iterator
+      }
+  }
+
+  /** A (kind==startKind) not followed by B (kind==endKind) within
+    * `timeoutMs` → timeout alert, using an EVENT-TIME timer driven by
+    * the stream's watermark (order-timeout / long-rides semantics).
+    * Matched pairs emit a "matched" row; expired starts emit "timeout".
+    */
+  def matchWithTimeout(ds: Dataset[KeyedEvent], startKind: String,
+                       endKind: String, timeoutMs: Long): Dataset[AlertOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, AlertOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, events, state: GroupState[Long]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+          if (state.hasTimedOut) {
+            val ts = state.getOption.getOrElse(-1L)
+            if (ts >= 0)
+              out += AlertOut(key, "timeout", new Timestamp(ts), new Timestamp(ts), 0.0)
+            state.remove()
+          } else {
+            var pending: Long = state.getOption.getOrElse(-1L)
+            events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              e.kind match {
+                case k if k == startKind =>
+                  pending = e.ts.getTime
+                case k if k == endKind =>
+                  if (pending >= 0 && e.ts.getTime - pending <= timeoutMs)
+                    out += AlertOut(key, "matched", new Timestamp(pending), e.ts, e.value)
+                  pending = -1L
+                case _ => ()
+              }
+            }
+            state.update(pending)
+            if (pending >= 0) state.setTimeoutTimestamp(pending + timeoutMs)
+          }
+          out.iterator
+      }
+  }
+
+  /** First-seen dedup by key (DuplicatorApp state-flag semantics):
+    * emits only the first event per key. */
+  def firstSeen(ds: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, events, state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            events.toSeq.sortBy(e => (e.ts.getTime, e.value)).headOption.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Canonical Structured-Streaming pipelines (SURVEY §7.2 step 3).
+  * Each takes an input DataFrame/Dataset so the same topology runs on
+  * a MemoryStream (tests), a file stream, or Kafka (production) —
+  * mirroring how the reference parameterizes sources
+  * (ExerciseBase.rides swap, TaxiRideTestBase.java:25-99).
+  */
+object StreamPipelines {
+
+  /** ClickEventCount (flink-prometheus ClickEventCount.java:65-104):
+    * 15s tumbling count per page, bounded out-of-orderness 200 ms.
+    * Invariant under the deterministic generator: every closed window
+    * holds exactly EVENTS_PER_WINDOW per page. */
+  def clickCount(events: DataFrame, tsCol: String = "ts",
+                 pageCol: String = "page"): DataFrame =
+    events
+      .withWatermark(tsCol, "200 milliseconds")
+      .groupBy(window(col(tsCol), "15 seconds"), col(pageCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col(pageCol), col("cnt"))
+
+  /** Streaming dedup within the watermark horizon
+    * (dropDuplicatesWithinWatermark — the engine analogue of
+    * row_number()=1 dedup, QueryTest.scala:1219-1248, with state
+    * eviction bounded by the watermark). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keyCols: Seq[String], delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join (DataStreamFunc.scala:1640-1685):
+    * a-side joined to b-side events of the same key within
+    * (a.ts, a.ts + window]; watermarks bound the join state. */
+  def intervalJoin(a: DataFrame, b: DataFrame, key: String,
+                   window: String): DataFrame = {
+    val l = a.withWatermark("ts", "1 second").alias("l")
+    val r = b.withWatermark("ts", "1 second").alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") > col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $window"))
+  }
+
+  /** Side-output / multi-sink fanout via foreachBatch
+    * (SideOutputApp1.scala:13-26; StatementSet multi-sink
+    * TableSQLFunc.scala:532-590): one pass over each micro-batch,
+    * split by predicate, two parquet sinks. The batch is cached so
+    * the fanout reads the source once per trigger. */
+  def splitToSinks(events: DataFrame, pred: org.apache.spark.sql.Column,
+                   pathA: String, pathB: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.persist()
+        batch.filter(pred).write.mode("append").parquet(pathA)
+        batch.filter(!pred).write.mode("append").parquet(pathB)
+        batch.unpersist()
+        ()
+    }
+}

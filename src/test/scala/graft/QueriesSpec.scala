@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contract + invariant tests over the query catalog at sf0.001.
+  * The cross-engine value-exactness gate is the driver's DuckDB
+  * compare (tools/check.py locally); these specs assert structural
+  * invariants and reference-derived golden properties. */
+class QueriesSpec extends SparkSpec {
+  private val d = TestSpark.sf0001
+
+  test("entry (SpendReport flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("query names are unique across groups") {
+    val all = SparkEntry.groups.flatMap(_.queries.keys)
+    assert(all.size == all.distinct.size)
+  }
+
+  test("every query runs and is non-degenerate at sf0.001") {
+    // legitimately 0 rows at this SF (verified against the DuckDB oracle)
+    val empties = Seq("join_anti", "pat_fraud", "pat_nfails", "rel_except_all")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, d).count()
+      if (!empties.contains(name))
+        assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact (HLL++ invariant)") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, d)
+      .agg(sum("approx_users")).first().getLong(0).toDouble
+    val exact = graft.core.Tables.load(spark, d, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .agg(sum("u")).first().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("as-of join matches the most recent prior click per purchase") {
+    // golden micro-check: recompute one user's enrichment directly
+    val e = graft.core.Tables.load(spark, d, "events")
+    val out = SparkEntry.queries("join_asof")(spark, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").collect()
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value").collect()
+      .groupBy(_.getLong(0))
+    val expect = purchases.take(20).map { p =>
+      val prior = clicks.getOrElse(p.getLong(1), Array.empty)
+        .filter(c => !c.getTimestamp(1).after(p.getTimestamp(2)))
+      val v = if (prior.isEmpty) null
+        else prior.maxBy(_.getTimestamp(1).getTime).get(2)
+      p.getLong(0) -> v
+    }.toMap
+    val got = out.filter(col("event_id").isin(expect.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    assert(got == expect)
+  }
+
+  test("MaxMin aggregator equals built-in min/max") {
+    val c = graft.core.Tables.load(spark, d, "customer")
+    val viaUdaf = SparkEntry.queries("agg_udaf_maxmin")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val builtin = c.groupBy("c_mktsegment")
+      .agg(max("c_acctbal"), min("c_acctbal")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(viaUdaf == builtin)
+  }
+
+  test("minhash est correlates with true jaccard on known near-dups") {
+    val jac = SparkEntry.queries("dd_jaccard")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mh = SparkEntry.queries("dd_minhash")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val strong = jac.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty)
+    // every strongly-similar pair should be caught by LSH with high est
+    val missed = strong.filterNot(p => mh.getOrElse(p, 0.0) >= 0.5)
+    assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Golden tests for the stateful operator library, mirroring the
+  * reference's exercise/solution harness style (TaxiRideTestBase:
+  * deterministic source → operator → collected sink → assert). */
+class StatefulOpsSpec extends SparkSpec {
+
+  private def runAppend[T](dsw: org.apache.spark.sql.Dataset[T], name: String)(
+      assertFn: Array[org.apache.spark.sql.Row] => Unit): Unit = {
+    val q = dsw.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable(); assertFn(spark.table(name).collect()) }
+    finally q.stop()
+  }
+
+  test("count tumbling window fires every n events per key") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    input.addData((1 to 7).map(i => KeyedEvent(1L, ts(i * 1000L), "e", i.toDouble)))
+    input.addData((1 to 3).map(i => KeyedEvent(2L, ts(i * 1000L), "e", 10.0)))
+    runAppend(StatefulOps.countTumblingWindow(input.toDS(), 3), "cw") { rows =>
+      val byKey = rows.groupBy(_.getLong(0))
+      // key 1: 7 events -> windows (1+2+3), (4+5+6); 7th stays pending
+      assert(byKey(1L).map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet ==
+        Set((0L, 3L, 6.0), (1L, 3L, 15.0)))
+      // key 2: exactly one full window
+      assert(byKey(2L).map(r => (r.getLong(1), r.getDouble(3))).toSet ==
+        Set((0L, 30.0)))
+    }
+  }
+
+  test("fraud detector: small-then-large within gap alerts, beyond gap does not") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    input.addData(Seq(
+      KeyedEvent(1L, ts(1000L), "tx", 0.5),    // small
+      KeyedEvent(1L, ts(30000L), "tx", 600.0), // large, within 60s -> alert
+      KeyedEvent(2L, ts(1000L), "tx", 0.5),    // small
+      KeyedEvent(2L, ts(90000L), "tx", 600.0), // large, beyond 60s -> no alert
+      KeyedEvent(3L, ts(1000L), "tx", 50.0),   // mid
+      KeyedEvent(3L, ts(2000L), "tx", 600.0))) // large, no preceding small
+    runAppend(StatefulOps.fraudDetector(input.toDS(), 1.0, 500.0, 60000L), "fraud") { rows =>
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+      assert(rows.head.getDouble(4) == 600.0)
+    }
+  }
+
+  test("match-with-timeout: matched pair emits, unmatched start times out via watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val wmInput = input.toDS().withWatermark("ts", "0 seconds").as[KeyedEvent]
+    input.addData(Seq(
+      KeyedEvent(1L, ts(1000L), "order", 1.0),
+      KeyedEvent(1L, ts(5000L), "pay", 9.0),    // matched within 10s
+      KeyedEvent(2L, ts(1000L), "order", 1.0))) // never paid
+    val out = StatefulOps.matchWithTimeout(wmInput, "order", "pay", 10000L)
+    val q = out.writeStream.format("memory").queryName("tmo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past key 2's deadline
+      input.addData(KeyedEvent(9L, ts(60000L), "noise", 0.0))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(9L, ts(61000L), "noise", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tmo").collect()
+      val kinds = rows.map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kinds.contains((1L, "matched")), s"got ${rows.toSeq}")
+      assert(kinds.contains((2L, "timeout")), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("firstSeen emits exactly one row per key across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    input.addData(Seq(KeyedEvent(1L, ts(1000L), "a", 1.0),
+      KeyedEvent(1L, ts(2000L), "b", 2.0), KeyedEvent(2L, ts(1500L), "c", 3.0)))
+    val q = StatefulOps.firstSeen(input.toDS())
+      .writeStream.format("memory").queryName("fs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(KeyedEvent(1L, ts(3000L), "d", 4.0)) // second batch dup
+      q.processAllAvailable()
+      val rows = spark.table("fs").collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      assert(rows.find(_.getLong(0) == 1L).get.getString(2) == "a")
+    } finally q.stop()
+  }
+
+  test("SeqPattern: strict vs relaxed contiguity, within horizon, skip past match") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val steps = Seq(SeqPattern.Step("a", Set("A")), SeqPattern.Step("b", Set("B")))
+    def run(strict: Boolean, name: String, events: Seq[KeyedEvent]) = {
+      val input = MemoryStream[KeyedEvent]
+      input.addData(events)
+      val q = SeqPattern.detect(input.toDS(), steps, 10000L, strict)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try { q.processAllAvailable(); spark.table(name).collect() }
+      finally q.stop()
+    }
+    val interleaved = Seq(
+      KeyedEvent(1L, ts(1000L), "A", 1.0),
+      KeyedEvent(1L, ts(2000L), "C", 0.0), // breaks strict chain
+      KeyedEvent(1L, ts(3000L), "B", 2.0))
+    assert(run(strict = true, "sp_strict", interleaved).isEmpty)
+    assert(run(strict = false, "sp_relaxed", interleaved).length == 1)
+    // within horizon: B arrives too late
+    val late = Seq(
+      KeyedEvent(1L, ts(1000L), "A", 1.0),
+      KeyedEvent(1L, ts(20000L), "B", 2.0))
+    assert(run(strict = false, "sp_late", late).isEmpty)
+  }
+}
