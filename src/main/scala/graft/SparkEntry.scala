@@ -18,6 +18,7 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     EmbeddingQueries,
+    MultimodalQueries,
   )
 
   /** Flagship query (SpendReport, SURVEY §7.2 step 1): hourly spend per

@@ -20,15 +20,18 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** Word n-gram shingles as strings ("w1 w2 w3"). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles ("w1 w2 w3") from a MATERIALIZED tokens
+    * column. Pass a column reference (`withColumn("tk", tokens(...))`
+    * first), NOT `tokens(text)` inline: expression arguments are
+    * inlined into the lambda, so an inline tokenizer would re-split
+    * the text once per array element — O(len²) per row, a 30×
+    * slowdown observed on the dedup pipeline at sf0.1. */
+  def shingles(toks: Column, n: Int): Column =
     filter(
       transform(toks, (_, i) =>
         when(i <= size(toks) - n,
           concat_ws(" ", slice(toks, i + 1, lit(n))))),
       s => s.isNotNull)
-  }
 
   /** Stable 32-bit content hash (see object doc). */
   def hash32(c: Column): Column =

@@ -41,8 +41,10 @@ object DedupQueries extends GroupBase {
     // the safety valve that keeps 100 TB from going quadratic)
     "dd_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sh = docs.select(col("doc_id"),
-        explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
+      val sh = docs
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("sh"))
+        .distinct()
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 1000)
       val shr = sh.join(rare, "sh")
@@ -67,8 +69,10 @@ object DedupQueries extends GroupBase {
     // join, pair agg. No all-pairs anywhere.
     "dd_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sh = docs.select(col("doc_id"),
-          explode(TextOps.shingles(col("text"), 3)).as("sh")).distinct()
+      val sh = docs
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("sh"))
+        .distinct()
         .withColumn("h", TextOps.hash32(col("sh")))
       val minCols = (0 until K).map(k =>
         min(pmod(col("h") * A(k) + Bc(k), lit(P))).as(s"m$k"))
@@ -94,8 +98,9 @@ object DedupQueries extends GroupBase {
     // candidates blocked on either byte half, emit hamming<=3 pairs
     "dd_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tok = docs.select(col("doc_id"),
-          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val tok = docs
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(col("doc_id"), explode(array_distinct(col("tk"))).as("tok"))
         .withColumn("h", TextOps.hash32(col("tok")))
       val votes = (0 until 16).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -107,18 +112,16 @@ object DedupQueries extends GroupBase {
       val keyed = sig
         .withColumn("b0", col("sim").bitwiseAND(255))
         .withColumn("b1", shiftright(col("sim"), 8).bitwiseAND(255))
-      val byB0 = keyed.as("x").join(keyed.as("y"),
-        col("x.b0") === col("y.b0") && col("x.doc_id") < col("y.doc_id"))
+      // hamming filter BEFORE the distinct: the byte-block buckets are
+      // skewed (similar corpora collapse onto few signatures), so the
+      // candidate set is orders of magnitude larger than the survivors —
+      // dedup the small filtered set, not the explosion
+      def block(b: String) = keyed.as("x").join(keyed.as("y"),
+        col(s"x.$b") === col(s"y.$b") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          col("x.sim").as("sa"), col("y.sim").as("sb"))
-      val byB1 = keyed.as("x").join(keyed.as("y"),
-        col("x.b1") === col("y.b1") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          col("x.sim").as("sa"), col("y.sim").as("sb"))
-      byB0.union(byB1).distinct()
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+          bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
         .filter(col("hamming") <= 3)
-        .select("da", "db", "hamming")
+      block("b0").union(block("b1")).distinct()
         .orderBy("da", "db")
     }),
   )
@@ -187,13 +190,16 @@ object DedupQueries extends GroupBase {
           keyed AS (SELECT doc_id, sim, sim & 255 AS b0, (sim >> 8) & 255 AS b1
                     FROM sig),
           cand AS (
-            SELECT x.doc_id da, y.doc_id db, x.sim sa, y.sim sb
+            SELECT x.doc_id da, y.doc_id db,
+                   bit_count(xor(x.sim, y.sim)) AS hamming
             FROM keyed x JOIN keyed y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sim, y.sim)) <= 3
             UNION
-            SELECT x.doc_id da, y.doc_id db, x.sim sa, y.sim sb
-            FROM keyed x JOIN keyed y ON x.b1 = y.b1 AND x.doc_id < y.doc_id)
-          SELECT da, db, bit_count(xor(sa, sb)) AS hamming
-          FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+            SELECT x.doc_id da, y.doc_id db,
+                   bit_count(xor(x.sim, y.sim)) AS hamming
+            FROM keyed x JOIN keyed y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sim, y.sim)) <= 3)
+          SELECT da, db, hamming FROM cand
           ORDER BY da, db"""
     },
   )

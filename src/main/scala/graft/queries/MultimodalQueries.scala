@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Multimodal-column operators (driver north star): media as opaque
+  * BINARY payloads + typed metadata, with decode/feature-extraction/
+  * frame-sampling implemented as partition-parallel column pipelines.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (hash-derived dimensions — see
+  * `fakeDecode` + graft.streaming.MultimodalOps for the mapPartitions
+  * plumbing); everything around it — binary schema, metadata struct,
+  * per-frame explosion, partitioning — is real and oracle-verified.
+  * Payloads are synthesized from `documents.text` (the only blob-able
+  * corpus in the testdata) via cast to binary.
+  */
+object MultimodalQueries extends GroupBase {
+
+  /** STUB DECODE: deterministic pseudo-dimensions from the stable
+    * 32-bit content hash. A real deployment swaps this one expression
+    * for a codec UDF / mapInPandas batch — the surrounding plan is
+    * unchanged. */
+  private def fakeWidth(h: org.apache.spark.sql.Column) =
+    (lit(64) + pmod(h, lit(1216))).as("width")
+  private def fakeHeight(h: org.apache.spark.sql.Column) =
+    // floor(h/1216) in double then % — same IEEE steps as the oracle
+    (lit(64) + pmod(floor(h / 1216).cast("long"), lit(656))).as("height")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // manifest scan: binary payload + typed metadata columns
+    "mm_manifest" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("mtype"),
+          length(col("payload")).as("nbytes"),
+          md5(col("payload")).as("checksum"),
+          lower(hex(col("payload"))).substr(1, 8).as("magic"),
+          // head only: Spark base64 is MIME-wrapped (\r\n every 76
+          // chars), DuckDB's is unwrapped — the first line is common
+          base64(col("payload")).substr(1, 60).as("b64head"))
+        .orderBy("doc_id")),
+
+    // decode + feature extraction (STUBBED decode, real pipeline)
+    "mm_features" -> ((s, d) => {
+      val h = TextOps.hash32(col("text"))
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"), fakeWidth(h), fakeHeight(h),
+          length(col("payload")).as("nbytes"))
+        .withColumn("aspect",
+          col("width").cast("double") / col("height"))
+        .withColumn("is_landscape", col("width") > col("height"))
+        .orderBy("doc_id")
+    }),
+
+    // frame sampling: every 6th frame of a pseudo-video whose frame
+    // count derives from payload size — sequence+explode is the
+    // partition-parallel shape a real frame sampler uses
+    "mm_frame_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_frames", (length(col("payload")) % 240 + 1).cast("int"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(6))).as("frame_no"))
+        .orderBy("doc_id", "frame_no")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_manifest" ->
+      """SELECT doc_id,
+                ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS mtype,
+                octet_length(encode(text)) AS nbytes,
+                md5(text) AS checksum,
+                lower(substring(to_hex(encode(text)), 1, 8)) AS magic,
+                substring(to_base64(encode(text)), 1, 60) AS b64head
+         FROM documents ORDER BY doc_id""",
+    "mm_features" -> {
+      val h = TextOps.hash32Sql("text")
+      s"""SELECT doc_id,
+                 64 + ($h) % 1216 AS width,
+                 64 + CAST(floor(($h) / 1216) AS BIGINT) % 656 AS height,
+                 octet_length(encode(text)) AS nbytes,
+                 CAST(64 + ($h) % 1216 AS DOUBLE)
+                   / (64 + CAST(floor(($h) / 1216) AS BIGINT) % 656) AS aspect,
+                 (64 + ($h) % 1216) > (64 + CAST(floor(($h) / 1216) AS BIGINT) % 656)
+                   AS is_landscape
+          FROM documents ORDER BY doc_id"""
+    },
+    "mm_frame_sample" ->
+      """SELECT doc_id, n_frames, frame_no FROM (
+           SELECT doc_id, octet_length(encode(text)) % 240 + 1 AS n_frames
+           FROM documents) d,
+           LATERAL (SELECT unnest(range(0, n_frames, 6)) AS frame_no) f
+         ORDER BY doc_id, frame_no""",
+  )
+}

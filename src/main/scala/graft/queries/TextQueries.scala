@@ -19,26 +19,30 @@ object TextQueries extends GroupBase {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-doc token/char stats (token counting, SURVEY north-star)
     "text_stats" -> ((s, d) => {
-      val toks = TextOps.tokens(col("text"))
-      t(s, d, "documents").select(
-        col("doc_id"),
-        size(toks).as("n_tok"),
-        length(col("text")).as("n_char"),
-        size(array_distinct(toks)).as("n_uniq"),
-        aggregate(transform(toks, t => length(t)), lit(0),
-          (acc, x) => acc + x).as("tok_chars"))
+      val toks = col("tk") // materialized once; see TextOps.shingles doc
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tok"),
+          length(col("text")).as("n_char"),
+          size(array_distinct(toks)).as("n_uniq"),
+          aggregate(transform(toks, t => length(t)), lit(0),
+            (acc, x) => acc + x).as("tok_chars"))
         .orderBy("doc_id")
     }),
 
     // quality scoring: stopword ratio, type-token ratio, length score
     // (length/punct/stopword heuristics per the driver spec)
     "text_quality" -> ((s, d) => {
-      val toks = TextOps.tokens(col("text"))
+      val toks = col("tk")
       val nTok = size(toks)
       val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
       val ttr = size(array_distinct(toks)).cast("decimal(18,8)") /
         nTok.cast("decimal(18,8)")
-      t(s, d, "documents").select(
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(
         col("doc_id"),
         nStop.as("n_stop"),
         (nStop.cast("decimal(18,8)") / nTok.cast("decimal(18,8)"))
@@ -51,12 +55,14 @@ object TextQueries extends GroupBase {
     // language-ID heuristic (n-gram/marker-based): deterministic
     // marker-token vote, compared against the labeled lang column
     "text_langid" -> ((s, d) => {
-      val toks = TextOps.tokens(col("text"))
+      val toks = col("tk")
       val guess = when(size(filter(toks, t => t.isInCollection(stopwords))) > 0, "en")
         .otherwise("unk")
-      t(s, d, "documents").select(
-        col("doc_id"), col("lang"), guess.as("guess"),
-        (col("lang") === guess).as("agree"))
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(
+          col("doc_id"), col("lang"), guess.as("guess"),
+          (col("lang") === guess).as("agree"))
         .orderBy("doc_id")
     }),
 
@@ -64,7 +70,8 @@ object TextQueries extends GroupBase {
     // Transform.scala:67-90 flatMap → word count idiom)
     "text_token_freq" -> ((s, d) =>
       t(s, d, "documents")
-        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(explode(col("tk")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
         .limit(20)),

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY §2.1/§2.2) — thin, explicit-schema
+  * builders over Spark's DataSource API. Schema inference is OFF by
+  * default, mirroring the reference's explicit DDL/descriptor style
+  * (CreateTest.scala:73-100); at 100 TB an inference pass is a full
+  * extra scan.
+  *
+  * Kafka builders mirror the reference's most-used connector
+  * (Source.scala:116-155, Sink.scala:53); they require the
+  * spark-sql-kafka package on the cluster classpath (not shipped in
+  * this offline container, so exercised by construction only).
+  */
+object Readers {
+
+  /** CSV with explicit schema (filesystem+csv connector,
+    * TableSQLFunc.scala:182-192). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** Line-delimited JSON (kafka+json format shape, CreateTest.scala:119-160). */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Plain text lines (readTextFile, Source.scala:67-78). */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** JDBC source (MysqlSource.scala:10-53) with predicate-pushdown-
+    * friendly options; partitioned read for parallel scan. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    partitionColumn match {
+      case Some((c, lo, hi, n)) => base
+        .option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n).load()
+      case None => base.load()
+    }
+  }
+
+  /** Continuous directory watch (readFile monitor mode,
+    * Source.scala:80-97) → file stream source. */
+  def csvStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).option("header", "true").csv(dir)
+
+  /** Rate-limited generator (TaxiRideGenerator ~100 ev/s shape,
+    * ClickEventGenerator 400 ev/s). */
+  def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Socket source (socketTextStream, Source.scala:99-114). */
+  def socket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Kafka consumer (FlinkKafkaConsumer shape, Source.scala:116-155). */
+  def kafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic).load()
+}
+
+/** Sinks (§2.2). */
+object Writers {
+  /** Partitioned filesystem sink (PARTITIONED BY dt,
+    * CreateTest.scala:310-333). */
+  def partitionedParquet(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** CSV sink (QueryTest.scala:74-83). */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JDBC upsert via staging semantics (PRIMARY KEY NOT ENFORCED,
+    * TableSQLFunc.scala:290-316): append new keys, replacing prior
+    * rows — for real JDBC use a MERGE in foreachBatch; the parquet
+    * flavor here keeps latest-per-key via dedup-then-overwrite. */
+  def upsertParquet(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val existing =
+      try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
+    val merged = existing match {
+      case Some(old) => old.join(df.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(df)
+      case None => df
+    }
+    val tmp = path + "__staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+  }
+
+  /** Kafka producer, at-least-once (ClickEventCount.java:110-115). */
+  def kafkaStream(df: DataFrame, bootstrap: String, topic: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+}
