@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan regression gate: the properties that make these
+  * queries survive a 100× scale-up, asserted on the optimized plans so
+  * a refactor can't silently lose them.
+  *
+  * (The plans are inspected at sf0.001; size-class decisions that AQE
+  * makes differently at scale — e.g. broadcasting a small fact table —
+  * are deliberately NOT asserted. Only structural invariants are.)
+  */
+class PlanSpec extends SparkSpec {
+  private val d = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("rel_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter not pushed to scan")
+    assert(p.contains("GreaterThan(l_quantity,45.0)") ||
+      p.contains("GreaterThan(l_quantity, 45.0)"), "quantity filter not pushed")
+    // column pruning: only 6 of 16 lineitem columns read
+    assert(!p.contains("l_tax"), "scan reads columns the query never uses")
+  }
+
+  test("dim joins broadcast; semi/anti planned as LeftSemi/LeftAnti") {
+    assert(plan("join_inner_chain").contains("BroadcastHashJoin"))
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    for (q <- Seq("agg_pricing_summary", "tw_spendreport", "join_inner_chain")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q has no map-side partial aggregation")
+    }
+  }
+
+  test("interval join keeps its equi key (no nested-loop range join)") {
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join degenerated to a nested-loop/cartesian plan")
+  }
+
+  test("brute-force KNN broadcasts the query side and pushes top-k") {
+    val p = plan("emb_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query vectors not broadcast — corpus would shuffle")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k not pushed below the rank exchange")
+  }
+
+  test("as-of join is one hash exchange + sort + window, no range join") {
+    val p = plan("join_asof")
+    assert(p.contains("Window"), "as-of lost its window formulation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join exploded into a non-equi join")
+  }
+
+  test("dedup via row_number pushes the rank limit") {
+    assert(plan("over_rank_topn").contains("WindowGroupLimit"),
+      "rank top-N scans full partitions at the final window")
+  }
+}
