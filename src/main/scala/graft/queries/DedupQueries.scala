@@ -77,51 +77,59 @@ object DedupQueries extends GroupBase {
       val minCols = (0 until K).map(k =>
         min(pmod(col("h") * A(k) + Bc(k), lit(P))).as(s"m$k"))
       val minhashes = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      // carry the full signature through the band rows: the candidate
+      // join then yields both signatures directly, avoiding two more
+      // shuffled joins back to the signature table (which Catalyst
+      // can't dedup — different join keys, no exchange reuse)
+      val mcols = (0 until K).map(k => col(s"m$k"))
       val bands = (0 until B).map { b =>
-        minhashes.select(col("doc_id"), lit(b).as("band"),
+        minhashes.select(Seq(col("doc_id"), lit(b).as("band"),
           concat_ws("_", (0 until R).map(r => col(s"m${b * R + r}")): _*).as("bkey"))
+          ++ mcols: _*)
       }.reduce(_ unionAll _)
-      val cand = bands.as("x").join(bands.as("y"),
+      val eq = (0 until K).map(k =>
+        when(col(s"x.m$k") === col(s"y.m$k"), 1).otherwise(0)).reduce(_ + _)
+      bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
-      val eq = (0 until K).map(k =>
-        when(col("ma.m" + k) === col("mb.m" + k), 1).otherwise(0)).reduce(_ + _)
-      cand.join(minhashes.as("ma"), col("da") === col("ma.doc_id"))
-        .join(minhashes.as("mb"), col("db") === col("mb.doc_id"))
-        .select(col("da"), col("db"), eq.as("n_eq"),
-          (eq.cast("double") / K).as("est"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          eq.as("n_eq"), (eq.cast("double") / K).as("est"))
+        .distinct()
         .orderBy("da", "db")
     }),
 
-    // SimHash-16 near-dup: signature from token-hash bit votes,
-    // candidates blocked on either byte half, emit hamming<=3 pairs
+    // SimHash-32 near-dup: signature from 32 token-hash bit votes.
+    // Shingle (3-gram) features, not bare tokens — with a tiny
+    // vocabulary every doc shares most unigrams and a token-level
+    // simhash collapses. Candidates are blocked on the 4 signature
+    // bytes: for hamming <= 3, at least one byte must match
+    // (pigeonhole), so the blocking is recall-lossless. Hamming filter
+    // runs BEFORE the distinct — the byte buckets are skewed and the
+    // candidate set dwarfs the survivors.
     "dd_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val tok = docs
         .withColumn("tk", TextOps.tokens(col("text")))
-        .select(col("doc_id"), explode(array_distinct(col("tk"))).as("tok"))
+        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("tok"))
+        .distinct()
         .withColumn("h", TextOps.hash32(col("tok")))
-      val votes = (0 until 16).map(j =>
+      val votes = (0 until 32).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
           .as(s"v$j"))
       val sig = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
         .select(col("doc_id"),
-          (0 until 16).map(j =>
+          (0 until 32).map(j =>
             when(col(s"v$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _).as("sim"))
-      val keyed = sig
-        .withColumn("b0", col("sim").bitwiseAND(255))
-        .withColumn("b1", shiftright(col("sim"), 8).bitwiseAND(255))
-      // hamming filter BEFORE the distinct: the byte-block buckets are
-      // skewed (similar corpora collapse onto few signatures), so the
-      // candidate set is orders of magnitude larger than the survivors —
-      // dedup the small filtered set, not the explosion
+      val keyed = (0 until 4).foldLeft(sig) { (df, b) =>
+        df.withColumn(s"b$b",
+          shiftright(col("sim"), b * 8).bitwiseAND(255))
+      }
       def block(b: String) = keyed.as("x").join(keyed.as("y"),
         col(s"x.$b") === col(s"y.$b") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
           bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
         .filter(col("hamming") <= 3)
-      block("b0").union(block("b1")).distinct()
+      (0 until 4).map(b => block(s"b$b")).reduce(_ union _).distinct()
         .orderBy("da", "db")
     }),
   )
@@ -158,48 +166,41 @@ object DedupQueries extends GroupBase {
       val h = TextOps.hash32Sql("sh")
       val mins = (0 until K).map(k =>
         s"min((($h) * ${A(k)} + ${Bc(k)}) % $P) AS m$k").mkString(", ")
+      val allM = (0 until K).map(k => s"m$k").mkString(", ")
       val bandRows = (0 until B).map(b =>
         s"SELECT doc_id, $b AS band, concat_ws('_', " +
           (0 until R).map(r => s"m${b * R + r}").mkString(", ") +
-          ") AS bkey FROM mh").mkString(" UNION ALL ")
+          s") AS bkey, $allM FROM mh").mkString(" UNION ALL ")
       val eqExpr = (0 until K).map(k =>
-        s"CASE WHEN ma.m$k = mb.m$k THEN 1 ELSE 0 END").mkString(" + ")
+        s"CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH sh AS ($shinglesSql),
           mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-          bands AS ($bandRows),
-          cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
-                   FROM bands x JOIN bands y
-                     ON x.band = y.band AND x.bkey = y.bkey
-                    AND x.doc_id < y.doc_id)
-          SELECT da, db, ($eqExpr) AS n_eq,
+          bands AS ($bandRows)
+          SELECT DISTINCT x.doc_id da, y.doc_id db, ($eqExpr) AS n_eq,
                  CAST(($eqExpr) AS DOUBLE) / $K AS est
-          FROM cand JOIN mh ma ON da = ma.doc_id JOIN mh mb ON db = mb.doc_id
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
           ORDER BY da, db"""
     },
     "dd_simhash" -> {
       val h = TextOps.hash32Sql("tok")
-      val votes = (0 until 16).map(j =>
+      val votes = (0 until 32).map(j =>
         s"sum(CASE WHEN (($h) >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
         .mkString(", ")
-      val simExpr = (0 until 16).map(j =>
+      val simExpr = (0 until 32).map(j =>
         s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct($toksSql)) AS tok
-                       FROM documents),
+      val blocks = (0 until 4).map(b =>
+        s"""SELECT x.doc_id da, y.doc_id db,
+                   bit_count(xor(x.sim, y.sim)) AS hamming
+            FROM keyed x JOIN keyed y ON x.b$b = y.b$b AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sim, y.sim)) <= 3""").mkString(" UNION ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, sh AS tok FROM ($shinglesSql)),
           v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id),
           sig AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS sim FROM v),
-          keyed AS (SELECT doc_id, sim, sim & 255 AS b0, (sim >> 8) & 255 AS b1
-                    FROM sig),
-          cand AS (
-            SELECT x.doc_id da, y.doc_id db,
-                   bit_count(xor(x.sim, y.sim)) AS hamming
-            FROM keyed x JOIN keyed y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
-            WHERE bit_count(xor(x.sim, y.sim)) <= 3
-            UNION
-            SELECT x.doc_id da, y.doc_id db,
-                   bit_count(xor(x.sim, y.sim)) AS hamming
-            FROM keyed x JOIN keyed y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
-            WHERE bit_count(xor(x.sim, y.sim)) <= 3)
-          SELECT da, db, hamming FROM cand
+          keyed AS (SELECT doc_id, sim, sim & 255 AS b0, (sim >> 8) & 255 AS b1,
+                           (sim >> 16) & 255 AS b2, (sim >> 24) & 255 AS b3
+                    FROM sig)
+          SELECT da, db, hamming FROM ($blocks)
           ORDER BY da, db"""
     },
   )
