@@ -23,6 +23,7 @@ object Sessions {
   def build(appName: String): SparkSession = {
     val s = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions()(_))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exact baseline, plus a
@@ -18,19 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingQueries extends GroupBase {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Codegen'd float-vector kernel (graft.functions.FloatDotProduct):
+    * bit-identical to the HOF fold `aggregate(zip_with(a,b,*),0,+)`
+    * but a primitive loop inside whole-stage codegen. */
+  private def dot(a: Column, b: Column): Column = VectorFunctions.fdot(a, b)
+  private def norm(a: Column): Column = VectorFunctions.fnorm(a)
 
   private val Planes = 8
   private val Dim = 64
   private def weight(i: Int, j: Int): Int = ((i * 31 + j * 17) % 13) - 6
-  /** Integer hyperplane i as an array literal column. */
+  /** Integer hyperplane i as a FLOAT array literal (small ints are
+    * float-exact, and ARRAY<FLOAT> feeds the codegen'd kernel). */
   private def plane(i: Int): Column =
-    array((0 until Dim).map(j => lit(weight(i, j).toDouble)): _*)
+    array((0 until Dim).map(j => lit(weight(i, j).toFloat)): _*)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vector norms + dims — the plumbing op (schema/typed-array path)

@@ -23,11 +23,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state store stays O(keys × horizon density) at any scale.
   */
 object SeqPattern {
-  /** One NFA step: name + predicate over (kind, value). */
-  case class Step(name: String, kinds: Set[String], minValue: Double = Double.MinValue) {
+  /** One NFA step: name + predicate over (kind, value), with CEP
+    * quantifiers — `times(n)` repeats the step (CEPDemo times(n)),
+    * `optional` lets it be skipped (CEPDemo optional). `oneOrMore`
+    * with an upper bound maxRepeat expands to one required + maxRepeat-1
+    * optional repetitions (bounded expansion keeps state finite). */
+  case class Step(name: String, kinds: Set[String],
+                  minValue: Double = Double.MinValue,
+                  repeat: Int = 1, optional: Boolean = false) {
     def matches(e: KeyedEvent): Boolean =
       kinds.contains(e.kind) && e.value >= minValue
+    def times(n: Int): Step = copy(repeat = n)
+    def opt: Step = copy(optional = true)
   }
+
+  /** Expand quantified steps into the flat NFA step list. */
+  private[streaming] def expand(steps: Seq[Step]): IndexedSeq[Step] =
+    steps.flatMap(s => Seq.fill(s.repeat)(s.copy(repeat = 1))).toIndexedSeq
 
   case class Partial(stepIdx: Int, tss: List[Long], vals: List[Double])
   case class MatchOut(key: Long, startTs: Timestamp, endTs: Timestamp,
@@ -42,29 +54,41 @@ object SeqPattern {
   def detect(ds: Dataset[KeyedEvent], steps: Seq[Step], withinMs: Long,
              strict: Boolean): Dataset[MatchOut] = {
     import ds.sparkSession.implicits._
-    val stepsB = steps.toIndexedSeq
+    val stepsB = expand(steps)
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[PartialSet, MatchOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, events, state: GroupState[PartialSet]) =>
           var partials = state.getOption.map(_.xs).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[MatchOut]
+          // NFA branching: from step `from`, an event may match that
+          // step, or — when steps are optional — any step reachable by
+          // skipping a prefix of optional steps (one branch per hit).
+          def matchIdxs(from: Int, e: KeyedEvent): List[Int] = {
+            val hits = scala.collection.mutable.ListBuffer.empty[Int]
+            var j = from
+            var scanning = true
+            while (scanning && j < stepsB.length) {
+              if (stepsB(j).matches(e)) hits += j
+              if (stepsB(j).optional) j += 1 else scanning = false
+            }
+            hits.toList
+          }
           events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
             val t = e.ts.getTime
             // prune expired partials
             partials = partials.filter(p => t - p.tss.head <= withinMs)
             // advance existing partials
             val advanced = partials.flatMap { p =>
-              if (stepsB(p.stepIdx).matches(e))
-                List(Partial(p.stepIdx + 1, p.tss :+ t, p.vals :+ e.value))
+              val hits = matchIdxs(p.stepIdx, e)
+              if (hits.nonEmpty)
+                hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value))
               else if (strict) Nil // strict contiguity: chain broken
               else List(p)         // relaxed: partial survives
             }
-            // start a new partial on step 0
+            // start new partials from step 0 (and optional-skipped starts)
             val started =
-              if (stepsB(0).matches(e))
-                List(Partial(1, List(t), List(e.value)))
-              else Nil
+              matchIdxs(0, e).map(j => Partial(j + 1, List(t), List(e.value)))
             val (complete, live) =
               (advanced ++ started).partition(_.stepIdx >= stepsB.length)
             complete.foreach { m =>

@@ -9,6 +9,7 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .appName("graft-test")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** The custom codegen'd FloatDotProduct must be bit-identical to the
+  * higher-order-function fold it replaces, and reject wrong types at
+  * analysis time. */
+class VectorExprSpec extends SparkSpec {
+
+  test("float_dot is bit-identical to the aggregate/zip_with fold") {
+    val e = graft.core.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs = e.select(
+        VectorFunctions.fdot(col("embedding"), col("embedding")).as("native"),
+        hof.as("folded"))
+      .filter(col("native") =!= col("folded")).count()
+    assert(diffs == 0)
+  }
+
+  test("float_dot participates in whole-stage codegen") {
+    val e = graft.core.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val plan = e.select(VectorFunctions.fdot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen
+    assert(plan.contains("*(1) Project [float_dot"), plan.take(500))
+  }
+
+  test("float_dot rejects non-float-array inputs at analysis time") {
+    val bad = intercept[Exception] {
+      graft.core.Tables.load(spark, TestSpark.sf0001, "part")
+        .select(VectorFunctions.fdot(col("p_name"), col("p_name"))).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("array"))
+  }
+}

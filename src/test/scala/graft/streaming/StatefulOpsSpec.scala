@@ -126,4 +126,40 @@ class StatefulOpsSpec extends SparkSpec {
       KeyedEvent(1L, ts(20000L), "B", 2.0))
     assert(run(strict = false, "sp_late", late).isEmpty)
   }
+
+  test("SeqPattern quantifiers: times(n) and optional steps") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def run(name: String, steps: Seq[SeqPattern.Step], events: Seq[KeyedEvent]) = {
+      val input = MemoryStream[KeyedEvent]
+      input.addData(events)
+      val q = SeqPattern.detect(input.toDS(), steps, 60000L, strict = false)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try { q.processAllAvailable(); spark.table(name).collect() }
+      finally q.stop()
+    }
+    // A{2} then B (login-fail times(2) shape)
+    val twice = Seq(SeqPattern.Step("a", Set("A")).times(2),
+      SeqPattern.Step("b", Set("B")))
+    assert(run("sp_t1", twice, Seq(
+      KeyedEvent(1L, ts(1000L), "A", 1.0),
+      KeyedEvent(1L, ts(2000L), "B", 2.0))).isEmpty) // only one A
+    val hit = run("sp_t2", twice, Seq(
+      KeyedEvent(1L, ts(1000L), "A", 1.0),
+      KeyedEvent(1L, ts(2000L), "A", 1.5),
+      KeyedEvent(1L, ts(3000L), "B", 2.0)))
+    assert(hit.length == 1 && hit.head.getSeq[Double](3) == Seq(1.0, 1.5, 2.0))
+    // A C? B: matches with and without the optional C
+    val opt = Seq(SeqPattern.Step("a", Set("A")),
+      SeqPattern.Step("c", Set("C")).opt, SeqPattern.Step("b", Set("B")))
+    assert(run("sp_o1", opt, Seq(
+      KeyedEvent(1L, ts(1000L), "A", 1.0),
+      KeyedEvent(1L, ts(2000L), "B", 2.0))).length == 1)
+    assert(run("sp_o2", opt, Seq(
+      KeyedEvent(1L, ts(1000L), "A", 1.0),
+      KeyedEvent(1L, ts(1500L), "C", 9.0),
+      KeyedEvent(1L, ts(2000L), "B", 2.0))).length == 1)
+  }
 }
