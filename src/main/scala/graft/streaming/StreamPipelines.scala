@@ -45,6 +45,33 @@ object StreamPipelines {
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $window"))
   }
 
+  /** Streaming hot-items top-N (HotItems.scala:176-201 +
+    * TopNHotItems.scala:15-52): watermarked sliding-window counts in
+    * APPEND mode (a window emits once, when the watermark closes it —
+    * the analogue of the reference's windowEnd+1 timer), then a
+    * per-window rank in foreachBatch. Each closed window's top-N is
+    * appended to the sink exactly once. */
+  def hotItemsTopN(events: DataFrame, tsCol: String, keyCol: String,
+                   size: String, slide: String, n: Int, delay: String)(
+      sink: Dataset[org.apache.spark.sql.Row] => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.end").as("w_end"), col(keyCol), col("cnt"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ranked = batch.withColumn("rn",
+            row_number().over(Window.partitionBy("w_end")
+              .orderBy(col("cnt").desc, col(keyCol))))
+          .filter(col("rn") <= n)
+        sink(ranked)
+        ()
+      }
+  }
+
   /** Side-output / multi-sink fanout via foreachBatch
     * (SideOutputApp1.scala:13-26; StatementSet multi-sink
     * TableSQLFunc.scala:532-590): one pass over each micro-batch,
