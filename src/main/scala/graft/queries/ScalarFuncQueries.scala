@@ -130,6 +130,28 @@ object ScalarFuncQueries extends GroupBase {
         from_json(col("props"), lit("k LONG")).getField("k").as("k_struct"))
         .orderBy("event_id")),
 
+    // nested-type battery (§1.2 ARRAY/MAP/ROW): build nested values,
+    // extract scalars back out (the extraction results are what the
+    // oracle verifies; the nested construction is the op under test)
+    "fn_nested" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("st", struct(col("p_brand").as("b"), col("p_size").as("sz")))
+        .withColumn("arr", split(col("p_name"), " "))
+        .withColumn("mp", map_from_arrays(
+          array(lit("brand"), lit("type")), array(col("p_brand"), col("p_type"))))
+        .select(
+          col("p_partkey"),
+          col("st.b").as("st_brand"),
+          (col("st.sz") + 1).as("st_size1"),
+          element_at(col("arr"), 1).as("arr_first"),
+          element_at(col("arr"), -1).as("arr_last"),
+          size(col("arr")).as("arr_len"),
+          element_at(col("mp"), "brand").as("map_brand"),
+          map_keys(col("mp"))(0).as("first_key"),
+          array_contains(col("arr"), "widget").as("has_widget"),
+          sort_array(col("arr"), asc = false)(0).as("arr_max"))
+        .orderBy("p_partkey")),
+
     // geo battery (GeoUtils.java:60-243), synthetic lon/lat derived
     // deterministically from keys
     "fn_geo" -> ((s, d) => {
@@ -243,6 +265,18 @@ object ScalarFuncQueries extends GroupBase {
             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
          FROM events ORDER BY event_id""",
+    "fn_nested" ->
+      """SELECT p_partkey,
+            p_brand AS st_brand,
+            p_size + 1 AS st_size1,
+            string_split(p_name, ' ')[1] AS arr_first,
+            string_split(p_name, ' ')[-1] AS arr_last,
+            len(string_split(p_name, ' ')) AS arr_len,
+            p_brand AS map_brand,
+            'brand' AS first_key,
+            list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+            list_sort(string_split(p_name, ' '), 'DESC')[1] AS arr_max
+         FROM part ORDER BY p_partkey""",
     "fn_geo" ->
       """WITH e AS (
            -- literals CAST to DOUBLE: DuckDB parses bare decimal

@@ -122,6 +122,36 @@ object StatefulOps {
       }
   }
 
+  /** Processing-time temporal join (the reference's
+    * `FOR SYSTEM_TIME AS OF o.proctime` lookup-join flavor,
+    * TableSQLFunc.scala:1462-1530 / QueryTest.scala:778-846): a
+    * union-tagged pair of streams sharing a key; "dim" rows update
+    * per-key state, "fact" rows emit enriched with the latest dim
+    * value seen so far. State is one value per key — the streaming
+    * as-of with O(keys) state. (The event-time flavor needs
+    * watermark-ordered buffering; batch event-time as-of is
+    * operators/AsOfJoin.)
+    *
+    * Input convention: kind == dimKind rows carry the dim value in
+    * `value`; all other rows are facts. */
+  def procTimeTemporalJoin(ds: Dataset[KeyedEvent], dimKind: String)
+      : Dataset[AlertOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Double, AlertOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, events, state: GroupState[Double]) =>
+          var dim: Double = state.getOption.getOrElse(Double.NaN)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+          events.toSeq.sortBy(e => (e.ts.getTime, e.kind, e.value)).foreach { e =>
+            if (e.kind == dimKind) dim = e.value
+            else out += AlertOut(key, e.kind, e.ts, e.ts, dim)
+          }
+          state.update(dim)
+          out.iterator
+      }
+  }
+
   /** First-seen dedup by key (DuplicatorApp state-flag semantics):
     * emits only the first event per key. */
   def firstSeen(ds: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
