@@ -20,23 +20,32 @@ import org.apache.spark.sql.functions._
 object Exact {
   val Dec = "decimal(30,8)"
 
-  /** Order-independent exact sum, surfaced as double. */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+  /** Order-independent exact sum, kept as DECIMAL(38,8).
+    *
+    * NOT cast to double: DuckDB converts DECIMAL→DOUBLE by an
+    * int128→double conversion followed by a divide-by-10^scale — two
+    * roundings. Once the unscaled value exceeds 2^53 (sums ≳ 10^10
+    * at scale 8) that double-rounds 1 ulp away from the correctly
+    * rounded value the JVM produces, so large sums would mismatch at
+    * the 16th digit. Comparing the exact decimals sidesteps the
+    * problem entirely (observed at sf0.1; sf0.01 was too small). */
+  def dsum(c: Column): Column = sum(c.cast(Dec))
 
-  /** avg = exact-sum / count, with a single final double division. */
-  def davg(c: Column): Column = dsum(c) / count(c)
+  /** avg = exact-sum / count, one final double division. Safe in
+    * double: averages stay small, so the decimal→double cast of the
+    * sum is exact (unscaled < 2^53). */
+  def davg(c: Column): Column = dsum(c).cast("double") / count(c)
 
-  /** Order-independent exact DISTINCT sum, surfaced as double. */
-  def dsum_distinct(c: Column): Column =
-    sum_distinct(c.cast(Dec)).cast("double")
+  /** Order-independent exact DISTINCT sum (DECIMAL out, see dsum). */
+  def dsum_distinct(c: Column): Column = sum_distinct(c.cast(Dec))
 }
 
 /** SQL snippets mirroring Exact for the DuckDB oracle strings. */
 object ExactSql {
   def dsum(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
+    s"SUM(CAST(($e) AS DECIMAL(30,8)))"
   def davg(e: String): String =
-    s"(${dsum(e)} / COUNT($e))"
+    s"(CAST(${dsum(e)} AS DOUBLE) / COUNT($e))"
   def dsumDistinct(e: String): String =
-    s"CAST(SUM(DISTINCT CAST(($e) AS DECIMAL(30,8))) AS DOUBLE)"
+    s"SUM(DISTINCT CAST(($e) AS DECIMAL(30,8)))"
 }

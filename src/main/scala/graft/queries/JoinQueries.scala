@@ -42,7 +42,8 @@ object JoinQueries extends GroupBase {
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"),
-             coalesce(Exact.dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+             coalesce(Exact.dsum(col("o_totalprice")),
+               lit(0).cast("decimal(38,8)")).as("spend"))
         .orderBy("c_custkey")),
 
     // right outer join (same result shape, right-join plan)
@@ -51,7 +52,8 @@ object JoinQueries extends GroupBase {
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"),
-             coalesce(Exact.dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+             coalesce(Exact.dsum(col("o_totalprice")),
+               lit(0).cast("decimal(38,8)")).as("spend"))
         .orderBy("c_custkey")),
 
     // full outer join (DataSetFunc.scala:394-445)
@@ -165,12 +167,12 @@ object JoinQueries extends GroupBase {
           GROUP BY r_name ORDER BY r_name""",
     "join_left" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
-          COALESCE(${ExactSql.dsum("o_totalprice")}, 0.0) AS spend
+          COALESCE(${ExactSql.dsum("o_totalprice")}, CAST(0 AS DECIMAL(38,8))) AS spend
           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
           GROUP BY c_custkey ORDER BY c_custkey""",
     "join_right" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
-          COALESCE(${ExactSql.dsum("o_totalprice")}, 0.0) AS spend
+          COALESCE(${ExactSql.dsum("o_totalprice")}, CAST(0 AS DECIMAL(38,8))) AS spend
           FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
           GROUP BY c_custkey ORDER BY c_custkey""",
     "join_full" ->

@@ -152,6 +152,53 @@ object StatefulOps {
       }
   }
 
+  /** Buffered event + running state for the event-time as-of join. */
+  case class AsOfBuf(ts: Long, isDim: Boolean, value: Double, kind: String)
+  case class AsOfState(buf: List[AsOfBuf], rate: Double, hasRate: Boolean)
+
+  /** EVENT-time temporal/as-of join, streaming flavor
+    * (TableSQLFunc.scala:1223-1341 temporal table function join): facts
+    * match the dim value valid AT THEIR EVENT TIME, not the latest
+    * seen. Both sides buffer per key until the watermark passes their
+    * timestamp, then flush in event-time order — dim rows update the
+    * rate, fact rows emit with the rate in force. Buffer size is
+    * bounded by the watermark delay (state ∝ in-flight horizon, the
+    * same bound Flink's temporal join keeps); an event-time timer
+    * flushes the tail when one side goes quiet.
+    *
+    * Requires `withWatermark("ts", delay)` on the input. */
+  def eventTimeAsOfJoin(ds: Dataset[KeyedEvent], dimKind: String)
+      : Dataset[AlertOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AlertOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, events, state: GroupState[AsOfState]) =>
+          val st = state.getOption.getOrElse(AsOfState(Nil, Double.NaN, false))
+          val incoming = events.map(e =>
+            AsOfBuf(e.ts.getTime, e.kind == dimKind, e.value, e.kind)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val all = (st.buf ++ incoming).sortBy(b => (b.ts, !b.isDim, b.value))
+          val (ripe, young) = all.partition(_.ts <= wm)
+          var rate = st.rate
+          var hasRate = st.hasRate
+          val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+          ripe.foreach { b =>
+            if (b.isDim) { rate = b.value; hasRate = true }
+            else out += AlertOut(key, b.kind, new Timestamp(b.ts),
+              new Timestamp(b.ts), if (hasRate) rate else Double.NaN)
+          }
+          if (young.isEmpty && out.isEmpty && incoming.isEmpty && state.hasTimedOut) {
+            state.remove() // quiet key, nothing buffered
+          } else {
+            state.update(AsOfState(young, rate, hasRate))
+            if (young.nonEmpty)
+              state.setTimeoutTimestamp(young.map(_.ts).max + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** First-seen dedup by key (DuplicatorApp state-flag semantics):
     * emits only the first event per key. */
   def firstSeen(ds: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
