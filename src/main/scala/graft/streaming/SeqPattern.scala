@@ -9,13 +9,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * reference's CEP library core (CEPDemo.scala:32-949) and
   * MATCH_RECOGNIZE skeleton (TableSQLFunc.scala:1569-2240).
   *
-  * Round-2 scope (the semantics every concrete reference scenario
-  * uses): ordered steps with per-step predicates, contiguity
-  * `strict` (CEP `next`) or `relaxed` (`followedBy`), `WITHIN`
-  * horizon, and AFTER MATCH SKIP PAST LAST ROW. Quantifiers
-  * (`times/oneOrMore/greedy`) and alternative skip strategies are the
-  * round-3 extension — they change the partial-match expansion rule,
-  * not this operator's shape.
+  * Scope (covers every concrete reference scenario): ordered steps
+  * with per-step predicates including AGGREGATE conditions over the
+  * accumulated match (MATCH_RECOGNIZE `AVG(A.value)` in DEFINE,
+  * TableSQLFunc.scala:1845-1851), contiguity `strict` (CEP `next`)
+  * or `relaxed` (`followedBy`), `WITHIN` horizon, quantifiers
+  * `times(n)`/`optional`, and AFTER MATCH skip strategies
+  * SKIP_PAST_LAST_ROW / SKIP_TO_NEXT / NO_SKIP
+  * (CEPDemo.scala:808-949).
   *
   * State is the set of live partial matches per key, pruned by the
   * `within` horizon on every element — bounded by (pattern length ×
@@ -30,12 +31,27 @@ object SeqPattern {
     * optional repetitions (bounded expansion keeps state finite). */
   case class Step(name: String, kinds: Set[String],
                   minValue: Double = Double.MinValue,
-                  repeat: Int = 1, optional: Boolean = false) {
-    def matches(e: KeyedEvent): Boolean =
-      kinds.contains(e.kind) && e.value >= minValue
+                  repeat: Int = 1, optional: Boolean = false,
+                  // iterative/aggregate condition: (event value, values
+                  // matched so far) => accept — the DEFINE-with-AVG class
+                  relPred: Option[(Double, Seq[Double]) => Boolean] = None) {
+    def matches(e: KeyedEvent, prefix: Seq[Double]): Boolean =
+      kinds.contains(e.kind) && e.value >= minValue &&
+        relPred.forall(_(e.value, prefix))
     def times(n: Int): Step = copy(repeat = n)
     def opt: Step = copy(optional = true)
+    def where(p: (Double, Seq[Double]) => Boolean): Step =
+      copy(relPred = Some(p))
   }
+
+  /** AFTER MATCH skip strategy (CEPDemo.scala:808-949). */
+  sealed trait Skip
+  /** Clear all partials on a match (default; SKIP PAST LAST ROW). */
+  case object SkipPastLastRow extends Skip
+  /** Keep partials that started after the match's first row. */
+  case object SkipToNext extends Skip
+  /** Keep every live partial (noSkip — overlapping matches allowed). */
+  case object NoSkip extends Skip
 
   /** Expand quantified steps into the flat NFA step list. */
   private[streaming] def expand(steps: Seq[Step]): IndexedSeq[Step] =
@@ -52,7 +68,7 @@ object SeqPattern {
   /** Run the pattern over a keyed stream. `strict` = CEP `next`
     * (no intervening event may break the chain); relaxed = `followedBy`. */
   def detect(ds: Dataset[KeyedEvent], steps: Seq[Step], withinMs: Long,
-             strict: Boolean): Dataset[MatchOut] = {
+             strict: Boolean, skip: Skip = SkipPastLastRow): Dataset[MatchOut] = {
     import ds.sparkSession.implicits._
     val stepsB = expand(steps)
     ds.groupByKey(_.key)
@@ -64,12 +80,12 @@ object SeqPattern {
           // NFA branching: from step `from`, an event may match that
           // step, or — when steps are optional — any step reachable by
           // skipping a prefix of optional steps (one branch per hit).
-          def matchIdxs(from: Int, e: KeyedEvent): List[Int] = {
+          def matchIdxs(from: Int, e: KeyedEvent, prefix: Seq[Double]): List[Int] = {
             val hits = scala.collection.mutable.ListBuffer.empty[Int]
             var j = from
             var scanning = true
             while (scanning && j < stepsB.length) {
-              if (stepsB(j).matches(e)) hits += j
+              if (stepsB(j).matches(e, prefix)) hits += j
               if (stepsB(j).optional) j += 1 else scanning = false
             }
             hits.toList
@@ -80,7 +96,7 @@ object SeqPattern {
             partials = partials.filter(p => t - p.tss.head <= withinMs)
             // advance existing partials
             val advanced = partials.flatMap { p =>
-              val hits = matchIdxs(p.stepIdx, e)
+              val hits = matchIdxs(p.stepIdx, e, p.vals)
               if (hits.nonEmpty)
                 hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value))
               else if (strict) Nil // strict contiguity: chain broken
@@ -88,15 +104,23 @@ object SeqPattern {
             }
             // start new partials from step 0 (and optional-skipped starts)
             val started =
-              matchIdxs(0, e).map(j => Partial(j + 1, List(t), List(e.value)))
+              matchIdxs(0, e, Nil).map(j => Partial(j + 1, List(t), List(e.value)))
             val (complete, live) =
               (advanced ++ started).partition(_.stepIdx >= stepsB.length)
             complete.foreach { m =>
               out += MatchOut(key, new Timestamp(m.tss.head),
                 new Timestamp(m.tss.last), m.vals)
             }
-            // AFTER MATCH SKIP PAST LAST ROW: a match clears live partials
-            partials = if (complete.nonEmpty) Nil else live
+            // AFTER MATCH skip strategy
+            partials =
+              if (complete.isEmpty) live
+              else skip match {
+                case SkipPastLastRow => Nil
+                case SkipToNext =>
+                  val firstTs = complete.map(_.tss.head).min
+                  live.filter(_.tss.head > firstTs)
+                case NoSkip => live
+              }
           }
           state.update(PartialSet(partials))
           out.iterator

@@ -162,4 +162,49 @@ class StatefulOpsSpec extends SparkSpec {
       KeyedEvent(1L, ts(1500L), "C", 9.0),
       KeyedEvent(1L, ts(2000L), "B", 2.0))).length == 1)
   }
+
+  test("SeqPattern: NoSkip yields overlapping matches, aggregate DEFINE condition") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def run(name: String, steps: Seq[SeqPattern.Step],
+            skip: SeqPattern.Skip, events: Seq[KeyedEvent]) = {
+      val input = MemoryStream[KeyedEvent]
+      input.addData(events)
+      val q = SeqPattern.detect(input.toDS(), steps, 60000L,
+          strict = false, skip = skip)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try { q.processAllAvailable(); spark.table(name).collect() }
+      finally q.stop()
+    }
+    // A-B-C with a second A mid-flight when the first match completes:
+    // SkipPastLastRow kills the pending partial, NoSkip/SkipToNext
+    // (started after the match's first row) let it finish later.
+    val abc = Seq(SeqPattern.Step("a", Set("A")),
+      SeqPattern.Step("b", Set("B")), SeqPattern.Step("c", Set("C")))
+    val events = Seq(
+      KeyedEvent(1L, ts(1000L), "A", 1.0),
+      KeyedEvent(1L, ts(2000L), "B", 2.0),
+      KeyedEvent(1L, ts(3000L), "A", 3.0), // pending when match 1 fires
+      KeyedEvent(1L, ts(4000L), "C", 4.0), // completes A1-B2-C4
+      KeyedEvent(1L, ts(5000L), "B", 5.0),
+      KeyedEvent(1L, ts(6000L), "C", 6.0)) // would complete A3-B5-C6
+    assert(run("sk_past", abc, SeqPattern.SkipPastLastRow, events).length == 1)
+    assert(run("sk_next", abc, SeqPattern.SkipToNext, events).length == 2)
+    assert(run("sk_none", abc, SeqPattern.NoSkip, events).length == 2)
+    // MATCH_RECOGNIZE-style DEFINE with aggregate: B.value must exceed
+    // twice the average of the matched A values
+    val aggSteps = Seq(
+      SeqPattern.Step("a", Set("A")).times(2),
+      SeqPattern.Step("b", Set("B")).where((v, prefix) =>
+        v > 2.0 * prefix.sum / prefix.length))
+    val lowB = Seq(
+      KeyedEvent(1L, ts(1000L), "A", 10.0),
+      KeyedEvent(1L, ts(2000L), "A", 20.0),
+      KeyedEvent(1L, ts(3000L), "B", 25.0)) // avg=15, needs >30
+    assert(run("agg_no", aggSteps, SeqPattern.SkipPastLastRow, lowB).isEmpty)
+    val highB = lowB.init :+ KeyedEvent(1L, ts(3000L), "B", 35.0)
+    assert(run("agg_yes", aggSteps, SeqPattern.SkipPastLastRow, highB).length == 1)
+  }
 }
