@@ -76,6 +76,31 @@ object TextQueries extends GroupBase {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(20)),
 
+    // TF-IDF: per-doc top term by tf-idf weight — the two-stage
+    // (per-doc tf × corpus idf) aggregation shape of a 100 TB feature
+    // pipeline; idf side is tiny (vocab) and broadcasts
+    "text_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+      val toks = docs.select(col("doc_id"), size(col("tk")).as("dlen"),
+        explode(col("tk")).as("tok"))
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val tf = toks.groupBy("doc_id", "dlen", "tok").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          round((col("tf").cast("double") / col("dlen")) *
+            log(col("n").cast("double") / col("df")), 8).as("w"))
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("doc_id")
+        .orderBy(col("w").desc, col("tok"))
+      scored.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select("doc_id", "tok", "w")
+        .orderBy("doc_id")
+    }),
+
     // content fingerprinting: md5 + stable 32-bit hash
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -113,6 +138,25 @@ object TextQueries extends GroupBase {
           (lang = CASE WHEN len(list_filter($toksSql, t -> list_contains($stopSql, t))) > 0
                        THEN 'en' ELSE 'unk' END) AS agree
           FROM documents ORDER BY doc_id""",
+    "text_tfidf" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          toks AS (SELECT doc_id, len(tk) AS dlen, unnest(tk) AS tok FROM docs),
+          nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+          dfr AS (SELECT tok, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+          tfr AS (SELECT doc_id, dlen, tok, count(*) AS tf
+                  FROM toks GROUP BY 1, 2, 3),
+          scored AS (
+            SELECT doc_id, tok,
+                   round((CAST(tf AS DOUBLE) / dlen)
+                         * ln(CAST(n AS DOUBLE) / df), 8) AS w
+            FROM tfr JOIN dfr USING (tok) CROSS JOIN nd)
+          SELECT doc_id, tok, w FROM (
+            SELECT doc_id, tok, w,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY w DESC, tok) AS rn
+            FROM scored) x
+          WHERE rn = 1 ORDER BY doc_id""",
     "text_token_freq" ->
       s"""SELECT tok, count(*) AS cnt
           FROM (SELECT unnest($toksSql) AS tok FROM documents)
