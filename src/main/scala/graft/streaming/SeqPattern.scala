@@ -54,7 +54,7 @@ object SeqPattern {
   case object NoSkip extends Skip
 
   /** Expand quantified steps into the flat NFA step list. */
-  private[streaming] def expand(steps: Seq[Step]): IndexedSeq[Step] =
+  private[graft] def expand(steps: Seq[Step]): IndexedSeq[Step] =
     steps.flatMap(s => Seq.fill(s.repeat)(s.copy(repeat = 1))).toIndexedSeq
 
   case class Partial(stepIdx: Int, tss: List[Long], vals: List[Double])
