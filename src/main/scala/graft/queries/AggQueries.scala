@@ -117,6 +117,60 @@ object AggQueries extends GroupBase {
              Exact.davg(col("value")).as("avg_v"),
              min(col("value")).as("min_v"), max(col("value")).as("max_v"))),
 
+    // tumbling COUNT window, batch-relational form (Window.scala:201-256;
+    // the streaming operator is StatefulOps.countTumblingWindow):
+    // deterministic event order -> window id = (row_number-1) div n
+    "agg_count_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("wid", ((row_number().over(w) - 1) / 5).cast("int"))
+        .groupBy("user_id", "wid")
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"))
+        .orderBy("user_id", "wid")
+    }),
+
+    // moments via exact decimal sums: stddev/variance/corr computed
+    // from (n, Σx, Σx², Σxy) so partial aggregation stays exact and
+    // both engines do the same final double arithmetic (built-in
+    // stddev uses engine-specific streaming algorithms that differ
+    // in the last bits)
+    "agg_moments" -> ((s, d) => {
+      val dec = "decimal(38,12)"
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(dec)).cast("double").as("sxx"),
+          sum((col("l_quantity") * col("l_discount")).cast(dec)).cast("double").as("sxy"),
+          sum(col("l_discount").cast(dec)).cast("double").as("sy"),
+          sum((col("l_discount") * col("l_discount")).cast(dec)).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_q"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd_q"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+             sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qd"))
+        .orderBy("l_returnflag")
+    }),
+
+    // listagg / string_agg (sorted for determinism)
+    "agg_string_agg" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"),
+             count(lit(1)).as("cnt"))
+        .orderBy("n_regionkey")),
+
+    // ntile bucketing (OVER-window family)
+    "agg_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // approx_count_distinct (HLL++): the engine-side analogue of the
     // reference's Bloom-filter UV (UvCountWithBloomByWindow.scala:13-39).
     // No DuckDB oracle — sketch values are engine-specific; the
@@ -189,6 +243,38 @@ object AggQueries extends GroupBase {
                                      ORDER BY value DESC) AS rn
            FROM events) x
          WHERE rn <= 3 ORDER BY event_type, v DESC""",
+    "agg_count_window" ->
+      s"""SELECT user_id, wid, count(*) AS cnt, ${ExactSql.dsum("value")} AS sum_v
+          FROM (SELECT user_id, value,
+                       CAST(floor((row_number() OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1) / 5)
+                         AS INT) AS wid
+                FROM events) x
+          GROUP BY user_id, wid ORDER BY user_id, wid""",
+    "agg_moments" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                (sxx - sx * sx / n) / (n - 1) AS var_q,
+                sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_q,
+                (sxy - sx * sy / n) /
+                  (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qd
+         FROM m ORDER BY l_returnflag""",
+    "agg_string_agg" ->
+      """SELECT n_regionkey,
+                string_agg(n_name, ',' ORDER BY n_name) AS names,
+                count(*) AS cnt
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "agg_ntile" ->
+      """SELECT o_orderkey,
+                ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+         FROM orders ORDER BY o_orderkey""",
     "agg_global_stats" ->
       s"""SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
           ${ExactSql.dsum("value")} AS sum_v, ${ExactSql.davg("value")} AS avg_v,
