@@ -85,6 +85,7 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))))
+    ext.injectOptimizerRule(_ => graft.plans.ExistsRewriteRule)
   }
 }
 
