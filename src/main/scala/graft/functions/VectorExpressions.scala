@@ -86,6 +86,7 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))))
     ext.injectOptimizerRule(_ => graft.plans.ExistsRewriteRule)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }
 

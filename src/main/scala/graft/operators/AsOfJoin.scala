@@ -55,4 +55,30 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         valueCols.map(c => col(c + "__asof").as(c)): _*)
   }
+
+  /** Same semantics via the custom physical operator
+    * (graft.plans.AsOfJoinPlan/Exec, planned by AsOfJoinStrategy from
+    * SparkSessionExtensions): a direct per-partition forward merge —
+    * no union, no window column, O(|L|+|R|) per partition with one
+    * row of state. Requires a session built with GraftExtensions. */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String,
+                 valueCols: Seq[String]): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias the right side so its attribute ids are fresh: when both
+    // inputs derive from the same scan they share exprIds, and the
+    // analyzer's DeduplicateRelations would re-id the child WITHOUT
+    // being able to remap this custom node's key/ts fields.
+    val rPlan = right.select(right.columns.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${plan.output}"))
+    org.apache.spark.sql.GraftBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+        attr(lPlan, leftTs), attr(rPlan, rightTs),
+        valueCols.map(attr(rPlan, _))))
+  }
 }

@@ -152,6 +152,21 @@ object JoinQueries extends GroupBase {
         .select("event_id", "user_id", "click_value")
         .orderBy("event_id")
     }),
+
+    // same as-of semantics through the custom physical operator
+    // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec): verified
+    // against the identical DuckDB ASOF JOIN oracle
+    "join_asof_native" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      AsOfJoin.asOfNative(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_value"))
+        .select("event_id", "user_id", "click_value")
+        .orderBy("event_id")
+    }),
   )
 
   private val rev = "l_extendedprice * (1.0 - l_discount)"
@@ -226,6 +241,15 @@ object JoinQueries extends GroupBase {
                FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
            ON c.ws = v.ws AND c.user_id = v.user_id
          ORDER BY c.ws, c.user_id""",
+    "join_asof_native" ->
+      """SELECT event_id, p.user_id, c.value AS click_value
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+               WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY event_id""",
     "join_asof" ->
       """SELECT event_id, p.user_id, c.value AS click_value
          FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
       "as-of join exploded into a non-equi join")
   }
 
+  test("native as-of plans through the injected strategy to AsOfJoinExec") {
+    val p = plan("join_asof_native")
+    assert(p.contains("AsOfJoin"), p.take(800)) // formatted explain strips "Exec"
+    // and produces exactly what the window formulation produces
+    val native = SparkEntry.queries("join_asof_native")(spark, d).collect()
+    val window = SparkEntry.queries("join_asof")(spark, d).collect()
+    assert(native.map(_.toString).sorted.toSeq ==
+      window.map(_.toString).sorted.toSeq)
+  }
+
   test("dedup via row_number pushes the rank limit") {
     assert(plan("over_rank_topn").contains("WindowGroupLimit"),
       "rank top-N scans full partitions at the final window")
