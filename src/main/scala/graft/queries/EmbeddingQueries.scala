@@ -78,6 +78,54 @@ object EmbeddingQueries extends GroupBase {
             col("n")).as("c"))
         .orderBy("label", "pos")),
 
+    // IVF cell assignment: nearest of 8 fixed coarse centroids
+    // (vec_id < 8 stand in for k-means-trained centroids — training
+    // is an offline job; the partition-the-corpus-by-cell shape is
+    // what matters at scale). Centroid side broadcasts.
+    "emb_ivf_assign" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (dot(col("embedding"), col("cv")) /
+            (norm(col("embedding")) * norm(col("cv")))).as("cos"), col("cid"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+        .orderBy("vec_id")
+    }),
+
+    // IVF search: queries probe ONLY their own cell — the candidate
+    // set shrinks by ~#cells vs brute force; recall trades off at cell
+    // boundaries exactly as in a production IVF index
+    "emb_ivf_knn" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"),
+          (dot(col("embedding"), col("cv")) /
+            (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      val q = assign.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+      val kw = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      assign.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot(col("qv"), col("embedding")) /
+            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+        .withColumn("rank", row_number().over(kw))
+        .filter(col("rank") <= 3)
+        .select("qid", "nid", "rank")
+        .orderBy("qid", "rank")
+    }),
+
     // random-hyperplane LSH bucket assignment (the ANN scale path:
     // equal buckets → candidate; 8 planes → 256-way partitioning)
     "emb_lsh_buckets" -> ((s, d) => {
@@ -124,6 +172,47 @@ object EmbeddingQueries extends GroupBase {
                   (acc, v) -> acc + v) / count(*) AS c
          FROM embeddings, range(1, 65) r(i)
          GROUP BY label, i ORDER BY label, pos""",
+    "emb_ivf_assign" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                         WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id, cid,
+                   ${dotSql("e.embedding", "cv")} /
+                     (${normSql("e.embedding")} * ${normSql("cv")}) AS cos
+            FROM embeddings e CROSS JOIN cents),
+          ranked AS (SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cos DESC, cid) AS rn
+                     FROM scored)
+          SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+          ORDER BY vec_id""",
+    "emb_ivf_knn" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                         WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id, e.embedding, cid,
+                   ${dotSql("e.embedding", "cv")} /
+                     (${normSql("e.embedding")} * ${normSql("cv")}) AS ccos
+            FROM embeddings e CROSS JOIN cents),
+          assign AS (
+            SELECT vec_id, embedding, cid AS cell FROM (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY ccos DESC, cid) AS rn
+              FROM scored) x WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM assign
+                WHERE vec_id < 5),
+          cand AS (
+            SELECT qid, a.vec_id AS nid,
+                   ${dotSql("qv", "a.embedding")} /
+                     (${normSql("qv")} * ${normSql("a.embedding")}) AS cos
+            FROM assign a JOIN q USING (cell) WHERE a.vec_id <> qid)
+          SELECT qid, nid, rank FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, nid) AS rank
+            FROM cand) r
+          WHERE rank <= 3 ORDER BY qid, rank""",
     "emb_lsh_buckets" -> {
       val terms = (0 until Planes).map(i =>
         s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
