@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Changelog / retraction emission (SURVEY §7.4 item 3): the reference
+  * prints RowKind-tagged rows (`+I/-U/+U/-D`, QueryTest.scala:393-425,
+  * TableSQLFunc.scala:846-855 toRetractStream). Structured Streaming's
+  * update mode only surfaces upserts, so the engine reconstructs the
+  * changelog in `foreachBatch` by diffing each batch of updated
+  * aggregates against a persisted snapshot of the previous values:
+  *
+  *   key absent in snapshot          → +I new
+  *   key present, value changed      → -U old, +U new
+  *
+  * (-D requires aggregate retraction on state eviction, which the
+  * micro-batch model never emits — documented deviation, §7.5.)
+  *
+  * Everything is distributed DataFrame work per batch: one left join
+  * against the snapshot, one anti-join merge to roll the snapshot
+  * forward — no driver-side state. Snapshot and changelog are plain
+  * parquet dirs, so the changelog consumer is any batch/stream reader.
+  */
+object Changelog {
+
+  /** Process one micro-batch of an UPDATE-mode aggregate: append
+    * op-tagged rows to `changelogDir` and roll `snapshotDir` forward.
+    * Returns the ops appended (for tests). */
+  def processBatch(batch: DataFrame, keys: Seq[String], batchId: Long,
+                   snapshotDir: String, changelogDir: String): Unit = {
+    val spark = batch.sparkSession
+    val valueCols = batch.columns.filterNot(keys.contains)
+    val prev =
+      try Some(spark.read.parquet(snapshotDir)) catch { case _: Throwable => None }
+
+    val changes = prev match {
+      case None =>
+        batch.withColumn("op", lit("+I"))
+      case Some(old) =>
+        val renamedOld = valueCols.foldLeft(old) { (df, c) =>
+          df.withColumnRenamed(c, c + "__old")
+        }
+        val joined = batch.join(renamedOld, keys, "left").cache()
+        val inserts = joined.filter(col(valueCols.head + "__old").isNull)
+          .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("+I"))
+        val changed = joined.filter(
+          col(valueCols.head + "__old").isNotNull && // key existed before
+            valueCols.map(c => !(col(c) <=> col(c + "__old"))).reduce(_ || _))
+        val retracts = changed
+          .select(keys.map(col) ++ valueCols.map(c => col(c + "__old").as(c)): _*)
+          .withColumn("op", lit("-U"))
+        val updates = changed
+          .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("+U"))
+        inserts.unionByName(retracts).unionByName(updates)
+    }
+    changes.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(changelogDir)
+
+    // roll the snapshot forward (upsert batch keys into prev)
+    val merged = prev match {
+      case Some(old) => old.join(batch.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(batch)
+      case None => batch
+    }
+    val staged = snapshotDir + "__staged"
+    merged.write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(snapshotDir)
+  }
+
+  /** Attach changelog emission to an update-mode streaming aggregate. */
+  def attach(agg: DataFrame, keys: Seq[String], snapshotDir: String,
+             changelogDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    agg.writeStream.outputMode("update").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), keys, batchId, snapshotDir, changelogDir)
+        ()
+    }
+}
