@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Late-data handling (WatermarkDemo.scala:207-300): Spark has no
+  * late-row side output (documented deviation, SURVEY §7.5) — the
+  * engine's mitigation is observability: rows dropped by the watermark
+  * are counted in StreamingQueryProgress.stateOperators, so a pipeline
+  * can alert on loss even though it cannot reroute the rows. */
+class LateDataSpec extends SparkSpec {
+
+  test("rows later than the watermark are dropped AND counted in progress") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val agg = input.toDS()
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "10 seconds"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode("update").start()
+    try {
+      // batch 1: event at t=100s -> watermark advances to ~99s
+      input.addData(KeyedEvent(1L, ts(100000L), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: an event far BEFORE the watermark -> dropped
+      input.addData(KeyedEvent(1L, ts(10000L), "a", 1.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
+        .sum
+      assert(dropped >= 1, s"expected dropped-late count, got progress: " +
+        q.recentProgress.map(_.stateOperators.toSeq).toSeq)
+      // and the late row did not resurrect the old window
+      val oldWindow = spark.table("late")
+        .filter(col("window.start") === ts(10000L)).collect()
+      assert(oldWindow.isEmpty)
+    } finally q.stop()
+  }
+}
