@@ -40,6 +40,11 @@ object SeqPattern {
         relPred.forall(_(e.value, prefix))
     def times(n: Int): Step = copy(repeat = n)
     def opt: Step = copy(optional = true)
+    /** Bounded oneOrMore: 1..n repetitions (1 required + n-1 optional;
+      * bounded expansion keeps NFA state finite — CEP oneOrMore with
+      * an explicit cap, CEPDemo timesOrMore). */
+    def upTo(n: Int): Seq[Step] =
+      copy(repeat = 1) +: Seq.fill(n - 1)(copy(repeat = 1, optional = true))
     def where(p: (Double, Seq[Double]) => Boolean): Step =
       copy(relPred = Some(p))
   }
@@ -67,8 +72,12 @@ object SeqPattern {
 
   /** Run the pattern over a keyed stream. `strict` = CEP `next`
     * (no intervening event may break the chain); relaxed = `followedBy`. */
+  /** @param greedy when several branches complete on the same event
+    *   (quantified patterns), emit the LONGEST match (CEP greedy);
+    *   false = reluctant `*?` — emit the shortest. */
   def detect(ds: Dataset[KeyedEvent], steps: Seq[Step], withinMs: Long,
-             strict: Boolean, skip: Skip = SkipPastLastRow): Dataset[MatchOut] = {
+             strict: Boolean, skip: Skip = SkipPastLastRow,
+             greedy: Boolean = true): Dataset[MatchOut] = {
     import ds.sparkSession.implicits._
     val stepsB = expand(steps)
     ds.groupByKey(_.key)
@@ -107,7 +116,13 @@ object SeqPattern {
               matchIdxs(0, e, Nil).map(j => Partial(j + 1, List(t), List(e.value)))
             val (complete, live) =
               (advanced ++ started).partition(_.stepIdx >= stepsB.length)
-            complete.foreach { m =>
+            // greedy/reluctant: among branches completing on the SAME
+            // event, keep the longest (greedy) or shortest (reluctant)
+            val emitted =
+              if (complete.size <= 1) complete
+              else if (greedy) List(complete.maxBy(_.vals.length))
+              else List(complete.minBy(_.vals.length))
+            emitted.foreach { m =>
               out += MatchOut(key, new Timestamp(m.tss.head),
                 new Timestamp(m.tss.last), m.vals)
             }

@@ -207,4 +207,29 @@ class StatefulOpsSpec extends SparkSpec {
     val highB = lowB.init :+ KeyedEvent(1L, ts(3000L), "B", 35.0)
     assert(run("agg_yes", aggSteps, SeqPattern.SkipPastLastRow, highB).length == 1)
   }
+
+  test("SeqPattern greedy vs reluctant oneOrMore (upTo)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def run(name: String, greedy: Boolean) = {
+      val steps = SeqPattern.Step("a", Set("A")).upTo(3) :+
+        SeqPattern.Step("b", Set("B"))
+      val input = MemoryStream[KeyedEvent]
+      input.addData(Seq(
+        KeyedEvent(1L, ts(1000L), "A", 1.0),
+        KeyedEvent(1L, ts(2000L), "A", 2.0),
+        KeyedEvent(1L, ts(3000L), "B", 9.0)))
+      val q = SeqPattern.detect(input.toDS(), steps, 60000L,
+          strict = false, greedy = greedy)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try { q.processAllAvailable(); spark.table(name).collect() }
+      finally q.stop()
+    }
+    val g = run("q_greedy", greedy = true)
+    assert(g.length == 1 && g.head.getSeq[Double](3) == Seq(1.0, 2.0, 9.0)) // A A B
+    val r = run("q_reluct", greedy = false)
+    assert(r.length == 1 && r.head.getSeq[Double](3) == Seq(2.0, 9.0)) // A B
+  }
 }
