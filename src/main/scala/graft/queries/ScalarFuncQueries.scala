@@ -130,6 +130,29 @@ object ScalarFuncQueries extends GroupBase {
         from_json(col("props"), lit("k LONG")).getField("k").as("k_struct"))
         .orderBy("event_id")),
 
+    // conversion battery: str_to_map, parse_url, unixtime round-trips
+    // (SqlFuncTest.scala:269 str_to_map, :224-293 parse_url,
+    // CreateTest.scala:58-79 from_unixtime/to_timestamp)
+    "fn_convert" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("kv", concat(lit("uid="), col("user_id"),
+          lit(",type="), col("event_type")))
+        .withColumn("url", concat(lit("https://example.com/p/"),
+          col("event_type"), lit("?u="), col("user_id")))
+        .select(
+          col("event_id"),
+          element_at(str_to_map(col("kv"), lit(","), lit("=")), "uid").as("m_uid"),
+          element_at(str_to_map(col("kv"), lit(","), lit("=")), "type").as("m_type"),
+          parse_url(col("url"), lit("HOST")).as("u_host"),
+          parse_url(col("url"), lit("PATH")).as("u_path"),
+          parse_url(col("url"), lit("QUERY")).as("u_query"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          from_unixtime(unix_timestamp(col("ts")), "yyyy-MM-dd HH:mm:ss").as("rt"),
+          to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("ts_trunc"),
+          col("user_id").cast("string").as("uid_str"),
+          col("user_id").cast("double").as("uid_dbl"))
+        .orderBy("event_id")),
+
     // nested-type battery (§1.2 ARRAY/MAP/ROW): build nested values,
     // extract scalars back out (the extraction results are what the
     // oracle verifies; the nested construction is the op under test)
@@ -264,6 +287,19 @@ object ScalarFuncQueries extends GroupBase {
       """SELECT event_id,
             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+         FROM events ORDER BY event_id""",
+    "fn_convert" ->
+      """SELECT event_id,
+            CAST(user_id AS VARCHAR) AS m_uid,
+            event_type AS m_type,
+            'example.com' AS u_host,
+            '/p/' || event_type AS u_path,
+            'u=' || CAST(user_id AS VARCHAR) AS u_query,
+            CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+            strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS rt,
+            date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_trunc,
+            CAST(user_id AS VARCHAR) AS uid_str,
+            CAST(user_id AS DOUBLE) AS uid_dbl
          FROM events ORDER BY event_id""",
     "fn_nested" ->
       """SELECT p_partkey,
