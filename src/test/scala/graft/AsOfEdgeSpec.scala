@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Edge cases for the custom AsOfJoinExec — empty sides and
+  * no-match keys are where hand-written physical operators break. */
+class AsOfEdgeSpec extends SparkSpec {
+
+  private def mk(rows: Seq[(Long, Long, Double)], vcol: String) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "t", vcol)
+      .select(col("k"), timestamp_micros(col("t") * 1000).as("ts"), col(vcol))
+  }
+
+  test("empty right side: every left row survives with null value") {
+    val left = mk(Seq((1L, 1000L, 0.0), (2L, 2000L, 0.0)), "x")
+    val right = mk(Seq.empty, "v")
+    val out = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(3)))
+  }
+
+  test("empty left side: empty output") {
+    val left = mk(Seq.empty, "x")
+    val right = mk(Seq((1L, 1000L, 9.0)), "v")
+    assert(AsOfJoin.asOfNative(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().isEmpty)
+  }
+
+  test("key with rights only after the left ts gets null; exact-ts match is inclusive") {
+    val left = mk(Seq((1L, 1000L, 0.0), (2L, 5000L, 0.0)), "x")
+    val right = mk(Seq((1L, 2000L, 9.0),   // after left ts -> no match
+                       (2L, 5000L, 7.0)),  // exactly at left ts -> match
+      "v")
+    val out = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(out == Map(1L -> None, 2L -> Some(7.0)))
+  }
+
+  test("multiple value columns and interleaved keys") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 3000L), (1L, 6000L), (2L, 3000L)).toDF("k", "t")
+      .select(col("k"), timestamp_micros(col("t") * 1000).as("ts"))
+    val right = Seq((1L, 1000L, 1.0, "a"), (1L, 5000L, 2.0, "b"),
+        (2L, 2000L, 3.0, "c")).toDF("k", "t", "v", "tag")
+      .select(col("k"), timestamp_micros(col("t") * 1000).as("ts"),
+        col("v"), col("tag"))
+    val out = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", "ts",
+        Seq("v", "tag")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(out == Set((1L, 3000L, 1.0, "a"), (1L, 6000L, 2.0, "b"),
+      (2L, 3000L, 3.0, "c")))
+  }
+}
