@@ -139,7 +139,7 @@ object DedupQueries extends GroupBase {
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
         FROM (SELECT doc_id, $toksSql AS tk FROM documents) t,
-             LATERAL range(1, len(tk) + 1) r(i)
+             LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
         WHERE i + 2 <= len(tk)"""
 
   def oracleSql: Map[String, String] = Map(
