@@ -74,6 +74,27 @@ class MiscOpsSpec extends SparkSpec {
     assert(named.filter(_._2 != "?").count() == 150)
   }
 
+  test("custom RDD Partitioner (physical repartitioning, custom flavor)") {
+    import org.apache.spark.Partitioner
+    // route even keys to partition 0, odd to partition 1 — the custom
+    // partitionCustom surface the reference exercises
+    // (DataStreamFunc.scala:624-871 partitionCustom)
+    class ParityPartitioner extends Partitioner {
+      override def numPartitions: Int = 2
+      override def getPartition(key: Any): Int =
+        (key.asInstanceOf[Long] % 2).toInt
+    }
+    val rdd = graft.core.Tables.load(spark, d, "orders")
+      .select("o_orderkey").rdd.map(r => (r.getLong(0), 1))
+      .partitionBy(new ParityPartitioner)
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(_._1).toSeq))
+    }.collect().toMap
+    assert(perPart(0).forall(_ % 2 == 0))
+    assert(perPart(1).forall(_ % 2 == 1))
+    assert(perPart.values.map(_.size).sum == 1500)
+  }
+
   test("lateral view / posexplode with ordinality (UDTF lateral join)") {
     graft.core.Tables.registerAll(spark, d)
     val rows = spark.sql(
