@@ -101,6 +101,42 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // CAPSTONE: the full curation pipeline as ONE composed flow —
+    // quality gate → exact dedup (keep first) → near-dup removal
+    // (Jaccard-blocked, drop the higher doc_id of any >=0.5 pair) →
+    // per-language corpus stats. Each stage is the oracle-checked
+    // operator above; the pipeline proves they compose into the
+    // 100 TB curation job shape (scan → hash-agg → blocked join →
+    // hash-agg; no stage is all-pairs or driver-side).
+    "pipe_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+      val quality = docs.filter(size(col("tk")) >= 15)
+      val exactKeep = quality.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+      val sh = exactKeep
+        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dupB = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+        .filter(col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
+        .select(col("db").as("doc_id")).distinct()
+      exactKeep.join(dupB, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("lang")
+    }),
+
     // content fingerprinting: md5 + stable 32-bit hash
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -164,5 +200,32 @@ object TextQueries extends GroupBase {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, ${TextOps.hash32Sql("text")} AS fp32
           FROM documents ORDER BY doc_id""",
+    "pipe_curation" ->
+      s"""WITH docs AS (SELECT doc_id, text, lang, $toksSql AS tk FROM documents),
+          quality AS (SELECT * FROM docs WHERE len(tk) >= 15),
+          exact_keep AS (
+            SELECT doc_id, text, lang, tk FROM (
+              SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) AS rn
+              FROM quality) x WHERE rn = 1),
+          sh AS (SELECT DISTINCT doc_id,
+                        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+                 FROM exact_keep,
+                      LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                 WHERE i + 2 <= len(tk)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          dup_b AS (
+            SELECT DISTINCT db AS doc_id FROM (
+              SELECT a.doc_id da, b.doc_id db, count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2) p
+            JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+          kept AS (SELECT * FROM exact_keep
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dup_b))
+          SELECT lang, count(*) AS n_docs,
+                 sum(CAST(len(tk) AS BIGINT)) AS n_tokens,
+                 sum(CAST(length(text) AS BIGINT)) AS n_chars
+          FROM kept GROUP BY lang ORDER BY lang""",
   )
 }
