@@ -22,9 +22,11 @@ object SparkEntry {
   )
 
   /** Flagship query (SpendReport, SURVEY §7.2 step 1): hourly spend per
-    * user over `events`. Driver smoke-checks rows>0 on sf0.001. */
+    * user over `events`. Driver smoke-checks rows>0 on sf0.001; the
+    * data dir is env-overridable for other harnesses. */
   def entry(spark: SparkSession): DataFrame =
-    TimeWindowQueries.queries("tw_spendreport")(spark, "/root/testdata/sf0.001")
+    TimeWindowQueries.queries("tw_spendreport")(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
