@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{ForeachWriter, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Custom per-row sink (AlertSink, v-1.12.2/.../tryflink/AlertSink.scala)
+  * and SQL DDL/catalog surface (CreateTest.scala:73-100, 310-333). */
+class SinkCatalogSpec extends SparkSpec {
+
+  test("custom ForeachWriter sink receives every row with open/close lifecycle") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    graft.SinkCatalogSpec.collected.clear()
+    val input = MemoryStream[(Long, Double)]
+    input.addData((1L, 10.0), (2L, 600.0), (3L, 700.0))
+    val q = input.toDF().toDF("id", "amount")
+      .filter(col("amount") > 500) // alert condition
+      .writeStream.foreach(new ForeachWriter[Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(r: Row): Unit =
+          graft.SinkCatalogSpec.collected.add(r.getLong(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      }).start()
+    try {
+      q.processAllAvailable()
+      val got = new scala.collection.mutable.TreeSet[Long]()
+      graft.SinkCatalogSpec.collected.forEach(x => got.add(x))
+      assert(got.toSet == Set(2L, 3L))
+    } finally q.stop()
+  }
+
+  test("SQL DDL: CREATE TABLE ... PARTITIONED BY + INSERT INTO + catalog") {
+    spark.sql("DROP TABLE IF EXISTS ddl_orders")
+    spark.sql(
+      """CREATE TABLE ddl_orders (
+           o_orderkey BIGINT, o_totalprice DOUBLE, status STRING)
+         USING parquet PARTITIONED BY (status)""")
+    try {
+      graft.core.Tables.load(spark, TestSpark.sf0001, "orders")
+        .selectExpr("o_orderkey", "o_totalprice", "o_orderstatus AS status")
+        .write.mode("append").insertInto("ddl_orders")
+      assert(spark.catalog.tableExists("ddl_orders"))
+      assert(spark.sql("SELECT count(*) FROM ddl_orders").first().getLong(0) == 1500L)
+      // partition pruning against the DDL table
+      val pruned = spark.sql("SELECT count(*) FROM ddl_orders WHERE status = 'F'")
+      assert(pruned.first().getLong(0) ==
+        spark.sql("SELECT count(*) FROM ddl_orders").first().getLong(0) -
+          spark.sql("SELECT count(*) FROM ddl_orders WHERE status <> 'F'")
+            .first().getLong(0))
+      // catalog surface: columns/partitioning visible
+      val cols = spark.catalog.listColumns("ddl_orders").collect()
+      assert(cols.exists(c => c.name == "status" && c.isPartition))
+    } finally spark.sql("DROP TABLE IF EXISTS ddl_orders")
+  }
+}
+
+object SinkCatalogSpec {
+  /** Driver-side collector for the ForeachWriter test (local mode:
+    * executor == driver JVM). */
+  val collected = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+}
