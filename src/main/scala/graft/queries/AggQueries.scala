@@ -273,7 +273,7 @@ object AggQueries extends GroupBase {
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "agg_ntile" ->
       """SELECT o_orderkey,
-                ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+                CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
          FROM orders ORDER BY o_orderkey""",
     "agg_global_stats" ->
       s"""SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,

@@ -200,7 +200,7 @@ object DedupQueries extends GroupBase {
           keyed AS (SELECT doc_id, sim, sim & 255 AS b0, (sim >> 8) & 255 AS b1,
                            (sim >> 16) & 255 AS b2, (sim >> 24) & 255 AS b3
                     FROM sig)
-          SELECT da, db, hamming FROM ($blocks)
+          SELECT da, db, CAST(hamming AS INT) AS hamming FROM ($blocks)
           ORDER BY da, db"""
     },
   )

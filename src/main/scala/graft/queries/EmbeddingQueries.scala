@@ -148,7 +148,7 @@ object EmbeddingQueries extends GroupBase {
 
   def oracleSql: Map[String, String] = Map(
     "emb_norms" ->
-      s"""SELECT vec_id, len(embedding) AS dim, ${normSql("embedding")} AS l2
+      s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim, ${normSql("embedding")} AS l2
           FROM embeddings ORDER BY vec_id""",
     "emb_knn" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -163,10 +163,10 @@ object EmbeddingQueries extends GroupBase {
                    row_number() OVER (PARTITION BY qid
                                       ORDER BY cos DESC, nid) AS rank
             FROM scored)
-          SELECT qid, nid, rank FROM ranked WHERE rank <= 5
+          SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
           ORDER BY qid, rank""",
     "emb_centroid" ->
-      """SELECT label, i - 1 AS pos,
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(
                   array_agg(CAST(embedding[i] AS DOUBLE)))),
                   (acc, v) -> acc + v) / count(*) AS c
@@ -207,7 +207,7 @@ object EmbeddingQueries extends GroupBase {
                    ${dotSql("qv", "a.embedding")} /
                      (${normSql("qv")} * ${normSql("a.embedding")}) AS cos
             FROM assign a JOIN q USING (cell) WHERE a.vec_id <> qid)
-          SELECT qid, nid, rank FROM (
+          SELECT qid, nid, CAST(rank AS INT) AS rank FROM (
             SELECT qid, nid,
                    row_number() OVER (PARTITION BY qid
                                       ORDER BY cos DESC, nid) AS rank

@@ -74,7 +74,7 @@ object MultimodalQueries extends GroupBase {
     "mm_manifest" ->
       """SELECT doc_id,
                 ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS mtype,
-                octet_length(encode(text)) AS nbytes,
+                CAST(octet_length(encode(text)) AS INT) AS nbytes,
                 md5(text) AS checksum,
                 lower(substring(to_hex(encode(text)), 1, 8)) AS magic,
                 substring(to_base64(encode(text)), 1, 60) AS b64head
@@ -84,7 +84,7 @@ object MultimodalQueries extends GroupBase {
       s"""SELECT doc_id,
                  64 + ($h) % 1216 AS width,
                  64 + CAST(floor(($h) / 1216) AS BIGINT) % 656 AS height,
-                 octet_length(encode(text)) AS nbytes,
+                 CAST(octet_length(encode(text)) AS INT) AS nbytes,
                  CAST(64 + ($h) % 1216 AS DOUBLE)
                    / (64 + CAST(floor(($h) / 1216) AS BIGINT) % 656) AS aspect,
                  (64 + ($h) % 1216) > (64 + CAST(floor(($h) / 1216) AS BIGINT) % 656)
@@ -92,7 +92,8 @@ object MultimodalQueries extends GroupBase {
           FROM documents ORDER BY doc_id"""
     },
     "mm_frame_sample" ->
-      """SELECT doc_id, n_frames, frame_no FROM (
+      """SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+                CAST(frame_no AS INT) AS frame_no FROM (
            SELECT doc_id, octet_length(encode(text)) % 240 + 1 AS n_frames
            FROM documents) d,
            LATERAL (SELECT unnest(range(0, n_frames, 6)) AS frame_no) f

@@ -139,7 +139,8 @@ object OverWindowQueries extends GroupBase {
                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win_n
          FROM events ORDER BY user_id, event_id""",
     "over_rank_topn" ->
-      """SELECT event_type, event_id, value, rnk, drnk, rn FROM (
+      """SELECT event_type, event_id, value, CAST(rnk AS INT) AS rnk,
+                CAST(drnk AS INT) AS drnk, CAST(rn AS INT) AS rn FROM (
            SELECT event_type, event_id, value,
                   rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
                   dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk,
@@ -179,9 +180,9 @@ object OverWindowQueries extends GroupBase {
          ORDER BY user_id, event_id""",
     "over_sum_distinct" ->
       """SELECT event_type, event_id,
-                list_sum(list_distinct(array_agg(user_id)
+                CAST(list_sum(list_distinct(array_agg(user_id)
                   OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS sum_dist_users
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS BIGINT) AS sum_dist_users
          FROM events ORDER BY event_type, event_id""",
   )
 }

@@ -173,7 +173,7 @@ object RelationalQueries extends GroupBase {
            ON r_regionkey = rk
          ORDER BY r_name""",
     "rel_zip_index" ->
-      """SELECT o_orderkey, (row_number() OVER (ORDER BY o_orderkey)) - 1 AS idx
+      """SELECT o_orderkey, CAST((row_number() OVER (ORDER BY o_orderkey)) - 1 AS INT) AS idx
          FROM orders ORDER BY o_orderkey LIMIT 100""",
   )
 }

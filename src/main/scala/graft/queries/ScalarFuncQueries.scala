@@ -225,7 +225,7 @@ object ScalarFuncQueries extends GroupBase {
       """SELECT p_partkey,
             upper(p_name) AS up,
             lower(p_brand) AS lo,
-            length(p_name) AS len,
+            CAST(length(p_name) AS INT) AS len,
             concat_ws('|', p_brand, p_type) AS cw,
             substring(p_name, 2, 3) AS sub,
             regexp_replace(p_name, '[aeiou]', '*', 'g') AS rr,
@@ -240,7 +240,7 @@ object ScalarFuncQueries extends GroupBase {
             string_split(p_name, ' ')[2] AS tok1,
             ascii(p_brand) AS asc,
             chr(CAST(65 + (p_partkey % 26) AS INT)) AS ch,
-            instr(p_name, 'a') AS pos_a,
+            CAST(instr(p_name, 'a') AS INT) AS pos_a,
             translate(p_name, 'abc', 'xyz') AS tl,
             array_to_string(list_transform(string_split(p_name, ' '),
               w -> upper(w[1]) || substring(w, 2)), ' ') AS ic,
@@ -251,16 +251,16 @@ object ScalarFuncQueries extends GroupBase {
          FROM part ORDER BY p_partkey""",
     "fn_temporal" ->
       """SELECT o_orderkey,
-            year(o_orderdate) AS y,
-            month(o_orderdate) AS m,
-            dayofmonth(o_orderdate) AS dom,
-            dayofweek(o_orderdate) + 1 AS dow,
-            dayofyear(o_orderdate) AS doy,
-            quarter(o_orderdate) AS q,
+            CAST(year(o_orderdate) AS INT) AS y,
+            CAST(month(o_orderdate) AS INT) AS m,
+            CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+            CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+            CAST(dayofyear(o_orderdate) AS INT) AS doy,
+            CAST(quarter(o_orderdate) AS INT) AS q,
             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
             CAST(o_orderdate AS DATE) + 30 AS plus30,
             last_day(CAST(o_orderdate AS DATE)) AS eom,
-            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd,
+            CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd,
             strftime(o_orderdate, '%Y-%m-%d %H') AS fmt,
             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
             o_orderdate + INTERVAL 5 HOUR AS plus5h,
@@ -307,7 +307,7 @@ object ScalarFuncQueries extends GroupBase {
             p_size + 1 AS st_size1,
             string_split(p_name, ' ')[1] AS arr_first,
             string_split(p_name, ' ')[-1] AS arr_last,
-            len(string_split(p_name, ' ')) AS arr_len,
+            CAST(len(string_split(p_name, ' ')) AS INT) AS arr_len,
             p_brand AS map_brand,
             'brand' AS first_key,
             list_contains(string_split(p_name, ' '), 'widget') AS has_widget,

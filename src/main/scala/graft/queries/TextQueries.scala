@@ -152,14 +152,14 @@ object TextQueries extends GroupBase {
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
       s"""SELECT doc_id,
-          len($toksSql) AS n_tok,
-          length(text) AS n_char,
-          len(list_distinct($toksSql)) AS n_uniq,
+          CAST(len($toksSql) AS INT) AS n_tok,
+          CAST(length(text) AS INT) AS n_char,
+          CAST(len(list_distinct($toksSql)) AS INT) AS n_uniq,
           CAST(list_sum(list_transform($toksSql, t -> length(t))) AS INT) AS tok_chars
           FROM documents ORDER BY doc_id""",
     "text_quality" ->
       s"""SELECT doc_id,
-          len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS n_stop,
+          CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS INT) AS n_stop,
           CAST(CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t)))
                     AS DECIMAL(18,8))
                / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS stop_ratio,
@@ -224,8 +224,8 @@ object TextQueries extends GroupBase {
           kept AS (SELECT * FROM exact_keep
                    WHERE doc_id NOT IN (SELECT doc_id FROM dup_b))
           SELECT lang, count(*) AS n_docs,
-                 sum(CAST(len(tk) AS BIGINT)) AS n_tokens,
-                 sum(CAST(length(text) AS BIGINT)) AS n_chars
+                 CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS n_chars
           FROM kept GROUP BY lang ORDER BY lang""",
   )
 }

@@ -150,7 +150,7 @@ object TimeWindowQueries extends GroupBase {
           count(DISTINCT user_id) AS uv
           FROM events GROUP BY 1 ORDER BY w_start""",
     "tw_topn_hot" ->
-      """SELECT w_start, event_type, cnt, rn FROM (
+      """SELECT w_start, event_type, cnt, CAST(rn AS INT) AS rn FROM (
            SELECT w_start, event_type, cnt,
                   row_number() OVER (PARTITION BY w_start
                                      ORDER BY cnt DESC, event_type) AS rn

@@ -47,6 +47,11 @@ def compare(a, b):
     acols, bcols = sorted(a.column_names), sorted(b.column_names)
     if acols != bcols:
         return False, f"columns differ: spark={acols} duck={bcols}"
+    at = {f.name: str(f.type) for f in a.schema}
+    bt = {f.name: str(f.type) for f in b.schema}
+    dtypes = [(c, at[c], bt[c]) for c in acols if at[c] != bt[c]]
+    if dtypes:
+        return False, f"dtypes differ (driver hash may be strict): {dtypes}"
     if a.num_rows != b.num_rows:
         return False, f"row count: spark={a.num_rows} duck={b.num_rows}"
     for cname in acols:
