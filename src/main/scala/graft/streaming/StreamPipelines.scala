@@ -72,6 +72,38 @@ object StreamPipelines {
       }
   }
 
+  /** Dynamic control-stream pattern (BroadcastProcessFuncApp.scala:8-38:
+    * a control stream updates rules that a data stream applies to every
+    * element). Spark port: the control stream UPSERTS a rules table
+    * (key-ed parquet); the data stream's foreachBatch re-reads and
+    * broadcast-joins the CURRENT rules each micro-batch — rule updates
+    * take effect on the next trigger, matching broadcast-state
+    * propagation semantics. Returns the data-side writer. */
+  def controlledFilter(data: DataFrame, rulesDir: String, key: String,
+                       sink: Dataset[org.apache.spark.sql.Row] => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    data.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val rules =
+          try Some(spark.read.parquet(rulesDir)) catch { case _: Throwable => None }
+        rules match {
+          case Some(r) =>
+            sink(batch.join(broadcast(r), Seq(key), "inner")
+              .filter(col("value") >= col("min_value")))
+          case None => () // no rules yet: drop everything (closed-by-default)
+        }
+        ()
+    }
+
+  /** Control-side: upsert rules (key, min_value) into the rules table. */
+  def updateRules(spark: org.apache.spark.sql.SparkSession, rulesDir: String,
+                  rules: Seq[(String, Double)]): Unit = {
+    import spark.implicits._
+    graft.sources.Writers.upsertParquet(
+      rules.toDF("kind", "min_value"), rulesDir, Seq("kind"))
+  }
+
   /** Side-output / multi-sink fanout via foreachBatch
     * (SideOutputApp1.scala:13-26; StatementSet multi-sink
     * TableSQLFunc.scala:532-590): one pass over each micro-batch,
