@@ -18,34 +18,39 @@ import org.apache.spark.sql.functions._
   * (see ExactSql).
   */
 object Exact {
-  val Dec = "decimal(30,8)"
+  val Dec = "decimal(30,4)"
 
-  /** Order-independent exact sum, kept as DECIMAL(38,8).
+  /** Order-independent exact sum, returned as DOUBLE.
     *
-    * NOT cast to double: DuckDB converts DECIMAL→DOUBLE by an
-    * int128→double conversion followed by a divide-by-10^scale — two
-    * roundings. Once the unscaled value exceeds 2^53 (sums ≳ 10^10
-    * at scale 8) that double-rounds 1 ulp away from the correctly
-    * rounded value the JVM produces, so large sums would mismatch at
-    * the 16th digit. Comparing the exact decimals sidesteps the
-    * problem entirely (observed at sf0.1; sf0.01 was too small). */
-  def dsum(c: Column): Column = sum(c.cast(Dec))
+    * Scale 4 (not 8) so the final decimal→double cast is a single
+    * correctly-rounded operation in both engines: with unscaled
+    * value < 2^53 (sums up to ~9·10^11 at scale 4) the int128 is
+    * exactly representable, and dividing by 10^4 is one IEEE op.
+    * At scale 8, sums beyond ~10^10 (seen at sf0.1) double-round in
+    * DuckDB's int128→double→÷10^scale path and drift 1 ulp.
+    *
+    * Cast back to DOUBLE rather than leaving DECIMAL: a DECIMAL
+    * output column survives to the result schema, and downstream
+    * readers disagree on its rendering (arrow keeps decimal128,
+    * DuckDB's pandas bridge coerces to float64) — value-equal but
+    * representation-different, which breaks representation-level
+    * hashing. A DOUBLE is bit-identical everywhere. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
-  /** avg = exact-sum / count, one final double division. Safe in
-    * double: averages stay small, so the decimal→double cast of the
-    * sum is exact (unscaled < 2^53). */
-  def davg(c: Column): Column = dsum(c).cast("double") / count(c)
+  /** avg = exact-sum / count, one final double division. */
+  def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** Order-independent exact DISTINCT sum (DECIMAL out, see dsum). */
-  def dsum_distinct(c: Column): Column = sum_distinct(c.cast(Dec))
+  /** Order-independent exact DISTINCT sum (DOUBLE out, see dsum). */
+  def dsum_distinct(c: Column): Column =
+    sum_distinct(c.cast(Dec)).cast("double")
 }
 
 /** SQL snippets mirroring Exact for the DuckDB oracle strings. */
 object ExactSql {
   def dsum(e: String): String =
-    s"SUM(CAST(($e) AS DECIMAL(30,8)))"
+    s"CAST(SUM(CAST(($e) AS DECIMAL(30,4))) AS DOUBLE)"
   def davg(e: String): String =
-    s"(CAST(${dsum(e)} AS DOUBLE) / COUNT($e))"
+    s"(${dsum(e)} / COUNT($e))"
   def dsumDistinct(e: String): String =
-    s"SUM(DISTINCT CAST(($e) AS DECIMAL(30,8)))"
+    s"CAST(SUM(DISTINCT CAST(($e) AS DECIMAL(30,4))) AS DOUBLE)"
 }

@@ -43,7 +43,7 @@ object JoinQueries extends GroupBase {
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"),
              coalesce(Exact.dsum(col("o_totalprice")),
-               lit(0).cast("decimal(38,8)")).as("spend"))
+               lit(0.0)).as("spend"))
         .orderBy("c_custkey")),
 
     // right outer join (same result shape, right-join plan)
@@ -53,7 +53,7 @@ object JoinQueries extends GroupBase {
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"),
              coalesce(Exact.dsum(col("o_totalprice")),
-               lit(0).cast("decimal(38,8)")).as("spend"))
+               lit(0.0)).as("spend"))
         .orderBy("c_custkey")),
 
     // full outer join (DataSetFunc.scala:394-445)
@@ -182,12 +182,12 @@ object JoinQueries extends GroupBase {
           GROUP BY r_name ORDER BY r_name""",
     "join_left" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
-          COALESCE(${ExactSql.dsum("o_totalprice")}, CAST(0 AS DECIMAL(38,8))) AS spend
+          COALESCE(${ExactSql.dsum("o_totalprice")}, CAST(0 AS DOUBLE)) AS spend
           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
           GROUP BY c_custkey ORDER BY c_custkey""",
     "join_right" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
-          COALESCE(${ExactSql.dsum("o_totalprice")}, CAST(0 AS DECIMAL(38,8))) AS spend
+          COALESCE(${ExactSql.dsum("o_totalprice")}, CAST(0 AS DOUBLE)) AS spend
           FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
           GROUP BY c_custkey ORDER BY c_custkey""",
     "join_full" ->
