@@ -180,6 +180,38 @@ object AggQueries extends GroupBase {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
+
+    // From-scratch HyperLogLog (p=6, m=64 buckets) built entirely from
+    // deterministic column ops, so the DuckDB oracle reproduces the
+    // estimate bit-for-bit — unlike the engine-specific HLL++ sketch
+    // above. Math notes for cross-engine exactness: the md5-derived
+    // 32-bit hash is engine-stable (TextOps.hash32); 2^-rho terms are
+    // exact binary fractions with <= 27 fractional bits, so their sum
+    // is EXACT regardless of aggregation order; the one transcendental
+    // (ln, linear-counting path) is rounded to 2 decimals. Scale: two
+    // hash aggregations, both with map-side partials; no distinct
+    // pre-pass needed (max(rho) is idempotent under duplicates).
+    "agg_hll_manual" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          graft.functions.TextOps.hash32(col("user_id").cast("string")).as("h"))
+        .withColumn("bucket", pmod(col("h"), lit(64)))
+        .withColumn("rho",
+          lit(27) - length(ltrim(bin(shiftright(col("h"), 6)), "0")))
+      ev.groupBy("event_type", "bucket").agg(max(col("rho")).as("mx"))
+        .groupBy("event_type")
+        .agg(sum(pow(lit(2.0), -col("mx"))).as("s_ne"),
+             count(lit(1)).as("v_ne"))
+        .select(col("event_type"),
+          ((lit(64) - col("v_ne")) + col("s_ne")).as("ss"),
+          (lit(64) - col("v_ne")).as("vz"),
+          (lit(0.709) * 4096 / ((lit(64) - col("v_ne")) + col("s_ne"))).as("raw"))
+        .select(col("event_type"),
+          round(when(col("raw") <= 160 && col("vz") > 0,
+              lit(64) * log(lit(64.0) / col("vz")))
+            .otherwise(col("raw")), 2).as("est_users"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -236,6 +268,27 @@ object AggQueries extends GroupBase {
       """SELECT c_mktsegment, max(c_acctbal) AS mx, min(c_acctbal) AS mn,
                 count(c_acctbal) AS n
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_hll_manual" ->
+      s"""WITH h AS (SELECT event_type,
+                 ${graft.functions.TextOps.hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+               FROM events),
+          b AS (SELECT event_type, h % 64 AS bucket,
+                       27 - length(ltrim(bin(h // 64), '0')) AS rho
+                FROM h),
+          m AS (SELECT event_type, bucket, max(rho) AS mx
+                FROM b GROUP BY 1, 2),
+          agg AS (SELECT event_type,
+                         sum(pow(CAST(2.0 AS DOUBLE), -mx)) AS s_ne,
+                         count(*) AS v_ne
+                  FROM m GROUP BY 1)
+          SELECT event_type,
+                 round(CASE WHEN raw <= 160 AND vz > 0
+                            THEN 64 * ln(CAST(64.0 AS DOUBLE) / vz)
+                            ELSE raw END, 2) AS est_users
+          FROM (SELECT event_type, 64 - v_ne AS vz,
+                       CAST(0.709 AS DOUBLE) * 4096 / ((64 - v_ne) + s_ne) AS raw
+                FROM agg) x
+          ORDER BY event_type""",
     "agg_top3_emit" ->
       """SELECT event_type, value AS v FROM (
            SELECT event_type, value,

@@ -65,18 +65,20 @@ object DedupQueries extends GroupBase {
 
     // MinHash signatures + LSH banding: emit candidate pairs sharing
     // any band, with the fraction of equal minhash components.
-    // Exactly one shuffle per stage: shingle-hash agg, band bucket
-    // join, pair agg. No all-pairs anywhere.
+    // Signature computation is SHUFFLE-FREE: shingling, hashing and
+    // the K mins are per-document array expressions (higher-order
+    // functions), so at 100 TB the only shuffle is the LSH band
+    // bucket join — no explode, no groupBy over exploded shingles.
     "dd_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sh = docs
+      val minhashes = docs
         .withColumn("tk", TextOps.tokens(col("text")))
-        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("sh"))
-        .distinct()
-        .withColumn("h", TextOps.hash32(col("sh")))
-      val minCols = (0 until K).map(k =>
-        min(pmod(col("h") * A(k) + Bc(k), lit(P))).as(s"m$k"))
-      val minhashes = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        .withColumn("sh", array_distinct(TextOps.shingles(col("tk"), 3)))
+        .filter(size(col("sh")) > 0)
+        .withColumn("hs", transform(col("sh"), x => TextOps.hash32(x)))
+        .select(col("doc_id") +: (0 until K).map(k =>
+          array_min(transform(col("hs"), h => pmod(h * A(k) + Bc(k), lit(P))))
+            .as(s"m$k")): _*)
       // carry the full signature through the band rows: the candidate
       // join then yields both signatures directly, avoiding two more
       // shuffled joins back to the signature table (which Catalyst
@@ -108,18 +110,21 @@ object DedupQueries extends GroupBase {
     // candidate set dwarfs the survivors.
     "dd_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tok = docs
+      // per-doc distinct feature hashes, then 32 bit votes — all
+      // element-wise array ops, no shuffle until the block join.
+      // distinct is on the HASH (not the shingle string) on both the
+      // Spark and oracle side, so intra-doc hash collisions can't
+      // diverge the two engines.
+      def vote(j: Int) = aggregate(col("hs"), lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      val sig = docs
         .withColumn("tk", TextOps.tokens(col("text")))
-        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("tok"))
-        .distinct()
-        .withColumn("h", TextOps.hash32(col("tok")))
-      val votes = (0 until 32).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"v$j"))
-      val sig = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .withColumn("sh", array_distinct(TextOps.shingles(col("tk"), 3)))
+        .filter(size(col("sh")) > 0)
+        .withColumn("hs", array_distinct(transform(col("sh"), x => TextOps.hash32(x))))
         .select(col("doc_id"),
           (0 until 32).map(j =>
-            when(col(s"v$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _).as("sim"))
+            when(vote(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _).as("sim"))
       val keyed = (0 until 4).foldLeft(sig) { (df, b) =>
         df.withColumn(s"b$b",
           shiftright(col("sim"), b * 8).bitwiseAND(255))
@@ -183,9 +188,8 @@ object DedupQueries extends GroupBase {
           ORDER BY da, db"""
     },
     "dd_simhash" -> {
-      val h = TextOps.hash32Sql("tok")
       val votes = (0 until 32).map(j =>
-        s"sum(CASE WHEN (($h) >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
         .mkString(", ")
       val simExpr = (0 until 32).map(j =>
         s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
@@ -194,7 +198,8 @@ object DedupQueries extends GroupBase {
                    bit_count(xor(x.sim, y.sim)) AS hamming
             FROM keyed x JOIN keyed y ON x.b$b = y.b$b AND x.doc_id < y.doc_id
             WHERE bit_count(xor(x.sim, y.sim)) <= 3""").mkString(" UNION ")
-      s"""WITH tok AS (SELECT DISTINCT doc_id, sh AS tok FROM ($shinglesSql)),
+      s"""WITH tok AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS h
+                       FROM ($shinglesSql)),
           v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id),
           sig AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS sim FROM v),
           keyed AS (SELECT doc_id, sim, sim & 255 AS b0, (sim >> 8) & 255 AS b1,

@@ -43,6 +43,20 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("manual HLL (p=6) within 20% of exact per event_type") {
+    // 64 buckets -> ~1.04/sqrt(64) = 13% standard error; 20% bound
+    // keeps the test deterministic-but-meaningful at sf0.001
+    val est = SparkEntry.queries("agg_hll_manual")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.core.Tables.load(spark, d, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(est(k) - ex) / ex < 0.20,
+        s"$k: est=${est(k)} exact=$ex")
+    }
+  }
+
   test("as-of join matches the most recent prior click per purchase") {
     // golden micro-check: recompute one user's enrichment directly
     val e = graft.core.Tables.load(spark, d, "events")
