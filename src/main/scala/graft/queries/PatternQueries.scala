@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{KeyedEvent, MrParser, SeqPattern}
 
 /** §2.10/§2.11 pattern detection, batch-relational form of the
   * reference's concrete CEP scenarios. The generic NFA operator for
@@ -73,6 +75,33 @@ object PatternQueries extends GroupBase {
            WHERE prev_v < 10.0 AND value > 400.0
              AND ts <= prev_ts + INTERVAL 1 MINUTE
            ORDER BY user_id, event_id""")),
+
+    // MATCH_RECOGNIZE via the text frontend (MrParser → SeqPattern
+    // NFA run as a batch flatMapGroupsWithState): strict-contiguous
+    // signup → error{2} → purchase per user within 3 days, all
+    // matches (NO SKIP). The oracle replays the same strict sequence
+    // with lead() over the identically-ordered per-user row stream.
+    // Scale: one shuffle on user_id; per-key NFA state is bounded by
+    // the WITHIN horizon, as in the streaming flavor.
+    "pat_mr" -> ((s, d) => {
+      import s.implicits._
+      val pat = MrParser.parse(
+        "PATTERN (S E{2} P) WITHIN 3 DAYS AFTER MATCH NO SKIP " +
+        "DEFINE S AS kind = 'signup', E AS kind = 'error', P AS kind = 'purchase'")
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("signup", "error", "purchase"))
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_type").as("kind"), col("value"))
+        .as[KeyedEvent]
+      SeqPattern.detect(ev, pat.steps, pat.withinMs,
+          strict = true, pat.skip, pat.greedy)
+        .toDF()
+        .select(col("key").as("user_id"), col("startTs").as("m_start"),
+          col("endTs").as("m_end"),
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"),
+          size(col("values")).as("n"))
+        .orderBy("user_id", "m_start")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -115,5 +144,23 @@ object PatternQueries extends GroupBase {
          WHERE prev_v < 10.0 AND value > 400.0
            AND ts <= prev_ts + INTERVAL 1 MINUTE
          ORDER BY user_id, event_id""",
+    "pat_mr" ->
+      """WITH f AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+           FROM events WHERE event_type IN ('signup', 'error', 'purchase')),
+         l AS (
+           SELECT user_id, ts, event_type, value AS v0,
+                  lead(event_type, 1) OVER w AS k1, lead(value, 1) OVER w AS v1,
+                  lead(event_type, 2) OVER w AS k2, lead(value, 2) OVER w AS v2,
+                  lead(event_type, 3) OVER w AS k3, lead(value, 3) OVER w AS v3,
+                  lead(ts, 3) OVER w AS t3
+           FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, value))
+         SELECT user_id, ts AS m_start, t3 AS m_end,
+                ((((CAST(0.0 AS DOUBLE) + v0) + v1) + v2) + v3) AS sum_v,
+                CAST(4 AS INT) AS n
+         FROM l
+         WHERE event_type = 'signup' AND k1 = 'error' AND k2 = 'error'
+           AND k3 = 'purchase' AND t3 <= ts + INTERVAL 3 DAY
+         ORDER BY user_id, m_start""",
   )
 }

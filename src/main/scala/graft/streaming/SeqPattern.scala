@@ -36,7 +36,7 @@ object SeqPattern {
                   // matched so far) => accept — the DEFINE-with-AVG class
                   relPred: Option[(Double, Seq[Double]) => Boolean] = None) {
     def matches(e: KeyedEvent, prefix: Seq[Double]): Boolean =
-      kinds.contains(e.kind) && e.value >= minValue &&
+      (kinds.isEmpty || kinds.contains(e.kind)) && e.value >= minValue &&
         relPred.forall(_(e.value, prefix))
     def times(n: Int): Step = copy(repeat = n)
     def opt: Step = copy(optional = true)
@@ -63,6 +63,18 @@ object SeqPattern {
     steps.flatMap(s => Seq.fill(s.repeat)(s.copy(repeat = 1))).toIndexedSeq
 
   case class Partial(stepIdx: Int, tss: List[Long], vals: List[Double])
+
+  /** Event-time at MICROsecond precision. `getTime` alone truncates to
+    * ms, which reorders sub-ms events (the driver's `events` table is
+    * µs-grained after the nanos→µs load conversion) and shifts WITHIN
+    * boundaries by up to 1 ms vs a full-precision oracle. */
+  private[graft] def micros(ts: Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+  private[graft] def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
   case class MatchOut(key: Long, startTs: Timestamp, endTs: Timestamp,
                       values: Seq[Double])
 
@@ -71,13 +83,27 @@ object SeqPattern {
   case class PartialSet(xs: List[Partial])
 
   /** Run the pattern over a keyed stream. `strict` = CEP `next`
-    * (no intervening event may break the chain); relaxed = `followedBy`. */
-  /** @param greedy when several branches complete on the same event
-    *   (quantified patterns), emit the LONGEST match (CEP greedy);
-    *   false = reluctant `*?` — emit the shortest. */
+    * (no intervening event may break the chain); relaxed = `followedBy`.
+    *
+    * @param greedy quantifier extent: a partial in an ACCEPTING state
+    *   (every remaining step optional) keeps extending and is emitted
+    *   at its longest extent — on overrunning the last step, or when
+    *   it can no longer extend (strict chain break / WITHIN expiry /
+    *   `flushEnd`). false = reluctant `*?`: accepting partials emit
+    *   immediately at their shortest extent.
+    *   Matches completing on the same event are grouped by start row
+    *   and the LEFTMOST start wins under SKIP PAST LAST ROW
+    *   (MATCH_RECOGNIZE leftmost-match priority); other skips emit one
+    *   match per distinct start. Flush emissions (break/expiry/end)
+    *   bypass skip processing — a deliberate simplification.
+    * @param flushEnd emit accepting partials left at end of input —
+    *   for BATCH runs (MrParser queries). Leave false for streaming:
+    *   state persists across micro-batches, so an end-of-batch flush
+    *   would emit prefixes of matches still in flight.
+    */
   def detect(ds: Dataset[KeyedEvent], steps: Seq[Step], withinMs: Long,
              strict: Boolean, skip: Skip = SkipPastLastRow,
-             greedy: Boolean = true): Dataset[MatchOut] = {
+             greedy: Boolean = true, flushEnd: Boolean = false): Dataset[MatchOut] = {
     import ds.sparkSession.implicits._
     val stepsB = expand(steps)
     ds.groupByKey(_.key)
@@ -86,6 +112,17 @@ object SeqPattern {
         case (key, events, state: GroupState[PartialSet]) =>
           var partials = state.getOption.map(_.xs).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[MatchOut]
+          val seen = scala.collection.mutable.Set.empty[List[Long]]
+          // identical tss = identical matched rows: emit once even when
+          // several optional-skip branches carry the same match
+          def emit(p: Partial): Unit = if (seen.add(p.tss)) {
+            out += MatchOut(key, toTimestamp(p.tss.head),
+              toTimestamp(p.tss.last), p.vals)
+          }
+          // accepting = every remaining step can be skipped (a trailing
+          // quantifier has already met its required minimum)
+          def accepting(p: Partial): Boolean =
+            (p.stepIdx until stepsB.length).forall(stepsB(_).optional)
           // NFA branching: from step `from`, an event may match that
           // step, or — when steps are optional — any step reachable by
           // skipping a prefix of optional steps (one branch per hit).
@@ -99,32 +136,59 @@ object SeqPattern {
             }
             hits.toList
           }
-          events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-            val t = e.ts.getTime
-            // prune expired partials
-            partials = partials.filter(p => t - p.tss.head <= withinMs)
+          // WITHIN horizon in µs; clamp so an effectively-unbounded
+          // horizon (MrParser default) cannot overflow the multiply.
+          val withinUs =
+            if (withinMs > Long.MaxValue / 2000) Long.MaxValue / 2
+            else withinMs * 1000L
+          events.toSeq.sortBy(e => (micros(e.ts), e.value)).foreach { e =>
+            val t = micros(e.ts)
+            // prune expired partials; a greedy accepting partial that
+            // expires has reached its final extent — emit it
+            val (kept, expired) = partials.partition(p => t - p.tss.head <= withinUs)
+            if (greedy) expired.filter(accepting).foreach(emit)
+            partials = kept
             // advance existing partials
             val advanced = partials.flatMap { p =>
               val hits = matchIdxs(p.stepIdx, e, p.vals)
               if (hits.nonEmpty)
                 hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value))
-              else if (strict) Nil // strict contiguity: chain broken
+              else if (strict) { // strict contiguity: chain broken
+                if (greedy && accepting(p)) emit(p) // final extent reached
+                Nil
+              }
               else List(p)         // relaxed: partial survives
             }
             // start new partials from step 0 (and optional-skipped starts)
             val started =
               matchIdxs(0, e, Nil).map(j => Partial(j + 1, List(t), List(e.value)))
+            val candidates = (advanced ++ started)
+              .distinctBy(p => (p.stepIdx, p.tss))
+            // greedy completes only past the last step (longest extent)
+            // AND only when no branch over the same matched rows can
+            // still extend (optional-skip branches duplicate one match
+            // at several NFA positions; the least-committed sibling
+            // keeps extending and the flushes emit it if input stalls);
+            // reluctant completes at the first accepting state (shortest)
             val (complete, live) =
-              (advanced ++ started).partition(_.stepIdx >= stepsB.length)
-            // greedy/reluctant: among branches completing on the SAME
-            // event, keep the longest (greedy) or shortest (reluctant)
-            val emitted =
-              if (complete.size <= 1) complete
-              else if (greedy) List(complete.maxBy(_.vals.length))
-              else List(complete.minBy(_.vals.length))
-            emitted.foreach { m =>
-              out += MatchOut(key, new Timestamp(m.tss.head),
-                new Timestamp(m.tss.last), m.vals)
+              if (greedy) {
+                val byTss = candidates.groupBy(_.tss)
+                val c = candidates.filter(p => p.stepIdx >= stepsB.length &&
+                  byTss(p.tss).forall(_.stepIdx >= stepsB.length))
+                (c, candidates.filterNot(c.contains))
+              } else candidates.partition(accepting)
+            if (complete.nonEmpty) {
+              // leftmost-match priority: one candidate per start row,
+              // longest/shortest extent within the start
+              val picks = complete.groupBy(_.tss.head).toSeq.sortBy(_._1)
+                .map { case (_, g) =>
+                  if (greedy) g.maxBy(_.vals.length) else g.minBy(_.vals.length) }
+              (skip match {
+                // simultaneous completions all contain the current row,
+                // so they overlap: leftmost start only
+                case SkipPastLastRow => picks.take(1)
+                case _               => picks
+              }).foreach(emit)
             }
             // AFTER MATCH skip strategy
             partials =
@@ -135,6 +199,18 @@ object SeqPattern {
                   val firstTs = complete.map(_.tss.head).min
                   live.filter(_.tss.head > firstTs)
                 case NoSkip => live
+              }
+          }
+          if (flushEnd && greedy) {
+            // end-of-input: accepting partials are final; scan starts
+            // left to right, suppressing overlaps under SkipPastLastRow
+            var lastEnd = Long.MinValue
+            partials.filter(accepting).groupBy(_.tss.head).toSeq.sortBy(_._1)
+              .map { case (_, g) => g.maxBy(_.vals.length) }
+              .foreach { p =>
+                if (skip != SkipPastLastRow || p.tss.head > lastEnd) {
+                  emit(p); lastEnd = math.max(lastEnd, p.tss.last)
+                }
               }
           }
           state.update(PartialSet(partials))

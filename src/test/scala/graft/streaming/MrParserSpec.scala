@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.SeqPattern._
+
+/** MATCH_RECOGNIZE frontend tests mirroring the reference's scenario
+  * classes (TableSQLFunc.scala:1569-2240): pattern text → NFA steps →
+  * batch detection over a tiny deterministic dataset. */
+class MrParserSpec extends SparkSpec {
+
+  private def detectBatch(events: Seq[KeyedEvent], spec: String,
+                          strict: Boolean = true): Seq[MatchOut] = {
+    val s = spark
+    import s.implicits._
+    val pat = MrParser.parse(spec)
+    SeqPattern.detect(events.toDS(), pat.steps, pat.withinMs, strict,
+      pat.skip, pat.greedy, flushEnd = true)
+      .collect().toSeq.sortBy(_.startTs.getTime)
+  }
+
+  test("parse: quantifiers, WITHIN, AFTER MATCH, DEFINE kinds") {
+    val p = MrParser.parse(
+      "PATTERN (A B{2} C? D{1,3} E+) WITHIN 90 MINUTES " +
+      "AFTER MATCH SKIP TO NEXT ROW " +
+      "DEFINE A AS kind = 'a', B AS kind IN ('b', 'bb'), D AS value >= 5")
+    assert(p.withinMs == 90L * 60000)
+    assert(p.skip == SkipToNext)
+    assert(p.greedy)
+    val steps = SeqPattern.expand(p.steps)
+    // A + B,B + C? + D{1,3}=1+2opt + E+ = 1+2+1+3+MaxRepeat
+    assert(steps.length == 7 + MrParser.MaxRepeat)
+    assert(steps(0).kinds == Set("a"))
+    assert(steps(1).kinds == Set("b", "bb") && steps(2).kinds == Set("b", "bb"))
+    assert(steps(3).optional)                      // C?
+    assert(!steps(4).optional && steps(5).optional) // D{1,3}
+    assert(steps(0).matches(KeyedEvent(1, ts(0), "a", 0), Nil))
+    assert(!steps(0).matches(KeyedEvent(1, ts(0), "b", 0), Nil))
+    // C has no DEFINE clause -> wildcard
+    assert(steps(3).matches(KeyedEvent(1, ts(0), "anything", 0), Nil))
+  }
+
+  test("parse errors: missing PATTERN, bad element, bad DEFINE term") {
+    intercept[IllegalArgumentException](MrParser.parse("DEFINE A AS TRUE"))
+    intercept[IllegalArgumentException](
+      MrParser.parse("PATTERN (A{2,5}) DEFINE A AS TRUE"))
+    intercept[IllegalArgumentException](
+      MrParser.parse("PATTERN (A) DEFINE A AS frobnicate > 3"))
+  }
+
+  test("fixed sequence with WITHIN: matches inside horizon only") {
+    val evs = Seq(
+      KeyedEvent(1, ts(1000), "a", 1), KeyedEvent(1, ts(2000), "b", 2),
+      KeyedEvent(1, ts(3000), "c", 3),  // within 10s -> match
+      KeyedEvent(2, ts(1000), "a", 1), KeyedEvent(2, ts(2000), "b", 2),
+      KeyedEvent(2, ts(60000), "c", 3)) // c beyond 10s -> no match
+    val out = detectBatch(evs,
+      "PATTERN (A B C) WITHIN 10 SECONDS DEFINE " +
+      "A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'")
+    assert(out.map(_.key) == Seq(1L))
+    assert(out.head.values == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("V-shape with PREV(value): strictly down then strictly up") {
+    // price path 5 4 2 3 6: STRT=5, DOWN=(4,2), UP=(3,6)
+    val evs = Seq(5.0, 4.0, 2.0, 3.0, 6.0).zipWithIndex.map {
+      case (v, i) => KeyedEvent(1, ts(1000L * (i + 1)), "px", v) }
+    val out = detectBatch(evs,
+      "PATTERN (STRT DOWN{1,3} UP{1,3}) DEFINE " +
+      "DOWN AS value < PREV(value), UP AS value > PREV(value)")
+    // greedy: longest match = the whole V
+    assert(out.size == 1)
+    assert(out.head.values == Seq(5.0, 4.0, 2.0, 3.0, 6.0))
+  }
+
+  test("reluctant marker emits the shortest match") {
+    val evs = Seq(5.0, 4.0, 2.0, 3.0, 6.0).zipWithIndex.map {
+      case (v, i) => KeyedEvent(1, ts(1000L * (i + 1)), "px", v) }
+    val out = detectBatch(evs,
+      "PATTERN (STRT DOWN{1,3} UP{1,3}?) DEFINE " +
+      "DOWN AS value < PREV(value), UP AS value > PREV(value)")
+    // shortest completion: 5 4 2 3 (single UP step)
+    assert(out.head.values == Seq(5.0, 4.0, 2.0, 3.0))
+  }
+
+  test("AVG(value) iterative condition caps the running mean") {
+    // B rows join only while avg(matched incl. candidate) < 15; the
+    // over-budget b40 row is skipped over (relaxed contiguity — CEP
+    // followedBy; under strict it would break the chain)
+    val evs = Seq(
+      KeyedEvent(1, ts(1000), "b", 10), KeyedEvent(1, ts(2000), "b", 12),
+      KeyedEvent(1, ts(3000), "b", 40), // avg(10,12,40)=20.7 -> B ends
+      KeyedEvent(1, ts(4000), "e", 0))
+    val out = detectBatch(evs,
+      "PATTERN (B{1,3} F) DEFINE " +
+      "B AS kind = 'b' AND AVG(value) < 15, F AS kind = 'e'",
+      strict = false)
+    assert(out.size == 1)
+    assert(out.head.values == Seq(10.0, 12.0, 0.0))
+  }
+
+  test("end-of-input flushes the accepting greedy match (flushEnd)") {
+    // price path 5 4 2 3 then input ends: UP{1,3} met its minimum, so
+    // the V is complete at its achieved extent
+    val evs = Seq(5.0, 4.0, 2.0, 3.0).zipWithIndex.map {
+      case (v, i) => KeyedEvent(1, ts(1000L * (i + 1)), "px", v) }
+    val out = detectBatch(evs,
+      "PATTERN (STRT DOWN{1,3} UP{1,3}) DEFINE " +
+      "DOWN AS value < PREV(value), UP AS value > PREV(value)")
+    // SkipPastLastRow end-flush: leftmost match only, overlaps dropped
+    assert(out.size == 1)
+    assert(out.head.values == Seq(5.0, 4.0, 2.0, 3.0))
+  }
+
+  test("sub-millisecond event-time ordering is preserved (µs NFA clock)") {
+    def tsUs(us: Long): java.sql.Timestamp = SeqPattern.toTimestamp(us)
+    // two events in the same millisecond, order decided by µs
+    val evs = Seq(
+      KeyedEvent(1, tsUs(1000500), "a", 1), // 1.0005 s
+      KeyedEvent(1, tsUs(1000900), "b", 2), // 1.0009 s
+      KeyedEvent(1, tsUs(2000000), "c", 3))
+    val out = detectBatch(evs,
+      "PATTERN (A B C) DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'")
+    assert(out.size == 1)
+    assert(SeqPattern.micros(out.head.startTs) == 1000500L)
+    // reversed µs order inside the ms -> sequence broken, no match
+    val evs2 = Seq(
+      KeyedEvent(1, tsUs(1000900), "a", 1),
+      KeyedEvent(1, tsUs(1000500), "b", 2),
+      KeyedEvent(1, tsUs(2000000), "c", 3))
+    assert(detectBatch(evs2,
+      "PATTERN (A B C) DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'")
+      .isEmpty)
+  }
+}

@@ -229,7 +229,37 @@ class StatefulOpsSpec extends SparkSpec {
     }
     val g = run("q_greedy", greedy = true)
     assert(g.length == 1 && g.head.getSeq[Double](3) == Seq(1.0, 2.0, 9.0)) // A A B
+    // leftmost-match priority: the match still starts at the first A;
+    // reluctant only shrinks the quantifier extent at the SAME start,
+    // and both A's sit before the required B here
     val r = run("q_reluct", greedy = false)
-    assert(r.length == 1 && r.head.getSeq[Double](3) == Seq(2.0, 9.0)) // A B
+    assert(r.length == 1 && r.head.getSeq[Double](3) == Seq(1.0, 2.0, 9.0))
+  }
+
+  test("SeqPattern reluctant trailing quantifier emits at first accepting state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def run(name: String, greedy: Boolean) = {
+      val steps = SeqPattern.Step("a", Set("A")).upTo(3) // A{1,3} alone
+      val input = MemoryStream[KeyedEvent]
+      input.addData(Seq(
+        KeyedEvent(1L, ts(1000L), "A", 1.0),
+        KeyedEvent(1L, ts(2000L), "A", 2.0),
+        KeyedEvent(1L, ts(3000L), "A", 3.0)))
+      val q = SeqPattern.detect(input.toDS(), steps, 60000L,
+          strict = false, greedy = greedy)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try { q.processAllAvailable(); spark.table(name).collect() }
+      finally q.stop()
+    }
+    // reluctant: each A completes a shortest match immediately
+    val r = run("tq_reluct", greedy = false)
+    assert(r.map(_.getSeq[Double](3)).toSet ==
+      Set(Seq(1.0), Seq(2.0), Seq(3.0)))
+    // greedy: extends to the full quantifier bound before completing
+    val g = run("tq_greedy", greedy = true)
+    assert(g.length == 1 && g.head.getSeq[Double](3) == Seq(1.0, 2.0, 3.0))
   }
 }
