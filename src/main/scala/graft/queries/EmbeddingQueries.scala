@@ -126,6 +126,44 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("qid", "rank")
     }),
 
+    // k-means training for the IVF coarse quantizer (2 unrolled
+    // Lloyd iterations, k=4, deterministic init = first k vectors).
+    // Assignment: centroids broadcast, squared-L2 as a left fold —
+    // bit-identical across engines. Centroid update: per-(cell,dim)
+    // mean via SORTED sequential fold (the oracle-exact flavor; the
+    // compensated-sum Aggregator in graft.agg is the 100 TB path —
+    // one shuffle on (cell,dim) per iteration either way, centroids
+    // never leave the executors except the k×dim broadcast).
+    "emb_kmeans" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      def d2(emb: Column, cv: Column): Column =
+        aggregate(zip_with(emb, cv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid"))
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            d2(col("embedding"), col("cv")).as("d2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"),
+            col("cid").as("cell"), col("d2"))
+      }
+      val c0 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      val c1 = assign(c0)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((aggregate(sort_array(collect_list(col("x").cast("double"))),
+          lit(0.0), (a, v) => a + v) / count(lit(1))).as("c"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          t => t.getField("c")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+      assign(c1).select(col("vec_id"), col("cell"), col("d2"))
+        .orderBy("vec_id")
+    }),
+
     // random-hyperplane LSH bucket assignment (the ANN scale path:
     // equal buckets → candidate; 8 planes → 256-way partitioning)
     "emb_lsh_buckets" -> ((s, d) => {
@@ -219,6 +257,38 @@ object EmbeddingQueries extends GroupBase {
         .mkString(" + ")
       s"""SELECT vec_id, CAST($terms AS BIGINT) AS bucket
           FROM embeddings ORDER BY vec_id"""
+    },
+    "emb_kmeans" -> {
+      // squared-L2 as the same left fold the Spark side uses
+      def d2Sql(a: String, c: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip($a, $c),
+              p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))),
+            (acc, v) -> acc + v)"""
+      def assignSql(cents: String, out: String): String =
+        s"""$out AS (
+              SELECT vec_id, embedding, cid AS cell, d2 FROM (
+                SELECT s.vec_id, s.embedding, s.cid, s.d2,
+                       row_number() OVER (PARTITION BY s.vec_id
+                                          ORDER BY s.d2 ASC, s.cid) AS rn
+                FROM (SELECT e.vec_id, e.embedding, c.cid,
+                             ${d2Sql("e.embedding", "c.cv")} AS d2
+                      FROM e CROSS JOIN $cents c) s) x
+              WHERE rn = 1)"""
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          c0 AS (SELECT vec_id AS cid,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                 FROM embeddings WHERE vec_id < 4),
+          ${assignSql("c0", "a1")},
+          m1 AS (SELECT cell, i - 1 AS pos,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_sort(array_agg(CAST(embedding[i] AS DOUBLE)))),
+                          (acc, v) -> acc + v) / count(*) AS c
+                 FROM a1, range(1, 65) r(i) GROUP BY cell, i),
+          c1 AS (SELECT cell AS cid, array_agg(c ORDER BY pos) AS cv
+                 FROM m1 GROUP BY cell),
+          ${assignSql("c1", "a2")}
+          SELECT vec_id, cell, d2 FROM a2 ORDER BY vec_id"""
     },
   )
 }

@@ -94,6 +94,22 @@ object TimeWindowQueries extends GroupBase {
         .orderBy("w_start", "rn")
     }),
 
+    // CUMULATE window TVF (early-firing cumulative windows): within
+    // each 4h max-window, emit expanding [start, start+k·1h) windows.
+    // An event lands in every expanded window whose end is past it —
+    // a ≤4-row explode projection (no shuffle), then one hash agg.
+    "tw_cumulate" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("w_start", window(col("ts"), "4 hours").getField("start"))
+        .withColumn("w_end", explode(sequence(
+          date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR"),
+          col("w_start") + expr("INTERVAL 4 HOURS"),
+          expr("INTERVAL 1 HOUR"))))
+      ev.groupBy("w_start", "w_end")
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"))
+        .orderBy("w_start", "w_end")
+    }),
+
     // daily min/max/count (floor/ceil-to-unit family over time)
     "tw_daily" -> ((s, d) =>
       t(s, d, "events")
@@ -158,6 +174,18 @@ object TimeWindowQueries extends GroupBase {
                         event_type, count(*) AS cnt
                  FROM events GROUP BY 1, 2) c) x
          WHERE rn <= 3 ORDER BY w_start, rn""",
+    "tw_cumulate" ->
+      s"""SELECT w_start, w_end, count(*) AS cnt, ${ExactSql.dsum("value")} AS sum_v
+          FROM (
+            SELECT time_bucket(INTERVAL '4 hours', CAST(ts AS TIMESTAMP)) AS w_start,
+                   unnest(generate_series(
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR,
+                     time_bucket(INTERVAL '4 hours', CAST(ts AS TIMESTAMP))
+                       + INTERVAL 4 HOURS,
+                     INTERVAL 1 HOUR)) AS w_end,
+                   value
+            FROM events) x
+          GROUP BY w_start, w_end ORDER BY w_start, w_end""",
     "tw_daily" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, count(*) AS cnt,
                 min(value) AS min_v, max(value) AS max_v

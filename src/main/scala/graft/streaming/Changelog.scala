@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *   key absent in snapshot          → +I new
   *   key present, value changed      → -U old, +U new
   *
-  * (-D requires aggregate retraction on state eviction, which the
-  * micro-batch model never emits — documented deviation, §7.5.)
+  * Update mode cannot observe deletions (absence from a batch means
+  * "unchanged"); the COMPLETE-mode flavor below diffs full results
+  * and emits `-D` for keys that vanish (top-N drop-outs) — covering
+  * all four reference RowKinds.
   *
   * Everything is distributed DataFrame work per batch: one left join
   * against the snapshot, one anti-join merge to roll the snapshot
@@ -67,6 +69,52 @@ object Changelog {
     spark.read.parquet(staged).write.mode("overwrite").parquet(snapshotDir)
   }
 
+  /** COMPLETE-mode flavor: the batch is the FULL current result, so a
+    * key present in the snapshot but absent from the batch has been
+    * deleted upstream — e.g. a row falling out of a top-N — and emits
+    * `-D` with its last known values (the reference's fourth RowKind,
+    * which update-mode reconstruction can never observe: absence from
+    * an update batch just means "unchanged"). Same distributed shape:
+    * one full-outer-style diff join per batch, snapshot replaced
+    * wholesale (it IS the batch).
+    */
+  def processCompleteBatch(batch: DataFrame, keys: Seq[String], batchId: Long,
+                           snapshotDir: String, changelogDir: String): Unit = {
+    val spark = batch.sparkSession
+    val valueCols = batch.columns.filterNot(keys.contains)
+    val prev =
+      try Some(spark.read.parquet(snapshotDir)) catch { case _: Throwable => None }
+
+    val changes = prev match {
+      case None =>
+        batch.withColumn("op", lit("+I"))
+      case Some(old) =>
+        val renamedOld = valueCols.foldLeft(old) { (df, c) =>
+          df.withColumnRenamed(c, c + "__old")
+        }
+        val joined = batch.join(renamedOld, keys, "left").cache()
+        val inserts = joined.filter(col(valueCols.head + "__old").isNull)
+          .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("+I"))
+        val changed = joined.filter(
+          col(valueCols.head + "__old").isNotNull &&
+            valueCols.map(c => !(col(c) <=> col(c + "__old"))).reduce(_ || _))
+        val retracts = changed
+          .select(keys.map(col) ++ valueCols.map(c => col(c + "__old").as(c)): _*)
+          .withColumn("op", lit("-U"))
+        val updates = changed
+          .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("+U"))
+        val deletes = old.join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("-D"))
+        inserts.unionByName(retracts).unionByName(updates).unionByName(deletes)
+    }
+    changes.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(changelogDir)
+
+    val staged = snapshotDir + "__staged"
+    batch.write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(snapshotDir)
+  }
+
   /** Attach changelog emission to an update-mode streaming aggregate. */
   def attach(agg: DataFrame, keys: Seq[String], snapshotDir: String,
              changelogDir: String)
@@ -74,6 +122,17 @@ object Changelog {
     agg.writeStream.outputMode("update").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), keys, batchId, snapshotDir, changelogDir)
+        ()
+    }
+
+  /** Attach full-RowKind (+I/-U/+U/-D) changelog emission to a
+    * complete-mode query (top-N, small-keyspace aggregates). */
+  def attachComplete(agg: DataFrame, keys: Seq[String], snapshotDir: String,
+                     changelogDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    agg.writeStream.outputMode("complete").foreachBatch {
+      (batch: Dataset[Row], batchId: Long) =>
+        processCompleteBatch(batch.toDF(), keys, batchId, snapshotDir, changelogDir)
         ()
     }
 }

@@ -43,4 +43,42 @@ class ChangelogSpec extends SparkSpec {
       assert(snap == Map(1L -> (2L, 15.0), 2L -> (1L, 7.0)))
     } finally q.stop()
   }
+
+  test("complete-mode top-N emits -D when a key falls out of the result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = Files.createTempDirectory("graft-cld").toString
+    val input = MemoryStream[KeyedEvent]
+    // top-2 keys by event count: a key dropping to rank 3 disappears
+    // from the complete result -> must surface as a -D RowKind
+    val top2 = input.toDS().groupBy("key")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key")).limit(2)
+    val q = Changelog.attachComplete(top2, Seq("key"),
+      s"$base/snap", s"$base/log").start()
+    try {
+      input.addData(
+        KeyedEvent(1L, ts(1000L), "a", 1), KeyedEvent(1L, ts(1100L), "a", 1),
+        KeyedEvent(2L, ts(1200L), "a", 1))          // top2 = {1:2, 2:1}
+      q.processAllAvailable()
+      input.addData(
+        KeyedEvent(3L, ts(2000L), "a", 1), KeyedEvent(3L, ts(2100L), "a", 1),
+        KeyedEvent(3L, ts(2200L), "a", 1))          // top2 = {3:3, 1:2} — 2 out
+      q.processAllAvailable()
+      val log = spark.read.parquet(s"$base/log")
+        .select("key", "cnt", "op", "batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(log == Set(
+        (1L, 2L, "+I", 0L), (2L, 1L, "+I", 0L), // batch 0 result
+        (3L, 3L, "+I", 1L),                     // new entrant
+        (2L, 1L, "-D", 1L)),                    // dropped out of top-2
+        s"got $log")
+      // snapshot is exactly the current complete result
+      val snap = spark.read.parquet(s"$base/snap").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(snap == Map(3L -> 3L, 1L -> 2L))
+    } finally q.stop()
+  }
 }
