@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Shared MinHash parameters — referenced by BOTH the codegen kernels
+  * here and the DuckDB oracle SQL in queries.DedupQueries, so the two
+  * engines provably use identical constants. (a*h + b) mod P with
+  * P = 2^31 - 1 (prime); a,b < 2^17 keep h*a < 2^49 — no overflow. */
+object MinHashParams {
+  val P = 2147483647L
+  val K = 16
+  val A: Array[Long] = Array(463, 5147, 9173, 12841, 17903, 21379, 26717,
+    31247, 35023, 39361, 44281, 48673, 53479, 57349, 61981, 65761)
+  val B: Array[Long] = Array(715, 3617, 8101, 11159, 15823, 19853, 24223,
+    28837, 33029, 37591, 42187, 46649, 51421, 55579, 60101, 64171)
+}
+
+/** Single-pass signature kernels for the near-dup pipeline.
+  *
+  * The composable formulation (tokens → shingle HOF → md5 hash HOF →
+  * K min-reductions) is semantically right but physically slow: every
+  * stage is an interpreted lambda with per-element boxing and
+  * intermediate array allocation — measured ~0.7 ms/doc at sf0.1,
+  * dominating the whole dedup pipeline. These kernels do one tight
+  * loop per document (ThreadLocal MessageDigest, one StringBuilder,
+  * primitive min/vote arrays) and return the finished signature.
+  *
+  * Cross-engine contract (unchanged from the HOF version, so the
+  * DuckDB oracles still verify bit-for-bit): shingle = n
+  * space-joined tokens; h = first 8 hex chars of md5(shingle) as an
+  * unsigned 32-bit value; minhash_k = min over shingles of
+  * (h*A(k)+B(k)) mod P; simhash bit j = sign of the sum over DISTINCT
+  * h of ±1 per bit j. MinHash needs no distinct pass — min over a
+  * multiset equals min over its support.
+  */
+object HashKernels {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes as unsigned 32-bit — identical to
+    * conv(substr(md5(s),1,8),16,10) (Spark) and
+    * CAST('0x'||substr(md5(s),1,8) AS BIGINT) (DuckDB). */
+  def h32(s: String): Long = {
+    val d = md.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  private def eachShingleHash(toks: ArrayData, n: Int)(f: Long => Unit): Unit = {
+    val len = toks.numElements()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= len) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      f(h32(sb.toString))
+      i += 1
+    }
+  }
+
+  /** K MinHash components over the document's word n-gram shingles;
+    * null (caller filters) when the doc has no shingle. */
+  def minhash(toks: ArrayData, n: Int): ArrayData = {
+    import MinHashParams._
+    if (toks.numElements() < n) return null
+    val mins = Array.fill(K)(Long.MaxValue)
+    eachShingleHash(toks, n) { h =>
+      var k = 0
+      while (k < K) {
+        val v = (h * A(k) + B(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 32-bit SimHash over DISTINCT shingle hashes, packed as a long. */
+  def simhash(toks: ArrayData, n: Int): java.lang.Long = {
+    if (toks.numElements() < n) return null
+    val seen = new java.util.HashSet[java.lang.Long]()
+    eachShingleHash(toks, n)(h => { seen.add(h); () })
+    val votes = new Array[Int](32)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val h = it.next().longValue()
+      var j = 0
+      while (j < 32) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) sim |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+}
+
+private[functions] trait ShingleKernelExpr extends UnaryExpression {
+  def n: Int
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> tokens and n >= 1")
+  }
+}
+
+/** `shingle_minhash(tokens, n)` → ARRAY<BIGINT>[K] — see HashKernels. */
+case class ShingleMinHash(child: Expression, n: Int) extends ShingleKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_minhash"
+
+  override def nullSafeEval(toks: Any): Any =
+    HashKernels.minhash(toks.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.HashKernels.minhash($a, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+    code
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleMinHash =
+    copy(child = c)
+}
+
+/** `shingle_simhash(tokens, n)` → BIGINT packed 32-bit signature. */
+case class ShingleSimHash(child: Expression, n: Int) extends ShingleKernelExpr {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_simhash"
+
+  override def nullSafeEval(toks: Any): Any = {
+    val r = HashKernels.simhash(toks.asInstanceOf[ArrayData], n)
+    if (r == null) null else r.longValue()
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("sim")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |java.lang.Long $tmp = graft.functions.HashKernels.simhash($a, $n);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleSimHash =
+    copy(child = c)
+}

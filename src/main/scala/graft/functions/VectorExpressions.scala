@@ -85,6 +85,16 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))))
+    def litInt(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_minhash"),
+      new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
+      (args: Seq[Expression]) => ShingleMinHash(args(0), litInt(args(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_simhash"),
+      new ExpressionInfo(classOf[ShingleSimHash].getName, "shingle_simhash"),
+      (args: Seq[Expression]) => ShingleSimHash(args(0), litInt(args(1)))))
     ext.injectOptimizerRule(_ => graft.plans.ExistsRewriteRule)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
@@ -99,4 +109,12 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.sqrt
     sqrt(fdot(a, a))
   }
+
+  /** Codegen'd K-component MinHash signature of word n-gram shingles. */
+  def shingleMinhash(toks: Column, n: Int): Column =
+    call_function("shingle_minhash", toks, org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd packed 32-bit SimHash of word n-gram shingles. */
+  def shingleSimhash(toks: Column, n: Int): Column =
+    call_function("shingle_simhash", toks, org.apache.spark.sql.functions.lit(n))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextOps
+import graft.functions.{TextOps, VectorFunctions}
 
 /** Deduplication operators over `documents` — exact, n-gram Jaccard,
   * MinHash-LSH, SimHash. The 100 TB-critical property of every variant:
@@ -14,15 +14,11 @@ import graft.functions.TextOps
 object DedupQueries extends GroupBase {
 
   // MinHash parameters: K hashes in B bands of R rows (K = B*R).
-  // Universal-hash constants (a*h + b) mod P; P prime > 2^31.
-  private val P = 2147483647L
-  private val K = 16
+  // Constants live in MinHashParams, shared with the codegen kernel,
+  // so the Spark signature and the oracle SQL provably agree.
+  import graft.functions.MinHashParams.{P, K, A, B => Bc}
   private val B = 4
   private val R = 4
-  private val A = Array(463, 5147, 9173, 12841, 17903, 21379, 26717, 31247,
-    35023, 39361, 44281, 48673, 53479, 57349, 61981, 65761)
-  private val Bc = Array(715, 3617, 8101, 11159, 15823, 19853, 24223, 28837,
-    33029, 37591, 42187, 46649, 51421, 55579, 60101, 64171)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup by content hash: kept = first doc_id per md5 group
@@ -65,30 +61,37 @@ object DedupQueries extends GroupBase {
 
     // MinHash signatures + LSH banding: emit candidate pairs sharing
     // any band, with the fraction of equal minhash components.
-    // Signature computation is SHUFFLE-FREE: shingling, hashing and
-    // the K mins are per-document array expressions (higher-order
-    // functions), so at 100 TB the only shuffle is the LSH band
-    // bucket join — no explode, no groupBy over exploded shingles.
+    // Signature computation is SHUFFLE-FREE and runs in the codegen'd
+    // shingle_minhash kernel (one primitive loop per document — the
+    // HOF formulation paid ~0.7 ms/doc of interpreted lambda dispatch),
+    // so at 100 TB the only shuffle is the LSH band bucket join —
+    // no explode, no groupBy over exploded shingles.
     "dd_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val minhashes = docs
         .withColumn("tk", TextOps.tokens(col("text")))
-        .withColumn("sh", array_distinct(TextOps.shingles(col("tk"), 3)))
-        .filter(size(col("sh")) > 0)
-        .withColumn("hs", transform(col("sh"), x => TextOps.hash32(x)))
+        .withColumn("ms", VectorFunctions.shingleMinhash(col("tk"), 3))
+        .filter(col("ms").isNotNull)
         .select(col("doc_id") +: (0 until K).map(k =>
-          array_min(transform(col("hs"), h => pmod(h * A(k) + Bc(k), lit(P))))
-            .as(s"m$k")): _*)
+          element_at(col("ms"), k + 1).as(s"m$k")): _*)
       // carry the full signature through the band rows: the candidate
       // join then yields both signatures directly, avoiding two more
       // shuffled joins back to the signature table (which Catalyst
-      // can't dedup — different join keys, no exchange reuse)
+      // can't dedup — different join keys, no exchange reuse).
+      // Band rows come from ONE explode (not a 4-way unionAll whose
+      // branches would each re-evaluate the tokenize+shingle+md5
+      // signature subtree — 4× the dominant cost); the join's two
+      // sides stay plan-identical, so ReuseExchange computes the
+      // shuffled band table once.
       val mcols = (0 until K).map(k => col(s"m$k"))
-      val bands = (0 until B).map { b =>
-        minhashes.select(Seq(col("doc_id"), lit(b).as("band"),
-          concat_ws("_", (0 until R).map(r => col(s"m${b * R + r}")): _*).as("bkey"))
-          ++ mcols: _*)
-      }.reduce(_ unionAll _)
+      val bandArr = array((0 until B).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until R).map(r => col(s"m${b * R + r}")): _*)
+            .as("bkey"))): _*)
+      val bands = minhashes
+        .withColumn("bb", explode(bandArr))
+        .select(Seq(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey")) ++ mcols: _*)
       val eq = (0 until K).map(k =>
         when(col(s"x.m$k") === col(s"y.m$k"), 1).otherwise(0)).reduce(_ + _)
       bands.as("x").join(bands.as("y"),
@@ -110,31 +113,34 @@ object DedupQueries extends GroupBase {
     // candidate set dwarfs the survivors.
     "dd_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // per-doc distinct feature hashes, then 32 bit votes — all
-      // element-wise array ops, no shuffle until the block join.
-      // distinct is on the HASH (not the shingle string) on both the
-      // Spark and oracle side, so intra-doc hash collisions can't
-      // diverge the two engines.
-      def vote(j: Int) = aggregate(col("hs"), lit(0), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      // signature from the codegen'd shingle_simhash kernel: distinct
+      // feature hashes and the 32 bit votes in one pass per document,
+      // no shuffle until the block join. distinct is on the HASH (not
+      // the shingle string) on both the Spark and oracle side, so
+      // intra-doc hash collisions can't diverge the two engines.
       val sig = docs
         .withColumn("tk", TextOps.tokens(col("text")))
-        .withColumn("sh", array_distinct(TextOps.shingles(col("tk"), 3)))
-        .filter(size(col("sh")) > 0)
-        .withColumn("hs", array_distinct(transform(col("sh"), x => TextOps.hash32(x))))
         .select(col("doc_id"),
-          (0 until 32).map(j =>
-            when(vote(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _).as("sim"))
-      val keyed = (0 until 4).foldLeft(sig) { (df, b) =>
-        df.withColumn(s"b$b",
-          shiftright(col("sim"), b * 8).bitwiseAND(255))
-      }
-      def block(b: String) = keyed.as("x").join(keyed.as("y"),
-        col(s"x.$b") === col(s"y.$b") && col("x.doc_id") < col("y.doc_id"))
+          VectorFunctions.shingleSimhash(col("tk"), 3).as("sim"))
+        .filter(col("sim").isNotNull)
+      // block rows from ONE explode over (block-index, byte) pairs —
+      // a 4-way union of per-byte self-joins would re-evaluate the
+      // 32-vote signature subtree 8×; here the two join sides are
+      // plan-identical and ReuseExchange computes the table once,
+      // with the block index as part of the join key
+      val keyed = sig
+        .withColumn("blk", explode(array((0 until 4).map(b =>
+          struct(lit(b).as("bi"),
+            shiftright(col("sim"), b * 8).bitwiseAND(255).as("bv"))): _*)))
+        .select(col("doc_id"), col("sim"),
+          col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+      keyed.as("x").join(keyed.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
           bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
         .filter(col("hamming") <= 3)
-      (0 until 4).map(b => block(s"b$b")).reduce(_ union _).distinct()
+        .distinct()
         .orderBy("da", "db")
     }),
   )

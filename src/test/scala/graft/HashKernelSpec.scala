@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHashParams, TextOps, VectorFunctions}
+
+/** The codegen signature kernels must be bit-identical to the
+  * composable HOF formulation they replaced (which the DuckDB oracle
+  * independently verifies) — checked over real documents. */
+class HashKernelSpec extends SparkSpec {
+  import MinHashParams.{A, B, K, P}
+
+  private def docs = graft.core.Tables
+    .load(spark, TestSpark.sf0001, "documents")
+    .withColumn("tk", TextOps.tokens(col("text")))
+
+  test("shingle_minhash == HOF min over universal-hashed shingles") {
+    val hof = docs
+      .withColumn("sh", array_distinct(TextOps.shingles(col("tk"), 3)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), x => TextOps.hash32(x)))
+      .select(col("doc_id") +: (0 until K).map(k =>
+        array_min(transform(col("hs"), h => pmod(h * A(k) + B(k), lit(P))))
+          .as(s"m$k")): _*)
+    val kern = docs
+      .withColumn("ms", VectorFunctions.shingleMinhash(col("tk"), 3))
+      .filter(col("ms").isNotNull)
+      .select(col("doc_id") +: (0 until K).map(k =>
+        element_at(col("ms"), k + 1).as(s"m$k")): _*)
+    assert(kern.count() == hof.count() && kern.count() > 0)
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+  }
+
+  test("shingle_simhash == HOF bit votes over distinct hashes") {
+    def vote(j: Int) = aggregate(col("hs"), lit(0), (acc, h) =>
+      acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+    val hof = docs
+      .withColumn("sh", array_distinct(TextOps.shingles(col("tk"), 3)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", array_distinct(transform(col("sh"), x => TextOps.hash32(x))))
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(vote(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _).as("sim"))
+    val kern = docs
+      .select(col("doc_id"),
+        VectorFunctions.shingleSimhash(col("tk"), 3).as("sim"))
+      .filter(col("sim").isNotNull)
+    assert(kern.count() == hof.count() && kern.count() > 0)
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+  }
+
+  test("kernel handles short docs (no shingle) as null and empty arrays") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b")),          // < n tokens -> null
+      (2L, Seq.empty[String]),      // empty -> null
+      (3L, Seq("a", "b", "c"))      // exactly one shingle
+    ).toDF("id", "tk")
+    val out = df.select(col("id"),
+      VectorFunctions.shingleMinhash(col("tk"), 3).as("ms"),
+      VectorFunctions.shingleSimhash(col("tk"), 3).as("sim"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(!out(2).isNullAt(1) && out(2).getSeq[Long](1).size == K)
+    // one shingle: every simhash bit equals that hash's bit
+    val h = out(2).getLong(2)
+    assert(h >= 0 && h <= 0xffffffffL)
+  }
+}
