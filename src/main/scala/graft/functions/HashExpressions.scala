@@ -86,6 +86,29 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** Word n-gram shingle strings in one pass (the HOF formulation
+    * slices + re-concats per element through interpreted lambdas);
+    * null when the doc has no shingle. */
+  def shingleStrings(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return null
+    val out = new Array[AnyRef](len - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= len) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash over DISTINCT shingle hashes, packed as a long. */
   def simhash(toks: ArrayData, n: Int): java.lang.Long = {
     if (toks.numElements() < n) return null
@@ -140,6 +163,27 @@ case class ShingleMinHash(child: Expression, n: Int) extends ShingleKernelExpr {
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleMinHash =
+    copy(child = c)
+}
+
+/** `shingle_strings(tokens, n)` → ARRAY<STRING> word n-grams. */
+case class ShingleStrings(child: Expression, n: Int) extends ShingleKernelExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(toks: Any): Any =
+    HashKernels.shingleStrings(toks.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.HashKernels.shingleStrings($a, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ShingleStrings =
     copy(child = c)
 }
 

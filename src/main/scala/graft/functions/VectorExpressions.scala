@@ -92,6 +92,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
       (args: Seq[Expression]) => ShingleMinHash(args(0), litInt(args(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      (args: Seq[Expression]) => ShingleStrings(args(0), litInt(args(1)))))
+    ext.injectFunction((
       new FunctionIdentifier("shingle_simhash"),
       new ExpressionInfo(classOf[ShingleSimHash].getName, "shingle_simhash"),
       (args: Seq[Expression]) => ShingleSimHash(args(0), litInt(args(1)))))
@@ -117,4 +121,8 @@ object VectorFunctions {
   /** Codegen'd packed 32-bit SimHash of word n-gram shingles. */
   def shingleSimhash(toks: Column, n: Int): Column =
     call_function("shingle_simhash", toks, org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd word n-gram shingle strings (single pass). */
+  def shingleStrings(toks: Column, n: Int): Column =
+    call_function("shingle_strings", toks, org.apache.spark.sql.functions.lit(n))
 }

@@ -39,7 +39,8 @@ object DedupQueries extends GroupBase {
       val docs = t(s, d, "documents")
       val sh = docs
         .withColumn("tk", TextOps.tokens(col("text")))
-        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("sh"))
+        .select(col("doc_id"),
+          explode(VectorFunctions.shingleStrings(col("tk"), 3)).as("sh"))
         .distinct()
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 1000)

@@ -117,7 +117,9 @@ object TextQueries extends GroupBase {
             .partitionBy(md5(col("text"))).orderBy("doc_id")))
         .filter(col("rn") === 1).drop("rn")
       val sh = exactKeep
-        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("sh"))
+        .select(col("doc_id"),
+          explode(graft.functions.VectorFunctions.shingleStrings(col("tk"), 3))
+            .as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val dupB = sh.as("a").join(sh.as("b"),

@@ -48,6 +48,15 @@ class HashKernelSpec extends SparkSpec {
     assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
   }
 
+  test("shingle_strings == HOF slice+concat shingles") {
+    val hof = docs.select(col("doc_id"),
+      explode(TextOps.shingles(col("tk"), 3)).as("sh"))
+    val kern = docs.select(col("doc_id"),
+      explode(VectorFunctions.shingleStrings(col("tk"), 3)).as("sh"))
+    assert(kern.count() == hof.count() && kern.count() > 0)
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+  }
+
   test("kernel handles short docs (no shingle) as null and empty arrays") {
     val s = spark
     import s.implicits._
