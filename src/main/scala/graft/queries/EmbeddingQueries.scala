@@ -174,6 +174,26 @@ object EmbeddingQueries extends GroupBase {
         .select(col("vec_id"), bucket.as("bucket"))
         .orderBy("vec_id")
     }),
+
+    // embedding-cosine near-dup PAIRS, LSH-blocked: candidates share a
+    // 4-plane bucket (16-way blocking — the recall/candidate-count
+    // knob), then the exact cosine filter runs only inside buckets.
+    // The self-join's two sides are plan-identical → ReuseExchange
+    // computes the bucketed table once; never all-pairs at scale.
+    "emb_neardup" -> ((s, d) => {
+      val bucket = (0 until 4).map(i =>
+        when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
+        .reduce(_ + _)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), bucket.as("bkt"))
+      e.as("x").join(e.as("y"),
+          col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"),
+          (dot(col("x.embedding"), col("y.embedding")) /
+            (norm(col("x.embedding")) * norm(col("y.embedding")))).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .orderBy("da", "db")
+    }),
   )
 
   private def dotSql(a: String, b: String): String =
@@ -257,6 +277,20 @@ object EmbeddingQueries extends GroupBase {
         .mkString(" + ")
       s"""SELECT vec_id, CAST($terms AS BIGINT) AS bucket
           FROM embeddings ORDER BY vec_id"""
+    },
+    "emb_neardup" -> {
+      val terms = (0 until 4).map(i =>
+        s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding, $terms AS bkt FROM embeddings)
+          SELECT x.vec_id AS da, y.vec_id AS db,
+                 ${dotSql("x.embedding", "y.embedding")} /
+                   (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
+          FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+          WHERE ${dotSql("x.embedding", "y.embedding")} /
+                  (${normSql("x.embedding")} * ${normSql("y.embedding")})
+                >= CAST(0.35 AS DOUBLE)
+          ORDER BY da, db"""
     },
     "emb_kmeans" -> {
       // squared-L2 as the same left fold the Spark side uses

@@ -101,6 +101,27 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // unigram-LM quality score: per-doc mean negative log-likelihood
+    // under the corpus unigram distribution (the LM-based quality
+    // signal of a curation pipeline; low NLL ≈ typical text, high ≈
+    // outlier). Two-stage shape: corpus vocab agg (broadcastable),
+    // then one per-doc agg. ln() is transcendental (engines differ in
+    // the last ulp) → sorted-fold the per-doc sum and round(6).
+    "text_lm_nll" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+      val toks = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          log(col("cnt").cast("double") / col("n").cast("double")).as("lnp"))
+        .groupBy("doc_id")
+        .agg(round(-(aggregate(sort_array(collect_list(col("lnp"))),
+            lit(0.0), (a, v) => a + v) / count(lit(1))), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     // CAPSTONE: the full curation pipeline as ONE composed flow —
     // quality gate → exact dedup (keep first) → near-dup removal
     // (Jaccard-blocked, drop the higher doc_id of any >=0.5 pair) →
@@ -199,6 +220,18 @@ object TextQueries extends GroupBase {
       s"""SELECT tok, count(*) AS cnt
           FROM (SELECT unnest($toksSql) AS tok FROM documents)
           GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
+    "text_lm_nll" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+          freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM tk),
+          lp AS (SELECT doc_id,
+                        ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS lnp
+                 FROM tk JOIN freq USING (tok) CROSS JOIN n)
+          SELECT doc_id,
+                 round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(array_agg(lnp))), (a, v) -> a + v)
+                   / count(*)), 6) AS nll
+          FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, ${TextOps.hash32Sql("text")} AS fp32
           FROM documents ORDER BY doc_id""",
