@@ -92,6 +92,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
       (args: Seq[Expression]) => ShingleMinHash(args(0), litInt(args(1)))))
     ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0), litInt(args(1)))))
+    ext.injectFunction((
       new FunctionIdentifier("shingle_strings"),
       new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
       (args: Seq[Expression]) => ShingleStrings(args(0), litInt(args(1)))))
@@ -125,4 +129,8 @@ object VectorFunctions {
   /** Codegen'd word n-gram shingle strings (single pass). */
   def shingleStrings(toks: Column, n: Int): Column =
     call_function("shingle_strings", toks, org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd h32 hashes of all word n-gram shingles (single pass). */
+  def shingleHashes(toks: Column, n: Int): Column =
+    call_function("shingle_hashes", toks, org.apache.spark.sql.functions.lit(n))
 }

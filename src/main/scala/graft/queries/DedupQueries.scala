@@ -37,10 +37,14 @@ object DedupQueries extends GroupBase {
     // the safety valve that keeps 100 TB from going quadratic)
     "dd_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // the (doc, shingle) relation carries h32 HASHES, not strings:
+      // the distinct/join/count shuffles move BIGINTs (~4× fewer
+      // bytes), and both engines hash identically so Jaccard over
+      // distinct hashes is oracle-exact
       val sh = docs
         .withColumn("tk", TextOps.tokens(col("text")))
         .select(col("doc_id"),
-          explode(VectorFunctions.shingleStrings(col("tk"), 3)).as("sh"))
+          explode(VectorFunctions.shingleHashes(col("tk"), 3)).as("sh"))
         .distinct()
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 1000)
@@ -160,7 +164,8 @@ object DedupQueries extends GroupBase {
                 doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS kept
          FROM documents ORDER BY doc_id""",
     "dd_jaccard" ->
-      s"""WITH sh AS ($shinglesSql),
+      s"""WITH sh AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS sh
+                      FROM ($shinglesSql)),
           rare AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY 1)
                    WHERE df <= 1000),
           shr AS (SELECT doc_id, x.sh FROM sh x JOIN rare USING (sh)),

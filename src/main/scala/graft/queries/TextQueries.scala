@@ -137,9 +137,10 @@ object TextQueries extends GroupBase {
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(md5(col("text"))).orderBy("doc_id")))
         .filter(col("rn") === 1).drop("rn")
+      // hash-keyed (doc, shingle) relation — see dd_jaccard
       val sh = exactKeep
         .select(col("doc_id"),
-          explode(graft.functions.VectorFunctions.shingleStrings(col("tk"), 3))
+          explode(graft.functions.VectorFunctions.shingleHashes(col("tk"), 3))
             .as("sh"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -243,11 +244,12 @@ object TextQueries extends GroupBase {
               SELECT *, row_number() OVER (PARTITION BY md5(text)
                                            ORDER BY doc_id) AS rn
               FROM quality) x WHERE rn = 1),
-          sh AS (SELECT DISTINCT doc_id,
-                        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
-                 FROM exact_keep,
-                      LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
-                 WHERE i + 2 <= len(tk)),
+          sh AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS sh FROM (
+                   SELECT doc_id,
+                          tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+                   FROM exact_keep,
+                        LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                   WHERE i + 2 <= len(tk))),
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
           dup_b AS (
             SELECT DISTINCT db AS doc_id FROM (

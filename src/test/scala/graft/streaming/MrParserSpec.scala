@@ -111,6 +111,30 @@ class MrParserSpec extends SparkSpec {
     assert(out.head.values == Seq(5.0, 4.0, 2.0, 3.0))
   }
 
+  test("parsed pattern drives streaming detection; state spans micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pat = MrParser.parse(
+      "PATTERN (A B) WITHIN 10 SECONDS DEFINE A AS kind = 'a', B AS kind = 'b'")
+    val input = MemoryStream[KeyedEvent]
+    val q = SeqPattern.detect(input.toDS(), pat.steps, pat.withinMs,
+        strict = false, pat.skip, pat.greedy)
+      .writeStream.format("memory").queryName("mr_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(KeyedEvent(1, ts(1000), "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("mr_stream").count() == 0) // A waiting in state
+      input.addData(KeyedEvent(1, ts(2000), "b", 2.0)) // next batch completes
+      q.processAllAvailable()
+      val rows = spark.table("mr_stream").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getSeq[Double](3) == Seq(1.0, 2.0))
+    } finally q.stop()
+  }
+
   test("sub-millisecond event-time ordering is preserved (µs NFA clock)") {
     def tsUs(us: Long): java.sql.Timestamp = SeqPattern.toTimestamp(us)
     // two events in the same millisecond, order decided by µs
