@@ -74,4 +74,30 @@ class PlanSpec extends SparkSpec {
     assert(plan("over_rank_topn").contains("WindowGroupLimit"),
       "rank top-N scans full partitions at the final window")
   }
+
+  // scans in the plan TREE (the formatted detail section repeats each)
+  private def treeScans(p: String): Int =
+    "Scan parquet".r.findAllIn(p.split("\n\n").head).size
+
+  test("minhash signature runs in the codegen kernel, once per join side") {
+    val p = plan("dd_minhash")
+    assert(p.contains("shingle_minhash"), "kernel expression not in the plan")
+    // band rows from ONE explode per side — a unionAll regression would
+    // show one scan per band (4 per side)
+    assert(treeScans(p) <= 2, s"signature subtree duplicated: ${treeScans(p)} scans")
+    assert(!p.contains("Union"), "band fan-out regressed to unionAll")
+  }
+
+  test("cumulate windows are an explode projection + one two-phase agg") {
+    val p = plan("tw_cumulate")
+    assert(treeScans(p) == 1)
+    assert(p.contains("Generate") && p.contains("partial_count"),
+      "cumulate lost its explode + map-side partial shape")
+  }
+
+  test("k-means iterations broadcast centroids, never shuffle the corpus by cell") {
+    val p = plan("emb_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids not broadcast — corpus would shuffle per iteration")
+  }
 }
