@@ -102,6 +102,29 @@ object PatternQueries extends GroupBase {
           size(col("values")).as("n"))
         .orderBy("user_id", "m_start")
     }),
+
+    // MATCH_RECOGNIZE with PREV() row-relative conditions: the classic
+    // V-shape (price dips then recovers) over each user's purchase
+    // amounts, strict-contiguous, all matches. DOWN/UP compare against
+    // the previous MATCHED row — the iterative-condition class the
+    // declarative pat_* queries can't express without the NFA.
+    "pat_mr_updown" -> ((s, d) => {
+      import s.implicits._
+      val pat = MrParser.parse(
+        "PATTERN (STRT DOWN UP) WITHIN 7 DAYS AFTER MATCH NO SKIP DEFINE " +
+        "DOWN AS value < PREV(value), UP AS value > PREV(value)")
+      val ev = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_type").as("kind"), col("value"))
+        .as[KeyedEvent]
+      SeqPattern.detect(ev, pat.steps, pat.withinMs,
+          strict = true, pat.skip, pat.greedy)
+        .toDF()
+        .select(col("key").as("user_id"), col("startTs").as("m_start"),
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"))
+        .orderBy("user_id", "m_start")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,6 +184,20 @@ object PatternQueries extends GroupBase {
          FROM l
          WHERE event_type = 'signup' AND k1 = 'error' AND k2 = 'error'
            AND k3 = 'purchase' AND t3 <= ts + INTERVAL 3 DAY
+         ORDER BY user_id, m_start""",
+    "pat_mr_updown" ->
+      """WITH f AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+         l AS (
+           SELECT user_id, ts, value AS v0,
+                  lead(value, 1) OVER w AS v1, lead(value, 2) OVER w AS v2,
+                  lead(ts, 2) OVER w AS t2
+           FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, value))
+         SELECT user_id, ts AS m_start,
+                (((CAST(0.0 AS DOUBLE) + v0) + v1) + v2) AS sum_v
+         FROM l
+         WHERE v1 < v0 AND v2 > v1 AND t2 <= ts + INTERVAL 7 DAY
          ORDER BY user_id, m_start""",
   )
 }

@@ -122,6 +122,35 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // deterministic train/val/test split (80/10/10) by salted content
+    // hash — the reproducible-split primitive of a training pipeline.
+    // Hash-mod, not rand(): same rows land in the same split on any
+    // cluster size, re-run, or engine (the oracle reproduces it).
+    "pipe_split" -> ((s, d) => {
+      val h = pmod(TextOps.hash32(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+      t(s, d, "documents")
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("lang", "split")
+    }),
+
+    // stratified sampling with per-language rates (downsample the
+    // dominant language, keep the rest) — hash-bucketed, so the
+    // sample is deterministic and re-runnable at any scale
+    "pipe_sample" -> ((s, d) => {
+      val bucket = pmod(TextOps.hash32(
+        concat(lit("sample:"), col("doc_id").cast("string"))), lit(100))
+      val rate = when(col("lang") === "en", 20).otherwise(50)
+      t(s, d, "documents")
+        .filter(bucket < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // CAPSTONE: the full curation pipeline as ONE composed flow —
     // quality gate → exact dedup (keep first) → near-dup removal
     // (Jaccard-blocked, drop the higher doc_id of any >=0.5 pair) →
@@ -221,6 +250,21 @@ object TextQueries extends GroupBase {
       s"""SELECT tok, count(*) AS cnt
           FROM (SELECT unnest($toksSql) AS tok FROM documents)
           GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
+    "pipe_split" -> {
+      val h = TextOps.hash32Sql("'split:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang,
+                 CASE WHEN ($h) % 100 < 80 THEN 'train'
+                      WHEN ($h) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM documents GROUP BY 1, 2 ORDER BY lang, split"""
+    },
+    "pipe_sample" -> {
+      val h = TextOps.hash32Sql("'sample:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ($h) % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+          ORDER BY doc_id"""
+    },
     "text_lm_nll" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
           freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
