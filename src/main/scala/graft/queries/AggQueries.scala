@@ -97,6 +97,16 @@ object AggQueries extends GroupBase {
         .orderBy("c_mktsegment")
     }),
 
+    // weighted-average UDAF (TabApiTest WeightedAvg): BigDecimal-exact
+    // partials so the distributed merge order can't move the result
+    "agg_weighted_avg" -> ((s, d) => {
+      val wavg = udaf(graft.agg.WeightedAvg)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg"))
+        .orderBy("l_returnflag")
+    }),
+
     // table aggregate emitting top-3 rows per group
     // (TabApiTest.scala:1488-1520 top-N flatAggregate): collect-sort-
     // slice-explode — the multiset equals the window-rank top-3.
@@ -268,6 +278,11 @@ object AggQueries extends GroupBase {
       """SELECT c_mktsegment, max(c_acctbal) AS mx, min(c_acctbal) AS mn,
                 count(c_acctbal) AS n
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                  / CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS wavg
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_hll_manual" ->
       s"""WITH h AS (SELECT event_type,
                  ${graft.functions.TextOps.hash32Sql("CAST(user_id AS VARCHAR)")} AS h
