@@ -40,26 +40,29 @@ object DedupQueries extends GroupBase {
       // the (doc, shingle) relation carries h32 HASHES, not strings:
       // the distinct/join/count shuffles move BIGINTs (~4× fewer
       // bytes), and both engines hash identically so Jaccard over
-      // distinct hashes is oracle-exact
+      // distinct hashes is oracle-exact.
+      // ONE lineage: doc-frequency and doc-size are window counts over
+      // the single distinct relation, carried through the candidate
+      // join — the rare/sizes side-tables formulation re-derived the
+      // scan+kernel+distinct subtree four times
       val sh = docs
         .withColumn("tk", TextOps.tokens(col("text")))
         .select(col("doc_id"),
           explode(VectorFunctions.shingleHashes(col("tk"), 3)).as("sh"))
         .distinct()
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        // df cap AFTER n: sizes count every shingle, the cap only
+        // gates candidate generation (the 100 TB safety valve)
         .filter(col("df") <= 1000)
-      val shr = sh.join(rare, "sh")
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shr.as("a").join(shr.as("b"),
+      sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
           (col("inter").cast("double") /
-            (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+            (col("na") + col("nb") - col("inter"))).as("jac"))
         .filter(col("jac") >= 0.2)
         .orderBy("da", "db")
     }),

@@ -166,21 +166,22 @@ object TextQueries extends GroupBase {
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(md5(col("text"))).orderBy("doc_id")))
         .filter(col("rn") === 1).drop("rn")
-      // hash-keyed (doc, shingle) relation — see dd_jaccard
+      // hash-keyed (doc, shingle) relation with window doc-sizes —
+      // single lineage, sizes carried through the join (see dd_jaccard)
       val sh = exactKeep
         .select(col("doc_id"),
           explode(graft.functions.VectorFunctions.shingleHashes(col("tk"), 3))
             .as("sh"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       val dupB = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("inter"))
-        .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
         .filter(col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
+          (col("na") + col("nb") - col("inter")) >= 0.5)
         .select(col("db").as("doc_id")).distinct()
       exactKeep.join(dupB, Seq("doc_id"), "left_anti")
         .groupBy("lang")

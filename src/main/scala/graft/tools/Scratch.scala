@@ -10,7 +10,7 @@ object Scratch {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.build("graft-scratch")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val df = graft.SparkEntry.queries("dd_minhash")(spark, sfDir)
+    val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     // count signature evaluations: each Scan of documents = one pass
     println("[scratch] scans=" + "Scan parquet".r.findAllIn(plan).size +
