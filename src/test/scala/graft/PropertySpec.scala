@@ -49,4 +49,63 @@ class PropertySpec extends AnyFunSuite {
     val sorted = pairs.sortBy(p => (p._1, p._2))
     assert(sorted == Seq((3L, 0), (3L, 1), (5L, 0), (5L, 1)))
   }
+
+  test("KahanSum merge is order-insensitive to ~ulp (partial-agg law)") {
+    import graft.agg.KahanSum
+    def acc(xs: Seq[Double]) =
+      xs.foldLeft(KahanSum.zero)((b, a) => KahanSum.reduce(b, a))
+    checkProp(forAll { (xs: List[Double], ys: List[Double]) =>
+      val clean = (_: List[Double]).filter(d => d.isFinite && math.abs(d) < 1e15)
+      val (a, b) = (clean(xs), clean(ys))
+      val m1 = KahanSum.finish(KahanSum.merge(acc(a), acc(b)))
+      val m2 = KahanSum.finish(KahanSum.merge(acc(b), acc(a)))
+      val scale = math.max(1.0, (a ++ b).map(math.abs).maxOption.getOrElse(1.0))
+      math.abs(m1 - m2) <= math.ulp(scale) * 8
+    })
+  }
+
+  test("kernel h32 matches hex-prefix parse of md5 (oracle contract)") {
+    import graft.functions.HashKernels
+    checkProp(forAll { (s: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      HashKernels.h32(s) == java.lang.Long.parseLong(hex, 16)
+    })
+  }
+
+  test("minhash kernel: mins are universal-hash images of some shingle") {
+    import graft.functions.{HashKernels, MinHashParams}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    checkProp(forAll { (raw: List[String]) =>
+      val toks = raw.take(20).map(t =>
+        UTF8String.fromString(t.replace(' ', '_')))
+      val arr = new GenericArrayData(toks.toArray[AnyRef])
+      val out = HashKernels.minhash(arr, 3)
+      if (toks.length < 3) out == null
+      else {
+        val shingles = toks.sliding(3).map(_.mkString(" ")).toList
+        val hs = shingles.map(s => HashKernels.h32(s))
+        (0 until MinHashParams.K).forall { k =>
+          val expect = hs.map(h =>
+            (h * MinHashParams.A(k) + MinHashParams.B(k)) % MinHashParams.P).min
+          out.getLong(k) == expect
+        }
+      }
+    })
+  }
+
+  test("MrParser: expansion length follows quantifiers for any symbol set") {
+    import graft.streaming.{MrParser, SeqPattern}
+    checkProp(forAll { (ns: List[Int]) =>
+      val qs = ns.take(6).map(n => (n % 3).abs + 1)
+      qs.isEmpty || {
+        val pat = qs.zipWithIndex
+          .map { case (q, i) => s"S$i{$q}" }.mkString(" ")
+        val p = MrParser.parse(s"PATTERN ($pat) DEFINE S0 AS TRUE")
+        SeqPattern.expand(p.steps).length == qs.sum
+      }
+    })
+  }
 }
