@@ -105,6 +105,8 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       (args: Seq[Expression]) => ShingleSimHash(args(0), litInt(args(1)))))
     ext.injectOptimizerRule(_ => graft.plans.ExistsRewriteRule)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    ext.injectParser((session, delegate) =>
+      new graft.streaming.MrSqlParser(session, delegate))
   }
 }
 

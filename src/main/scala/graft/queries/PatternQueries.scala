@@ -24,6 +24,27 @@ import graft.streaming.{KeyedEvent, MrParser, SeqPattern}
   */
 object PatternQueries extends GroupBase {
 
+  /** lead()-replay oracle for the S E{2} P strict sequence — shared by
+    * the programmatic (pat_mr) and SQL-parser (pat_mr_sql) forms. */
+  private val MrOracle =
+    """WITH f AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         FROM events WHERE event_type IN ('signup', 'error', 'purchase')),
+       l AS (
+         SELECT user_id, ts, event_type, value AS v0,
+                lead(event_type, 1) OVER w AS k1, lead(value, 1) OVER w AS v1,
+                lead(event_type, 2) OVER w AS k2, lead(value, 2) OVER w AS v2,
+                lead(event_type, 3) OVER w AS k3, lead(value, 3) OVER w AS v3,
+                lead(ts, 3) OVER w AS t3
+         FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, value))
+       SELECT user_id, ts AS m_start, t3 AS m_end,
+              ((((CAST(0.0 AS DOUBLE) + v0) + v1) + v2) + v3) AS sum_v,
+              CAST(4 AS INT) AS n
+       FROM l
+       WHERE event_type = 'signup' AND k1 = 'error' AND k2 = 'error'
+         AND k3 = 'purchase' AND t3 <= ts + INTERVAL 3 DAY
+       ORDER BY user_id, m_start"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A followed by B within 1h (CEP followedBy + within):
     // signups that converted to a purchase
@@ -103,6 +124,29 @@ object PatternQueries extends GroupBase {
         .orderBy("user_id", "m_start")
     }),
 
+    // the same detection through the injected SQL parser surface
+    // (SparkSessionExtensions.injectParser → MrSqlParser): proves the
+    // text → NFA → plan path end-to-end against the same oracle.
+    // NOTE the filter happens via kind conditions inside the NFA over
+    // the UNFILTERED table, so strict contiguity must be relative to
+    // the three participating kinds — the parser form therefore runs
+    // on a pre-filtered temp view.
+    "pat_mr_sql" -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      org.apache.spark.sql.GraftBridge.ensurePrepared(s)
+      s.sql("SELECT * FROM events WHERE event_type IN ('signup','error','purchase')")
+        .createOrReplaceTempView("events_sep")
+      s.sql(
+        """FROM events_sep MATCH_RECOGNIZE (
+             PARTITION BY user_id ORDER BY ts
+             KIND event_type MEASURE value
+             PATTERN (S E{2} P) WITHIN 3 DAYS AFTER MATCH NO SKIP
+             DEFINE S AS kind = 'signup', E AS kind = 'error',
+                    P AS kind = 'purchase'
+           )""")
+        .orderBy("user_id", "m_start")
+    }),
+
     // MATCH_RECOGNIZE with PREV() row-relative conditions: the classic
     // V-shape (price dips then recovers) over each user's purchase
     // amounts, strict-contiguous, all matches. DOWN/UP compare against
@@ -167,24 +211,9 @@ object PatternQueries extends GroupBase {
          WHERE prev_v < 10.0 AND value > 400.0
            AND ts <= prev_ts + INTERVAL 1 MINUTE
          ORDER BY user_id, event_id""",
-    "pat_mr" ->
-      """WITH f AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-           FROM events WHERE event_type IN ('signup', 'error', 'purchase')),
-         l AS (
-           SELECT user_id, ts, event_type, value AS v0,
-                  lead(event_type, 1) OVER w AS k1, lead(value, 1) OVER w AS v1,
-                  lead(event_type, 2) OVER w AS k2, lead(value, 2) OVER w AS v2,
-                  lead(event_type, 3) OVER w AS k3, lead(value, 3) OVER w AS v3,
-                  lead(ts, 3) OVER w AS t3
-           FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, value))
-         SELECT user_id, ts AS m_start, t3 AS m_end,
-                ((((CAST(0.0 AS DOUBLE) + v0) + v1) + v2) + v3) AS sum_v,
-                CAST(4 AS INT) AS n
-         FROM l
-         WHERE event_type = 'signup' AND k1 = 'error' AND k2 = 'error'
-           AND k3 = 'purchase' AND t3 <= ts + INTERVAL 3 DAY
-         ORDER BY user_id, m_start""",
+    "pat_mr" -> MrOracle,
+    // identical detection through the injected SQL parser
+    "pat_mr_sql" -> MrOracle,
     "pat_mr_updown" ->
       """WITH f AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL surface for MATCH_RECOGNIZE via `injectParser` — the parser
+  * extension tier of SparkSessionExtensions (the one tier the engine
+  * didn't already exercise). Queries of the shape
+  *
+  * {{{
+  * FROM <table> MATCH_RECOGNIZE (
+  *   PARTITION BY <keyCol> ORDER BY <tsCol>
+  *   [KIND <kindCol>] [MEASURE <valueCol>]
+  *   PATTERN (...) [WITHIN ...] [AFTER MATCH ...] DEFINE ...
+  * )
+  * }}}
+  *
+  * parse through MrParser and plan as the SeqPattern NFA (batch
+  * flatMapGroupsWithState, strict contiguity — the reference's
+  * MATCH_RECOGNIZE row semantics, TableSQLFunc.scala:1569-2240).
+  * Everything else delegates to Spark's parser untouched.
+  *
+  * Documented deviations from SQL:2016: fixed MEASURES output
+  * (key, m_start, m_end, sum_v, n); `KIND`/`MEASURE` clauses map the
+  * classifier and value columns (defaults `event_type`, `value`)
+  * because DEFINE conditions reference the builtin names
+  * `kind`/`value`; one pattern per statement.
+  */
+object MrSql {
+  private val Re =
+    """(?is)^\s*FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(\s*PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s+(?:KIND\s+(\w+)\s+)?(?:MEASURE\s+(\w+)\s+)?(PATTERN\b.*)\)\s*;?\s*$""".r
+
+  def rewrite(session: SparkSession, text: String): Option[LogicalPlan] = {
+    if (!text.toUpperCase.contains("MATCH_RECOGNIZE")) return None
+    Re.findFirstMatchIn(text).map { m =>
+      val tbl = m.group(1)
+      val keyC = m.group(2)
+      val tsC = m.group(3)
+      val kindC = Option(m.group(4)).getOrElse("event_type")
+      val valC = Option(m.group(5)).getOrElse("value")
+      val pat = MrParser.parse(m.group(6))
+      import session.implicits._
+      val ev = session.table(tbl).select(
+        col(keyC).cast("long").as("key"), col(tsC).as("ts"),
+        col(kindC).as("kind"), col(valC).cast("double").as("value"))
+        .as[KeyedEvent]
+      SeqPattern.detect(ev, pat.steps, pat.withinMs, strict = true,
+          pat.skip, pat.greedy, flushEnd = true)
+        .toDF()
+        .select(col("key").as(keyC), col("startTs").as("m_start"),
+          col("endTs").as("m_end"),
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"),
+          size(col("values")).as("n"))
+        .queryExecution.logical
+    }
+  }
+}
+
+class MrSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    MrSql.rewrite(session, sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    MrSql.rewrite(session, sqlText).getOrElse(delegate.parseQuery(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** The injected parser (SparkSessionExtensions.injectParser) must
+  * plan MATCH_RECOGNIZE statements through the NFA and leave every
+  * other statement to Spark's parser. */
+class MrSqlParserSpec extends SparkSpec {
+
+  test("ordinary SQL still parses through the delegate") {
+    assert(spark.sql("SELECT 1 AS x").head.getInt(0) == 1)
+    assert(spark.sql("SELECT split('a b', ' ')[0] AS t").head.getString(0) == "a")
+  }
+
+  test("MATCH_RECOGNIZE statement plans to the NFA and detects") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, ts(1000L), "a", 1.0), (1L, ts(2000L), "b", 2.0),
+      (2L, ts(1000L), "a", 5.0), (2L, ts(2000L), "x", 0.0),
+      (2L, ts(3000L), "b", 7.0)) // x breaks strict contiguity for key 2
+      .toDF("user_id", "ts", "event_type", "value")
+      .createOrReplaceTempView("mr_src")
+    val out = spark.sql(
+      """FROM mr_src MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts
+           PATTERN (A B) WITHIN 1 HOUR
+           DEFINE A AS kind = 'a', B AS kind = 'b'
+         )""").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L)       // key 2 chain broken
+    assert(out.head.getDouble(3) == 3.0)    // sum_v = 1 + 2
+    assert(out.head.getInt(4) == 2)
+  }
+
+  test("malformed MATCH_RECOGNIZE falls through to the delegate and errors") {
+    intercept[Exception] {
+      spark.sql("SELECT MATCH_RECOGNIZE FROM") // not our grammar, not Spark's
+    }
+  }
+}
