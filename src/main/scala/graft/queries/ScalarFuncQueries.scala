@@ -41,6 +41,8 @@ object ScalarFuncQueries extends GroupBase {
         round(sin(col("p_size")), 6).as("sin_v"),
         round(cos(col("p_size")), 6).as("cos_v"),
         round(atan(col("p_size")), 6).as("atan_v"),
+        round(lit(1.0) / tan(col("p_size")), 6).as("cot_v"),
+        round(lit(Math.E), 6).as("e_v"),
         round(degrees(col("p_size") / lit(100.0)), 6).as("deg_v"),
         round(radians(col("p_size")), 6).as("rad_v"),
         round(lit(Math.PI), 6).as("pi_v"),
@@ -215,6 +217,8 @@ object ScalarFuncQueries extends GroupBase {
             round(sin(p_size), 6) AS sin_v,
             round(cos(p_size), 6) AS cos_v,
             round(atan(p_size), 6) AS atan_v,
+            round(CAST(1.0 AS DOUBLE) / tan(p_size), 6) AS cot_v,
+            round(exp(CAST(1.0 AS DOUBLE)), 6) AS e_v,
             round(degrees(p_size / 100.0), 6) AS deg_v,
             round(radians(p_size), 6) AS rad_v,
             round(pi(), 6) AS pi_v,
