@@ -85,9 +85,10 @@ object TextQueries extends GroupBase {
       val toks = docs.select(col("doc_id"), size(col("tk")).as("dlen"),
         explode(col("tk")).as("tok"))
       val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
-      val df = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
       val tf = toks.groupBy("doc_id", "dlen", "tok").agg(count(lit(1)).as("tf"))
+      // tf already has one row per (doc, tok): document frequency is a
+      // row count per tok over it — no second explode+distinct lineage
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("tok"),
           round((col("tf").cast("double") / col("dlen")) *
