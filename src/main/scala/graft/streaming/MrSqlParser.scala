@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * FROM <table> MATCH_RECOGNIZE (
   *   PARTITION BY <keyCol> ORDER BY <tsCol>
   *   [KIND <kindCol>] [MEASURE <valueCol>]
+  *   [MEASURES <fn>(value|*) AS <alias> (, ...)*]   -- fn: FIRST LAST
+  *                                     MIN MAX SUM AVG COUNT
   *   PATTERN (...) [WITHIN ...] [AFTER MATCH ...] DEFINE ...
   * )
   * }}}
@@ -33,7 +35,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object MrSql {
   private val Re =
-    """(?is)^\s*FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(\s*PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s+(?:KIND\s+(\w+)\s+)?(?:MEASURE\s+(\w+)\s+)?(PATTERN\b.*)\)\s*;?\s*$""".r
+    """(?is)^\s*FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(\s*PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s+(?:KIND\s+(\w+)\s+)?(?:MEASURE\s+(\w+)\s+)?(?:MEASURES\s+(.*?)\s+)?(PATTERN\b.*)\)\s*;?\s*$""".r
+  private val MeasureRe =
+    """(?i)(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*(?:value|\*)\s*\)\s+AS\s+(\w+)""".r
+
+  /** A MEASURES item over the matched-values array. */
+  private def measure(fn: String, alias: String): org.apache.spark.sql.Column =
+    (fn.toUpperCase match {
+      case "FIRST" => element_at(col("values"), 1)
+      case "LAST"  => element_at(col("values"), -1)
+      case "MIN"   => array_min(col("values"))
+      case "MAX"   => array_max(col("values"))
+      case "SUM"   => aggregate(col("values"), lit(0.0), (a, v) => a + v)
+      case "AVG"   => aggregate(col("values"), lit(0.0), (a, v) => a + v) /
+        size(col("values"))
+      case "COUNT" => size(col("values"))
+    }).as(alias)
 
   def rewrite(session: SparkSession, text: String): Option[LogicalPlan] = {
     if (!text.toUpperCase.contains("MATCH_RECOGNIZE")) return None
@@ -43,7 +60,19 @@ object MrSql {
       val tsC = m.group(3)
       val kindC = Option(m.group(4)).getOrElse("event_type")
       val valC = Option(m.group(5)).getOrElse("value")
-      val pat = MrParser.parse(m.group(6))
+      val measures = Option(m.group(6)) match {
+        case Some(list) =>
+          val ms = MeasureRe.findAllMatchIn(list)
+            .map(mm => measure(mm.group(1), mm.group(2))).toSeq
+          if (ms.isEmpty)
+            throw new IllegalArgumentException(
+              s"MATCH_RECOGNIZE: unparseable MEASURES list: $list")
+          ms
+        case None => Seq( // default measures
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"),
+          size(col("values")).as("n"))
+      }
+      val pat = MrParser.parse(m.group(7))
       import session.implicits._
       val ev = session.table(tbl).select(
         col(keyC).cast("long").as("key"), col(tsC).as("ts"),
@@ -52,10 +81,8 @@ object MrSql {
       SeqPattern.detect(ev, pat.steps, pat.withinMs, strict = true,
           pat.skip, pat.greedy, flushEnd = true)
         .toDF()
-        .select(col("key").as(keyC), col("startTs").as("m_start"),
-          col("endTs").as("m_end"),
-          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"),
-          size(col("values")).as("n"))
+        .select(Seq(col("key").as(keyC), col("startTs").as("m_start"),
+          col("endTs").as("m_end")) ++ measures: _*)
         .queryExecution.logical
     }
   }

@@ -33,6 +33,29 @@ class MrSqlParserSpec extends SparkSpec {
     assert(out.head.getInt(4) == 2)
   }
 
+  test("MEASURES clause: FIRST/LAST/MIN/MAX/AVG/COUNT over the match") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, ts(1000L), "a", 5.0), (1L, ts(2000L), "a", 1.0),
+      (1L, ts(3000L), "b", 9.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .createOrReplaceTempView("mr_meas")
+    val out = spark.sql(
+      """FROM mr_meas MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts
+           MEASURES FIRST(value) AS f, LAST(value) AS l, MIN(value) AS mn,
+                    MAX(value) AS mx, AVG(value) AS av, COUNT(*) AS n
+           PATTERN (A{2} B)
+           DEFINE A AS kind = 'a', B AS kind = 'b'
+         )""").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 9.0) // FIRST, LAST
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 9.0) // MIN, MAX
+    assert(r.getDouble(7) == 5.0 && r.getInt(8) == 3)      // AVG, COUNT
+  }
+
   test("malformed MATCH_RECOGNIZE falls through to the delegate and errors") {
     intercept[Exception] {
       spark.sql("SELECT MATCH_RECOGNIZE FROM") // not our grammar, not Spark's
