@@ -97,6 +97,18 @@ object AggQueries extends GroupBase {
         .orderBy("c_mktsegment")
     }),
 
+    // exact interpolated percentiles + median (ntile/quantile family):
+    // both engines sort and linearly interpolate between the same two
+    // order statistics, so the result is bit-deterministic
+    "agg_percentile" -> ((s, d) =>
+      sql(s, d,
+        """SELECT l_returnflag,
+                  percentile(l_quantity, 0.25) AS p25,
+                  median(l_quantity) AS p50,
+                  percentile(l_quantity, 0.75) AS p75,
+                  percentile(l_extendedprice, 0.9) AS price_p90
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // weighted-average UDAF (TabApiTest WeightedAvg): BigDecimal-exact
     // partials so the distributed merge order can't move the result
     "agg_weighted_avg" -> ((s, d) => {
@@ -278,6 +290,13 @@ object AggQueries extends GroupBase {
       """SELECT c_mktsegment, max(c_acctbal) AS mx, min(c_acctbal) AS mn,
                 count(c_acctbal) AS n
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75,
+                quantile_cont(l_extendedprice, 0.9) AS price_p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_weighted_avg" ->
       """SELECT l_returnflag,
                 CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
