@@ -35,6 +35,7 @@ object Changelog {
     val prev =
       try Some(spark.read.parquet(snapshotDir)) catch { case _: Throwable => None }
 
+    var cached: Option[DataFrame] = None
     val changes = prev match {
       case None =>
         batch.withColumn("op", lit("+I"))
@@ -43,6 +44,7 @@ object Changelog {
           df.withColumnRenamed(c, c + "__old")
         }
         val joined = batch.join(renamedOld, keys, "left").cache()
+        cached = Some(joined)
         val inserts = joined.filter(col(valueCols.head + "__old").isNull)
           .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("+I"))
         val changed = joined.filter(
@@ -67,6 +69,9 @@ object Changelog {
     val staged = snapshotDir + "__staged"
     merged.write.mode("overwrite").parquet(staged)
     spark.read.parquet(staged).write.mode("overwrite").parquet(snapshotDir)
+    // drop the per-batch diff cache — a long-running stream would
+    // otherwise pin one RDD per micro-batch forever
+    cached.foreach(_.unpersist())
   }
 
   /** COMPLETE-mode flavor: the batch is the FULL current result, so a
@@ -85,6 +90,7 @@ object Changelog {
     val prev =
       try Some(spark.read.parquet(snapshotDir)) catch { case _: Throwable => None }
 
+    var cached: Option[DataFrame] = None
     val changes = prev match {
       case None =>
         batch.withColumn("op", lit("+I"))
@@ -93,6 +99,7 @@ object Changelog {
           df.withColumnRenamed(c, c + "__old")
         }
         val joined = batch.join(renamedOld, keys, "left").cache()
+        cached = Some(joined)
         val inserts = joined.filter(col(valueCols.head + "__old").isNull)
           .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("+I"))
         val changed = joined.filter(
@@ -113,6 +120,7 @@ object Changelog {
     val staged = snapshotDir + "__staged"
     batch.write.mode("overwrite").parquet(staged)
     spark.read.parquet(staged).write.mode("overwrite").parquet(snapshotDir)
+    cached.foreach(_.unpersist())
   }
 
   /** Attach changelog emission to an update-mode streaming aggregate. */
