@@ -147,6 +147,30 @@ object PatternQueries extends GroupBase {
         .orderBy("user_id", "m_start")
     }),
 
+    // negative-guard pattern (CEP notFollowedBy): signups whose NEXT
+    // error within a day arrives with no purchase in between — the
+    // guard kills the partial the moment a purchase shows up. The
+    // oracle replays it with a first-error scalar subquery + NOT
+    // EXISTS over the guarded gap.
+    "pat_mr_notfollow" -> ((s, d) => {
+      import s.implicits._
+      val pat = MrParser.parse(
+        "PATTERN (A !B C) WITHIN 1 DAY AFTER MATCH NO SKIP DEFINE " +
+        "A AS kind = 'signup', B AS kind = 'purchase', C AS kind = 'error'")
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("signup", "error", "purchase"))
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_type").as("kind"), col("value"))
+        .as[KeyedEvent]
+      SeqPattern.detect(ev, pat.steps, pat.withinMs,
+          strict = false, pat.skip, pat.greedy)
+        .toDF()
+        .select(col("key").as("user_id"), col("startTs").as("m_start"),
+          col("endTs").as("m_end"),
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"))
+        .orderBy("user_id", "m_start")
+    }),
+
     // MATCH_RECOGNIZE with PREV() row-relative conditions: the classic
     // V-shape (price dips then recovers) over each user's purchase
     // amounts, strict-contiguous, all matches. DOWN/UP compare against
@@ -214,6 +238,28 @@ object PatternQueries extends GroupBase {
     "pat_mr" -> MrOracle,
     // identical detection through the injected SQL parser
     "pat_mr_sql" -> MrOracle,
+    "pat_mr_notfollow" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'signup'),
+         fe AS (SELECT s.user_id, s.ts AS m_start, s.value AS v0,
+                  (SELECT min(CAST(b.ts AS TIMESTAMP)) FROM events b
+                   WHERE b.event_type = 'error' AND b.user_id = s.user_id
+                     AND CAST(b.ts AS TIMESTAMP) > s.ts
+                     AND CAST(b.ts AS TIMESTAMP) <= s.ts + INTERVAL 1 DAY)
+                    AS m_end
+                FROM s)
+         SELECT f.user_id AS user_id, f.m_start, f.m_end,
+                ((CAST(0.0 AS DOUBLE) + f.v0) + e.value) AS sum_v
+         FROM fe f JOIN events e
+           ON e.user_id = f.user_id AND e.event_type = 'error'
+          AND CAST(e.ts AS TIMESTAMP) = f.m_end
+         WHERE f.m_end IS NOT NULL
+           AND NOT EXISTS (
+             SELECT 1 FROM events p
+             WHERE p.event_type = 'purchase' AND p.user_id = f.user_id
+               AND CAST(p.ts AS TIMESTAMP) > f.m_start
+               AND CAST(p.ts AS TIMESTAMP) < f.m_end)
+         ORDER BY f.user_id, f.m_start""",
     "pat_mr_updown" ->
       """WITH f AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -52,7 +52,7 @@ object MrParser {
     """AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|NO\s+SKIP)""".r
   private val DefineRe = """(?s)DEFINE\s+(.*)$""".r
   private val ElemRe =
-    """([A-Za-z_][A-Za-z0-9_]*)(\{(\d+)(,(\d+))?\}|\+|\?)?(\?)?""".r
+    """(!?)([A-Za-z_][A-Za-z0-9_]*)(\{(\d+)(,(\d+))?\}|\+|\?)?(\?)?""".r
 
   def parse(spec: String): Compiled = {
     val s = spec.trim.replaceAll("\\s+", " ")
@@ -88,20 +88,26 @@ object MrParser {
     val steps = patternBody.split("\\s+").toSeq.flatMap { tok =>
       val m = ElemRe.pattern.matcher(tok)
       if (!m.matches()) fail(s"bad pattern element '$tok'", s)
-      val name = m.group(1)
-      if (m.group(6) != null) greedy = false
-      val base = defs.getOrElse(name, identity[Step] _)(
+      val negated = m.group(1) == "!"
+      val name = m.group(2)
+      if (m.group(7) != null) greedy = false
+      val base0 = defs.getOrElse(name, identity[Step] _)(
         Step(name, kinds = Set.empty))
-      m.group(2) match {
+      val base = if (negated) base0.not else base0
+      if (negated && m.group(3) != null)
+        fail(s"negative guard cannot carry a quantifier: '$tok'", s)
+      m.group(3) match {
         case null => Seq(base)
         case "?"  => Seq(base.opt)
         case "+"  => base.upTo(MaxRepeat)
-        case _ if m.group(5) != null => // {1,n} (lower bound must be 1)
-          if (m.group(3).toInt != 1) fail(s"only {1,n} ranges supported: '$tok'", s)
-          base.upTo(m.group(5).toInt)
-        case _ => Seq(base.times(m.group(3).toInt)) // {n}
+        case _ if m.group(6) != null => // {1,n} (lower bound must be 1)
+          if (m.group(4).toInt != 1) fail(s"only {1,n} ranges supported: '$tok'", s)
+          base.upTo(m.group(6).toInt)
+        case _ => Seq(base.times(m.group(4).toInt)) // {n}
       }
     }
+    if (steps.nonEmpty && (steps.head.negated || steps.last.negated))
+      fail("a negative guard (!SYM) cannot lead or end the pattern", s)
     Compiled(steps, withinMs, skip, greedy)
   }
 

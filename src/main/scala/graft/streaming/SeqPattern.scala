@@ -34,12 +34,19 @@ object SeqPattern {
                   repeat: Int = 1, optional: Boolean = false,
                   // iterative/aggregate condition: (event value, values
                   // matched so far) => accept — the DEFINE-with-AVG class
-                  relPred: Option[(Double, Seq[Double]) => Boolean] = None) {
+                  relPred: Option[(Double, Seq[Double]) => Boolean] = None,
+                  // negative guard (CEP notFollowedBy/notNext): never
+                  // consumes a row; an event matching it while the
+                  // partial's frontier is at or before the guard KILLS
+                  // the partial. Must not lead or end a pattern.
+                  negated: Boolean = false) {
     def matches(e: KeyedEvent, prefix: Seq[Double]): Boolean =
       (kinds.isEmpty || kinds.contains(e.kind)) && e.value >= minValue &&
         relPred.forall(_(e.value, prefix))
     def times(n: Int): Step = copy(repeat = n)
     def opt: Step = copy(optional = true)
+    /** CEP notFollowedBy guard form of this step. */
+    def not: Step = copy(negated = true)
     /** Bounded oneOrMore: 1..n repetitions (1 required + n-1 optional;
       * bounded expansion keeps NFA state finite — CEP oneOrMore with
       * an explicit cap, CEPDemo timesOrMore). */
@@ -120,21 +127,33 @@ object SeqPattern {
               toTimestamp(p.tss.last), p.vals)
           }
           // accepting = every remaining step can be skipped (a trailing
-          // quantifier has already met its required minimum)
+          // quantifier has already met its required minimum); a pending
+          // negative guard does NOT make a state accepting
           def accepting(p: Partial): Boolean =
             (p.stepIdx until stepsB.length).forall(stepsB(_).optional)
           // NFA branching: from step `from`, an event may match that
           // step, or — when steps are optional — any step reachable by
           // skipping a prefix of optional steps (one branch per hit).
-          def matchIdxs(from: Int, e: KeyedEvent, prefix: Seq[Double]): List[Int] = {
+          // A negative guard at the frontier never consumes: an event
+          // matching it kills the partial (killed=true); otherwise the
+          // scan continues past it.
+          def matchIdxs(from: Int, e: KeyedEvent,
+                        prefix: Seq[Double]): (List[Int], Boolean) = {
             val hits = scala.collection.mutable.ListBuffer.empty[Int]
             var j = from
             var scanning = true
+            var killed = false
             while (scanning && j < stepsB.length) {
-              if (stepsB(j).matches(e, prefix)) hits += j
-              if (stepsB(j).optional) j += 1 else scanning = false
+              val st = stepsB(j)
+              if (st.negated) {
+                if (st.matches(e, prefix)) { killed = true; scanning = false }
+                else j += 1
+              } else {
+                if (st.matches(e, prefix)) hits += j
+                if (st.optional) j += 1 else scanning = false
+              }
             }
-            hits.toList
+            (hits.toList, killed)
           }
           // WITHIN horizon in µs; clamp so an effectively-unbounded
           // horizon (MrParser default) cannot overflow the multiply.
@@ -148,11 +167,15 @@ object SeqPattern {
             val (kept, expired) = partials.partition(p => t - p.tss.head <= withinUs)
             if (greedy) expired.filter(accepting).foreach(emit)
             partials = kept
-            // advance existing partials
+            // advance existing partials. Branch priority: positive
+            // consumption branches (hits BEFORE any tripped guard)
+            // survive; the non-consuming continuation dies if the
+            // event tripped a negative guard at its frontier.
             val advanced = partials.flatMap { p =>
-              val hits = matchIdxs(p.stepIdx, e, p.vals)
+              val (hits, killed) = matchIdxs(p.stepIdx, e, p.vals)
               if (hits.nonEmpty)
                 hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value))
+              else if (killed) Nil // negative guard violated: partial dies
               else if (strict) { // strict contiguity: chain broken
                 if (greedy && accepting(p)) emit(p) // final extent reached
                 Nil
@@ -161,7 +184,7 @@ object SeqPattern {
             }
             // start new partials from step 0 (and optional-skipped starts)
             val started =
-              matchIdxs(0, e, Nil).map(j => Partial(j + 1, List(t), List(e.value)))
+              matchIdxs(0, e, Nil)._1.map(j => Partial(j + 1, List(t), List(e.value)))
             val candidates = (advanced ++ started)
               .distinctBy(p => (p.stepIdx, p.tss))
             // greedy completes only past the last step (longest extent)

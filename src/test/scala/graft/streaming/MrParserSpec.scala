@@ -111,6 +111,33 @@ class MrParserSpec extends SparkSpec {
     assert(out.head.values == Seq(5.0, 4.0, 2.0, 3.0))
   }
 
+  test("negative guard !B: CEP notFollowedBy semantics") {
+    val spec = "PATTERN (A !B C) WITHIN 1 HOUR DEFINE " +
+      "A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'"
+    // no B between A and C -> match (relaxed contiguity skips X)
+    val ok = detectBatch(Seq(
+      KeyedEvent(1, ts(1000), "a", 1), KeyedEvent(1, ts(2000), "x", 0),
+      KeyedEvent(1, ts(3000), "c", 3)), spec, strict = false)
+    assert(ok.size == 1 && ok.head.values == Seq(1.0, 3.0))
+    // a B in between kills the partial
+    val no = detectBatch(Seq(
+      KeyedEvent(1, ts(1000), "a", 1), KeyedEvent(1, ts(2000), "b", 2),
+      KeyedEvent(1, ts(3000), "c", 3)), spec, strict = false)
+    assert(no.isEmpty)
+    // B after C is irrelevant (guard closes at the next positive match)
+    val after = detectBatch(Seq(
+      KeyedEvent(1, ts(1000), "a", 1), KeyedEvent(1, ts(2000), "c", 3),
+      KeyedEvent(1, ts(3000), "b", 2)), spec, strict = false)
+    assert(after.size == 1)
+    // leading/trailing guards are rejected at parse time
+    intercept[IllegalArgumentException](MrParser.parse(
+      "PATTERN (!A B) DEFINE A AS kind = 'a', B AS kind = 'b'"))
+    intercept[IllegalArgumentException](MrParser.parse(
+      "PATTERN (A !B) DEFINE A AS kind = 'a', B AS kind = 'b'"))
+    intercept[IllegalArgumentException](MrParser.parse(
+      "PATTERN (A !B{2} C) DEFINE A AS kind = 'a', B AS kind = 'b'"))
+  }
+
   test("parsed pattern drives streaming detection; state spans micro-batches") {
     val s = spark
     import s.implicits._
