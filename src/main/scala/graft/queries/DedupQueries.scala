@@ -38,22 +38,25 @@ object DedupQueries extends GroupBase {
     "dd_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // the (doc, shingle) relation carries h32 HASHES, not strings:
-      // the distinct/join/count shuffles move BIGINTs (~4× fewer
-      // bytes), and both engines hash identically so Jaccard over
-      // distinct hashes is oracle-exact.
-      // ONE lineage: doc-frequency and doc-size are window counts over
-      // the single distinct relation, carried through the candidate
-      // join — the rare/sizes side-tables formulation re-derived the
-      // scan+kernel+distinct subtree four times
+      // the join/count shuffles move BIGINTs (~4× fewer bytes), and
+      // both engines hash identically so Jaccard over distinct hashes
+      // is oracle-exact.
+      // ONE lineage, ONE pre-join shuffle: duplicates only exist
+      // WITHIN a document, so array_distinct dedups element-wise (no
+      // global distinct exchange) and the doc size is just the array
+      // length (no doc-side window). Only the doc-frequency count
+      // shuffles — by `sh`, the same key the candidate join needs, so
+      // the partitioning is reused downstream.
       val sh = docs
         .withColumn("tk", TextOps.tokens(col("text")))
-        .select(col("doc_id"),
-          explode(VectorFunctions.shingleHashes(col("tk"), 3)).as("sh"))
-        .distinct()
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("hs",
+          array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
+        .filter(col("hs").isNotNull)
+        .select(col("doc_id"), size(col("hs")).as("n"),
+          explode(col("hs")).as("sh"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        // df cap AFTER n: sizes count every shingle, the cap only
-        // gates candidate generation (the 100 TB safety valve)
+        // the df cap only gates candidate generation (the 100 TB
+        // safety valve); sizes already counted every shingle
         .filter(col("df") <= 1000)
       sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -167,15 +167,14 @@ object TextQueries extends GroupBase {
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(md5(col("text"))).orderBy("doc_id")))
         .filter(col("rn") === 1).drop("rn")
-      // hash-keyed (doc, shingle) relation with window doc-sizes —
-      // single lineage, sizes carried through the join (see dd_jaccard)
+      // hash-keyed (doc, shingle) relation, deduped element-wise and
+      // sized from the array — no distinct exchange (see dd_jaccard)
       val sh = exactKeep
-        .select(col("doc_id"),
-          explode(graft.functions.VectorFunctions.shingleHashes(col("tk"), 3))
-            .as("sh"))
-        .distinct()
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        .withColumn("hs", array_distinct(
+          graft.functions.VectorFunctions.shingleHashes(col("tk"), 3)))
+        .filter(col("hs").isNotNull)
+        .select(col("doc_id"), size(col("hs")).as("n"),
+          explode(col("hs")).as("sh"))
       val dupB = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
