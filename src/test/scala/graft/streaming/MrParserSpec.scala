@@ -138,6 +138,44 @@ class MrParserSpec extends SparkSpec {
       "PATTERN (A !B{2} C) DEFINE A AS kind = 'a', B AS kind = 'b'"))
   }
 
+  test("login-fail scenario: three fails then lockout event, SKIP TO NEXT ROW") {
+    // CEPDemo times(3)+within: overlapping fail windows are separate
+    // matches under SKIP TO NEXT ROW
+    val evs = Seq(
+      KeyedEvent(9, ts(1000), "fail", 1), KeyedEvent(9, ts(2000), "fail", 2),
+      KeyedEvent(9, ts(3000), "fail", 3), KeyedEvent(9, ts(4000), "fail", 4),
+      KeyedEvent(9, ts(5000), "lock", 0))
+    val out = detectBatch(evs,
+      "PATTERN (F{3} L) WITHIN 1 MINUTE AFTER MATCH SKIP TO NEXT ROW " +
+      "DEFINE F AS kind = 'fail', L AS kind = 'lock'")
+    // strict runs: (1,2,3)+lock impossible (4 intervenes); (2,3,4)+lock OK
+    assert(out.map(_.values) == Seq(Seq(2.0, 3.0, 4.0, 0.0)))
+    val relaxed = detectBatch(evs,
+      "PATTERN (F{3} L) WITHIN 1 MINUTE AFTER MATCH NO SKIP " +
+      "DEFINE F AS kind = 'fail', L AS kind = 'lock'",
+      strict = false)
+    // relaxed: every 3-subset ending before lock completes on the lock,
+    // leftmost start wins per start row
+    assert(relaxed.nonEmpty && relaxed.head.values.last == 0.0)
+  }
+
+  test("negation composes with value conditions") {
+    // big transfer not followed by a confirmation before the session end
+    val spec = "PATTERN (T !C E) WITHIN 1 HOUR DEFINE " +
+      "T AS kind = 'tx' AND value >= 1000, " +
+      "C AS kind = 'confirm', E AS kind = 'end'"
+    val hit = detectBatch(Seq(
+      KeyedEvent(1, ts(1000), "tx", 5000),
+      KeyedEvent(1, ts(2000), "tx", 10),   // small tx isn't a guard
+      KeyedEvent(1, ts(3000), "end", 0)), spec, strict = false)
+    assert(hit.size == 1 && hit.head.values == Seq(5000.0, 0.0))
+    val guarded = detectBatch(Seq(
+      KeyedEvent(1, ts(1000), "tx", 5000),
+      KeyedEvent(1, ts(2000), "confirm", 1),
+      KeyedEvent(1, ts(3000), "end", 0)), spec, strict = false)
+    assert(guarded.isEmpty)
+  }
+
   test("parsed pattern drives streaming detection; state spans micro-batches") {
     val s = spark
     import s.implicits._
