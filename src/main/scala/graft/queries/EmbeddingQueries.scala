@@ -175,6 +175,36 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup-style semantic dedup: assign every vector to its
+    // nearest coarse centroid (the k-means/IVF cells above), then KEEP
+    // ONE of any within-cell pair with cosine >= 0.35 — the lower
+    // vec_id survives, deterministically. At 100 TB the cell count
+    // grows with the corpus (cells partition the pair search), so the
+    // within-cell self-join stays near-linear; the two join sides are
+    // plan-identical → ReuseExchange computes the assignment once.
+    "emb_semdedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"),
+          (dot(col("embedding"), col("cv")) /
+            (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      val drops = assign.as("x").join(assign.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .filter(dot(col("x.embedding"), col("y.embedding")) /
+          (norm(col("x.embedding")) * norm(col("y.embedding"))) >= 0.35)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+      assign.select("vec_id", "cell")
+        .join(drops.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // embedding-cosine near-dup PAIRS, LSH-blocked: candidates share a
     // 4-plane bucket (16-way blocking — the recall/candidate-count
     // knob), then the exact cosine filter runs only inside buckets.
@@ -278,6 +308,30 @@ object EmbeddingQueries extends GroupBase {
       s"""SELECT vec_id, CAST($terms AS BIGINT) AS bucket
           FROM embeddings ORDER BY vec_id"""
     },
+    "emb_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                         WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id, e.embedding, cid,
+                   ${dotSql("e.embedding", "cv")} /
+                     (${normSql("e.embedding")} * ${normSql("cv")}) AS ccos
+            FROM embeddings e CROSS JOIN cents),
+          assign AS (
+            SELECT vec_id, embedding, cid AS cell FROM (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY ccos DESC, cid) AS rn
+              FROM scored) x WHERE rn = 1),
+          drops AS (
+            SELECT DISTINCT y.vec_id
+            FROM assign x JOIN assign y
+              ON x.cell = y.cell AND x.vec_id < y.vec_id
+            WHERE ${dotSql("x.embedding", "y.embedding")} /
+                    (${normSql("x.embedding")} * ${normSql("y.embedding")})
+                  >= CAST(0.35 AS DOUBLE))
+          SELECT a.vec_id, a.cell,
+                 a.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
+          FROM assign a ORDER BY a.vec_id""",
     "emb_neardup" -> {
       val terms = (0 until 4).map(i =>
         s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")

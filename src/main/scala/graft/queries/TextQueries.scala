@@ -198,6 +198,82 @@ object TextQueries extends GroupBase {
         md5(col("text")).as("fp_md5"),
         TextOps.hash32(col("text")).as("fp32"))
         .orderBy("doc_id")),
+
+    // benchmark decontamination: flag training docs sharing 3-gram
+    // shingles with the held-out benchmark set (source = src0 stands in
+    // for the eval corpus). The benchmark n-gram set is tiny relative
+    // to the corpus → broadcast; the training side streams through one
+    // explode + hash join + per-doc count. At 100 TB the only shuffle
+    // is the per-doc hit count, keyed by doc_id.
+    "pipe_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs", array_distinct(
+          graft.functions.VectorFunctions.shingleHashes(col("tk"), 3)))
+        .filter(col("hs").isNotNull)
+      val bench = docs.filter(col("source") === "src0")
+        .select(explode(col("hs")).as("sh")).distinct()
+      val train = docs.filter(col("source") =!= "src0")
+      val hits = train.select(col("doc_id"), explode(col("hs")).as("sh"))
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+      train.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nh"), lit(0L)).as("n_hits"),
+          (coalesce(col("nh"), lit(0L)) >= 5).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // repetition-based quality signals (the Gopher-style filters):
+    // duplicate-3-gram fraction and top-token frequency fraction per
+    // document. Both are exact small-integer ratios, so the doubles
+    // are bit-identical across engines without rounding. Per-doc
+    // n-gram stats come from the codegen'd shingle kernel (no
+    // shuffle); the token mode needs one (doc_id, tok) hash-agg.
+    "text_repetition" -> ((s, d) => {
+      val withTk = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs",
+          graft.functions.VectorFunctions.shingleHashes(col("tk"), 3))
+        .filter(col("hs").isNotNull)
+      val gram = withTk.select(col("doc_id"),
+        size(col("tk")).as("n_tok"),
+        size(col("hs")).as("g_tot"),
+        size(array_distinct(col("hs"))).as("g_uni"))
+      val topTok = withTk.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_c"))
+      val dup3 = lit(1.0) - col("g_uni").cast("double") / col("g_tot").cast("double")
+      val topf = col("max_c").cast("double") / col("n_tok").cast("double")
+      gram.join(topTok, "doc_id")
+        .select(col("doc_id"),
+          dup3.as("dup_3gram_frac"),
+          topf.as("top_tok_frac"),
+          (dup3 > 0.01 || topf > 0.14).as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // dataset mixture weights: temperature-scaled (alpha = 0.5)
+    // per-source sampling weights from token counts — the mixing knob
+    // of a multi-source training pipeline. Per-source aggregation is
+    // one hash-agg; the normalizer is a 20-row sorted fold (sum order
+    // fixed so the double matches the oracle bit-for-bit pre-round).
+    "pipe_mix" -> ((s, d) => {
+      val perSrc = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("long")).as("n_tokens"))
+        .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
+      val denom = perSrc.agg(
+        aggregate(sort_array(collect_list(col("w_raw"))), lit(0.0),
+          (a, v) => a + v).as("z"))
+      perSrc.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w_raw") / col("z"), 8).as("weight"))
+        .orderBy("source")
+    }),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -281,6 +357,54 @@ object TextQueries extends GroupBase {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, ${TextOps.hash32Sql("text")} AS fp32
           FROM documents ORDER BY doc_id""",
+    "pipe_decontam" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+          sh AS (SELECT DISTINCT doc_id, source, ${TextOps.hash32Sql("sh")} AS sh
+                 FROM (SELECT doc_id, source,
+                              tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+                       FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                       WHERE i + 2 <= len(tk))),
+          bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+          tr AS (SELECT DISTINCT doc_id FROM sh WHERE source <> 'src0'),
+          hits AS (SELECT s.doc_id, count(*) AS nh
+                   FROM sh s JOIN bench USING (sh)
+                   WHERE s.source <> 'src0' GROUP BY 1)
+          SELECT t.doc_id, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+                 coalesce(nh, 0) >= 5 AS contaminated
+          FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+          ORDER BY t.doc_id""",
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          g AS (SELECT doc_id, len(tk) AS n_tok, len(tk) - 2 AS g_tot,
+                       len(list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g_uni
+                FROM d WHERE len(tk) >= 3),
+          m AS (SELECT doc_id, max(c) AS max_c FROM (
+                  SELECT doc_id, tok, count(*) AS c
+                  FROM (SELECT doc_id, unnest(tk) AS tok FROM d) GROUP BY 1, 2)
+                GROUP BY 1)
+          SELECT doc_id,
+                 1.0 - CAST(g_uni AS DOUBLE) / CAST(g_tot AS DOUBLE)
+                   AS dup_3gram_frac,
+                 CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
+                 (1.0 - CAST(g_uni AS DOUBLE) / CAST(g_tot AS DOUBLE)
+                    > CAST(0.01 AS DOUBLE)
+                  OR CAST(max_c AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                    > CAST(0.14 AS DOUBLE)) AS repetitive
+          FROM g JOIN m USING (doc_id) ORDER BY doc_id""",
+    "pipe_mix" ->
+      s"""WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+          w AS (SELECT source, n_docs, n_tokens,
+                       sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw
+                FROM per_src),
+          z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_sort(array_agg(w_raw))), (a, v) -> a + v) AS z
+                FROM w)
+          SELECT source, n_docs, n_tokens, round(w_raw / z, 8) AS weight
+          FROM w CROSS JOIN z ORDER BY source""",
     "pipe_curation" ->
       s"""WITH docs AS (SELECT doc_id, text, lang, $toksSql AS tk FROM documents),
           quality AS (SELECT * FROM docs WHERE len(tk) >= 15),

@@ -57,6 +57,26 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("semdedup keeps the lowest vec_id of every cell (anchor invariant)") {
+    // the keep-one rule drops only vec_ids that have a LOWER same-cell
+    // near-dup, so each cell's minimum vec_id can never be dropped
+    val out = SparkEntry.queries("emb_semdedup")(spark, d)
+    val minPerCell = out.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    val droppedAnchors = out.filter(!col("kept"))
+      .join(minPerCell, Seq("cell", "vec_id")).count()
+    assert(droppedAnchors == 0)
+    assert(out.filter(col("kept")).count() > 0)
+  }
+
+  test("decontam flags exactly the docs at/above the hit threshold") {
+    val out = SparkEntry.queries("pipe_decontam")(spark, d)
+    assert(out.filter(col("contaminated") =!= (col("n_hits") >= 5)).count() == 0)
+    // the benchmark source itself never appears in the output
+    val docs = graft.core.Tables.load(spark, d, "documents")
+      .filter(col("source") === "src0").select("doc_id")
+    assert(out.join(docs, "doc_id").count() == 0)
+  }
+
   test("as-of join matches the most recent prior click per purchase") {
     // golden micro-check: recompute one user's enrichment directly
     val e = graft.core.Tables.load(spark, d, "events")
