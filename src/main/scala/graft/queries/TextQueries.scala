@@ -213,15 +213,17 @@ object TextQueries extends GroupBase {
         .filter(col("hs").isNotNull)
       val bench = docs.filter(col("source") === "src0")
         .select(explode(col("hs")).as("sh")).distinct()
-      val train = docs.filter(col("source") =!= "src0")
-      val hits = train.select(col("doc_id"), explode(col("hs")).as("sh"))
-        .join(broadcast(bench), "sh")
-        .groupBy("doc_id").agg(count(lit(1)).as("nh"))
-      train.select("doc_id")
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("nh"), lit(0L)).as("n_hits"),
-          (coalesce(col("nh"), lit(0L)) >= 5).as("contaminated"))
+      // LEFT join the exploded training shingles to the broadcast
+      // bench set and count matches in the same per-doc aggregate:
+      // zero-hit docs keep their rows (hit = 0), so the corpus is
+      // scanned ONCE — no second pass to recover unmatched doc_ids
+      docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("hs")).as("sh"))
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"),
+          (col("n_hits") >= 5).as("contaminated"))
         .orderBy("doc_id")
     }),
 
@@ -232,21 +234,25 @@ object TextQueries extends GroupBase {
     // n-gram stats come from the codegen'd shingle kernel (no
     // shuffle); the token mode needs one (doc_id, tok) hash-agg.
     "text_repetition" -> ((s, d) => {
-      val withTk = t(s, d, "documents")
+      // per-doc gram stats ride through the explode as grouping keys
+      // (the dd_jaccard trick): ONE corpus scan, no join — just the
+      // (doc_id, tok) hash-agg and a tiny per-doc re-agg
+      val dup3 = lit(1.0) - col("g_uni").cast("double") / col("g_tot").cast("double")
+      val topf = col("max_c").cast("double") / col("n_tok").cast("double")
+      t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
         .withColumn("hs",
           graft.functions.VectorFunctions.shingleHashes(col("tk"), 3))
         .filter(col("hs").isNotNull)
-      val gram = withTk.select(col("doc_id"),
-        size(col("tk")).as("n_tok"),
-        size(col("hs")).as("g_tot"),
-        size(array_distinct(col("hs"))).as("g_uni"))
-      val topTok = withTk.select(col("doc_id"), explode(col("tk")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("max_c"))
-      val dup3 = lit(1.0) - col("g_uni").cast("double") / col("g_tot").cast("double")
-      val topf = col("max_c").cast("double") / col("n_tok").cast("double")
-      gram.join(topTok, "doc_id")
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tok"),
+          size(col("hs")).as("g_tot"),
+          size(array_distinct(col("hs"))).as("g_uni"),
+          explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "n_tok", "g_tot", "g_uni", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_tok", "g_tot", "g_uni")
+        .agg(max(col("c")).as("max_c"))
         .select(col("doc_id"),
           dup3.as("dup_3gram_frac"),
           topf.as("top_tok_frac"),
@@ -260,16 +266,20 @@ object TextQueries extends GroupBase {
     // one hash-agg; the normalizer is a 20-row sorted fold (sum order
     // fixed so the double matches the oracle bit-for-bit pre-round).
     "pipe_mix" -> ((s, d) => {
-      val perSrc = t(s, d, "documents")
+      // the normalizer is a window over the POST-AGG rows (cardinality
+      // = #sources, small by construction), not a second aggregation
+      // lineage — the corpus is tokenized and scanned exactly once
+      import org.apache.spark.sql.expressions.Window
+      val all = Window.partitionBy(lit(0))
+      t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("tk")).cast("long")).as("n_tokens"))
         .withColumn("w_raw", sqrt(col("n_tokens").cast("double")))
-      val denom = perSrc.agg(
-        aggregate(sort_array(collect_list(col("w_raw"))), lit(0.0),
-          (a, v) => a + v).as("z"))
-      perSrc.crossJoin(broadcast(denom))
+        .withColumn("z",
+          aggregate(sort_array(collect_list(col("w_raw")).over(all)),
+            lit(0.0), (a, v) => a + v))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(col("w_raw") / col("z"), 8).as("weight"))
         .orderBy("source")

@@ -11,6 +11,9 @@ object Scratch {
     val spark = Sessions.build("graft-scratch")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
+    // SCRATCH_RUN=1: execute THIS queryExecution (toRdd, not count —
+    // count builds a new one) so AQE finalizes and stage reuse shows
+    if (sys.env.contains("SCRATCH_RUN")) df.queryExecution.toRdd.count()
     val plan = df.queryExecution.executedPlan.toString
     // count signature evaluations: each Scan of documents = one pass
     println("[scratch] scans=" + "Scan parquet".r.findAllIn(plan).size +
