@@ -199,6 +199,24 @@ object TextQueries extends GroupBase {
         TextOps.hash32(col("text")).as("fp32"))
         .orderBy("doc_id")),
 
+    // BPE-ish token counting: a GPT-2-style regex pre-tokenizer
+    // (letter runs / digit runs / other) plus a deterministic subword
+    // estimate (ceil(len/4) pieces per pre-token — the avg BPE piece
+    // is ~4 chars). Pure per-row expressions: embarrassingly parallel,
+    // no shuffle except the output sort. The regex is dialect-neutral
+    // (same semantics in Java regex and RE2/DuckDB).
+    "text_bpe" -> ((s, d) => {
+      val pre = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+      t(s, d, "documents")
+        .withColumn("pre", pre)
+        .select(col("doc_id"),
+          size(col("pre")).as("n_pretok"),
+          aggregate(transform(col("pre"),
+              t => ceil(length(t).cast("double") / 4.0).cast("long")),
+            lit(0L), (a, v) => a + v).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: flag training docs sharing 3-gram
     // shingles with the held-out benchmark set (source = src0 stands in
     // for the eval corpus). The benchmark n-gram set is tiny relative
@@ -366,6 +384,15 @@ object TextQueries extends GroupBase {
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, ${TextOps.hash32Sql("text")} AS fp32
+          FROM documents ORDER BY doc_id""",
+    "text_bpe" ->
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                      AS INT) AS n_pretok,
+                 CAST(list_sum(list_transform(
+                        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                        t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4) AS BIGINT)))
+                      AS BIGINT) AS n_bpe
           FROM documents ORDER BY doc_id""",
     "pipe_decontam" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS tk FROM documents),

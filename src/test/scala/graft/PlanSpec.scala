@@ -100,4 +100,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "centroids not broadcast — corpus would shuffle per iteration")
   }
+
+  test("decontamination broadcasts the bench set; corpus scanned once per side") {
+    val p = plan("pipe_decontam")
+    assert(p.contains("BroadcastExchange"),
+      "benchmark n-gram set not broadcast — training corpus would shuffle by shingle")
+    // one scan builds the bench set, one streams the training side; a
+    // join-back regression (to recover zero-hit docs) adds a third
+    assert(treeScans(p) == 2, s"expected 2 scans, got ${treeScans(p)}")
+  }
+
+  test("repetition/mix/bpe stats are single-scan shapes") {
+    for (q <- Seq("text_repetition", "pipe_mix", "text_bpe")) {
+      val p = plan(q)
+      assert(treeScans(p) == 1, s"$q re-scans the corpus: ${treeScans(p)} scans")
+    }
+  }
 }
