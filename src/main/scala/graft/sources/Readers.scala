@@ -97,6 +97,41 @@ object Writers {
     spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
   }
 
+  /** Real JDBC upsert — ANSI MERGE per row, batched per partition
+    * (the MysqlSink upsert shape, TableSQLFunc.scala:290-316). Runs on
+    * the executors (foreachPartition), one connection per partition;
+    * for high-volume sinks stage to a temp table + one set-based
+    * MERGE. Works against any MERGE-capable dialect (tested on the
+    * embedded Derby that ships with Spark). */
+  def upsertJdbc(df: DataFrame, url: String, table: String,
+                 keys: Seq[String]): Unit = {
+    val cols = df.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val sql = s"MERGE INTO $table USING SYSIBM.SYSDUMMY1 ON " +
+      keys.map(k => s"$table.$k = ?").mkString(" AND ") +
+      " WHEN MATCHED THEN UPDATE SET " +
+      nonKeys.map(c => s"$c = ?").mkString(", ") +
+      s" WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})" +
+      s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val ps = conn.prepareStatement(sql)
+          rows.foreach { r =>
+            var i = 1
+            (keys ++ nonKeys ++ cols).foreach { c =>
+              ps.setObject(i, r.getAs[Any](c).asInstanceOf[AnyRef]); i += 1
+            }
+            ps.addBatch()
+          }
+          ps.executeBatch()
+        } finally conn.close()
+      }
+      ()
+    }
+  }
+
   /** Kafka producer, at-least-once (ClickEventCount.java:110-115). */
   def kafkaStream(df: DataFrame, bootstrap: String, topic: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
