@@ -234,6 +234,33 @@ object AggQueries extends GroupBase {
             .otherwise(col("raw")), 2).as("est_users"))
         .orderBy("event_type")
     }),
+
+    // Count-Min sketch frequency estimation (d=4 rows × w=64 buckets,
+    // deterministic seeded hashes → the sketch itself is oracle-exact).
+    // Build = ONE map-side-combining shuffle of at most d×w = 256
+    // keys regardless of input size; estimates join against the tiny
+    // counter table (broadcast). est >= exact always (the CM bound).
+    "agg_cms" -> ((s, d) => {
+      val D = 4; val W = 64
+      def bucket(j: Int, c: org.apache.spark.sql.Column) =
+        pmod(graft.functions.TextOps.hash32(
+          concat(lit(s"cms$j:"), c.cast("string"))), lit(W))
+      val ev = t(s, d, "events")
+      val counters = ev.select(explode(array((0 until D).map(j =>
+          struct(lit(j).as("j"), bucket(j, col("user_id")).as("b"))): _*)).as("jb"))
+        .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val probeBuckets = ev.select("user_id").distinct()
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), explode(array((0 until D).map(j =>
+          struct(lit(j).as("j"), bucket(j, col("user_id")).as("b"))): _*)).as("jb"))
+        .select(col("user_id"), col("jb.j").as("j"), col("jb.b").as("b"))
+      val est = probeBuckets.join(broadcast(counters), Seq("j", "b"))
+        .groupBy("user_id").agg(min(col("c")).as("est"))
+      val exact = ev.filter(col("user_id") < 10)
+        .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("user_id")).orderBy("user_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -323,6 +350,22 @@ object AggQueries extends GroupBase {
                        CAST(0.709 AS DOUBLE) * 4096 / ((64 - v_ne) + s_ne) AS raw
                 FROM agg) x
           ORDER BY event_type""",
+    "agg_cms" -> {
+      val h = (j: String) => graft.functions.TextOps.hash32Sql(
+        s"'cms' || $j || ':' || CAST(user_id AS VARCHAR)")
+      s"""WITH jb AS (SELECT user_id, j, ${h("j")} % 64 AS b
+                      FROM events CROSS JOIN range(0, 4) r(j)),
+          counters AS (SELECT j, b, count(*) AS c FROM jb GROUP BY 1, 2),
+          probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+          pb AS (SELECT user_id, j, ${h("j")} % 64 AS b
+                 FROM probes CROSS JOIN range(0, 4) r(j)),
+          est AS (SELECT user_id, min(c) AS est
+                  FROM pb JOIN counters USING (j, b) GROUP BY 1),
+          exact AS (SELECT user_id, count(*) AS exact FROM events
+                    WHERE user_id < 10 GROUP BY 1)
+          SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
+          ORDER BY user_id"""
+    },
     "agg_top3_emit" ->
       """SELECT event_type, value AS v FROM (
            SELECT event_type, value,

@@ -122,39 +122,69 @@ object DedupQueries extends GroupBase {
     // (pigeonhole), so the blocking is recall-lossless. Hamming filter
     // runs BEFORE the distinct — the byte buckets are skewed and the
     // candidate set dwarfs the survivors.
-    "dd_simhash" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      // signature from the codegen'd shingle_simhash kernel: distinct
-      // feature hashes and the 32 bit votes in one pass per document,
-      // no shuffle until the block join. distinct is on the HASH (not
-      // the shingle string) on both the Spark and oracle side, so
-      // intra-doc hash collisions can't diverge the two engines.
-      val sig = docs
-        .withColumn("tk", TextOps.tokens(col("text")))
-        .select(col("doc_id"),
-          VectorFunctions.shingleSimhash(col("tk"), 3).as("sim"))
-        .filter(col("sim").isNotNull)
-      // block rows from ONE explode over (block-index, byte) pairs —
-      // a 4-way union of per-byte self-joins would re-evaluate the
-      // 32-vote signature subtree 8×; here the two join sides are
-      // plan-identical and ReuseExchange computes the table once,
-      // with the block index as part of the join key
-      val keyed = sig
-        .withColumn("blk", explode(array((0 until 4).map(b =>
-          struct(lit(b).as("bi"),
-            shiftright(col("sim"), b * 8).bitwiseAND(255).as("bv"))): _*)))
-        .select(col("doc_id"), col("sim"),
-          col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-      keyed.as("x").join(keyed.as("y"),
-          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("da", "db")
+    "dd_simhash" -> ((s, d) =>
+      simhashPairs(s, d).orderBy("da", "db")),
+
+    // transitive dup-CLUSTER representative: near-dup pairs only say
+    // "A~B"; the keep-one rule needs the CONNECTED COMPONENT (A~B~C
+    // must keep exactly one). Bounded min-label propagation (3 rounds)
+    // over the SimHash edge set: each round every doc takes the min
+    // of its own representative and its neighbors' — pure join+agg,
+    // no driver-side union-find. 3 rounds close any dup chain of
+    // diameter <= 3 (near-dup chains are short by construction; a
+    // production run at 100 TB would iterate to fixpoint, persisting
+    // labels between rounds instead of growing one lineage).
+    "dd_cluster" -> ((s, d) => {
+      val pairs = simhashPairs(s, d)
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      var labels = t(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("rep"))
+      for (_ <- 1 to 3) {
+        val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
+        labels = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+          .select(col("doc_id"),
+            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      }
+      labels.orderBy("doc_id")
     }),
   )
+
+  /** SimHash near-dup pairs (hamming <= 3), byte-blocked — the shared
+    * edge generator for `dd_simhash` and `dd_cluster`.
+    *
+    * Signature from the codegen'd shingle_simhash kernel: distinct
+    * feature hashes and the 32 bit votes in one pass per document, no
+    * shuffle until the block join. distinct is on the HASH (not the
+    * shingle string) on both the Spark and oracle side, so intra-doc
+    * hash collisions can't diverge the two engines. Block rows come
+    * from ONE explode over (block-index, byte) pairs — a 4-way union
+    * of per-byte self-joins would re-evaluate the 32-vote signature
+    * subtree 8×; here the two join sides are plan-identical and
+    * ReuseExchange computes the table once, with the block index as
+    * part of the join key. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val sig = docs
+      .withColumn("tk", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        VectorFunctions.shingleSimhash(col("tk"), 3).as("sim"))
+      .filter(col("sim").isNotNull)
+    val keyed = sig
+      .withColumn("blk", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("bi"),
+          shiftright(col("sim"), b * 8).bitwiseAND(255).as("bv"))): _*)))
+      .select(col("doc_id"), col("sim"),
+        col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
   // DuckDB-side 3-gram shingles (1-based list indexing)
@@ -205,26 +235,51 @@ object DedupQueries extends GroupBase {
             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
           ORDER BY da, db"""
     },
-    "dd_simhash" -> {
-      val votes = (0 until 32).map(j =>
-        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
-        .mkString(", ")
-      val simExpr = (0 until 32).map(j =>
-        s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      val blocks = (0 until 4).map(b =>
-        s"""SELECT x.doc_id da, y.doc_id db,
-                   bit_count(xor(x.sim, y.sim)) AS hamming
-            FROM keyed x JOIN keyed y ON x.b$b = y.b$b AND x.doc_id < y.doc_id
-            WHERE bit_count(xor(x.sim, y.sim)) <= 3""").mkString(" UNION ")
-      s"""WITH tok AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS h
-                       FROM ($shinglesSql)),
-          v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id),
-          sig AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS sim FROM v),
-          keyed AS (SELECT doc_id, sim, sim & 255 AS b0, (sim >> 8) & 255 AS b1,
-                           (sim >> 16) & 255 AS b2, (sim >> 24) & 255 AS b3
-                    FROM sig)
-          SELECT da, db, CAST(hamming AS INT) AS hamming FROM ($blocks)
-          ORDER BY da, db"""
+    "dd_simhash" ->
+      s"""$simhashPairsSql
+          SELECT da, db, hamming FROM pairs ORDER BY da, db""",
+    "dd_cluster" -> {
+      // one unrolled min-label round: rep_{i+1}(v) =
+      // least(rep_i(v), min over neighbors rep_i(u))
+      def round(prev: String, out: String): String =
+        s"""$out AS (
+              SELECT l.doc_id,
+                     least(l.rep, coalesce(min(r.rep), l.rep)) AS rep
+              FROM $prev l
+              LEFT JOIN edges e ON e.src = l.doc_id
+              LEFT JOIN $prev r ON r.doc_id = e.dst
+              GROUP BY l.doc_id, l.rep)"""
+      s"""$simhashPairsSql,
+          edges AS (SELECT da AS src, db AS dst FROM pairs
+                    UNION ALL SELECT db, da FROM pairs),
+          l0 AS (SELECT doc_id, doc_id AS rep FROM documents),
+          ${round("l0", "l1")},
+          ${round("l1", "l2")},
+          ${round("l2", "l3")}
+          SELECT doc_id, rep FROM l3 ORDER BY doc_id"""
     },
   )
+
+  /** Shared CTE prefix ending in `pairs(da, db, hamming)` — the
+    * SimHash near-dup edge set (mirrors `simhashPairs`). */
+  private val simhashPairsSql: String = {
+    val votes = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val simExpr = (0 until 32).map(j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val blocks = (0 until 4).map(b =>
+      s"""SELECT x.doc_id da, y.doc_id db,
+                 bit_count(xor(x.sim, y.sim)) AS hamming
+          FROM keyed x JOIN keyed y ON x.b$b = y.b$b AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.sim, y.sim)) <= 3""").mkString(" UNION ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS h
+                     FROM ($shinglesSql)),
+        v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS sim FROM v),
+        keyed AS (SELECT doc_id, sim, sim & 255 AS b0, (sim >> 8) & 255 AS b1,
+                         (sim >> 16) & 255 AS b2, (sim >> 24) & 255 AS b3
+                  FROM sig),
+        pairs AS (SELECT da, db, CAST(hamming AS INT) AS hamming FROM ($blocks))"""
+  }
 }

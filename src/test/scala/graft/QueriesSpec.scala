@@ -77,6 +77,24 @@ class QueriesSpec extends SparkSpec {
     assert(out.join(docs, "doc_id").count() == 0)
   }
 
+  test("count-min sketch never underestimates (CM bound)") {
+    val out = SparkEntry.queries("agg_cms")(spark, d)
+    assert(out.filter(col("est") < col("exact")).count() == 0)
+  }
+
+  test("dup-cluster labels are canonical: rep <= doc_id, pairs agree") {
+    val labels = SparkEntry.queries("dd_cluster")(spark, d)
+    assert(labels.filter(col("rep") > col("doc_id")).count() == 0)
+    // every near-dup pair ends in the same cluster (short chains close
+    // within the 3 propagation rounds)
+    val pairs = SparkEntry.queries("dd_simhash")(spark, d)
+    val disagree = pairs
+      .join(labels.select(col("doc_id").as("da"), col("rep").as("ra")), "da")
+      .join(labels.select(col("doc_id").as("db"), col("rep").as("rb")), "db")
+      .filter(col("ra") =!= col("rb")).count()
+    assert(disagree == 0)
+  }
+
   test("as-of join matches the most recent prior click per purchase") {
     // golden micro-check: recompute one user's enrichment directly
     val e = graft.core.Tables.load(spark, d, "events")
