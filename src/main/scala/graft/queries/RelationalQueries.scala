@@ -116,6 +116,23 @@ object RelationalQueries extends GroupBase {
           row_number().over(Window.orderBy("o_orderkey")) - 1)
         .orderBy("o_orderkey").limit(100)
     }),
+
+    // CDC changelog materialization (debezium-json connector shape,
+    // TableSQLFunc.scala:1122-1138): events become an op stream
+    // (signup=create, error=delete tombstone, rest=update); the
+    // materialized table is latest-op-per-key with deleted keys
+    // tombstoned out. One window shuffle on the key at any scale.
+    "rel_cdc_materialize" -> ((s, d) => {
+      val changelog = t(s, d, "events").select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u").as("op"))
+      graft.streaming.Cdc.materialize(changelog, "user_id", Seq("ts", "event_id"))
+        .select(col("user_id"), col("op"),
+          col("event_id").as("last_event"), col("value").as("last_value"))
+        .orderBy("user_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -175,5 +192,15 @@ object RelationalQueries extends GroupBase {
     "rel_zip_index" ->
       """SELECT o_orderkey, CAST((row_number() OVER (ORDER BY o_orderkey)) - 1 AS INT) AS idx
          FROM orders ORDER BY o_orderkey LIMIT 100""",
+    "rel_cdc_materialize" ->
+      """SELECT user_id, op, event_id AS last_event, value AS last_value
+         FROM (SELECT user_id, event_id, value,
+                      CASE WHEN event_type = 'signup' THEN 'c'
+                           WHEN event_type = 'error' THEN 'd'
+                           ELSE 'u' END AS op,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+               FROM events) x
+         WHERE rn = 1 AND op <> 'd' ORDER BY user_id""",
   )
 }

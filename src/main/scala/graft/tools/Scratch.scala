@@ -10,6 +10,37 @@ object Scratch {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.build("graft-scratch")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    if (sys.env.get("SCRATCH_Q").contains("_jacprof")) {
+      // stage-by-stage cost of the jaccard pair pipeline at sfDir
+      import org.apache.spark.sql.expressions.Window
+      def time(tag: String)(f: => Long): Unit = {
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[jacprof] $tag run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        }
+      }
+      val docs = Tables.load(spark, sfDir, "documents")
+      val sh = docs
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs", array_distinct(
+          graft.functions.VectorFunctions.shingleHashes(col("tk"), 3)))
+        .filter(col("hs").isNotNull)
+        .select(col("doc_id"), size(col("hs")).as("n"),
+          explode(col("hs")).as("sh"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= 1000)
+      time("a_shingles")(sh.count())
+      val joined = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      time("b_selfjoin")(joined.count())
+      val grouped = joined
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      time("c_groupby")(grouped.count())
+      spark.stop(); return
+    }
     val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
     // SCRATCH_RUN=1: execute THIS queryExecution (toRdd, not count —
     // count builds a new one) so AQE finalizes and stage reuse shows
