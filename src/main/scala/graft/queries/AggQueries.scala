@@ -261,6 +261,42 @@ object AggQueries extends GroupBase {
         .groupBy("user_id").agg(count(lit(1)).as("exact"))
       est.join(exact, Seq("user_id")).orderBy("user_id")
     }),
+
+    // Bloom-filter semi-join pruning (m=64Ki bits as 2048 words, k=3
+    // seeded hashes — deterministic, so the filter itself is
+    // oracle-exact): build from the selective orders side (ONE 2048-row
+    // shuffle regardless of input size), broadcast to the probe side,
+    // compare against exact membership. This is the runtime-filter
+    // structure that prunes the big side of a 100 TB join before the
+    // shuffle; no false negatives by construction (spec-asserted).
+    "agg_bloom" -> ((s, d) => {
+      val K = 3; val BITS = 65536
+      def h(i: Int, c: org.apache.spark.sql.Column) =
+        pmod(graft.functions.TextOps.hash32(
+          concat(lit(s"bf$i:"), c.cast("string"))), lit(BITS))
+      val keys = t(s, d, "orders")
+        .filter(col("o_totalprice") > 495000)
+        .select(col("o_custkey")).distinct()
+      val table = keys
+        .select(explode(array((0 until K).map(i => h(i, col("o_custkey"))): _*)).as("hb"))
+        .select((col("hb") / 32).cast("int").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(hb % 32 AS INT))").as("bit"))
+        .groupBy("w").agg(expr("bit_or(bit)").as("word"))
+      val ph = t(s, d, "customer").select(col("c_custkey"))
+        .select(col("c_custkey"),
+          explode(array((0 until K).map(i => h(i, col("c_custkey"))): _*)).as("hb"))
+        .select(col("c_custkey"), (col("hb") / 32).cast("int").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(hb % 32 AS INT))").as("bit"))
+      val checked = ph.join(broadcast(table), Seq("w"), "left")
+        .groupBy("c_custkey")
+        .agg((count(when(coalesce(col("word"), lit(0L))
+          .bitwiseAND(col("bit")) =!= 0, 1)) === K).as("bloom_member"))
+      checked.join(keys.withColumn("exact_member", lit(true)),
+          checked("c_custkey") === keys("o_custkey"), "left")
+        .select(col("c_custkey"), col("bloom_member"),
+          coalesce(col("exact_member"), lit(false)).as("exact_member"))
+        .orderBy("c_custkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -365,6 +401,33 @@ object AggQueries extends GroupBase {
                     WHERE user_id < 10 GROUP BY 1)
           SELECT user_id, est, exact FROM est JOIN exact USING (user_id)
           ORDER BY user_id"""
+    },
+    "agg_bloom" -> {
+      val h = (i: Int, e: String) => graft.functions.TextOps.hash32Sql(
+        s"'bf$i:' || CAST($e AS VARCHAR)") + " % 65536"
+      def hashRows(key: String) =
+        (0 until 3).map(i => s"SELECT $key AS k, ${h(i, key)} AS hb FROM src")
+          .mkString(" UNION ALL ")
+      s"""WITH keys AS (SELECT DISTINCT o_custkey FROM orders
+                        WHERE o_totalprice > CAST(495000 AS DOUBLE)),
+          bh AS (WITH src AS (SELECT o_custkey FROM keys)
+                 ${hashRows("o_custkey")}),
+          bloom AS (SELECT hb // 32 AS w,
+                           bit_or(CAST(1 AS BIGINT) << CAST(hb % 32 AS INT)) AS word
+                    FROM bh GROUP BY 1),
+          ph AS (WITH src AS (SELECT c_custkey FROM customer)
+                 ${hashRows("c_custkey")}),
+          checked AS (
+            SELECT k AS c_custkey,
+                   count(CASE WHEN (coalesce(word, 0) &
+                     (CAST(1 AS BIGINT) << CAST(hb % 32 AS INT))) <> 0
+                     THEN 1 END) = 3 AS bloom_member
+            FROM ph LEFT JOIN bloom ON hb // 32 = w
+            GROUP BY k)
+          SELECT c.c_custkey, c.bloom_member,
+                 coalesce(k.o_custkey IS NOT NULL, false) AS exact_member
+          FROM checked c LEFT JOIN keys k ON c.c_custkey = k.o_custkey
+          ORDER BY c.c_custkey"""
     },
     "agg_top3_emit" ->
       """SELECT event_type, value AS v FROM (

@@ -82,6 +82,11 @@ class QueriesSpec extends SparkSpec {
     assert(out.filter(col("est") < col("exact")).count() == 0)
   }
 
+  test("bloom filter has no false negatives") {
+    val out = SparkEntry.queries("agg_bloom")(spark, d)
+    assert(out.filter(col("exact_member") && !col("bloom_member")).count() == 0)
+  }
+
   test("dup-cluster labels are canonical: rep <= doc_id, pairs agree") {
     val labels = SparkEntry.queries("dd_cluster")(spark, d)
     assert(labels.filter(col("rep") > col("doc_id")).count() == 0)
