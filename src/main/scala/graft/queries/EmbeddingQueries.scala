@@ -164,6 +164,66 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("vec_id")
     }),
 
+    // Product quantization + asymmetric-distance search (the memory
+    // side of the ANN scale path: IVF partitions the corpus, PQ
+    // compresses it — a 64-dim float vector becomes M=4 2-bit codes
+    // here). Codebooks are the first KC vectors (stand-in for offline
+    // training, as in emb_ivf_assign); codes = per-subspace argmin.
+    // Search never touches corpus floats: the query builds a
+    // (subspace, codeword) distance LUT (M×KC rows, broadcast) and
+    // scores candidates by summing LUT hits — the sum is a sorted
+    // fold so the 4-term double add is order-fixed on both engines.
+    "emb_pq" -> ((s, d) => {
+      val M = 4; val SUB = 16; val KC = 4
+      def d2(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) =>
+            (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v)
+      // subvectors materialized as columns (HOF args inline into the
+      // lambda, so slicing inside zip_with would re-slice per element)
+      val e = t(s, d, "embeddings").select(
+        Seq(col("vec_id")) ++ (0 until M).map(m =>
+          slice(col("embedding"), m * SUB + 1, SUB).as(s"e$m")): _*)
+      val cents = e.filter(col("vec_id") < KC).select(
+        Seq(col("vec_id").as("cid")) ++ (0 until M).map(m =>
+          col(s"e$m").as(s"cv$m")): _*)
+      // PQ codes: per-subspace argmin codeword (struct-min tiebreaks
+      // on the lower cid, mirroring the oracle's ORDER BY d, cid)
+      val codes = e.crossJoin(broadcast(cents))
+        .select(Seq(col("vec_id")) ++ (0 until M).map(m =>
+          struct(d2(col(s"e$m"), col(s"cv$m")).as("d"), col("cid").as("c"))
+            .as(s"s$m")): _*)
+        .groupBy("vec_id")
+        .agg(min(col("s0")).as("m0"), min(col("s1")).as("m1"),
+          min(col("s2")).as("m2"), min(col("s3")).as("m3"))
+        .select(Seq(col("vec_id")) ++ (0 until M).map(m =>
+          col(s"m$m.c").as(s"c$m")): _*)
+      // query-side LUT: exact distance from each query subvector to
+      // each codeword (3 queries × M×KC entries, broadcast)
+      val lut = e.filter(col("vec_id") < 3).crossJoin(broadcast(cents))
+        .select(col("vec_id").as("qid"), col("cid"),
+          explode(array((0 until M).map(m =>
+            struct(lit(m).as("m"), d2(col(s"e$m"), col(s"cv$m")).as("dist"))): _*))
+            .as("md"))
+        .select(col("qid"), col("md.m").as("m"), col("cid"), col("md.dist").as("dist"))
+      val corpusCodes = codes
+        .select(col("vec_id"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), col(s"c$m").as("code"))): _*)).as("mc"))
+        .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+      val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("nid"))
+      corpusCodes.join(broadcast(lut),
+          corpusCodes("m") === lut("m") && corpusCodes("code") === lut("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id").as("nid"))
+        .agg(aggregate(sort_array(collect_list(col("dist"))), lit(0.0),
+          (a, v) => a + v).as("ad2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "nid", "rank", "ad2")
+        .orderBy("qid", "rank")
+    }),
+
     // random-hyperplane LSH bucket assignment (the ANN scale path:
     // equal buckets → candidate; 8 planes → 256-way partitioning)
     "emb_lsh_buckets" -> ((s, d) => {
@@ -301,6 +361,43 @@ object EmbeddingQueries extends GroupBase {
                                       ORDER BY cos DESC, nid) AS rank
             FROM cand) r
           WHERE rank <= 3 ORDER BY qid, rank""",
+    "emb_pq" -> {
+      // per-subspace squared-L2 as the same left fold, over 1-based
+      // inclusive list slices (subspace m covers [m*16+1, m*16+16])
+      def subD2(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(
+              $a[m*16+1 : m*16+16], $b[m*16+1 : m*16+16]),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+            (acc, v) -> acc + v)"""
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                         WHERE vec_id < 4),
+          dists AS (SELECT e.vec_id, c.cid, m,
+                           ${subD2("e.embedding", "c.cv")} AS d
+                    FROM embeddings e CROSS JOIN cents c
+                         CROSS JOIN range(0, 4) r(m)),
+          codes AS (SELECT vec_id, m, cid AS code FROM (
+                      SELECT vec_id, m, cid,
+                             row_number() OVER (PARTITION BY vec_id, m
+                                                ORDER BY d, cid) AS rn
+                      FROM dists) x WHERE rn = 1),
+          lut AS (SELECT vec_id AS qid, cid, m, d AS dist FROM dists
+                  WHERE vec_id < 3),
+          pairs AS (SELECT l.qid, k.vec_id AS nid, l.dist
+                    FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cid
+                    WHERE k.vec_id <> l.qid),
+          approx AS (SELECT qid, nid,
+                            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list_sort(array_agg(dist))), (a, v) -> a + v) AS ad2
+                     FROM pairs GROUP BY 1, 2)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, ad2 FROM (
+            SELECT qid, nid, ad2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY ad2, nid) AS rank
+            FROM approx) x
+          WHERE rank <= 3 ORDER BY qid, rank"""
+    },
     "emb_lsh_buckets" -> {
       val terms = (0 until Planes).map(i =>
         s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
