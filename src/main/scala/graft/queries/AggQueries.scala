@@ -237,23 +237,26 @@ object AggQueries extends GroupBase {
 
     // Count-Min sketch frequency estimation (d=4 rows × w=64 buckets,
     // deterministic seeded hashes → the sketch itself is oracle-exact).
+    // The d row-hashes derive from ONE base hash via affine transforms
+    // (Kirsch-Mitzenmacher double hashing) — one md5 per row, not d.
     // Build = ONE map-side-combining shuffle of at most d×w = 256
     // keys regardless of input size; estimates join against the tiny
     // counter table (broadcast). est >= exact always (the CM bound).
     "agg_cms" -> ((s, d) => {
       val D = 4; val W = 64
-      def bucket(j: Int, c: org.apache.spark.sql.Column) =
-        pmod(graft.functions.TextOps.hash32(
-          concat(lit(s"cms$j:"), c.cast("string"))), lit(W))
+      def bucket(j: Int, h: org.apache.spark.sql.Column) =
+        pmod(h * (2 * j + 1) + lit(j * 7919), lit(W))
       val ev = t(s, d, "events")
+        .withColumn("h", graft.functions.TextOps.hash32(
+          concat(lit("cms:"), col("user_id").cast("string"))))
       val counters = ev.select(explode(array((0 until D).map(j =>
-          struct(lit(j).as("j"), bucket(j, col("user_id")).as("b"))): _*)).as("jb"))
+          struct(lit(j).as("j"), bucket(j, col("h")).as("b"))): _*)).as("jb"))
         .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
         .agg(count(lit(1)).as("c"))
-      val probeBuckets = ev.select("user_id").distinct()
+      val probeBuckets = ev.select("user_id", "h").distinct()
         .filter(col("user_id") < 10)
         .select(col("user_id"), explode(array((0 until D).map(j =>
-          struct(lit(j).as("j"), bucket(j, col("user_id")).as("b"))): _*)).as("jb"))
+          struct(lit(j).as("j"), bucket(j, col("h")).as("b"))): _*)).as("jb"))
         .select(col("user_id"), col("jb.j").as("j"), col("jb.b").as("b"))
       val est = probeBuckets.join(broadcast(counters), Seq("j", "b"))
         .groupBy("user_id").agg(min(col("c")).as("est"))
@@ -271,9 +274,11 @@ object AggQueries extends GroupBase {
     // shuffle; no false negatives by construction (spec-asserted).
     "agg_bloom" -> ((s, d) => {
       val K = 3; val BITS = 65536
+      // Kirsch-Mitzenmacher: K bit positions from ONE base hash
       def h(i: Int, c: org.apache.spark.sql.Column) =
         pmod(graft.functions.TextOps.hash32(
-          concat(lit(s"bf$i:"), c.cast("string"))), lit(BITS))
+          concat(lit("bf:"), c.cast("string"))) * (2 * i + 1) + lit(i * 7919),
+          lit(BITS))
       val keys = t(s, d, "orders")
         .filter(col("o_totalprice") > 495000)
         .select(col("o_custkey")).distinct()
@@ -387,13 +392,14 @@ object AggQueries extends GroupBase {
                 FROM agg) x
           ORDER BY event_type""",
     "agg_cms" -> {
-      val h = (j: String) => graft.functions.TextOps.hash32Sql(
-        s"'cms' || $j || ':' || CAST(user_id AS VARCHAR)")
-      s"""WITH jb AS (SELECT user_id, j, ${h("j")} % 64 AS b
+      // Kirsch-Mitzenmacher: row hash j = (h*(2j+1) + j*7919) mod w
+      val h = graft.functions.TextOps.hash32Sql(
+        "'cms:' || CAST(user_id AS VARCHAR)")
+      s"""WITH jb AS (SELECT user_id, j, (($h) * (2*j + 1) + j * 7919) % 64 AS b
                       FROM events CROSS JOIN range(0, 4) r(j)),
           counters AS (SELECT j, b, count(*) AS c FROM jb GROUP BY 1, 2),
           probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
-          pb AS (SELECT user_id, j, ${h("j")} % 64 AS b
+          pb AS (SELECT user_id, j, (($h) * (2*j + 1) + j * 7919) % 64 AS b
                  FROM probes CROSS JOIN range(0, 4) r(j)),
           est AS (SELECT user_id, min(c) AS est
                   FROM pb JOIN counters USING (j, b) GROUP BY 1),
@@ -403,8 +409,8 @@ object AggQueries extends GroupBase {
           ORDER BY user_id"""
     },
     "agg_bloom" -> {
-      val h = (i: Int, e: String) => graft.functions.TextOps.hash32Sql(
-        s"'bf$i:' || CAST($e AS VARCHAR)") + " % 65536"
+      val h = (i: Int, e: String) => "(" + graft.functions.TextOps.hash32Sql(
+        s"'bf:' || CAST($e AS VARCHAR)") + s" * ${2 * i + 1} + ${i * 7919}) % 65536"
       def hashRows(key: String) =
         (0 until 3).map(i => s"SELECT $key AS k, ${h(i, key)} AS hb FROM src")
           .mkString(" UNION ALL ")
