@@ -117,6 +117,28 @@ object RelationalQueries extends GroupBase {
         .orderBy("o_orderkey").limit(100)
     }),
 
+    // PIVOT: long → wide with an EXPLICIT value list (never the
+    // inferred-values form — that adds a driver-side distinct pass
+    // over the corpus before planning)
+    "rel_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // UNPIVOT/melt: wide → long (ids=user_id, values=per-type counts)
+    "rel_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view"))
+        .agg(count(lit(1))).na.fill(0L)
+      wide.unpivot(Array(col("user_id")),
+          Array(col("click"), col("view")), "etype", "cnt")
+        .orderBy("user_id", "etype")
+    }),
+
     // CDC changelog materialization (debezium-json connector shape,
     // TableSQLFunc.scala:1122-1138): events become an op stream
     // (signup=create, error=delete tombstone, rest=update); the
@@ -192,6 +214,25 @@ object RelationalQueries extends GroupBase {
     "rel_zip_index" ->
       """SELECT o_orderkey, CAST((row_number() OVER (ORDER BY o_orderkey)) - 1 AS INT) AS idx
          FROM orders ORDER BY o_orderkey LIMIT 100""",
+    "rel_pivot" ->
+      """SELECT user_id,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "rel_unpivot" ->
+      """WITH wide AS (
+           SELECT user_id,
+                  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+           FROM events GROUP BY user_id)
+         SELECT user_id, etype, cnt FROM (
+           SELECT user_id, 'click' AS etype, click AS cnt FROM wide
+           UNION ALL
+           SELECT user_id, 'view' AS etype, view AS cnt FROM wide)
+         ORDER BY user_id, etype""",
     "rel_cdc_materialize" ->
       """SELECT user_id, op, event_id AS last_event, value AS last_value
          FROM (SELECT user_id, event_id, value,
