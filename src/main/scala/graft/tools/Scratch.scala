@@ -39,6 +39,24 @@ object Scratch {
           col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("inter"))
       time("c_groupby")(grouped.count())
+      // variant: df via groupBy + shuffle-hash join instead of window
+      val base = docs
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs", array_distinct(
+          graft.functions.VectorFunctions.shingleHashes(col("tk"), 3)))
+        .filter(col("hs").isNotNull)
+        .select(col("doc_id"), size(col("hs")).as("n"),
+          explode(col("hs")).as("sh"))
+      val dfc = base.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000)
+      val sh2 = base.join(dfc, "sh")
+      time("d_groupby_df")(sh2.count())
+      val g2 = sh2.as("a").join(sh2.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      time("e_full_variant")(g2.count())
       spark.stop(); return
     }
     val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
