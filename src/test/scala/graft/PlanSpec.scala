@@ -116,4 +116,19 @@ class PlanSpec extends SparkSpec {
       assert(treeScans(p) == 1, s"$q re-scans the corpus: ${treeScans(p)} scans")
     }
   }
+
+  test("sketches: bloom table broadcasts to probes, CMS pre-aggregates map-side") {
+    val pb = plan("agg_bloom")
+    assert(pb.contains("BroadcastExchange"),
+      "bloom filter table not broadcast — probes would shuffle")
+    val pc = plan("agg_cms")
+    assert(pc.contains("partial_count"),
+      "counter build lost its map-side partial aggregation")
+  }
+
+  test("jaccard df-cap join is shuffled-hash on the shingle key") {
+    val p = plan("dd_jaccard")
+    assert(p.contains("ShuffledHashJoin"),
+      "df-cap join regressed from the hinted SHJ (sort cost returns)")
+  }
 }
