@@ -123,6 +123,34 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // bigram-LM quality score (perplexity-filter shape, one level
+    // deeper than text_lm_nll): per-doc mean -ln P(w_i | w_{i-1})
+    // with ML estimates from corpus counts. Context count derives
+    // from the bigram table itself (sum over bigrams sharing the
+    // first token) — no second corpus pass. Both count tables are
+    // vocabulary-sized → broadcast; ln() is transcendental so the
+    // per-doc sum is a sorted fold and rounds to 6.
+    "text_lm_bigram" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("bg",
+          graft.functions.VectorFunctions.shingleStrings(col("tk"), 2))
+        .filter(col("bg").isNotNull)
+      val bgRows = docs.select(col("doc_id"), explode(col("bg")).as("b"))
+      val bgf = bgRows.groupBy("b").agg(count(lit(1)).as("cb"))
+      val ctxf = bgf.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+        .agg(sum(col("cb")).as("cc"))
+      bgRows.join(broadcast(bgf), "b")
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+        .join(broadcast(ctxf), "w1")
+        .select(col("doc_id"),
+          log(col("cb").cast("double") / col("cc").cast("double")).as("lnp"))
+        .groupBy("doc_id")
+        .agg(round(-(aggregate(sort_array(collect_list(col("lnp"))),
+            lit(0.0), (a, v) => a + v) / count(lit(1))), 6).as("nll2"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic train/val/test split (80/10/10) by salted content
     // hash — the reproducible-split primitive of a training pipeline.
     // Hash-mod, not rand(): same rows land in the same split on any
@@ -385,6 +413,23 @@ object TextQueries extends GroupBase {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, ${TextOps.hash32Sql("text")} AS fp32
           FROM documents ORDER BY doc_id""",
+    "text_lm_bigram" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+                 FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                 WHERE i + 1 <= len(tk)),
+          bgf AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+          ctxf AS (SELECT string_split(b, ' ')[1] AS w1, sum(cb) AS cc
+                   FROM bgf GROUP BY 1),
+          lp AS (SELECT doc_id,
+                        ln(CAST(cb AS DOUBLE) / CAST(cc AS DOUBLE)) AS lnp
+                 FROM bg JOIN bgf USING (b)
+                 JOIN ctxf ON string_split(b, ' ')[1] = w1)
+          SELECT doc_id,
+                 round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(array_agg(lnp))), (a, v) -> a + v)
+                   / count(*)), 6) AS nll2
+          FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "text_bpe" ->
       s"""SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
