@@ -330,6 +330,43 @@ object TextQueries extends GroupBase {
           round(col("w_raw") / col("z"), 8).as("weight"))
         .orderBy("source")
     }),
+
+    // heavy hitters via a Misra-Gries bounded sketch (agg/MisraGries):
+    // each partition contributes at most k counters to the shuffle, so
+    // corpus-wide top-token estimation costs O(partitions × k) state —
+    // never O(vocabulary). Capacity 64 exceeds this corpus's
+    // vocabulary, so every count is provably exact (no decrement can
+    // fire) and the result hash-matches the exact DuckDB counts; the
+    // under-capacity error bound is asserted in HeavyHitterSpec.
+    "agg_heavy_hitters" -> ((s, d) => {
+      val mg = udaf(new graft.agg.MisraGries(64), org.apache.spark.sql.Encoders.STRING)
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(explode(col("tk")).as("tok"))
+        .agg(mg(col("tok")).as("mg"))
+        .select(explode(col("mg.counters")).as(Seq("tok", "est")))
+        .orderBy(col("est").desc, col("tok"))
+    }),
+
+    // dataset profiling (the ANALYZE-TABLE primitive of a curation
+    // pipeline): per-column row/null/distinct counts and min/max, in
+    // long format. One scan + a 5× expand + one hash-agg; the exact
+    // count(DISTINCT) is the oracle-checkable form — at 100 TB swap it
+    // for approx_count_distinct and the shape is unchanged.
+    "pipe_profile" -> ((s, d) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      t(s, d, "documents")
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
+        .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("v").isNull, lit(1))).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_s"),
+          max(col("v")).as("max_s"))
+        .orderBy("col_name")
+    }),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -515,5 +552,23 @@ object TextQueries extends GroupBase {
                  CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
                  CAST(sum(length(text)) AS BIGINT) AS n_chars
           FROM kept GROUP BY lang ORDER BY lang""",
+    // capacity 64 > vocabulary, so the MG sketch is exact → the
+    // oracle is plain exact counts
+    "agg_heavy_hitters" ->
+      s"""SELECT tok, count(*) AS est
+          FROM (SELECT unnest($toksSql) AS tok FROM documents)
+          GROUP BY tok ORDER BY est DESC, tok""",
+    "pipe_profile" ->
+      """WITH m AS (
+           SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+           UNION ALL SELECT 'text', text FROM documents
+           UNION ALL SELECT 'lang', lang FROM documents
+           UNION ALL SELECT 'source', source FROM documents
+           UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+         SELECT col_name, count(*) AS n_rows,
+                count(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+                count(DISTINCT v) AS n_distinct,
+                min(v) AS min_s, max(v) AS max_s
+         FROM m GROUP BY 1 ORDER BY 1""",
   )
 }
