@@ -131,4 +131,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"),
       "df-cap join regressed from the hinted SHJ (sort cost returns)")
   }
+
+  test("heavy-hitters sketch aggregates partial+final (O(k) per partition)") {
+    val p = plan("agg_heavy_hitters")
+    // typed Aggregator plans as ObjectHashAggregate with a partial
+    // stage: each partition ships one k-bounded summary, not its rows
+    assert(p.contains("ObjectHashAggregate"),
+      "MG sketch lost its object-hash aggregation")
+    assert(p.contains("partial_misragries") || p.contains("partial_MisraGries") ||
+      p.toLowerCase.contains("partial_misragries"),
+      "MG sketch has no map-side partial — every token row would shuffle")
+  }
 }
