@@ -109,6 +109,24 @@ object AggQueries extends GroupBase {
                   percentile(l_extendedprice, 0.9) AS price_p90
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // quantiles via the mergeable bounded-state histogram sketch
+    // (agg/QuantileHist): each partition ships <= 64 bins instead of
+    // sorting the group — the 100 TB percentile path. Capacity exceeds
+    // l_quantity's 50 distinct values, so the histogram is provably
+    // exact and the interpolation hash-matches quantile_cont; the
+    // under-capacity error is bounded in QuantileHistSpec.
+    "agg_qsketch" -> ((s, d) => {
+      val qh = udaf(new graft.agg.QuantileHist(64, Seq(0.25, 0.5, 0.75, 0.9)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(qh(col("l_quantity")).as("est"))
+        .select(col("l_returnflag"),
+          col("est").getItem(0).as("p25"), col("est").getItem(1).as("p50"),
+          col("est").getItem(2).as("p75"), col("est").getItem(3).as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
     // weighted-average UDAF (TabApiTest WeightedAvg): BigDecimal-exact
     // partials so the distributed merge order can't move the result
     "agg_weighted_avg" -> ((s, d) => {
@@ -364,6 +382,15 @@ object AggQueries extends GroupBase {
                 quantile_cont(l_quantity, 0.5) AS p50,
                 quantile_cont(l_quantity, 0.75) AS p75,
                 quantile_cont(l_extendedprice, 0.9) AS price_p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // sketch capacity > distinct(l_quantity) -> exact histogram -> the
+    // oracle is plain continuous quantiles
+    "agg_qsketch" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75,
+                quantile_cont(l_quantity, 0.9) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_weighted_avg" ->
       """SELECT l_returnflag,
