@@ -63,7 +63,7 @@ object DedupQueries extends GroupBase {
       val dfc = base.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 1000)
       val sh = base.join(dfc.hint("shuffle_hash"), "sh")
-      sh.as("a").join(sh.as("b"),
+      sh.as("a").join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           col("a.n").as("na"), col("b.n").as("nb"))

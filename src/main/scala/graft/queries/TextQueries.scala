@@ -203,7 +203,7 @@ object TextQueries extends GroupBase {
         .filter(col("hs").isNotNull)
         .select(col("doc_id"), size(col("hs")).as("n"),
           explode(col("hs")).as("sh"))
-      val dupB = sh.as("a").join(sh.as("b"),
+      val dupB = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           col("a.n").as("na"), col("b.n").as("nb"))
