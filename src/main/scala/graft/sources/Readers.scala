@@ -30,6 +30,24 @@ object Readers {
   def text(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** ORC scan (columnar, predicate-pushdown + column-pruning capable —
+    * the same vectorized path as parquet for warehouses standardized
+    * on ORC). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Permissive JSON with quarantine: malformed lines land verbatim in
+    * `_corrupt_record` instead of failing the job — the bad-records
+    * path a 100 TB ingest needs (a single corrupt shard must not kill
+    * a 1000-executor run; filter the column to split good/bad). */
+  def jsonPermissive(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** JDBC source (MysqlSource.scala:10-53) with predicate-pushdown-
     * friendly options; partitioned read for parallel scan. */
   def jdbc(spark: SparkSession, url: String, table: String,
@@ -77,6 +95,11 @@ object Writers {
   /** CSV sink (QueryTest.scala:74-83). */
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** ORC sink (columnar filesystem sink, same partitioning story as
+    * parquet). */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** JDBC upsert via staging semantics (PRIMARY KEY NOT ENFORCED,
     * TableSQLFunc.scala:290-316): append new keys, replacing prior

@@ -34,6 +34,39 @@ class FormatsSpec extends SparkSpec {
       df.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("orc sink/source round-trip with pushdown") {
+    val dir = tmp() + "/orc"
+    val df = graft.core.Tables.load(spark, TestSpark.sf0001, "nation")
+    Writers.orc(df, dir)
+    val back = Readers.orc(spark, dir).filter(col("n_regionkey") === 1)
+    // same vectorized columnar path as parquet: the filter reaches the scan
+    val plan = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      "ORC scan lost predicate pushdown")
+    assert(back.count() ==
+      df.filter(col("n_regionkey") === 1).count())
+  }
+
+  test("permissive json quarantines malformed lines, keeps good rows") {
+    val dir = tmp() + "/badjson"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.json"),
+      Seq("""{"k":1,"v":"ok"}""", """{"k":2 BROKEN""", """{"k":3,"v":"fine"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val df = Readers.jsonPermissive(spark, dir, schema).cache()
+    try {
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      val good = df.filter(col("_corrupt_record").isNull)
+      assert(good.count() == 2 && bad.count() == 1)
+      assert(bad.head.getAs[String]("_corrupt_record").contains("BROKEN"))
+      assert(good.select(sum("k")).head.getLong(0) == 4L)
+    } finally df.unpersist()
+  }
+
   test("upsertParquet keeps latest row per key") {
     val s = spark
     import s.implicits._
