@@ -32,6 +32,8 @@ class MisraGries(k: Int) extends Aggregator[String, MgAcc, MgAcc] {
   def zero: MgAcc = MgAcc(Map.empty, 0L)
 
   def reduce(b: MgAcc, x: String): MgAcc = {
+    if (x == null) return b // nulls carry no frequency mass; and a null
+    // key would be illegal in the output MapType anyway
     val c = b.counters
     c.get(x) match {
       case Some(v) => MgAcc(c.updated(x, v + 1), b.n + 1)

@@ -13,6 +13,10 @@ case class CountWindowOut(key: Long, windowSeq: Long, cnt: Long, sum: Double)
 case class AlertOut(key: Long, kind: String, firstTs: Timestamp,
                     lastTs: Timestamp, detail: Double)
 
+/** One LSH band collision: `docId` shares band `band` with the earlier
+  * `firstDocId` (streaming near-dup evidence). */
+case class BandHit(docId: Long, band: Int, firstDocId: Long)
+
 /** Stateful streaming operators (SURVEY §2.11 / §7.2 step 4), each a
   * `flatMapGroupsWithState` over a keyed stream — Spark's analogue of
   * the reference's KeyedProcessFunction + ValueState + timers.
@@ -211,6 +215,70 @@ object StatefulOps {
           else {
             state.update(true)
             events.toSeq.sortBy(e => (e.ts.getTime, e.value)).headOption.iterator
+          }
+      }
+  }
+
+  /** Streaming NEAR-dup detection — the incremental form of
+    * `dd_minhash`: each arriving doc's MinHash signature is split into
+    * LSH bands; state is keyed by (band, band-key) and holds only the
+    * FIRST doc_id that claimed the bucket, so a doc similar to any
+    * previously-seen doc collides in >=1 bucket and is emitted as a
+    * `BandHit` against that original. State is O(1) per distinct band
+    * bucket — at 100 TB/day the store scales with content diversity,
+    * not stream length — and `ttlMs > 0` adds EVENT-time eviction (the
+    * dedup horizon): a bucket unseen for `ttlMs` of event time is
+    * dropped once the watermark passes, so the store is bounded in
+    * time as well. (Event-time, not processing-time: horizons replay
+    * deterministically from history, and no-data micro-batches aren't
+    * hot-looped just to poll wall-clock timers.) Eviction is
+    * batch-granular: a collision arriving in the same micro-batch
+    * that would expire its bucket still matches.
+    * In-batch ties resolve to the lowest doc_id (deterministic).
+    * Consumers wanting a per-doc verdict aggregate hits downstream
+    * (any hit -> near-dup of `firstDocId`). */
+  def nearDupStream(docs: Dataset[(Long, String, Timestamp)],
+                    ttlMs: Long = 0L,
+                    watermarkDelay: String = "0 seconds"): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val B = 4; val R = 4
+    val bandArr = array((0 until B).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until R).map(r =>
+          element_at(col("ms"), b * R + r + 1)): _*).as("bkey"))): _*)
+    val bands0 = docs.toDF("docId", "text", "ts")
+      .withColumn("tk", graft.functions.TextOps.tokens(col("text")))
+      .withColumn("ms", graft.functions.VectorFunctions.shingleMinhash(col("tk"), 3))
+      .filter(col("ms").isNotNull)
+      .withColumn("bb", explode(bandArr))
+      .select(col("docId"), col("ts"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+    val bands =
+      (if (ttlMs > 0) bands0.withWatermark("ts", watermarkDelay) else bands0)
+        .as[(Long, Timestamp, Int, String)]
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bands.groupByKey(r => s"${r._3}:${r._4}")
+      .flatMapGroupsWithState[Long, BandHit](OutputMode.Append(), timeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(_._1)
+            val first = state.getOption.getOrElse(sorted.head._1)
+            if (!state.exists) state.update(first)
+            if (ttlMs > 0) {
+              // re-arm on every sighting: the horizon slides from the
+              // bucket's latest event, and must stay above the watermark
+              val maxTs = sorted.map(_._2.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+            }
+            sorted.collect { case (id, _, band, _) if id != first =>
+              BandHit(id, band, first)
+            }.iterator
           }
       }
   }

@@ -26,6 +26,17 @@ class HeavyHitterSpec extends SparkSpec {
     }
   }
 
+  test("null inputs are ignored, not counted or crashed on") {
+    val s = spark
+    import s.implicits._
+    val mg = udaf(new graft.agg.MisraGries(8), Encoders.STRING)
+    val out = Seq("a", null, "a", null, "b").toDF("x")
+      .agg(mg(col("x")).as("mg"))
+      .select(explode(col("mg.counters"))).as[(String, Long)]
+      .collect().toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("under capacity: underestimates within n/(k+1); heavy keys survive") {
     val s = spark
     import s.implicits._
