@@ -331,6 +331,23 @@ object TextQueries extends GroupBase {
         .orderBy("source")
     }),
 
+    // fixed-size overlapping token chunks (training-sequence windowing:
+    // context size 32, stride 24). Pure per-row explode — no shuffle
+    // beyond the output sort; chunk count rides the token array, so a
+    // 100 TB corpus chunks in one embarrassingly-parallel scan.
+    "pipe_chunk" -> ((s, d) => {
+      val SIZE = 32; val STRIDE = 24
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("s", explode(sequence(lit(0),
+          greatest(size(col("tk")) - 1, lit(0)), lit(STRIDE))))
+        .select(col("doc_id"),
+          (col("s") / STRIDE).cast("int").as("chunk_idx"),
+          size(slice(col("tk"), col("s") + 1, lit(SIZE))).as("n_tok"),
+          concat_ws(" ", slice(col("tk"), col("s") + 1, lit(SIZE))).as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // heavy hitters via a Misra-Gries bounded sketch (agg/MisraGries):
     // each partition contributes at most k counters to the shuffle, so
     // corpus-wide top-token estimation costs O(partitions × k) state —
@@ -552,6 +569,13 @@ object TextQueries extends GroupBase {
                  CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
                  CAST(sum(length(text)) AS BIGINT) AS n_chars
           FROM kept GROUP BY lang ORDER BY lang""",
+    "pipe_chunk" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents)
+          SELECT doc_id, CAST(s / 24 AS INT) AS chunk_idx,
+                 CAST(len(tk[s+1 : s+32]) AS INT) AS n_tok,
+                 array_to_string(tk[s+1 : s+32], ' ') AS chunk
+          FROM d, LATERAL (SELECT unnest(range(0, greatest(len(tk), 1), 24)) AS s) r
+          ORDER BY doc_id, chunk_idx""",
     // capacity 64 > vocabulary, so the MG sketch is exact → the
     // oracle is plain exact counts
     "agg_heavy_hitters" ->
