@@ -331,6 +331,34 @@ object TextQueries extends GroupBase {
         .orderBy("source")
     }),
 
+    // model-based quality filter: logistic scoring over the
+    // text_quality features with FIXED published weights — the
+    // "fasttext-style classifier gate" shape of a curation pipeline
+    // (feature extract → w·x → sigmoid → threshold), all per-row
+    // expressions so inference is an embarrassingly-parallel scan. At
+    // 100 TB the weights ride the closure (or a broadcast var for real
+    // models); nothing shuffles until the output sort. Features use
+    // the decimal-exact ratio forms (cross-engine bit-equal); sigmoid
+    // is transcendental → round(6) on both sides.
+    "pipe_classify" -> ((s, d) => {
+      val toks = col("tk")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
+      val stopRatio = (nStop.cast("decimal(18,8)") /
+        nTok.cast("decimal(18,8)")).cast("double")
+      val ttr = (size(array_distinct(toks)).cast("decimal(18,8)") /
+        nTok.cast("decimal(18,8)")).cast("double")
+      val lenN = nTok.cast("double") / lit(100.0)
+      val z = lit(-0.8) + lit(2.5) * stopRatio +
+        lit(-1.2) * ttr + lit(0.9) * lenN
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+        .withColumn("keep", col("score") >= 0.4)
+        .orderBy("doc_id")
+    }),
+
     // fixed-size overlapping token chunks (training-sequence windowing:
     // context size 32, stride 24). Pure per-row explode — no shuffle
     // beyond the output sort; chunk count rides the token array, so a
@@ -569,6 +597,25 @@ object TextQueries extends GroupBase {
                  CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
                  CAST(sum(length(text)) AS BIGINT) AS n_chars
           FROM kept GROUP BY lang ORDER BY lang""",
+    "pipe_classify" ->
+      s"""WITH f AS (
+            SELECT doc_id,
+              CAST(CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t)))
+                        AS DECIMAL(18,8))
+                   / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS sr,
+              CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
+                   / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS ttr,
+              CAST(len($toksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS ln
+            FROM documents),
+          z AS (SELECT doc_id,
+                  CAST(-0.8 AS DOUBLE) + CAST(2.5 AS DOUBLE) * sr
+                    + CAST(-1.2 AS DOUBLE) * ttr
+                    + CAST(0.9 AS DOUBLE) * ln AS z
+                FROM f)
+          SELECT doc_id,
+                 round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z)), 6) AS score,
+                 round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z)), 6) >= CAST(0.4 AS DOUBLE) AS keep
+          FROM z ORDER BY doc_id""",
     "pipe_chunk" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents)
           SELECT doc_id, CAST(s / 24 AS INT) AS chunk_idx,
