@@ -331,6 +331,31 @@ object TextQueries extends GroupBase {
         .orderBy("source")
     }),
 
+    // sequence packing (concat-then-split, ctx=256): documents are
+    // laid end-to-end in deterministic (lang, doc_id) order and the
+    // stream of tokens is cut every 256 — each doc's sequence is the
+    // one its START offset falls in. The running offset is a window
+    // cumsum PARTITIONED BY lang, so packing parallelizes across
+    // languages (at 100 TB partition by shard/split key: the cumsum
+    // is per-partition, never global). Output is per-sequence
+    // bookkeeping (fill stats), the metadata a packed-dataset writer
+    // needs.
+    "pipe_pack" -> ((s, d) => {
+      val CTX = 256
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("ofs", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("seq_id", floor(col("ofs") / lit(CTX)).cast("long"))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "seq_id")
+    }),
+
     // model-based quality filter: logistic scoring over the
     // text_quality features with FIXED published weights — the
     // "fasttext-style classifier gate" shape of a curation pipeline
@@ -597,6 +622,19 @@ object TextQueries extends GroupBase {
                  CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
                  CAST(sum(length(text)) AS BIGINT) AS n_chars
           FROM kept GROUP BY lang ORDER BY lang""",
+    "pipe_pack" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                            CAST(len($toksSql) AS BIGINT) AS n_tok
+                     FROM documents),
+          o AS (SELECT doc_id, lang, n_tok,
+                       CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         - n_tok AS ofs
+                FROM d)
+          SELECT lang, CAST(floor(ofs / 256) AS BIGINT) AS seq_id,
+                 count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM o GROUP BY 1, 2 ORDER BY lang, seq_id""",
     "pipe_classify" ->
       s"""WITH f AS (
             SELECT doc_id,

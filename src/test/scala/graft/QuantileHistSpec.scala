@@ -49,6 +49,26 @@ class QuantileHistSpec extends SparkSpec {
     }
   }
 
+  test("streaming quantiles: complete-mode agg over batches, exact at capacity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val qh = udaf(new graft.agg.QuantileHist(32, Seq(0.5)), Encoders.scalaDouble)
+    val q = in.toDF().toDF("v")
+      .agg(qh(col("v")).as("est"))
+      .writeStream.format("memory").queryName("qh_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(1.0, 2.0, 3.0)
+      q.processAllAvailable()
+      in.addData(4.0, 5.0)
+      q.processAllAvailable()
+      val med = s.table("qh_stream").head.getSeq[Double](0).head
+      assert(med == 3.0) // exact median of 1..5
+    } finally q.stop()
+  }
+
   test("mass conservation and bin bound survive deep merge trees") {
     val s = spark
     import s.implicits._
