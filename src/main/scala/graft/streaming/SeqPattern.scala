@@ -117,127 +117,186 @@ object SeqPattern {
       .flatMapGroupsWithState[PartialSet, MatchOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, events, state: GroupState[PartialSet]) =>
-          var partials = state.getOption.map(_.xs).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[MatchOut]
-          val seen = scala.collection.mutable.Set.empty[List[Long]]
-          // identical tss = identical matched rows: emit once even when
-          // several optional-skip branches carry the same match
-          def emit(p: Partial): Unit = if (seen.add(p.tss)) {
-            out += MatchOut(key, toTimestamp(p.tss.head),
-              toTimestamp(p.tss.last), p.vals)
-          }
-          // accepting = every remaining step can be skipped (a trailing
-          // quantifier has already met its required minimum); a pending
-          // negative guard does NOT make a state accepting
-          def accepting(p: Partial): Boolean =
-            (p.stepIdx until stepsB.length).forall(stepsB(_).optional)
-          // NFA branching: from step `from`, an event may match that
-          // step, or — when steps are optional — any step reachable by
-          // skipping a prefix of optional steps (one branch per hit).
-          // A negative guard at the frontier never consumes: an event
-          // matching it kills the partial (killed=true); otherwise the
-          // scan continues past it.
-          def matchIdxs(from: Int, e: KeyedEvent,
-                        prefix: Seq[Double]): (List[Int], Boolean) = {
-            val hits = scala.collection.mutable.ListBuffer.empty[Int]
-            var j = from
-            var scanning = true
-            var killed = false
-            while (scanning && j < stepsB.length) {
-              val st = stepsB(j)
-              if (st.negated) {
-                if (st.matches(e, prefix)) { killed = true; scanning = false }
-                else j += 1
-              } else {
-                if (st.matches(e, prefix)) hits += j
-                if (st.optional) j += 1 else scanning = false
-              }
-            }
-            (hits.toList, killed)
-          }
-          // WITHIN horizon in µs; clamp so an effectively-unbounded
-          // horizon (MrParser default) cannot overflow the multiply.
-          val withinUs =
-            if (withinMs > Long.MaxValue / 2000) Long.MaxValue / 2
-            else withinMs * 1000L
-          events.toSeq.sortBy(e => (micros(e.ts), e.value)).foreach { e =>
-            val t = micros(e.ts)
-            // prune expired partials; a greedy accepting partial that
-            // expires has reached its final extent — emit it
-            val (kept, expired) = partials.partition(p => t - p.tss.head <= withinUs)
-            if (greedy) expired.filter(accepting).foreach(emit)
-            partials = kept
-            // advance existing partials. Branch priority: positive
-            // consumption branches (hits BEFORE any tripped guard)
-            // survive; the non-consuming continuation dies if the
-            // event tripped a negative guard at its frontier.
-            val advanced = partials.flatMap { p =>
-              val (hits, killed) = matchIdxs(p.stepIdx, e, p.vals)
-              if (hits.nonEmpty)
-                hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value))
-              else if (killed) Nil // negative guard violated: partial dies
-              else if (strict) { // strict contiguity: chain broken
-                if (greedy && accepting(p)) emit(p) // final extent reached
-                Nil
-              }
-              else List(p)         // relaxed: partial survives
-            }
-            // start new partials from step 0 (and optional-skipped starts)
-            val started =
-              matchIdxs(0, e, Nil)._1.map(j => Partial(j + 1, List(t), List(e.value)))
-            val candidates = (advanced ++ started)
-              .distinctBy(p => (p.stepIdx, p.tss))
-            // greedy completes only past the last step (longest extent)
-            // AND only when no branch over the same matched rows can
-            // still extend (optional-skip branches duplicate one match
-            // at several NFA positions; the least-committed sibling
-            // keeps extending and the flushes emit it if input stalls);
-            // reluctant completes at the first accepting state (shortest)
-            val (complete, live) =
-              if (greedy) {
-                val byTss = candidates.groupBy(_.tss)
-                val c = candidates.filter(p => p.stepIdx >= stepsB.length &&
-                  byTss(p.tss).forall(_.stepIdx >= stepsB.length))
-                (c, candidates.filterNot(c.contains))
-              } else candidates.partition(accepting)
-            if (complete.nonEmpty) {
-              // leftmost-match priority: one candidate per start row,
-              // longest/shortest extent within the start
-              val picks = complete.groupBy(_.tss.head).toSeq.sortBy(_._1)
-                .map { case (_, g) =>
-                  if (greedy) g.maxBy(_.vals.length) else g.minBy(_.vals.length) }
-              (skip match {
-                // simultaneous completions all contain the current row,
-                // so they overlap: leftmost start only
-                case SkipPastLastRow => picks.take(1)
-                case _               => picks
-              }).foreach(emit)
-            }
-            // AFTER MATCH skip strategy
-            partials =
-              if (complete.isEmpty) live
-              else skip match {
-                case SkipPastLastRow => Nil
-                case SkipToNext =>
-                  val firstTs = complete.map(_.tss.head).min
-                  live.filter(_.tss.head > firstTs)
-                case NoSkip => live
-              }
-          }
-          if (flushEnd && greedy) {
-            // end-of-input: accepting partials are final; scan starts
-            // left to right, suppressing overlaps under SkipPastLastRow
-            var lastEnd = Long.MinValue
-            partials.filter(accepting).groupBy(_.tss.head).toSeq.sortBy(_._1)
-              .map { case (_, g) => g.maxBy(_.vals.length) }
-              .foreach { p =>
-                if (skip != SkipPastLastRow || p.tss.head > lastEnd) {
-                  emit(p); lastEnd = math.max(lastEnd, p.tss.last)
-                }
-              }
-          }
-          state.update(PartialSet(partials))
-          out.iterator
+          val nfa = new Nfa(key, stepsB, withinMs, strict, skip, greedy)
+          nfa.partials = state.getOption.map(_.xs).getOrElse(Nil)
+          events.toSeq.sortBy(e => (micros(e.ts), e.value)).foreach(nfa.step)
+          if (flushEnd && greedy) nfa.endFlush()
+          state.update(PartialSet(nfa.partials))
+          nfa.out.iterator
       }
+  }
+
+  /** Buffered state for the watermark-ordered runner: not-yet-mature
+    * events + live partials. */
+  case class CepBuf(pending: List[KeyedEvent], partials: List[Partial])
+
+  /** Event-time-ORDERED pattern detection: events buffer per key until
+    * the watermark passes their timestamp, then feed the NFA in
+    * (ts, value) order — so out-of-order arrival ACROSS micro-batches
+    * cannot corrupt contiguity, WITHIN horizons, or aggregate DEFINE
+    * prefixes (plain `detect` replays each batch in arrival order,
+    * which is only correct for in-order streams). This is the
+    * reference CEP library's event-time contract (NFA consumes by
+    * event time, buffering out-of-order rows until the watermark).
+    *
+    * Requires `withWatermark(...)` on the input; rows later than the
+    * watermark are dropped upstream by Spark (the accepted late-data
+    * deviation, SURVEY §7.5). State per key is bounded: the pending
+    * buffer by watermark-delay density, the partial set by the
+    * `within` horizon — both independent of stream length. */
+  def detectOrdered(ds: Dataset[KeyedEvent], steps: Seq[Step], withinMs: Long,
+                    strict: Boolean, skip: Skip = SkipPastLastRow,
+                    greedy: Boolean = true): Dataset[MatchOut] = {
+    import ds.sparkSession.implicits._
+    val stepsB = expand(steps)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CepBuf, MatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, events, state: GroupState[CepBuf]) =>
+          val st = state.getOption.getOrElse(CepBuf(Nil, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val (mature, pending) =
+            (st.pending ++ events).partition(_.ts.getTime <= wmMs)
+          val nfa = new Nfa(key, stepsB, withinMs, strict, skip, greedy)
+          nfa.partials = st.partials
+          mature.sortBy(e => (micros(e.ts), e.value)).foreach(nfa.step)
+          state.update(CepBuf(pending, nfa.partials))
+          nfa.out.iterator
+      }
+  }
+
+  /** The per-key NFA interpreter, shared by `detect` (arrival-order)
+    * and `detectOrdered` (watermark-ordered). One instance per
+    * flatMapGroupsWithState invocation; `partials` is restored from /
+    * saved to group state around it and `out` collects emissions. */
+  private final class Nfa(key: Long, stepsB: IndexedSeq[Step], withinMs: Long,
+                          strict: Boolean, skip: Skip, greedy: Boolean) {
+    var partials: List[Partial] = Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[MatchOut]
+    // identical tss = identical matched rows: emit once even when
+    // several optional-skip branches carry the same match
+    private val seen = scala.collection.mutable.Set.empty[List[Long]]
+    // WITHIN horizon in µs; clamp so an effectively-unbounded horizon
+    // (MrParser default) cannot overflow the multiply.
+    private val withinUs =
+      if (withinMs > Long.MaxValue / 2000) Long.MaxValue / 2
+      else withinMs * 1000L
+
+    private def emit(p: Partial): Unit = if (seen.add(p.tss)) {
+      out += MatchOut(key, toTimestamp(p.tss.head),
+        toTimestamp(p.tss.last), p.vals)
+    }
+
+    // accepting = every remaining step can be skipped (a trailing
+    // quantifier has already met its required minimum); a pending
+    // negative guard does NOT make a state accepting
+    private def accepting(p: Partial): Boolean =
+      (p.stepIdx until stepsB.length).forall(stepsB(_).optional)
+
+    // NFA branching: from step `from`, an event may match that step,
+    // or — when steps are optional — any step reachable by skipping a
+    // prefix of optional steps (one branch per hit). A negative guard
+    // at the frontier never consumes: an event matching it kills the
+    // partial (killed=true); otherwise the scan continues past it.
+    private def matchIdxs(from: Int, e: KeyedEvent,
+                          prefix: Seq[Double]): (List[Int], Boolean) = {
+      val hits = scala.collection.mutable.ListBuffer.empty[Int]
+      var j = from
+      var scanning = true
+      var killed = false
+      while (scanning && j < stepsB.length) {
+        val st = stepsB(j)
+        if (st.negated) {
+          if (st.matches(e, prefix)) { killed = true; scanning = false }
+          else j += 1
+        } else {
+          if (st.matches(e, prefix)) hits += j
+          if (st.optional) j += 1 else scanning = false
+        }
+      }
+      (hits.toList, killed)
+    }
+
+    /** Consume one event (callers feed events in the order that defines
+      * the pattern semantics — sorted within batch for `detect`, fully
+      * watermark-ordered for `detectOrdered`). */
+    def step(e: KeyedEvent): Unit = {
+      val t = micros(e.ts)
+      // prune expired partials; a greedy accepting partial that
+      // expires has reached its final extent — emit it
+      val (kept, expired) = partials.partition(p => t - p.tss.head <= withinUs)
+      if (greedy) expired.filter(accepting).foreach(emit)
+      partials = kept
+      // advance existing partials. Branch priority: positive
+      // consumption branches (hits BEFORE any tripped guard) survive;
+      // the non-consuming continuation dies if the event tripped a
+      // negative guard at its frontier.
+      val advanced = partials.flatMap { p =>
+        val (hits, killed) = matchIdxs(p.stepIdx, e, p.vals)
+        if (hits.nonEmpty)
+          hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value))
+        else if (killed) Nil // negative guard violated: partial dies
+        else if (strict) { // strict contiguity: chain broken
+          if (greedy && accepting(p)) emit(p) // final extent reached
+          Nil
+        }
+        else List(p)         // relaxed: partial survives
+      }
+      // start new partials from step 0 (and optional-skipped starts)
+      val started =
+        matchIdxs(0, e, Nil)._1.map(j => Partial(j + 1, List(t), List(e.value)))
+      val candidates = (advanced ++ started)
+        .distinctBy(p => (p.stepIdx, p.tss))
+      // greedy completes only past the last step (longest extent)
+      // AND only when no branch over the same matched rows can
+      // still extend (optional-skip branches duplicate one match
+      // at several NFA positions; the least-committed sibling
+      // keeps extending and the flushes emit it if input stalls);
+      // reluctant completes at the first accepting state (shortest)
+      val (complete, live) =
+        if (greedy) {
+          val byTss = candidates.groupBy(_.tss)
+          val c = candidates.filter(p => p.stepIdx >= stepsB.length &&
+            byTss(p.tss).forall(_.stepIdx >= stepsB.length))
+          (c, candidates.filterNot(c.contains))
+        } else candidates.partition(accepting)
+      if (complete.nonEmpty) {
+        // leftmost-match priority: one candidate per start row,
+        // longest/shortest extent within the start
+        val picks = complete.groupBy(_.tss.head).toSeq.sortBy(_._1)
+          .map { case (_, g) =>
+            if (greedy) g.maxBy(_.vals.length) else g.minBy(_.vals.length) }
+        (skip match {
+          // simultaneous completions all contain the current row,
+          // so they overlap: leftmost start only
+          case SkipPastLastRow => picks.take(1)
+          case _               => picks
+        }).foreach(emit)
+      }
+      // AFTER MATCH skip strategy
+      partials =
+        if (complete.isEmpty) live
+        else skip match {
+          case SkipPastLastRow => Nil
+          case SkipToNext =>
+            val firstTs = complete.map(_.tss.head).min
+            live.filter(_.tss.head > firstTs)
+          case NoSkip => live
+        }
+    }
+
+    /** End-of-input flush (BATCH runs only): accepting partials are
+      * final; scan starts left to right, suppressing overlaps under
+      * SkipPastLastRow. */
+    def endFlush(): Unit = {
+      var lastEnd = Long.MinValue
+      partials.filter(accepting).groupBy(_.tss.head).toSeq.sortBy(_._1)
+        .map { case (_, g) => g.maxBy(_.vals.length) }
+        .foreach { p =>
+          if (skip != SkipPastLastRow || p.tss.head > lastEnd) {
+            emit(p); lastEnd = math.max(lastEnd, p.tss.last)
+          }
+        }
+    }
   }
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Watermark-ordered CEP (SeqPattern.detectOrdered): out-of-order
+  * arrival across micro-batches must not corrupt the pattern. */
+class OrderedCepSpec extends SparkSpec {
+
+  import SeqPattern._
+
+  // 3 consecutive login failures within 10 s (the reference's
+  // login-fail scenario), STRICT contiguity
+  private val steps = Seq(
+    Step("f1", Set("fail")), Step("f2", Set("fail")), Step("f3", Set("fail")))
+
+  private def run(batches: Seq[Seq[KeyedEvent]]): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val wm = in.toDS().withWatermark("ts", "5 seconds").as[KeyedEvent]
+    val name = s"cep_${batches.hashCode.abs}"
+    val q = SeqPattern.detectOrdered(wm, steps, withinMs = 10000L, strict = true)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime)).toSeq
+    } finally q.stop()
+  }
+
+  test("out-of-order fail arrives in a later batch, match still found") {
+    // fails at t=1,3 arrive first; the t=2 fail arrives NEXT batch
+    // (within the 5 s watermark delay). Arrival order 1,3,2 would
+    // break strict contiguity; event-time order 1,2,3 matches.
+    val out = run(Seq(
+      Seq(KeyedEvent(7L, ts(1000L), "fail", 1), KeyedEvent(7L, ts(3000L), "fail", 1)),
+      Seq(KeyedEvent(7L, ts(2000L), "fail", 1), KeyedEvent(7L, ts(20000L), "ok", 0)),
+      Seq(KeyedEvent(7L, ts(40000L), "ok", 0)))) // advances wm past the fails
+    assert(out == Seq((7L, 1000L, 3000L)),
+      s"expected the reordered 1-2-3 fail run, got $out")
+  }
+
+  test("an interleaved success event (late-arriving) breaks the strict chain") {
+    val out = run(Seq(
+      Seq(KeyedEvent(8L, ts(1000L), "fail", 1), KeyedEvent(8L, ts(3000L), "fail", 1)),
+      Seq(KeyedEvent(8L, ts(2000L), "ok", 0), KeyedEvent(8L, ts(20000L), "ok", 0)),
+      Seq(KeyedEvent(8L, ts(40000L), "ok", 0))))
+    assert(out.isEmpty, s"strict chain should be broken by the t=2 success: $out")
+  }
+
+  test("events beyond the watermark stay buffered, not fed early") {
+    // only one batch: watermark stays at -inf after it, nothing mature
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val wm = in.toDS().withWatermark("ts", "5 seconds").as[KeyedEvent]
+    val q = SeqPattern.detectOrdered(wm, steps, 10000L, strict = true)
+      .writeStream.format("memory").queryName("cep_buf")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        KeyedEvent(9L, ts(1000L), "fail", 1), KeyedEvent(9L, ts(2000L), "fail", 1),
+        KeyedEvent(9L, ts(3000L), "fail", 1))
+      q.processAllAvailable()
+      assert(spark.table("cep_buf").count() == 0,
+        "events emitted before the watermark matured them")
+      in.addData(KeyedEvent(9L, ts(30000L), "ok", 0)) // wm -> 25000
+      q.processAllAvailable()
+      in.addData(KeyedEvent(9L, ts(31000L), "ok", 0)) // trigger with wm past fails
+      q.processAllAvailable()
+      assert(spark.table("cep_buf").count() == 1)
+    } finally q.stop()
+  }
+}
