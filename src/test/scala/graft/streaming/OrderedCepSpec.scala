@@ -52,6 +52,37 @@ class OrderedCepSpec extends SparkSpec {
     assert(out.isEmpty, s"strict chain should be broken by the t=2 success: $out")
   }
 
+  test("streaming MATCH_RECOGNIZE: parsed pattern text over an out-of-order stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // same pattern family as the batch pat_mr query
+    val pat = MrParser.parse(
+      "PATTERN (S E{2}) WITHIN 10 SECONDS " +
+      "DEFINE S AS kind = 'signup', E AS kind = 'error'")
+    val in = MemoryStream[KeyedEvent]
+    val wm = in.toDS().withWatermark("ts", "5 seconds").as[KeyedEvent]
+    val q = SeqPattern.detectOrdered(wm, pat.steps, pat.withinMs,
+        strict = true, pat.skip, pat.greedy)
+      .writeStream.format("memory").queryName("cep_mr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // signup and second error first; first error arrives a batch late
+      in.addData(KeyedEvent(3L, ts(1000L), "signup", 0),
+        KeyedEvent(3L, ts(4000L), "error", 2))
+      q.processAllAvailable()
+      in.addData(KeyedEvent(3L, ts(2000L), "error", 1),
+        KeyedEvent(3L, ts(20000L), "ok", 0))
+      q.processAllAvailable()
+      in.addData(KeyedEvent(3L, ts(40000L), "ok", 0))
+      q.processAllAvailable()
+      val out = spark.table("cep_mr").collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+      assert(out.toSeq == Seq((3L, 1000L, 4000L)),
+        s"expected signup(1s)->error(2s)->error(4s), got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("events beyond the watermark stay buffered, not fed early") {
     // only one batch: watermark stays at -inf after it, nothing mature
     val s = spark
