@@ -36,6 +36,18 @@ object Readers {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Raw media/blob ingestion (`binaryFile`): one row per file with
+    * (path, modificationTime, length, content) — the lake-side entry
+    * point of the multimodal pipeline (content feeds
+    * MultimodalOps.decodeFeatures). `pathGlobFilter` prunes by
+    * extension BEFORE reading bytes; at 100 TB pair it with
+    * `spark.sql.files.maxPartitionBytes` so a partition holds a
+    * bounded number of blobs. */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+
   /** Permissive JSON with quarantine: malformed lines land verbatim in
     * `_corrupt_record` instead of failing the job — the bad-records
     * path a 100 TB ingest needs (a single corrupt shard must not kill

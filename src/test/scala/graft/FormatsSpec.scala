@@ -48,6 +48,29 @@ class FormatsSpec extends SparkSpec {
       df.filter(col("n_regionkey") === 1).count())
   }
 
+  test("binaryFile source: glob-pruned blob rows feed the decode pipeline") {
+    val dir = tmp() + "/blobs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    for (i <- 0 until 3)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"img_$i.bin"),
+        Array.fill[Byte](16 + i)(i.toByte))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "skip.txt"),
+      "not a blob".getBytes("UTF-8"))
+    val blobs = Readers.binaryFiles(spark, dir, glob = "*.bin")
+    assert(blobs.count() == 3, "glob filter should exclude skip.txt")
+    assert(blobs.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    // bytes flow into the multimodal decode plumbing unchanged
+    val feats = MultimodalOps.decodeFeatures(
+      blobs.select(
+        monotonically_increasing_id().as("doc_id"),
+        lit("image").as("mtype"),
+        col("content").as("payload")))
+    assert(feats.count() == 3)
+    val lens = blobs.select("length").collect().map(_.getLong(0)).sorted
+    assert(lens.sameElements(Array(16L, 17L, 18L)))
+  }
+
   test("permissive json quarantines malformed lines, keeps good rows") {
     val dir = tmp() + "/badjson"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
