@@ -27,29 +27,35 @@ object PlanAudit {
     "emb_knn", "emb_ivf_assign", "emb_ivf_knn", "emb_kmeans", "emb_pq",
     "emb_semdedup", "join_cross", "text_lm_nll", "text_tfidf")
 
+  /** Audit every registered query's plan at `d`; returns the flagged
+    * (name, flags) pairs. Shared by the CLI main and the PlanSpec
+    * regression test. */
+  def audit(spark: org.apache.spark.sql.SparkSession,
+            d: String): Seq[(String, Seq[String])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val flags =
+        try {
+          val p = fn(spark, d).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          Seq(
+            "CARTESIAN" -> p.contains("CartesianProduct"),
+            "BNLJ" -> (p.contains("BroadcastNestedLoopJoin") &&
+              !expectedBnlj.contains(name)),
+            "GLOBALWIN" -> p.linesIterator.exists(l =>
+              l.contains("Window") && l.contains("partitionBy=[]")),
+            "NOPUSH" -> (p.contains("PushedFilters: []") &&
+              p.contains("DataFilters: [") && !p.contains("DataFilters: []"))
+          ).collect { case (f, true) => f }
+        } catch { case e: Throwable => Seq(s"ERROR ${e.getMessage}") }
+      if (flags.nonEmpty) Some(name -> flags) else None
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("graft-planaudit")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    var flagged = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val p = fn(spark, d).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        val flags = Seq(
-          "CARTESIAN" -> p.contains("CartesianProduct"),
-          "BNLJ" -> (p.contains("BroadcastNestedLoopJoin") &&
-            !expectedBnlj.contains(name)),
-          "GLOBALWIN" -> p.linesIterator.exists(l =>
-            l.contains("Window") && l.contains("partitionBy=[]")),
-          "NOPUSH" -> (p.contains("PushedFilters: []") &&
-            p.contains("DataFilters: [") && !p.contains("DataFilters: []"))
-        ).collect { case (f, true) => f }
-        if (flags.nonEmpty) { flagged += 1; println(s"[audit] $name: ${flags.mkString(",")}") }
-      } catch { case e: Throwable =>
-        println(s"[audit] $name: ERROR ${e.getMessage}")
-      }
-    }
-    println(s"[audit] done: $flagged/${SparkEntry.queries.size} flagged")
+    val flagged = audit(spark, d)
+    flagged.foreach { case (n, fs) => println(s"[audit] $n: ${fs.mkString(",")}") }
+    println(s"[audit] done: ${flagged.size}/${SparkEntry.queries.size} flagged")
     spark.stop()
   }
 }

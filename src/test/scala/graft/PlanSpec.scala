@@ -132,6 +132,12 @@ class PlanSpec extends SparkSpec {
       "df-cap join regressed from the hinted SHJ (sort cost returns)")
   }
 
+  test("whole-catalog audit: no unexpected cartesian/BNLJ/global-window/no-pushdown") {
+    val flagged = graft.tools.PlanAudit.audit(spark, d)
+    assert(flagged.isEmpty,
+      flagged.map { case (n, fs) => s"$n: ${fs.mkString(",")}" }.mkString("; "))
+  }
+
   test("heavy-hitters sketch aggregates partial+final (O(k) per partition)") {
     val p = plan("agg_heavy_hitters")
     // typed Aggregator plans as ObjectHashAggregate with a partial
