@@ -122,6 +122,26 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Highest occurrence count of any single token — one hashmap pass
+    * per row, replacing an explode + (doc, tok) hash-agg + re-agg
+    * (two shuffles over one row per TOKEN) with a pure projection.
+    * Exactly the `max(count per token)` the Gopher top-token-fraction
+    * signal needs. 0 for an empty array. */
+  def topTokenCount(toks: ArrayData): Int = {
+    val len = toks.numElements()
+    if (len == 0) return 0
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](len * 2)
+    var best = 0
+    var i = 0
+    while (i < len) {
+      val c = counts.merge(toks.getUTF8String(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+      if (c.intValue() > best) best = c.intValue()
+      i += 1
+    }
+    best
+  }
+
   /** 32-bit SimHash over DISTINCT shingle hashes, packed as a long. */
   def simhash(toks: ArrayData, n: Int): java.lang.Long = {
     if (toks.numElements() < n) return null
@@ -244,5 +264,28 @@ case class ShingleSimHash(child: Expression, n: Int) extends ShingleKernelExpr {
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleSimHash =
+    copy(child = c)
+}
+
+/** `token_topcount(tokens)` → INT max per-token occurrence count —
+  * turns the repetition signal's explode + two-level hash-agg into a
+  * per-row kernel (see HashKernels.topTokenCount). */
+case class TokenTopCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> tokens")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "token_topcount"
+
+  override def nullSafeEval(toks: Any): Any =
+    HashKernels.topTokenCount(toks.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.topTokenCount($a);")
+
+  override protected def withNewChildInternal(c: Expression): TokenTopCount =
     copy(child = c)
 }

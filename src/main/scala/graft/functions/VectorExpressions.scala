@@ -103,6 +103,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new FunctionIdentifier("shingle_simhash"),
       new ExpressionInfo(classOf[ShingleSimHash].getName, "shingle_simhash"),
       (args: Seq[Expression]) => ShingleSimHash(args(0), litInt(args(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_topcount"),
+      new ExpressionInfo(classOf[TokenTopCount].getName, "token_topcount"),
+      (args: Seq[Expression]) => TokenTopCount(args(0))))
     ext.injectOptimizerRule(_ => graft.plans.ExistsRewriteRule)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectParser((session, delegate) =>
@@ -135,4 +139,8 @@ object VectorFunctions {
   /** Codegen'd h32 hashes of all word n-gram shingles (single pass). */
   def shingleHashes(toks: Column, n: Int): Column =
     call_function("shingle_hashes", toks, org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd max per-token occurrence count (single hashmap pass). */
+  def tokenTopCount(toks: Column): Column =
+    call_function("token_topcount", toks)
 }

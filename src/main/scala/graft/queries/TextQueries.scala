@@ -280,9 +280,11 @@ object TextQueries extends GroupBase {
     // n-gram stats come from the codegen'd shingle kernel (no
     // shuffle); the token mode needs one (doc_id, tok) hash-agg.
     "text_repetition" -> ((s, d) => {
-      // per-doc gram stats ride through the explode as grouping keys
-      // (the dd_jaccard trick): ONE corpus scan, no join — just the
-      // (doc_id, tok) hash-agg and a tiny per-doc re-agg
+      // every signal is a per-row kernel/array expression: the token
+      // mode comes from the codegen token_topcount kernel, so the
+      // whole query is ONE projection scan — no explode, no shuffle
+      // at all beyond the output sort (the previous shape hash-agged
+      // one row per TOKEN; at 100 TB that shuffle dwarfed the scan)
       val dup3 = lit(1.0) - col("g_uni").cast("double") / col("g_tot").cast("double")
       val topf = col("max_c").cast("double") / col("n_tok").cast("double")
       t(s, d, "documents")
@@ -294,11 +296,7 @@ object TextQueries extends GroupBase {
           size(col("tk")).as("n_tok"),
           size(col("hs")).as("g_tot"),
           size(array_distinct(col("hs"))).as("g_uni"),
-          explode(col("tk")).as("tok"))
-        .groupBy("doc_id", "n_tok", "g_tot", "g_uni", "tok")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n_tok", "g_tot", "g_uni")
-        .agg(max(col("c")).as("max_c"))
+          graft.functions.VectorFunctions.tokenTopCount(col("tk")).as("max_c"))
         .select(col("doc_id"),
           dup3.as("dup_3gram_frac"),
           topf.as("top_tok_frac"),

@@ -57,6 +57,24 @@ class HashKernelSpec extends SparkSpec {
     assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
   }
 
+  test("token_topcount == explode + per-token count + max") {
+    val s = spark
+    import s.implicits._
+    val kernel = docs.select(col("doc_id"),
+      VectorFunctions.tokenTopCount(col("tk")).as("m"))
+      .as[(Long, Int)].collect().toMap
+    val agg = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(kernel.nonEmpty && kernel.keySet == agg.keySet)
+    kernel.foreach { case (id, m) => assert(m.toLong == agg(id), s"doc $id") }
+    // empty array -> 0
+    val z = Seq(Seq.empty[String]).toDF("tk")
+      .select(VectorFunctions.tokenTopCount(col("tk"))).head.getInt(0)
+    assert(z == 0)
+  }
+
   test("kernel handles short docs (no shingle) as null and empty arrays") {
     val s = spark
     import s.implicits._
