@@ -140,9 +140,12 @@ object TextQueries extends GroupBase {
       val bgf = bgRows.groupBy("b").agg(count(lit(1)).as("cb"))
       val ctxf = bgf.groupBy(substring_index(col("b"), " ", 1).as("w1"))
         .agg(sum(col("cb")).as("cc"))
-      bgRows.join(broadcast(bgf), "b")
-        .withColumn("w1", substring_index(col("b"), " ", 1))
-        .join(broadcast(ctxf), "w1")
+      // fold the context count INTO the bigram table first (both are
+      // vocabulary-sized): the corpus-scale bigram rows then pay ONE
+      // broadcast join instead of two
+      val bgcc = bgf.withColumn("w1", substring_index(col("b"), " ", 1))
+        .join(ctxf, "w1").select(col("b"), col("cb"), col("cc"))
+      bgRows.join(broadcast(bgcc), "b")
         .select(col("doc_id"),
           log(col("cb").cast("double") / col("cc").cast("double")).as("lnp"))
         .groupBy("doc_id")
