@@ -194,10 +194,16 @@ object TextQueries extends GroupBase {
       val docs = t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
       val quality = docs.filter(size(col("tk")) >= 15)
-      val exactKeep = quality.withColumn("rn",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(md5(col("text"))).orderBy("doc_id")))
-        .filter(col("rn") === 1).drop("rn")
+      // exact dedup as a min_by hash-agg, not a row_number window: the
+      // aggregate gets map-side partials and skips the per-partition
+      // sort a window needs — the shape that wins when one content
+      // hash has millions of duplicates at 100 TB
+      val exactKeep = quality
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min_by(struct(col("doc_id"), col("text"), col("lang"),
+          col("tk")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+          col("r.lang").as("lang"), col("r.tk").as("tk"))
       // hash-keyed (doc, shingle) relation, deduped element-wise and
       // sized from the array — no distinct exchange (see dd_jaccard)
       val sh = exactKeep

@@ -152,6 +152,10 @@ object Writers {
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url)
         try {
+          // one explicit transaction per partition: the batch lands
+          // atomically, and a task retry re-MERGEs idempotently —
+          // the exactly-once story for an idempotent-keyed sink
+          conn.setAutoCommit(false)
           val ps = conn.prepareStatement(sql)
           rows.foreach { r =>
             var i = 1
@@ -160,7 +164,15 @@ object Writers {
             }
             ps.addBatch()
           }
-          ps.executeBatch()
+          val counts = ps.executeBatch()
+          if (counts.exists(_ == java.sql.Statement.EXECUTE_FAILED))
+            throw new java.sql.SQLException(
+              s"MERGE into $table: batch reported failed statements")
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
         } finally conn.close()
       }
       ()
