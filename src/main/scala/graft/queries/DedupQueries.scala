@@ -41,28 +41,27 @@ object DedupQueries extends GroupBase {
       // the join/count shuffles move BIGINTs (~4× fewer bytes), and
       // both engines hash identically so Jaccard over distinct hashes
       // is oracle-exact.
-      // ONE lineage, ONE pre-join shuffle: duplicates only exist
-      // WITHIN a document, so array_distinct dedups element-wise (no
-      // global distinct exchange) and the doc size is just the array
-      // length (no doc-side window). The doc-frequency count is a
-      // groupBy + shuffled-hash join back on `sh` — the same key the
-      // candidate join needs, so the partitioning is reused
-      // downstream. SHJ (hinted) beats both the window formulation
-      // and SMJ here (~25%): no per-partition sort, and the build
-      // side is just (sh, df) pairs whose per-partition row count
-      // shrinks as partitions scale with the cluster.
-      val base = docs
+      // ONE lineage, ONE corpus scan, ONE pre-join shuffle:
+      // duplicates only exist WITHIN a document, so array_distinct
+      // dedups element-wise (no global distinct exchange) and the doc
+      // size is just the array length (no doc-side window). The
+      // doc-frequency cap is a count() window over the shingle key:
+      // it rides the SAME exchange the candidate self-join needs, so
+      // the whole corpus is read and tokenized exactly once. (A
+      // groupBy+join df formulation benches the same locally but
+      // column pruning splits it into a second full scan+tokenize of
+      // `text` — the shape that loses at 100 TB, where a second
+      // corpus pass costs more than the window's partition sort.)
+      val sh = docs
         .withColumn("tk", TextOps.tokens(col("text")))
         .withColumn("hs",
           array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
         .filter(col("hs").isNotNull)
         .select(col("doc_id"), size(col("hs")).as("n"),
           explode(col("hs")).as("sh"))
-      // the df cap only gates candidate generation (the 100 TB
-      // safety valve); sizes already counted every shingle
-      val dfc = base.groupBy("sh").agg(count(lit(1)).as("df"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .filter(col("df") <= 1000)
-      val sh = base.join(dfc.hint("shuffle_hash"), "sh")
+        .drop("df")
       sh.as("a").join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
