@@ -197,18 +197,28 @@ object TextQueries extends GroupBase {
       // exact dedup as a min_by hash-agg, not a row_number window: the
       // aggregate gets map-side partials and skips the per-partition
       // sort a window needs — the shape that wins when one content
-      // hash has millions of duplicates at 100 TB
+      // hash has millions of duplicates at 100 TB. Everything any
+      // downstream consumer needs (lang, token/char counts, the
+      // shingle-hash array) is folded into the ONE min_by struct:
+      // column pruning can't split a struct-valued aggregate, so the
+      // pair-gen branch and the stats branch share the same partial-agg
+      // exchange (scan+tokenize runs once) — and the shuffle carries
+      // compact longs instead of the raw text + token array.
       val exactKeep = quality
         .groupBy(md5(col("text")).as("h"))
-        .agg(min_by(struct(col("doc_id"), col("text"), col("lang"),
-          col("tk")), col("doc_id")).as("r"))
-        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
-          col("r.lang").as("lang"), col("r.tk").as("tk"))
+        .agg(min_by(struct(
+            col("doc_id"), col("lang"),
+            size(col("tk")).cast("long").as("ntok"),
+            length(col("text")).cast("long").as("nchars"),
+            array_distinct(graft.functions.VectorFunctions
+              .shingleHashes(col("tk"), 3)).as("hs")),
+          col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.ntok").as("ntok"), col("r.nchars").as("nchars"),
+          col("r.hs").as("hs"))
       // hash-keyed (doc, shingle) relation, deduped element-wise and
       // sized from the array — no distinct exchange (see dd_jaccard)
       val sh = exactKeep
-        .withColumn("hs", array_distinct(
-          graft.functions.VectorFunctions.shingleHashes(col("tk"), 3)))
         .filter(col("hs").isNotNull)
         .select(col("doc_id"), size(col("hs")).as("n"),
           explode(col("hs")).as("sh"))
@@ -223,8 +233,8 @@ object TextQueries extends GroupBase {
       exactKeep.join(dupB, Seq("doc_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(col("tk")).cast("long")).as("n_tokens"),
-          sum(length(col("text")).cast("long")).as("n_chars"))
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("nchars")).as("n_chars"))
         .orderBy("lang")
     }),
 
