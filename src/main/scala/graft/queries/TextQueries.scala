@@ -87,8 +87,14 @@ object TextQueries extends GroupBase {
       val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
       val tf = toks.groupBy("doc_id", "dlen", "tok").agg(count(lit(1)).as("tf"))
       // tf already has one row per (doc, tok): document frequency is a
-      // row count per tok over it — no second explode+distinct lineage
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      // row count per tok over it — no second explode+distinct lineage.
+      // The tf >= 1 filter is vacuous (counts are positive) but forces
+      // this branch to consume the count column: without it, pruning
+      // rewrites the inner agg to a bare distinct, the partial-agg
+      // exchanges stop being identical, and ReuseExchange re-tokenizes
+      // the whole corpus for the df side.
+      val df = tf.filter(col("tf") >= 1)
+        .groupBy("tok").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("tok"),
           round((col("tf").cast("double") / col("dlen")) *
