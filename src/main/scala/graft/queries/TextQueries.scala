@@ -119,7 +119,10 @@ object TextQueries extends GroupBase {
         .withColumn("tk", TextOps.tokens(col("text")))
       val toks = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("n"))
+      // total token count folds out of the vocab table — the corpus is
+      // not scanned a third time for one scalar, and the freq
+      // exchange is shared between both consumers
+      val total = freq.agg(sum(col("cnt")).as("n"))
       toks.join(broadcast(freq), "tok").crossJoin(broadcast(total))
         .select(col("doc_id"),
           log(col("cnt").cast("double") / col("n").cast("double")).as("lnp"))
