@@ -77,6 +77,77 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance between two float/double vectors —
+  * the assign/score loop of k-means, IVF, and PQ. Accepts ARRAY<FLOAT>
+  * or ARRAY<DOUBLE> on either side; every element promotes to double
+  * before the subtract, and the accumulation is the same left-to-right
+  * fold as `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)),0,+)`, so
+  * results are bit-identical to the HOF formulation and the DuckDB
+  * `list_reduce` oracle. */
+case class VecSquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_d2"
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (fa, fb) = (isFloat(left), isFloat(right))
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val dv = ctx.freshName("d")
+      def get(arr: String, fl: Boolean) =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dv = ${get(a, isFloat(left))} - ${get(b, isFloat(right))};
+         |  $s += $dv * $dv;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Engine extensions: custom function registration (injectFunction is
   * the public SparkSessionExtensions surface). */
 class GraftExtensions extends SparkSessionExtensionsProvider {
@@ -87,6 +158,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))))
     def litInt(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
+    ext.injectFunction((
+      new FunctionIdentifier("vec_d2"),
+      new ExpressionInfo(classOf[VecSquaredDistance].getName, "vec_d2"),
+      (args: Seq[Expression]) => VecSquaredDistance(args(0), args(1))))
     ext.injectFunction((
       new FunctionIdentifier("shingle_minhash"),
       new ExpressionInfo(classOf[ShingleMinHash].getName, "shingle_minhash"),
@@ -117,6 +192,9 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
 object VectorFunctions {
   /** Codegen'd dot product of two ARRAY<FLOAT> columns, as double. */
   def fdot(a: Column, b: Column): Column = call_function("float_dot", a, b)
+
+  /** Codegen'd squared-L2 distance (float/double arrays, as double). */
+  def vd2(a: Column, b: Column): Column = call_function("vec_d2", a, b)
 
   /** L2 norm via the same kernel. */
   def fnorm(a: Column): Column = {

@@ -136,9 +136,10 @@ object EmbeddingQueries extends GroupBase {
     // never leave the executors except the k×dim broadcast).
     "emb_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // codegen'd kernel, bit-identical to the HOF fold
+      // aggregate(zip_with(emb,cv,(a,b)=>(a-b)*(a-b)),0,+)
       def d2(emb: Column, cv: Column): Column =
-        aggregate(zip_with(emb, cv, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v)
+        VectorFunctions.vd2(emb, cv)
       def assign(cents: DataFrame): DataFrame = {
         val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid"))
         e.crossJoin(broadcast(cents))
@@ -175,11 +176,8 @@ object EmbeddingQueries extends GroupBase {
     // fold so the 4-term double add is order-fixed on both engines.
     "emb_pq" -> ((s, d) => {
       val M = 4; val SUB = 16; val KC = 4
-      def d2(a: Column, b: Column) =
-        aggregate(zip_with(a, b, (x, y) =>
-            (x.cast("double") - y.cast("double")) *
-              (x.cast("double") - y.cast("double"))),
-          lit(0.0), (acc, v) => acc + v)
+      // codegen'd kernel; same left fold as the zip_with formulation
+      def d2(a: Column, b: Column) = VectorFunctions.vd2(a, b)
       // subvectors materialized as columns (HOF args inline into the
       // lambda, so slicing inside zip_with would re-slice per element)
       val e = t(s, d, "embeddings").select(

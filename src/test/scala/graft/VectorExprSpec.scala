@@ -29,6 +29,38 @@ class VectorExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [float_dot"), plan.take(500))
   }
 
+  test("vec_d2 is bit-identical to the zip_with squared-distance fold") {
+    val e = graft.core.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    // float vs double side: the kmeans assign shape
+    val cv = transform(reverse(col("embedding")), x => x.cast("double"))
+    val hof = aggregate(
+      zip_with(col("embedding"), cv, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs = e.select(
+        VectorFunctions.vd2(col("embedding"), cv).as("native"),
+        hof.as("folded"))
+      .filter(col("native") =!= col("folded")).count()
+    assert(diffs == 0)
+    // float vs float side: the PQ subspace shape
+    val hof2 = aggregate(
+      zip_with(col("embedding"), reverse(col("embedding")),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs2 = e.select(
+        VectorFunctions.vd2(col("embedding"), reverse(col("embedding"))).as("native"),
+        hof2.as("folded"))
+      .filter(col("native") =!= col("folded")).count()
+    assert(diffs2 == 0)
+  }
+
+  test("vec_d2 participates in whole-stage codegen") {
+    val e = graft.core.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val plan = e.select(VectorFunctions.vd2(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_d2"), plan.take(500))
+  }
+
   test("float_dot rejects non-float-array inputs at analysis time") {
     val bad = intercept[Exception] {
       graft.core.Tables.load(spark, TestSpark.sf0001, "part")
