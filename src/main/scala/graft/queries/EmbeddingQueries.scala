@@ -86,14 +86,18 @@ object EmbeddingQueries extends GroupBase {
       val e = t(s, d, "embeddings")
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      // argmax as a max_by hash-agg, not a row_number window: map-side
+      // partials collapse the k candidate rows per vector BEFORE the
+      // shuffle and no per-partition sort happens — the assign shape
+      // that scales. Ordering (cos desc, cid asc) becomes max over
+      // the lexicographic struct (cos, -cid).
       e.crossJoin(broadcast(cents))
         .select(col("vec_id"),
           (dot(col("embedding"), col("cv")) /
             (norm(col("embedding")) * norm(col("cv")))).as("cos"), col("cid"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid"))))
+          .as("cell"))
         .orderBy("vec_id")
     }),
 
@@ -104,14 +108,16 @@ object EmbeddingQueries extends GroupBase {
       val e = t(s, d, "embeddings")
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      // same max_by hash-agg shape as emb_ivf_assign (no window sort)
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"),
           (dot(col("embedding"), col("cv")) /
             (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("embedding"), col("cid")),
+          struct(col("ccos"), negate(col("cid")))).as("r"))
+        .select(col("vec_id"), col("r.embedding").as("embedding"),
+          col("r.cid").as("cell"))
       val q = assign.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
       val kw = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
@@ -140,15 +146,18 @@ object EmbeddingQueries extends GroupBase {
       // aggregate(zip_with(emb,cv,(a,b)=>(a-b)*(a-b)),0,+)
       def d2(emb: Column, cv: Column): Column =
         VectorFunctions.vd2(emb, cv)
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid"))
+      // argmin as a min_by hash-agg (map-side partials, no window
+      // sort): min over the lexicographic struct (d2, cid) is exactly
+      // orderBy(d2 asc, cid asc) / rn=1
+      def assign(cents: DataFrame): DataFrame =
         e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("cid"),
             d2(col("embedding"), col("cv")).as("d2"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"),
-            col("cid").as("cell"), col("d2"))
-      }
+          .groupBy("vec_id")
+          .agg(min_by(struct(col("embedding"), col("cid"), col("d2")),
+            struct(col("d2"), col("cid"))).as("r"))
+          .select(col("vec_id"), col("r.embedding").as("embedding"),
+            col("r.cid").as("cell"), col("r.d2").as("d2"))
       val c0 = e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"),
           transform(col("embedding"), x => x.cast("double")).as("cv"))
@@ -244,14 +253,16 @@ object EmbeddingQueries extends GroupBase {
       val e = t(s, d, "embeddings")
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      // same max_by hash-agg shape as emb_ivf_assign (no window sort)
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"),
           (dot(col("embedding"), col("cv")) /
             (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("embedding"), col("cid")),
+          struct(col("ccos"), negate(col("cid")))).as("r"))
+        .select(col("vec_id"), col("r.embedding").as("embedding"),
+          col("r.cid").as("cell"))
       val drops = assign.as("x").join(assign.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
         .filter(dot(col("x.embedding"), col("y.embedding")) /
