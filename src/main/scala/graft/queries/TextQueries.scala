@@ -192,6 +192,27 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // deterministic global shuffle into training shards: shard by a
+    // salted content-independent hash, order within the shard by the
+    // same hash — the data-layout primitive before sequence packing.
+    // Hash-derived, so any cluster size / re-run / engine reproduces
+    // the exact permutation. One shuffle keyed by shard; the
+    // per-shard sort parallelizes across shards (at 100 TB you run
+    // thousands of shards, so every core sorts its own slice — and
+    // the shard files are exactly what a training loader consumes).
+    "pipe_shard" -> ((s, d) => {
+      val h = TextOps.hash32(
+        concat(lit("shard:"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("h", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(64)))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // CAPSTONE: the full curation pipeline as ONE composed flow —
     // quality gate → exact dedup (keep first) → near-dup removal
     // (Jaccard-blocked, drop the higher doc_id of any >=0.5 pair) →
@@ -530,6 +551,14 @@ object TextQueries extends GroupBase {
       s"""SELECT doc_id, lang FROM documents
           WHERE ($h) % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
           ORDER BY doc_id"""
+    },
+    "pipe_shard" -> {
+      val h = TextOps.hash32Sql("'shard:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH hs AS (SELECT doc_id, ($h) AS h FROM documents)
+          SELECT doc_id, h % 64 AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % 64
+                                         ORDER BY h, doc_id) AS INT) AS pos
+          FROM hs ORDER BY doc_id"""
     },
     "text_lm_nll" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
