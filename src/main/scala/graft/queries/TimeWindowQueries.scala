@@ -117,6 +117,34 @@ object TimeWindowQueries extends GroupBase {
         .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_v"),
              max(col("value")).as("max_v"))
         .orderBy("day")),
+
+    // gap-fill + carry-forward: densify the hourly series per
+    // event_type over the global span — missing buckets appear with
+    // n=0 and the last observed count carried forward (the
+    // time-series interpolation op windowed SQL demos build from
+    // temporal spines). Scale shape: the spine is #series × #buckets
+    // rows built from a 1-row broadcast range (never a scan), the
+    // left join is keyed by (series, bucket), and the carry-forward
+    // window parallelizes across series.
+    "tw_gapfill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+      val counts = ev.groupBy("event_type", "hb")
+        .agg(count(lit(1)).as("c"))
+      val range = counts.agg(min(col("hb")).as("mn"), max(col("hb")).as("mx"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(range))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("hb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hb")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(counts, Seq("event_type", "hb"), "left")
+        .select(col("event_type"), col("hb"),
+          coalesce(col("c"), lit(0L)).as("n"),
+          last(col("c"), ignoreNulls = true).over(w).as("carried"))
+        .orderBy("event_type", "hb")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,5 +218,22 @@ object TimeWindowQueries extends GroupBase {
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, count(*) AS cnt,
                 min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1 ORDER BY day""",
+    "tw_gapfill" ->
+      """WITH b AS (SELECT event_type,
+                           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+          r AS (SELECT min(hb) AS mn, max(hb) AS mx FROM b),
+          grid AS (SELECT event_type, hb
+                   FROM (SELECT DISTINCT event_type FROM events)
+                   CROSS JOIN (SELECT unnest(generate_series(mn, mx,
+                                 INTERVAL 1 HOUR)) AS hb FROM r))
+          SELECT g.event_type, g.hb, coalesce(c, 0) AS n,
+                 last_value(c IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hb
+                   ROWS UNBOUNDED PRECEDING) AS carried
+          FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+                                  AND g.hb = b.hb
+          ORDER BY g.event_type, g.hb""",
   )
 }
