@@ -24,7 +24,21 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  /** Analyzed-DataFrame cache. `spark.read.parquet` does driver-side
+    * file listing + footer schema inference on EVERY call; a real
+    * deployment fronts that with a catalog (metastore) whose schemas
+    * are resolved once. Keyed per session identity so a stopped
+    * session's plans are never resurrected.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => read(spark, dir, name))
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // Defensive: keep sessions built outside Sessions.build working.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,6 +54,14 @@ object Tables {
     * Views are lazy logical plans — registering all ten costs nothing
     * until a query actually scans one.
     */
+  /** Last dir whose views were registered, per session: views are
+    * global names, so a dir switch must re-point them (and a repeat
+    * call with the same dir can skip the 10 catalog writes).
+    */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.put(System.identityHashCode(spark), dir) != dir)
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
