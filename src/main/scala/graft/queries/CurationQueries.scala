@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Round-4 curation/retrieval surface over `documents`: PII redaction,
+  * BM25 relevance scoring, token-budget selection, and deterministic
+  * weighted source interleaving — the remaining "what a 100 TB
+  * training-data pipeline needs" ops beyond dedup/quality/mixture.
+  *
+  * Scale notes per op:
+  *   - text_pii: pure per-row regex projection — embarrassingly
+  *     parallel, no shuffle, codegen'd (no UDF).
+  *   - text_bm25: classic two-stage retrieval shape — per-(doc,term)
+  *     tf agg shuffles only matched postings (terms are filtered
+  *     BEFORE the shuffle); df + corpus stats are tiny and broadcast.
+  *   - pipe_budget: per-partition-key (lang) running sum — each lang's
+  *     prefix scan parallelizes across the cluster; no global sort.
+  *   - pipe_interleave: the per-source rank is partition-parallel; only
+  *     the final tiny selected prefix is globally ordered.
+  */
+object CurationQueries extends GroupBase {
+
+  /** Conservative PII shapes that survive RE2 (DuckDB) and Java regex
+    * with identical semantics: email-ish and long digit runs. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IdRe = "[0-9]{6,}"
+
+  private val Bm25Terms = Seq("the", "data")
+  // BM25 constants as EXPLICIT double literals (k1=1.2, b=0.75,
+  // k1+1=2.2, 1-b=0.25): the oracle parses the same literal text, so
+  // both engines hold bit-identical constants (computing 1.2+1 in
+  // Scala could round differently than parsing "2.2").
+  private val K1 = lit(1.2)
+  private val K1p1 = lit(2.2)
+  private val Bdl = lit(0.75)
+  private val OneMinusB = lit(0.25)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrub: count + redact emails and id-like digit runs.
+    // regexp_replace is global in Spark; the oracle passes 'g'.
+    "text_pii" -> ((s, d) => {
+      val red = regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(IdRe), lit("<ID>"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"), lit(IdRe), lit(0))).as("n_idnum"),
+        md5(red).as("red_md5"),
+        length(red).as("red_len"))
+        .orderBy("doc_id")
+    }),
+
+    // BM25 term contributions for a fixed query-term set. Postings are
+    // filtered to the query terms BEFORE the (doc,term) aggregation, so
+    // the shuffle carries only matches; df and the corpus length stats
+    // are single-row/tiny broadcasts.
+    "text_bm25" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+      val stats = docs.agg(
+        count(lit(1)).as("nd"),
+        sum(size(col("tk"))).as("sumdl"))
+      val toks = docs
+        .select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("tok"))
+        .filter(col("tok").isin(Bm25Terms: _*))
+      val tf = toks.groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      // idf * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)); expression
+      // shape mirrored token-for-token in the oracle so every IEEE op
+      // matches (ln rounded — transcendental last-ulp differs).
+      val avgdl = col("sumdl").cast("double") / col("nd")
+      val idf = log((col("nd") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0))
+      val w = (idf * (col("tf") * K1p1) /
+        (col("tf") + K1 * (OneMinusB + (Bdl * col("dl")) / avgdl)))
+      tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("tok"), round(w, 6).as("bm25"))
+        .orderBy("doc_id", "tok")
+    }),
+
+    // Token-budget selection: per language, take docs in quality order
+    // (type-token ratio) until a token budget fills. The running sum is
+    // per-lang (partition-parallel prefix scan), not a global sort.
+    "pipe_budget" -> ((s, d) => {
+      val tk = col("tk")
+      val q = (size(array_distinct(tk)).cast("decimal(18,8)") /
+        size(tk).cast("decimal(18,8)")).cast("double")
+      val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("lang"), size(tk).as("n_tok"), q.as("q"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .filter(col("cum") <= 4000)
+        .select("doc_id", "lang", "n_tok", "cum")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Deterministic weighted interleave: doc k of a source with weight
+    // w lands at position k/w, so sources appear in a w-proportional
+    // round-robin — the reproducible "mixture order" a trainer reads.
+    // Ranks are per-source (parallel); only the selected prefix (400
+    // rows after the position sort) is globally ordered.
+    "pipe_interleave" -> ((s, d) => {
+      val wsrc = Window.partitionBy("source").orderBy("doc_id")
+      val weight = when(col("source") === "src0", lit(4.0))
+        .when(col("source") === "src1", lit(2.0)).otherwise(lit(1.0))
+      val sel = t(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(wsrc))
+        .withColumn("pos", col("rn").cast("double") / weight)
+        .orderBy("pos", "source", "doc_id")
+        .limit(400)
+      sel.withColumn("ord",
+          row_number().over(Window.orderBy("pos", "source", "doc_id")))
+        .select(col("ord"), col("doc_id"), col("source"), col("pos"))
+        .orderBy("ord")
+    }),
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "text_pii" ->
+      s"""SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_email,
+            CAST(len(regexp_extract_all(text, '$IdRe')) AS INT) AS n_idnum,
+            md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                               '$IdRe', '<ID>', 'g')) AS red_md5,
+            CAST(length(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                                       '$IdRe', '<ID>', 'g')) AS INT) AS red_len
+          FROM documents ORDER BY doc_id""",
+    "text_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          stats AS (SELECT count(*) AS nd,
+                           CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM d),
+          toks AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM d),
+          tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM toks
+                 WHERE tok IN ('the', 'data') GROUP BY 1, 2, 3),
+          dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+          SELECT doc_id, tok,
+                 round(ln((nd - df + CAST(0.5 AS DOUBLE))
+                            / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                       * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + (CAST(0.75 AS DOUBLE) * dl)
+                                   / (CAST(sumdl AS DOUBLE) / nd))), 6) AS bm25
+          FROM tf JOIN dfr USING (tok) CROSS JOIN stats
+          ORDER BY doc_id, tok""",
+    "pipe_budget" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                            CAST(len($toksSql) AS INT) AS n_tok,
+                            CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
+                                 / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS q
+                     FROM documents),
+          c AS (SELECT doc_id, lang, n_tok, q,
+                       CAST(sum(n_tok) OVER (PARTITION BY lang
+                                             ORDER BY q DESC, doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS cum
+                FROM d)
+          SELECT doc_id, lang, n_tok, cum FROM c WHERE cum <= 4000
+          ORDER BY lang, doc_id""",
+    "pipe_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY doc_id) AS rn
+                    FROM documents),
+          p AS (SELECT doc_id, source,
+                       CAST(rn AS DOUBLE)
+                         / CAST(CASE source WHEN 'src0' THEN 4
+                                            WHEN 'src1' THEN 2
+                                            ELSE 1 END AS DOUBLE) AS pos
+                FROM r),
+          sel AS (SELECT * FROM p ORDER BY pos, source, doc_id LIMIT 400)
+          SELECT CAST(row_number() OVER (ORDER BY pos, source, doc_id) AS INT)
+                   AS ord,
+                 doc_id, source, pos
+          FROM sel ORDER BY ord""",
+  )
+}

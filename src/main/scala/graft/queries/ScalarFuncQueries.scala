@@ -197,6 +197,34 @@ object ScalarFuncQueries extends GroupBase {
           col("lon"), col("lat"), lit(-73.9), lit(40.75)), 6).as("angle"))
         .orderBy("event_id")
     }),
+
+    // bitwise battery: and/or/xor/not, shifts, popcount — pure
+    // projection, codegen'd, no shuffle
+    "fn_bitwise" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("b_and"),
+        col("p_partkey").bitwiseOR(lit(1024L)).as("b_or"),
+        col("p_partkey").bitwiseXOR(col("p_size").cast("long")).as("b_xor"),
+        bitwise_not(col("p_partkey")).as("b_not"),
+        shiftleft(col("p_partkey"), 3).as("b_shl"),
+        shiftright(col("p_partkey"), 2).as("b_shr"),
+        bit_count(col("p_partkey")).as("b_cnt"))
+        .orderBy("p_partkey")),
+
+    // regex battery: rlike, anchored extract, global replace, match
+    // count, split — patterns chosen to behave identically under Java
+    // regex (Spark) and RE2 (DuckDB)
+    "fn_regex" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        col("p_name").rlike("^[a-m]").as("re_like"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("re_first"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("re_last"),
+        regexp_replace(col("p_name"), lit("[aeiou]"), lit("_")).as("re_repl"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("re_vowels"),
+        size(split(col("p_name"), " ")).as("re_words"))
+        .orderBy("p_partkey")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -342,5 +370,24 @@ object ScalarFuncQueries extends GroupBase {
             round(sqrt(pow(CAST(-73.9 AS DOUBLE) - lon, 2) + pow(CAST(40.75 AS DOUBLE) - lat, 2)), 6) AS dist,
             round(degrees(atan2(CAST(40.75 AS DOUBLE) - lat, CAST(-73.9 AS DOUBLE) - lon)), 6) AS angle
          FROM c ORDER BY event_id""",
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+            p_partkey & 255 AS b_and,
+            p_partkey | 1024 AS b_or,
+            xor(p_partkey, p_size) AS b_xor,
+            ~p_partkey AS b_not,
+            p_partkey << 3 AS b_shl,
+            p_partkey >> 2 AS b_shr,
+            CAST(bit_count(p_partkey) AS INT) AS b_cnt
+         FROM part ORDER BY p_partkey""",
+    "fn_regex" ->
+      """SELECT p_partkey,
+            regexp_matches(p_name, '^[a-m]') AS re_like,
+            regexp_extract(p_name, '^([a-z]+)', 1) AS re_first,
+            regexp_extract(p_name, '([a-z]+)$', 1) AS re_last,
+            regexp_replace(p_name, '[aeiou]', '_', 'g') AS re_repl,
+            CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS re_vowels,
+            CAST(len(string_split(p_name, ' ')) AS INT) AS re_words
+         FROM part ORDER BY p_partkey""",
   )
 }
