@@ -19,6 +19,7 @@ object SparkEntry {
     DedupQueries,
     EmbeddingQueries,
     MultimodalQueries,
+    CurationQueries,
   )
 
   /** Flagship query (SpendReport, SURVEY §7.2 step 1): hourly spend per

@@ -26,7 +26,8 @@ object PlanAudit {
   private val expectedBnlj = Set(
     "emb_knn", "emb_ivf_assign", "emb_ivf_knn", "emb_kmeans", "emb_pq",
     "emb_semdedup", "join_cross", "text_lm_nll", "text_tfidf",
-    "tw_gapfill") // 1-row global-span broadcast builds the bucket spine
+    "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
+    "text_bm25")   // 1-row corpus-stats (nd, sumdl) broadcast
 
   /** Audit every registered query's plan at `d`; returns the flagged
     * (name, flags) pairs. Shared by the CLI main and the PlanSpec
