@@ -43,6 +43,26 @@ object Exact {
   /** Order-independent exact DISTINCT sum (DOUBLE out, see dsum). */
   def dsum_distinct(c: Column): Column =
     sum_distinct(c.cast(Dec)).cast("double")
+
+  /** 2^53 — scaling a FLOAT32 value by it yields an exactly-integral
+    * double whenever the float's ulp ≥ 2^-53 (true for any float with
+    * magnitude ≥ ~6e-9; below that floor() quantizes deterministically
+    * and identically in both engines). */
+  val F53 = 9007199254740992.0
+
+  /** Order-independent exact sum of FLOAT32 values (DOUBLE out).
+    *
+    * dsum's fixed-scale decimal cast can't hold a float exactly (a
+    * float near 1e-6 needs 40+ fractional decimal digits), so instead
+    * scale by 2^53: the multiply is a power-of-two shift (exact), the
+    * result is integral, floor+cast to long is exact, and the long sum
+    * in DECIMAL(38,0) is exact and order-independent with map-side
+    * partials and O(1) state per group. The final decimal→double cast
+    * and ÷2^53 are each single correctly-rounded/exact IEEE ops in
+    * both engines, so results are bit-identical to DuckDB's mirror. */
+  def fsum(c: Column): Column =
+    sum(floor(c.cast("double") * lit(F53)).cast("decimal(38,0)"))
+      .cast("double") / lit(F53)
 }
 
 /** SQL snippets mirroring Exact for the DuckDB oracle strings. */
@@ -53,4 +73,7 @@ object ExactSql {
     s"(${dsum(e)} / COUNT($e))"
   def dsumDistinct(e: String): String =
     s"CAST(SUM(DISTINCT CAST(($e) AS DECIMAL(30,4))) AS DOUBLE)"
+  def fsum(e: String): String =
+    s"""(CAST(SUM(CAST(floor(CAST(($e) AS DOUBLE) * 9007199254740992.0)
+         AS BIGINT)) AS DOUBLE) / 9007199254740992.0)"""
 }

@@ -138,12 +138,15 @@ object AggQueries extends GroupBase {
     }),
 
     // table aggregate emitting top-3 rows per group
-    // (TabApiTest.scala:1488-1520 top-N flatAggregate): collect-sort-
-    // slice-explode — the multiset equals the window-rank top-3.
+    // (TabApiTest.scala:1488-1520 top-N flatAggregate): the TopNList
+    // Aggregator keeps an N-element buffer, so each map-side partial
+    // ships at most 3 values to the shuffle regardless of group size
+    // (collect_list+slice would buffer O(group)). Emitted multiset
+    // equals the window-rank top-3.
     "agg_top3_emit" -> ((s, d) =>
       t(s, d, "events")
         .groupBy("event_type")
-        .agg(slice(sort_array(collect_list(col("value")), asc = false), 1, 3).as("top3"))
+        .agg(udaf(graft.agg.Top3List).apply(col("value")).as("top3"))
         .select(col("event_type"), explode(col("top3")).as("v"))
         .orderBy(col("event_type"), col("v").desc)),
 

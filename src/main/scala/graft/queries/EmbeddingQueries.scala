@@ -59,23 +59,18 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("qid", "rank")
     }),
 
-    // per-label centroids via posexplode + sorted sequential fold —
-    // partition-parallel (shuffles (label, pos), never collects to the
-    // driver). Decimal-cast sums can hit rounding ties (a float that
-    // is exactly n.5 at the decimal scale rounds HALF_UP in Spark,
-    // half-even in DuckDB), so the cross-engine-exact mean is a
-    // sort + left fold in double. At 100 TB scale swap the in-group
-    // sort for a compensated-sum Aggregator (order-insensitive to
-    // ~1 ulp); the fold here is the oracle-exact flavor.
+    // per-label centroids via posexplode + 2^53-scaled exact sum
+    // (Exact.fsum): shuffles (label, pos), O(1) state per group with
+    // map-side partials — a popular label holding millions of members
+    // costs one int128 accumulator, not a collect_list buffer. The
+    // scaled-integer sum is order-independent and bit-identical to the
+    // DuckDB mirror, so the mean needs no rounding.
     "emb_centroid" -> ((s, d) =>
       t(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("label", "pos")
-        .agg(collect_list(col("x").cast("double")).as("xs"),
-             count(lit(1)).as("n"))
-        .select(col("label"), col("pos"),
-          (aggregate(sort_array(col("xs")), lit(0.0), (acc, v) => acc + v) /
-            col("n")).as("c"))
+        .agg(graft.core.Exact.fsum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"), (col("sx") / col("n")).as("c"))
         .orderBy("label", "pos")),
 
     // IVF cell assignment: nearest of 8 fixed coarse centroids
@@ -136,10 +131,11 @@ object EmbeddingQueries extends GroupBase {
     // Lloyd iterations, k=4, deterministic init = first k vectors).
     // Assignment: centroids broadcast, squared-L2 as a left fold —
     // bit-identical across engines. Centroid update: per-(cell,dim)
-    // mean via SORTED sequential fold (the oracle-exact flavor; the
-    // compensated-sum Aggregator in graft.agg is the 100 TB path —
-    // one shuffle on (cell,dim) per iteration either way, centroids
-    // never leave the executors except the k×dim broadcast).
+    // mean via Exact.fsum (2^53-scaled exact sum, O(1) group state,
+    // map-side partials — the 100 TB-safe shape); one shuffle on
+    // (cell,dim) per iteration, centroids never leave the executors
+    // except the k×dim broadcast. The only collect_list left is the
+    // k×64 centroid-vector re-assembly — bounded by dim, not by data.
     "emb_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       // codegen'd kernel, bit-identical to the HOF fold
@@ -164,8 +160,7 @@ object EmbeddingQueries extends GroupBase {
       val c1 = assign(c0)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg((aggregate(sort_array(collect_list(col("x").cast("double"))),
-          lit(0.0), (a, v) => a + v) / count(lit(1))).as("c"))
+        .agg((graft.core.Exact.fsum(col("x")) / count(lit(1))).as("c"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           t => t.getField("c")).as("cv"))
@@ -323,10 +318,8 @@ object EmbeddingQueries extends GroupBase {
           SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
           ORDER BY qid, rank""",
     "emb_centroid" ->
-      """SELECT label, CAST(i - 1 AS INT) AS pos,
-                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(
-                  array_agg(CAST(embedding[i] AS DOUBLE)))),
-                  (acc, v) -> acc + v) / count(*) AS c
+      s"""SELECT label, CAST(i - 1 AS INT) AS pos,
+                ${graft.core.ExactSql.fsum("embedding[i]")} / count(*) AS c
          FROM embeddings, range(1, 65) r(i)
          GROUP BY label, i ORDER BY label, pos""",
     "emb_ivf_assign" ->
@@ -475,9 +468,7 @@ object EmbeddingQueries extends GroupBase {
                  FROM embeddings WHERE vec_id < 4),
           ${assignSql("c0", "a1")},
           m1 AS (SELECT cell, i - 1 AS pos,
-                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                          list_sort(array_agg(CAST(embedding[i] AS DOUBLE)))),
-                          (acc, v) -> acc + v) / count(*) AS c
+                        ${graft.core.ExactSql.fsum("embedding[i]")} / count(*) AS c
                  FROM a1, range(1, 65) r(i) GROUP BY cell, i),
           c1 AS (SELECT cell AS cid, array_agg(c ORDER BY pos) AS cv
                  FROM m1 GROUP BY cell),

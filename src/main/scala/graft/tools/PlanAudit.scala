@@ -29,6 +29,19 @@ object PlanAudit {
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
     "text_bm25")   // 1-row corpus-stats (nd, sumdl) broadcast
 
+  /** Queries where a collect_list/collect_set aggregate is BOUNDED by
+    * construction (state does not grow with the data): dim-bounded
+    * vector re-assembly (emb_kmeans k×64, emb_pq M=4 LUT hits),
+    * per-document folds whose state is one doc's tokens (text_lm_*),
+    * post-aggregate row sets of fixed cardinality (pipe_mix sources,
+    * agg_string_agg nations-per-region), and windowed distinct sets
+    * (over_sum_distinct). Anything else acquiring a collect buffer is
+    * an unbounded-group-state regression (the emb_centroid bug class —
+    * use Exact.fsum / a bounded Aggregator instead). */
+  private val expectedCollect = Set(
+    "emb_kmeans", "emb_pq", "text_lm_nll", "text_lm_bigram", "pipe_mix",
+    "agg_string_agg", "over_sum_distinct")
+
   /** Audit every registered query's plan at `d`; returns the flagged
     * (name, flags) pairs. Shared by the CLI main and the PlanSpec
     * regression test. */
@@ -46,7 +59,9 @@ object PlanAudit {
             "GLOBALWIN" -> p.linesIterator.exists(l =>
               l.contains("Window") && l.contains("partitionBy=[]")),
             "NOPUSH" -> (p.contains("PushedFilters: []") &&
-              p.contains("DataFilters: [") && !p.contains("DataFilters: []"))
+              p.contains("DataFilters: [") && !p.contains("DataFilters: []")),
+            "COLLECT" -> ((p.contains("collect_list") ||
+              p.contains("collect_set")) && !expectedCollect.contains(name))
           ).collect { case (f, true) => f }
         } catch { case e: Throwable => Seq(s"ERROR ${e.getMessage}") }
       if (flags.nonEmpty) Some(name -> flags) else None
