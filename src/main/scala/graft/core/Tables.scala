@@ -27,16 +27,38 @@ object Tables {
   /** Analyzed-DataFrame cache. `spark.read.parquet` does driver-side
     * file listing + footer schema inference on EVERY call; a real
     * deployment fronts that with a catalog (metastore) whose schemas
-    * are resolved once. Keyed per session identity so a stopped
-    * session's plans are never resurrected.
+    * are resolved once. Keyed by the SparkSession OBJECT (reference
+    * equality — SparkSession doesn't override equals), not its
+    * identityHashCode: hash codes can collide across sessions, which
+    * would silently share plans between them. A listener evicts the
+    * session's entries when its context ends, so a long-lived service
+    * that cycles sessions doesn't pin every analyzed plan forever.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]
+
+  private def sessionCache(spark: SparkSession) =
+    cache.computeIfAbsent(spark, s => {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evict(s)
+        })
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+    })
+
+  /** Drop all cached plans + registration state for `spark`. Called by
+    * the application-end listener; callable directly by embedders that
+    * cycle `newSession()`s off one long-lived context. */
+  private[graft] def evict(spark: SparkSession): Unit = {
+    cache.remove(spark)
+    registered.remove(spark)
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
-      _ => read(spark, dir, name))
+    sessionCache(spark).computeIfAbsent(
+      (dir, name), _ => read(spark, dir, name))
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
@@ -59,9 +81,16 @@ object Tables {
     * call with the same dir can skip the 10 catalog writes).
     */
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
 
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registered.put(System.identityHashCode(spark), dir) != dir)
-      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    registered.synchronized {
+      // record the dir only AFTER all ten views registered: a failed
+      // load mustn't make later calls skip registration, and two
+      // concurrent calls mustn't interleave views from different dirs
+      if (registered.get(spark) != dir) {
+        all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        registered.put(spark, dir)
+      }
+    }
 }
