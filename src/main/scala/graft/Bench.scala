@@ -41,6 +41,12 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Pay accumulated GC debt OUTSIDE the timed window: with one
+      // timed run per query in a single long session, a collection
+      // triggered by query N's garbage otherwise lands in query N+1's
+      // measurement (r4 showed sub-second queries doubling purely from
+      // suite position; isolated runs matched r3).
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
