@@ -171,6 +171,102 @@ object PatternQueries extends GroupBase {
         .orderBy("user_id", "m_start")
     }),
 
+    // CEP followedByAny (CEPDemo.scala:685-714): non-deterministic
+    // relaxed contiguity — every signup pairs with EVERY purchase
+    // inside the hour, not just the first (followedBy keeps one).
+    // Step.any keeps the un-advanced partial alive after each hit.
+    "pat_followany" -> ((s, d) => {
+      import s.implicits._
+      val steps = Seq(
+        SeqPattern.Step("A", Set("signup")),
+        SeqPattern.Step("B", Set("purchase")).any)
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_type").as("kind"), col("value"))
+        .as[KeyedEvent]
+      SeqPattern.detect(ev, steps, withinMs = 3600L * 1000,
+          strict = false, SeqPattern.NoSkip, greedy = true)
+        .toDF()
+        .select(col("key").as("user_id"), col("startTs").as("m_start"),
+          col("endTs").as("m_end"),
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"))
+        .orderBy("user_id", "m_start", "m_end", "sum_v")
+    }),
+
+    // CEP .where(c1).or(c2) condition disjunct (CEPDemo or-condition)
+    // under STRICT contiguity over the full per-user stream: an error
+    // OR any >=450 event immediately followed by a purchase.
+    "pat_or_cond" -> ((s, d) => {
+      import s.implicits._
+      val steps = Seq(
+        SeqPattern.Step("A", Set("error")).or(e => e.value >= 450.0),
+        SeqPattern.Step("B", Set("purchase")))
+      val ev = t(s, d, "events")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_type").as("kind"), col("value"))
+        .as[KeyedEvent]
+      SeqPattern.detect(ev, steps, withinMs = 86400L * 1000,
+          strict = true, SeqPattern.NoSkip, greedy = true)
+        .toDF()
+        .select(col("key").as("user_id"), col("startTs").as("m_start"),
+          col("endTs").as("m_end"),
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"))
+        .orderBy("user_id", "m_start", "m_end", "sum_v")
+    }),
+
+    // CEP pattern group (CEPDemo.scala:715-755): sub-pattern
+    // (error → purchase) repeated twice, strict-contiguous relative to
+    // the participating kinds — the bounded flattening of
+    // Pattern.begin(sub).times(2).
+    "pat_group_times" -> ((s, d) => {
+      import s.implicits._
+      val sub = Seq(
+        SeqPattern.Step("E", Set("error")),
+        SeqPattern.Step("P", Set("purchase")))
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("error", "purchase"))
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_type").as("kind"), col("value"))
+        .as[KeyedEvent]
+      SeqPattern.detect(ev, SeqPattern.group(sub, 2),
+          withinMs = 7L * 86400 * 1000, strict = true,
+          SeqPattern.NoSkip, greedy = true)
+        .toDF()
+        .select(col("key").as("user_id"), col("startTs").as("m_start"),
+          col("endTs").as("m_end"),
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"),
+          size(col("values")).as("n"))
+        .orderBy("user_id", "m_start")
+    }),
+
+    // CEP oneOrMore().until(stop) (CEPDemo allowCombinations family):
+    // signup, then one-or-more views, with the view loop STOPPED by
+    // the first purchase — which the final step consumes. The loop
+    // partial dies when the stop fires, so no later purchase can
+    // complete a stale prefix: the match is exactly (signup, all views
+    // before the first purchase, that purchase).
+    "pat_until" -> ((s, d) => {
+      import s.implicits._
+      val steps =
+        Seq(SeqPattern.Step("S", Set("signup"))) ++
+        SeqPattern.Step("V", Set("view"))
+          .until(_.kind == "purchase").upTo(16) ++
+        Seq(SeqPattern.Step("P", Set("purchase")))
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("signup", "view", "purchase"))
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_type").as("kind"), col("value"))
+        .as[KeyedEvent]
+      SeqPattern.detect(ev, steps, withinMs = 86400L * 1000,
+          strict = false, SeqPattern.NoSkip, greedy = true)
+        .toDF()
+        .select(col("key").as("user_id"), col("startTs").as("m_start"),
+          col("endTs").as("m_end"), size(col("values")).as("n"),
+          aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"))
+        .orderBy("user_id", "m_start", "m_end")
+    }),
+
     // MATCH_RECOGNIZE with PREV() row-relative conditions: the classic
     // V-shape (price dips then recovers) over each user's purchase
     // amounts, strict-contiguous, all matches. DOWN/UP compare against
@@ -235,6 +331,80 @@ object PatternQueries extends GroupBase {
          WHERE prev_v < 10.0 AND value > 400.0
            AND ts <= prev_ts + INTERVAL 1 MINUTE
          ORDER BY user_id, event_id""",
+    "pat_followany" ->
+      """SELECT a.user_id, a.ts AS m_start, b.ts AS m_end,
+                ((CAST(0.0 AS DOUBLE) + a.value) + b.value) AS sum_v
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'signup') a
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase') b
+           ON b.user_id = a.user_id
+         WHERE (b.ts > a.ts OR (b.ts = a.ts AND b.value > a.value))
+           AND b.ts <= a.ts + INTERVAL 1 HOUR
+         ORDER BY a.user_id, m_start, m_end, sum_v""",
+    "pat_or_cond" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           event_type, value FROM events),
+         l AS (SELECT user_id, ts, event_type AS k0, value AS v0,
+                      lead(event_type) OVER w AS k1,
+                      lead(value) OVER w AS v1, lead(ts) OVER w AS t1
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, value))
+         SELECT user_id, ts AS m_start, t1 AS m_end,
+                ((CAST(0.0 AS DOUBLE) + v0) + v1) AS sum_v
+         FROM l
+         WHERE (k0 = 'error' OR v0 >= CAST(450.0 AS DOUBLE))
+           AND k1 = 'purchase' AND t1 <= ts + INTERVAL 1 DAY
+         ORDER BY user_id, m_start, m_end, sum_v""",
+    "pat_group_times" ->
+      """WITH f AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           event_type, value
+                    FROM events WHERE event_type IN ('error', 'purchase')),
+         l AS (SELECT user_id, ts, event_type AS k0, value AS v0,
+                      lead(event_type, 1) OVER w AS k1, lead(value, 1) OVER w AS v1,
+                      lead(event_type, 2) OVER w AS k2, lead(value, 2) OVER w AS v2,
+                      lead(event_type, 3) OVER w AS k3, lead(value, 3) OVER w AS v3,
+                      lead(ts, 3) OVER w AS t3
+               FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, value))
+         SELECT user_id, ts AS m_start, t3 AS m_end,
+                ((((CAST(0.0 AS DOUBLE) + v0) + v1) + v2) + v3) AS sum_v,
+                CAST(4 AS INT) AS n
+         FROM l
+         WHERE k0 = 'error' AND k1 = 'purchase' AND k2 = 'error'
+           AND k3 = 'purchase' AND t3 <= ts + INTERVAL 7 DAY
+         ORDER BY user_id, m_start""",
+    "pat_until" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           event_type, value
+                    FROM events
+                    WHERE event_type IN ('signup', 'view', 'purchase')),
+         s AS (SELECT user_id, ts, value FROM e WHERE event_type = 'signup'),
+         fp AS (SELECT s.user_id, s.ts AS sts, s.value AS sv,
+                  (SELECT p.ts FROM e p
+                   WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+                     AND (p.ts > s.ts OR (p.ts = s.ts AND p.value > s.value))
+                     AND p.ts <= s.ts + INTERVAL 1 DAY
+                   ORDER BY p.ts, p.value LIMIT 1) AS pts,
+                  (SELECT p.value FROM e p
+                   WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+                     AND (p.ts > s.ts OR (p.ts = s.ts AND p.value > s.value))
+                     AND p.ts <= s.ts + INTERVAL 1 DAY
+                   ORDER BY p.ts, p.value LIMIT 1) AS pv
+                FROM s),
+         sel AS (SELECT f.user_id, f.sts, f.sv, f.pts, f.pv,
+                   (SELECT coalesce(list(v.value ORDER BY v.ts, v.value), [])
+                    FROM e v
+                    WHERE v.event_type = 'view' AND v.user_id = f.user_id
+                      AND (v.ts > f.sts OR (v.ts = f.sts AND v.value > f.sv))
+                      AND (v.ts < f.pts OR (v.ts = f.pts AND v.value < f.pv)))
+                     AS vs
+                 FROM fp f WHERE f.pts IS NOT NULL)
+         SELECT user_id, sts AS m_start, pts AS m_end,
+                CAST(len(vs) + 2 AS INT) AS n,
+                list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE) + sv, list_append(vs, pv)),
+                  (a, x) -> a + x) AS sum_v
+         FROM sel WHERE len(vs) >= 1
+         ORDER BY user_id, m_start, m_end""",
     "pat_mr" -> MrOracle,
     // identical detection through the injected SQL parser
     "pat_mr_sql" -> MrOracle,

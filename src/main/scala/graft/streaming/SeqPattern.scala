@@ -13,10 +13,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * with per-step predicates including AGGREGATE conditions over the
   * accumulated match (MATCH_RECOGNIZE `AVG(A.value)` in DEFINE,
   * TableSQLFunc.scala:1845-1851), contiguity `strict` (CEP `next`)
-  * or `relaxed` (`followedBy`), `WITHIN` horizon, quantifiers
+  * or `relaxed` (`followedBy`), non-deterministic `followedByAny` /
+  * `allowCombinations` (Step.any / combinationsUpTo), condition
+  * disjuncts (Step.or, CEP `.where(c1).or(c2)`), loop stop conditions
+  * (Step.until, CEP `oneOrMore().until`), pattern groups (`group`,
+  * CEPDemo patternGroup), `WITHIN` horizon, quantifiers
   * `times(n)`/`optional`, and AFTER MATCH skip strategies
-  * SKIP_PAST_LAST_ROW / SKIP_TO_NEXT / NO_SKIP
-  * (CEPDemo.scala:808-949).
+  * SKIP_PAST_LAST_ROW / SKIP_TO_NEXT / NO_SKIP / SKIP_TO_FIRST /
+  * SKIP_TO_LAST (CEPDemo.scala:808-949).
   *
   * State is the set of live partial matches per key, pruned by the
   * `within` horizon on every element — bounded by (pattern length ×
@@ -39,22 +43,55 @@ object SeqPattern {
                   // consumes a row; an event matching it while the
                   // partial's frontier is at or before the guard KILLS
                   // the partial. Must not lead or end a pattern.
-                  negated: Boolean = false) {
+                  negated: Boolean = false,
+                  // CEP followedByAny / allowCombinations: on a hit the
+                  // un-advanced partial ALSO survives, so EVERY later
+                  // event matching this step forms its own branch
+                  // (followedBy keeps only the first). CEPDemo.scala:
+                  // 685-714 (followedByAny), :211-247 (allowCombinations).
+                  anyMatch: Boolean = false,
+                  // condition disjunct (CEP .where(c1).or(c2)): the step
+                  // matches when EITHER the base (kinds/minValue/relPred)
+                  // condition OR this predicate holds.
+                  orPred: Option[KeyedEvent => Boolean] = None,
+                  // loop stop condition (CEP oneOrMore().until(cond)):
+                  // an event matching it stops the loop — branches that
+                  // consume the event (e.g. the step after the loop)
+                  // survive; the non-consuming loop partial dies, so no
+                  // later event can extend or complete it.
+                  untilPred: Option[KeyedEvent => Boolean] = None) {
     def matches(e: KeyedEvent, prefix: Seq[Double]): Boolean =
-      (kinds.isEmpty || kinds.contains(e.kind)) && e.value >= minValue &&
-        relPred.forall(_(e.value, prefix))
+      ((kinds.isEmpty || kinds.contains(e.kind)) && e.value >= minValue &&
+        relPred.forall(_(e.value, prefix))) || orPred.exists(_(e))
     def times(n: Int): Step = copy(repeat = n)
     def opt: Step = copy(optional = true)
     /** CEP notFollowedBy guard form of this step. */
     def not: Step = copy(negated = true)
+    /** CEP followedByAny form: all later hits branch, not just the first. */
+    def any: Step = copy(anyMatch = true)
+    /** CEP .or(...): condition disjunct. */
+    def or(p: KeyedEvent => Boolean): Step = copy(orPred = Some(p))
+    /** CEP oneOrMore().until(...): loop stop condition (applies to each
+      * expanded repetition — set before upTo). */
+    def until(p: KeyedEvent => Boolean): Step = copy(untilPred = Some(p))
     /** Bounded oneOrMore: 1..n repetitions (1 required + n-1 optional;
       * bounded expansion keeps NFA state finite — CEP oneOrMore with
       * an explicit cap, CEPDemo timesOrMore). */
     def upTo(n: Int): Seq[Step] =
       copy(repeat = 1) +: Seq.fill(n - 1)(copy(repeat = 1, optional = true))
+    /** Bounded oneOrMore().allowCombinations(): every repetition may
+      * match ANY later event, so non-contiguous combinations form
+      * (CEPDemo.scala:211-247). */
+    def combinationsUpTo(n: Int): Seq[Step] = copy(anyMatch = true).upTo(n)
     def where(p: (Double, Seq[Double]) => Boolean): Step =
       copy(relPred = Some(p))
   }
+
+  /** Pattern group (CEPDemo.scala:715-755 patternGroup): a sub-pattern
+    * repeated n times, flattened into the NFA step list — the bounded
+    * analogue of `Pattern.begin(subPattern).times(n)`. */
+  def group(steps: Seq[Step], n: Int): Seq[Step] =
+    Seq.fill(n)(steps).flatten
 
   /** AFTER MATCH skip strategy (CEPDemo.scala:808-949). */
   sealed trait Skip
@@ -64,12 +101,24 @@ object SeqPattern {
   case object SkipToNext extends Skip
   /** Keep every live partial (noSkip — overlapping matches allowed). */
   case object NoSkip extends Skip
+  /** Drop partials starting before the match's FIRST row matched to
+    * step `v` (CEPDemo.scala:872-911 skipToFirst — anchors runs at the
+    * named variable's first occurrence). */
+  final case class SkipToFirst(v: String) extends Skip
+  /** Drop partials starting before the match's LAST row matched to
+    * step `v` (CEPDemo.scala:913-948 skipToLast — slides the window
+    * forward past the variable's last occurrence). */
+  final case class SkipToLast(v: String) extends Skip
 
   /** Expand quantified steps into the flat NFA step list. */
   private[graft] def expand(steps: Seq[Step]): IndexedSeq[Step] =
     steps.flatMap(s => Seq.fill(s.repeat)(s.copy(repeat = 1))).toIndexedSeq
 
-  case class Partial(stepIdx: Int, tss: List[Long], vals: List[Double])
+  /** A live partial match: NFA position, consumed-row event times,
+    * consumed-row values, and the step index each row matched
+    * (parallel to tss/vals; drives SkipToFirst/SkipToLast). */
+  case class Partial(stepIdx: Int, tss: List[Long], vals: List[Double],
+                     idxs: List[Int] = Nil)
 
   /** Event-time at MICROsecond precision. `getTime` alone truncates to
     * ms, which reorders sub-ms events (the driver's `events` table is
@@ -198,23 +247,36 @@ object SeqPattern {
     // prefix of optional steps (one branch per hit). A negative guard
     // at the frontier never consumes: an event matching it kills the
     // partial (killed=true); otherwise the scan continues past it.
+    // An until-condition fire (stop=true) kills the NON-consuming
+    // continuation: branches that consume the event survive, but the
+    // loop can never extend past the stop event (CEP until).
     private def matchIdxs(from: Int, e: KeyedEvent,
-                          prefix: Seq[Double]): (List[Int], Boolean) = {
+                          prefix: Seq[Double]): (List[Int], Boolean, Boolean) = {
       val hits = scala.collection.mutable.ListBuffer.empty[Int]
       var j = from
       var scanning = true
       var killed = false
+      var stop = false
       while (scanning && j < stepsB.length) {
         val st = stepsB(j)
+        if (st.untilPred.exists(_(e))) stop = true
         if (st.negated) {
           if (st.matches(e, prefix)) { killed = true; scanning = false }
           else j += 1
         } else {
-          if (st.matches(e, prefix)) hits += j
+          // dominance pruning: consecutive IDENTICAL optional copies
+          // (an upTo expansion) are interchangeable, and the earliest
+          // position keeps the most remaining slots while reaching the
+          // same downstream steps — branches at deeper copies are
+          // strictly dominated, so record only the first. (Function
+          // fields compare by reference; copies share their lambdas,
+          // so case-class equality identifies true expansion copies.)
+          if (st.matches(e, prefix) &&
+              (hits.isEmpty || stepsB(hits.last) != st)) hits += j
           if (st.optional) j += 1 else scanning = false
         }
       }
-      (hits.toList, killed)
+      (hits.toList, killed, stop)
     }
 
     /** Consume one event (callers feed events in the order that defines
@@ -230,21 +292,28 @@ object SeqPattern {
       // advance existing partials. Branch priority: positive
       // consumption branches (hits BEFORE any tripped guard) survive;
       // the non-consuming continuation dies if the event tripped a
-      // negative guard at its frontier.
+      // negative guard or an until-stop at its frontier, and ALSO
+      // survives alongside its branches when the consumed step is
+      // anyMatch (followedByAny: later hits branch too).
       val advanced = partials.flatMap { p =>
-        val (hits, killed) = matchIdxs(p.stepIdx, e, p.vals)
-        if (hits.nonEmpty)
-          hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value))
-        else if (killed) Nil // negative guard violated: partial dies
-        else if (strict) { // strict contiguity: chain broken
-          if (greedy && accepting(p)) emit(p) // final extent reached
-          Nil
-        }
-        else List(p)         // relaxed: partial survives
+        val (hits, killed, stop) = matchIdxs(p.stepIdx, e, p.vals)
+        val branches =
+          hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value,
+            p.idxs :+ j))
+        val keepOriginal =
+          if (killed || stop) false
+          else if (hits.isEmpty) {
+            if (strict) { // strict contiguity: chain broken
+              if (greedy && accepting(p)) emit(p) // final extent reached
+              false
+            } else true    // relaxed: partial survives
+          } else !strict && hits.exists(j => stepsB(j).anyMatch)
+        branches ++ (if (keepOriginal) List(p) else Nil)
       }
       // start new partials from step 0 (and optional-skipped starts)
       val started =
-        matchIdxs(0, e, Nil)._1.map(j => Partial(j + 1, List(t), List(e.value)))
+        matchIdxs(0, e, Nil)._1.map(j =>
+          Partial(j + 1, List(t), List(e.value), List(j)))
       val candidates = (advanced ++ started)
         .distinctBy(p => (p.stepIdx, p.tss))
       // greedy completes only past the last step (longest extent)
@@ -273,7 +342,17 @@ object SeqPattern {
           case _               => picks
         }).foreach(emit)
       }
-      // AFTER MATCH skip strategy
+      // AFTER MATCH skip strategy. SkipToFirst/SkipToLast anchor on the
+      // LEFTMOST completed match (consistent with the emission policy's
+      // leftmost-match priority): live runs that started before the
+      // anchor row — the first/last row the named step matched — drop.
+      def varAnchor(v: String, last: Boolean): Option[Long] = {
+        val m = complete.groupBy(_.tss.head).toSeq.minBy(_._1)._2
+          .maxBy(_.vals.length)
+        val rows = m.idxs.zip(m.tss)
+          .collect { case (j, ts) if stepsB(j).name == v => ts }
+        if (last) rows.lastOption else rows.headOption
+      }
       partials =
         if (complete.isEmpty) live
         else skip match {
@@ -282,6 +361,12 @@ object SeqPattern {
             val firstTs = complete.map(_.tss.head).min
             live.filter(_.tss.head > firstTs)
           case NoSkip => live
+          case SkipToFirst(v) =>
+            varAnchor(v, last = false)
+              .map(a => live.filter(_.tss.head >= a)).getOrElse(live)
+          case SkipToLast(v) =>
+            varAnchor(v, last = true)
+              .map(a => live.filter(_.tss.head >= a)).getOrElse(live)
         }
     }
 
