@@ -171,6 +171,30 @@ object PatternQueries extends GroupBase {
         .orderBy("user_id", "m_start")
     }),
 
+    // MATCH_RECOGNIZE navigation (TableSQLFunc.scala:1622-1712)
+    // through the SQL surface: FIRST/LAST(SYM.value, n) offsets in
+    // BOTH the DEFINE condition (B must exceed the SECOND A row —
+    // FIRST(A.value, 1)) and multi-variable MEASURES. Strict A{3} B
+    // over each user's purchases, NO SKIP; fixed length keeps the
+    // oracle lead()-expressible.
+    "pat_mr_nav" -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      org.apache.spark.sql.GraftBridge.ensurePrepared(s)
+      s.sql("SELECT * FROM events WHERE event_type = 'purchase'")
+        .createOrReplaceTempView("events_p")
+      s.sql(
+        """FROM events_p MATCH_RECOGNIZE (
+             PARTITION BY user_id ORDER BY ts
+             KIND event_type MEASURE value
+             MEASURES FIRST(A.value) AS a_first, LAST(A.value, 1) AS a_mid,
+                      LAST(B.value) AS b_val, COUNT(A.*) AS n_a
+             PATTERN (A{3} B) WITHIN 7 DAYS AFTER MATCH NO SKIP
+             DEFINE A AS kind = 'purchase',
+                    B AS B.value > FIRST(A.value, 1)
+           )""")
+        .orderBy("user_id", "m_start")
+    }),
+
     // CEP followedByAny (CEPDemo.scala:685-714): non-deterministic
     // relaxed contiguity — every signup pairs with EVERY purchase
     // inside the hour, not just the first (followedBy keeps one).
@@ -331,6 +355,17 @@ object PatternQueries extends GroupBase {
          WHERE prev_v < 10.0 AND value > 400.0
            AND ts <= prev_ts + INTERVAL 1 MINUTE
          ORDER BY user_id, event_id""",
+    "pat_mr_nav" ->
+      """WITH f AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'purchase'),
+         l AS (SELECT user_id, ts, value AS v0,
+                      lead(value, 1) OVER w AS v1, lead(value, 2) OVER w AS v2,
+                      lead(value, 3) OVER w AS v3, lead(ts, 3) OVER w AS t3
+               FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, value))
+         SELECT user_id, ts AS m_start, t3 AS m_end,
+                v0 AS a_first, v1 AS a_mid, v3 AS b_val, CAST(3 AS INT) AS n_a
+         FROM l WHERE v3 > v1 AND t3 <= ts + INTERVAL 7 DAY
+         ORDER BY user_id, m_start""",
     "pat_followany" ->
       """SELECT a.user_id, a.ts AS m_start, b.ts AS m_end,
                 ((CAST(0.0 AS DOUBLE) + a.value) + b.value) AS sum_v

@@ -16,15 +16,30 @@ import graft.streaming.SeqPattern._
   * quant      := '{' n '}' | '{' 1 ',' n '}' | '+' | '?'
   * reluctant  := '?'                      // e.g. B{1,3}? / B+?
   * within     := WITHIN n (SECOND|MINUTE|HOUR|DAY)[S]
-  * afterMatch := AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW|NO SKIP)
+  * afterMatch := AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW|NO SKIP
+  *                            |SKIP TO (FIRST|LAST) SYMBOL)
   * defs       := SYMBOL AS cond (',' SYMBOL AS cond)*
-  * cond       := term (AND term)*
+  * cond       := disj (OR disj)*          // OR at paren depth 0
+  * disj       := '('? term (AND term)* ')'?
   * term       := TRUE
   *             | kind '=' 'lit' | kind IN '(' 'lit' (',' 'lit')* ')'
   *             | value cmp num  | AVG '(' value ')' cmp num
   *             | value cmp PREV '(' value ')'
+  *             | operand cmp operand      // navigation comparisons
+  *             | nav IS [NOT] NULL
+  * operand    := nav | SYMBOL '.' value | value | num
+  * nav        := (FIRST|LAST) '(' SYMBOL '.' value [',' n] ')'
   * cmp        := '<' | '<=' | '>' | '>=' | '='
   * }}}
+  *
+  * Navigation semantics (TableSQLFunc.scala:1622-1712): inside the
+  * DEFINE of A, the candidate row tentatively belongs to A, so
+  * `LAST(A.value, 1)` is the previous A row; a reference to another
+  * symbol B is `LAST(B.value, 0)` over the rows matched so far; an
+  * out-of-range navigation is SQL NULL (comparisons false, testable
+  * with IS [NOT] NULL). A condition containing OR or navigation
+  * compiles to one closure over the symbol-tagged prefix
+  * (Step.navPred); plain conjunctions keep the legacy compilation.
   *
   * Semantics notes (matching the reference's MATCH_RECOGNIZE):
   *   - a SYMBOL with no DEFINE clause matches any row (wildcard);
@@ -50,6 +65,8 @@ object MrParser {
   private val WithinRe = """WITHIN\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
   private val SkipRe =
     """AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|NO\s+SKIP)""".r
+  private val SkipToVarRe =
+    """AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
   private val DefineRe = """(?s)DEFINE\s+(.*)$""".r
   private val ElemRe =
     """(!?)([A-Za-z_][A-Za-z0-9_]*)(\{(\d+)(,(\d+))?\}|\+|\?)?(\?)?""".r
@@ -68,11 +85,16 @@ object MrParser {
         case "DAY"    => n * 86400000L
       }
     }.getOrElse(Long.MaxValue / 4) // unbounded horizon
-    val skip = SkipRe.findFirstMatchIn(s)
-      .map(_.group(1).replaceAll("\\s+", " ")).getOrElse("SKIP PAST LAST ROW") match {
-      case "SKIP PAST LAST ROW" => SkipPastLastRow
-      case "SKIP TO NEXT ROW"   => SkipToNext
-      case "NO SKIP"            => NoSkip
+    val skip = SkipToVarRe.findFirstMatchIn(s) match {
+      // SKIP TO FIRST/LAST <VAR> (TableSQLFunc.scala:1641,1694)
+      case Some(m) if m.group(1).equalsIgnoreCase("FIRST") => SkipToFirst(m.group(2))
+      case Some(m) => SkipToLast(m.group(2))
+      case None => SkipRe.findFirstMatchIn(s)
+        .map(_.group(1).replaceAll("\\s+", " ")).getOrElse("SKIP PAST LAST ROW") match {
+        case "SKIP PAST LAST ROW" => SkipPastLastRow
+        case "SKIP TO NEXT ROW"   => SkipToNext
+        case "NO SKIP"            => NoSkip
+      }
     }
     val defs: Map[String, Step => Step] =
       DefineRe.findFirstMatchIn(s) match {
@@ -115,9 +137,9 @@ object MrParser {
 
   private val KindEqRe = """(?i)kind\s*=\s*'([^']*)'""".r
   private val KindInRe = """(?i)kind\s+IN\s*\(([^)]*)\)""".r
-  private val ValCmpRe = """(?i)value\s*(<=|>=|<|>|=)\s*(-?[0-9.]+(?:[eE]-?\d+)?)""".r
-  private val AvgCmpRe = """(?i)AVG\s*\(\s*value\s*\)\s*(<=|>=|<|>|=)\s*(-?[0-9.]+(?:[eE]-?\d+)?)""".r
-  private val PrevCmpRe = """(?i)value\s*(<=|>=|<|>|=)\s*PREV\s*\(\s*value\s*\)""".r
+  private val ValCmpRe = """(?i)(?:\w+\.)?value\s*(<=|>=|<|>|=)\s*(-?[0-9.]+(?:[eE]-?\d+)?)""".r
+  private val AvgCmpRe = """(?i)AVG\s*\(\s*(?:\w+\.)?value\s*\)\s*(<=|>=|<|>|=)\s*(-?[0-9.]+(?:[eE]-?\d+)?)""".r
+  private val PrevCmpRe = """(?i)(?:\w+\.)?value\s*(<=|>=|<|>|=)\s*PREV\s*\(\s*(?:\w+\.)?value\s*\)""".r
 
   private def cmp(op: String): (Double, Double) => Boolean = op match {
     case "<" => _ < _
@@ -137,10 +159,129 @@ object MrParser {
       case None    => p
     }))
 
+  // ---- navigation / OR condition compiler ---------------------------
+  // MATCH_RECOGNIZE DEFINE with FIRST/LAST(SYM.value, n) navigation
+  // and OR disjuncts (TableSQLFunc.scala:1622-1712, e.g.
+  //   A AS LAST(A.price,1) IS NULL OR A.price > LAST(A.price,1)).
+  // Conditions containing either compile to ONE navPred closure over
+  // the symbol-tagged prefix; plain conjunctions keep the legacy
+  // kinds/relPred compilation below (no behavior change).
+
+  private val NavFnRe =
+    """(?i)^(FIRST|LAST)\s*\(\s*(\w+)\.value\s*(?:,\s*(\d+))?\s*\)$""".r
+  private val NavNullRe =
+    """(?i)^(FIRST|LAST)\s*\(\s*(\w+)\.value\s*(?:,\s*(\d+))?\s*\)\s+IS\s+(NOT\s+)?NULL$""".r
+  private val QualValRe = """(?i)^(\w+)\.value$""".r
+  private val NumRe = """^-?[0-9.]+(?:[eE]-?\d+)?$""".r
+  private val BinCmpRe = """(?s)^(.*?)\s*(<=|>=|<|>|=)\s*(.*)$""".r
+
+  private def hasNavOrOr(cond: String): Boolean =
+    """(?i)\bOR\b""".r.findFirstIn(cond).isDefined ||
+      """(?i)\b(FIRST|LAST)\s*\(""".r.findFirstIn(cond).isDefined
+
+  private type SymPrefix = Seq[(String, Double)]
+
+  /** Rows of `sym` visible to a DEFINE of `self` on candidate `v`: the
+    * prefix rows plus — for self-references — the candidate itself
+    * (SQL:2016: inside A's DEFINE the candidate row tentatively
+    * belongs to A, so LAST(A.value, 1) is the PREVIOUS A row). */
+  private def rowsOf(sym: String, self: String, v: Double,
+                     sp: SymPrefix): Seq[Double] =
+    sp.collect { case (s, x) if s == sym => x } ++
+      (if (sym == self) Seq(v) else Nil)
+
+  /** Operand → Option[Double] evaluator (None = SQL NULL). */
+  private def operand(expr: String, self: String)
+      : Option[(KeyedEvent, SymPrefix) => Option[Double]] = expr.trim match {
+    case NavFnRe(fn, sym, off) =>
+      val o = Option(off).map(_.toInt).getOrElse(0)
+      val first = fn.equalsIgnoreCase("FIRST")
+      Some((e, sp) => {
+        val rows = rowsOf(sym, self, e.value, sp)
+        if (first) rows.lift(o) else rows.lift(rows.length - 1 - o)
+      })
+    case QualValRe(sym) =>
+      if (sym == self) Some((e, _) => Some(e.value))
+      else Some((e, sp) => rowsOf(sym, self, e.value, sp).lastOption)
+    case t if t.equalsIgnoreCase("value") => Some((e, _) => Some(e.value))
+    case NumRe() => val n = expr.trim.toDouble; Some((_, _) => Some(n))
+    case _ => None
+  }
+
+  /** One term of a nav-mode condition → predicate closure. */
+  private def navTerm(term: String, self: String)
+      : (KeyedEvent, SymPrefix) => Boolean = term.trim match {
+    case t if t.equalsIgnoreCase("TRUE") => (_, _) => true
+    case NavNullRe(fn, sym, off, not) =>
+      val o = Option(off).map(_.toInt).getOrElse(0)
+      val first = fn.equalsIgnoreCase("FIRST")
+      val wantNull = not == null
+      (e, sp) => {
+        val rows = rowsOf(sym, self, e.value, sp)
+        val r = if (first) rows.lift(o) else rows.lift(rows.length - 1 - o)
+        r.isEmpty == wantNull
+      }
+    case KindEqRe(lit) => (e, _) => e.kind == lit
+    case KindInRe(list) =>
+      val lits = """'([^']*)'""".r.findAllMatchIn(list).map(_.group(1)).toSet
+      (e, _) => lits.contains(e.kind)
+    case BinCmpRe(l, op, r) =>
+      (operand(l, self), operand(r, self)) match {
+        case (Some(lf), Some(rf)) =>
+          val c = cmp(op)
+          (e, sp) => (for (a <- lf(e, sp); b <- rf(e, sp)) yield c(a, b))
+            .getOrElse(false) // SQL: comparison with NULL is not true
+        case _ => fail(s"unsupported navigation term '$term'", term)
+      }
+    case other => fail(s"unsupported DEFINE term '$other'", other)
+  }
+
+  /** Depth-aware split on a keyword at paren depth 0. */
+  private def splitTop(s: String, word: String): Seq[String] = {
+    val re = s"""(?i)\\b$word\\b""".r
+    val cuts = re.findAllMatchIn(s).map(_.start).filter { i =>
+      s.take(i).count(_ == '(') == s.take(i).count(_ == ')')
+    }.toList
+    var out = List.empty[String]
+    var start = 0
+    for (i <- cuts) { out ::= s.substring(start, i); start = i + word.length }
+    (out.reverse :+ s.substring(start)).map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Strip one pair of parens that wraps the WHOLE string. */
+  private def stripParens(s0: String): String = {
+    val s = s0.trim
+    if (s.startsWith("(") && s.endsWith(")")) {
+      var depth = 0; var wraps = true
+      for ((ch, i) <- s.zipWithIndex) {
+        if (ch == '(') depth += 1
+        else if (ch == ')') { depth -= 1; if (depth == 0 && i < s.length - 1) wraps = false }
+      }
+      if (wraps) stripParens(s.substring(1, s.length - 1)) else s
+    } else s
+  }
+
+  /** Full nav-mode condition: OR of AND-conjunctions (with optional
+    * parens around each disjunct). */
+  private def navCond(cond: String, self: String)
+      : (KeyedEvent, SymPrefix) => Boolean = {
+    val disjs = splitTop(cond, "OR").map { d =>
+      val terms = splitTop(stripParens(d), "AND").map(t => navTerm(stripParens(t), self))
+      terms.reduce[(KeyedEvent, SymPrefix) => Boolean] {
+        (f, g) => (e, sp) => f(e, sp) && g(e, sp) }
+    }
+    disjs.reduce[(KeyedEvent, SymPrefix) => Boolean] {
+      (f, g) => (e, sp) => f(e, sp) || g(e, sp) }
+  }
+
   private def parseDefine(clause: String): (String, Step => Step) = {
     val parts = clause.trim.split("""(?i)\s+AS\s+""", 2)
     if (parts.length != 2) fail("DEFINE clause needs 'SYM AS cond'", clause)
     val sym = parts(0).trim
+    if (hasNavOrOr(parts(1))) {
+      val pred = navCond(parts(1).trim, sym)
+      return sym -> ((st: Step) => st.nav(pred))
+    }
     val terms = parts(1).split("""(?i)\s+AND\s+""").map(_.trim)
     val xform = terms.foldLeft(identity[Step] _) { (acc, term) =>
       val f: Step => Step = term match {

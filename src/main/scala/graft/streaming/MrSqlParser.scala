@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * FROM <table> MATCH_RECOGNIZE (
   *   PARTITION BY <keyCol> ORDER BY <tsCol>
   *   [KIND <kindCol>] [MEASURE <valueCol>]
-  *   [MEASURES <fn>(value|*) AS <alias> (, ...)*]   -- fn: FIRST LAST
-  *                                     MIN MAX SUM AVG COUNT
+  *   [MEASURES <fn>([SYM.]value|*[, off]) AS <alias> (, ...)*]
+  *                          -- fn: FIRST LAST MIN MAX SUM AVG COUNT;
+  *                          -- SYM. restricts to that variable's rows,
+  *                          -- off navigates FIRST/LAST (SQL:2016)
   *   PATTERN (...) [WITHIN ...] [AFTER MATCH ...] DEFINE ...
   * )
   * }}}
@@ -37,20 +39,33 @@ object MrSql {
   private val Re =
     """(?is)^\s*FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(\s*PARTITION\s+BY\s+(\w+)\s+ORDER\s+BY\s+(\w+)\s+(?:KIND\s+(\w+)\s+)?(?:MEASURE\s+(\w+)\s+)?(?:MEASURES\s+(.*?)\s+)?(PATTERN\b.*)\)\s*;?\s*$""".r
   private val MeasureRe =
-    """(?i)(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*(?:value|\*)\s*\)\s+AS\s+(\w+)""".r
+    """(?i)(FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(\s*(?:(\w+)\.)?(?:value|\*)\s*(?:,\s*(\d+))?\s*\)\s+AS\s+(\w+)""".r
 
-  /** A MEASURES item over the matched-values array. */
-  private def measure(fn: String, alias: String): org.apache.spark.sql.Column =
+  /** A MEASURES item: `fn([SYM.]value[, off]) AS alias` over the
+    * matched-values array, restricted to SYM's rows when qualified
+    * (multi-variable MEASURES, TableSQLFunc.scala:1703-1712 — e.g.
+    * `FIRST(A.price) AS START_PRICE, LAST(A.price, 1) AS ...`).
+    * FIRST/LAST take an optional offset; out-of-range → NULL. */
+  private def measure(fn: String, sym: String, off: Int,
+                      alias: String): org.apache.spark.sql.Column = {
+    // per-variable value list: rows whose symbol matches (all rows
+    // when unqualified) — MatchOut.syms is parallel to values
+    val vs =
+      if (sym == null) col("values")
+      else transform(
+        filter(arrays_zip(col("syms"), col("values")),
+          x => x.getField("syms") === sym),
+        x => x.getField("values"))
     (fn.toUpperCase match {
-      case "FIRST" => element_at(col("values"), 1)
-      case "LAST"  => element_at(col("values"), -1)
-      case "MIN"   => array_min(col("values"))
-      case "MAX"   => array_max(col("values"))
-      case "SUM"   => aggregate(col("values"), lit(0.0), (a, v) => a + v)
-      case "AVG"   => aggregate(col("values"), lit(0.0), (a, v) => a + v) /
-        size(col("values"))
-      case "COUNT" => size(col("values"))
+      case "FIRST" => element_at(vs, off + 1)
+      case "LAST"  => element_at(vs, -(off + 1))
+      case "MIN"   => array_min(vs)
+      case "MAX"   => array_max(vs)
+      case "SUM"   => aggregate(vs, lit(0.0), (a, v) => a + v)
+      case "AVG"   => aggregate(vs, lit(0.0), (a, v) => a + v) / size(vs)
+      case "COUNT" => size(vs)
     }).as(alias)
+  }
 
   def rewrite(session: SparkSession, text: String): Option[LogicalPlan] = {
     if (!text.toUpperCase.contains("MATCH_RECOGNIZE")) return None
@@ -63,7 +78,9 @@ object MrSql {
       val measures = Option(m.group(6)) match {
         case Some(list) =>
           val ms = MeasureRe.findAllMatchIn(list)
-            .map(mm => measure(mm.group(1), mm.group(2))).toSeq
+            .map(mm => measure(mm.group(1), mm.group(2),
+              Option(mm.group(3)).map(_.toInt).getOrElse(0),
+              mm.group(4))).toSeq
           if (ms.isEmpty)
             throw new IllegalArgumentException(
               s"MATCH_RECOGNIZE: unparseable MEASURES list: $list")

@@ -59,10 +59,18 @@ object SeqPattern {
                   // consume the event (e.g. the step after the loop)
                   // survive; the non-consuming loop partial dies, so no
                   // later event can extend or complete it.
-                  untilPred: Option[KeyedEvent => Boolean] = None) {
-    def matches(e: KeyedEvent, prefix: Seq[Double]): Boolean =
-      ((kinds.isEmpty || kinds.contains(e.kind)) && e.value >= minValue &&
-        relPred.forall(_(e.value, prefix))) || orPred.exists(_(e))
+                  untilPred: Option[KeyedEvent => Boolean] = None,
+                  // navigation condition over the SYMBOL-TAGGED prefix
+                  // (MATCH_RECOGNIZE FIRST/LAST(VAR.field, n) in DEFINE,
+                  // TableSQLFunc.scala:1622-1712): receives the candidate
+                  // event and (symbol, value) pairs of the rows matched
+                  // so far. ANDs with the base condition.
+                  navPred: Option[(KeyedEvent, Seq[(String, Double)]) => Boolean] = None) {
+    def matches(e: KeyedEvent, prefix: Seq[Double],
+                symPrefix: () => Seq[(String, Double)] = () => Nil): Boolean =
+      (((kinds.isEmpty || kinds.contains(e.kind)) && e.value >= minValue &&
+        relPred.forall(_(e.value, prefix))) || orPred.exists(_(e))) &&
+        navPred.forall(_(e, symPrefix()))
     def times(n: Int): Step = copy(repeat = n)
     def opt: Step = copy(optional = true)
     /** CEP notFollowedBy guard form of this step. */
@@ -74,6 +82,12 @@ object SeqPattern {
     /** CEP oneOrMore().until(...): loop stop condition (applies to each
       * expanded repetition — set before upTo). */
     def until(p: KeyedEvent => Boolean): Step = copy(untilPred = Some(p))
+    /** MATCH_RECOGNIZE navigation condition (see navPred). */
+    def nav(p: (KeyedEvent, Seq[(String, Double)]) => Boolean): Step =
+      copy(navPred = Some(navPred match {
+        case Some(q) => (e, sp) => q(e, sp) && p(e, sp)
+        case None    => p
+      }))
     /** Bounded oneOrMore: 1..n repetitions (1 required + n-1 optional;
       * bounded expansion keeps NFA state finite — CEP oneOrMore with
       * an explicit cap, CEPDemo timesOrMore). */
@@ -131,8 +145,10 @@ object SeqPattern {
     t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
     t
   }
+  /** `syms(i)` is the pattern symbol `values(i)` matched — the row
+    * attribution MATCH_RECOGNIZE per-variable MEASURES navigate. */
   case class MatchOut(key: Long, startTs: Timestamp, endTs: Timestamp,
-                      values: Seq[Double])
+                      values: Seq[Double], syms: Seq[String])
 
   implicit val matchEnc: Encoder[MatchOut] = Encoders.product[MatchOut]
   /** State = live partial matches, wrapped in a Product for encoding. */
@@ -233,7 +249,7 @@ object SeqPattern {
 
     private def emit(p: Partial): Unit = if (seen.add(p.tss)) {
       out += MatchOut(key, toTimestamp(p.tss.head),
-        toTimestamp(p.tss.last), p.vals)
+        toTimestamp(p.tss.last), p.vals, p.idxs.map(stepsB(_).name))
     }
 
     // accepting = every remaining step can be skipped (a trailing
@@ -250,8 +266,13 @@ object SeqPattern {
     // An until-condition fire (stop=true) kills the NON-consuming
     // continuation: branches that consume the event survive, but the
     // loop can never extend past the stop event (CEP until).
-    private def matchIdxs(from: Int, e: KeyedEvent,
-                          prefix: Seq[Double]): (List[Int], Boolean, Boolean) = {
+    private def matchIdxs(from: Int, e: KeyedEvent, prefix: Seq[Double],
+                          prefixIdxs: Seq[Int]): (List[Int], Boolean, Boolean) = {
+      // symbol-tagged prefix for navigation conditions, built at most
+      // once per (partial, event) — only when a navPred step is probed
+      lazy val symPrefix: Seq[(String, Double)] =
+        prefixIdxs.map(stepsB(_).name).zip(prefix)
+      val sp = () => symPrefix
       val hits = scala.collection.mutable.ListBuffer.empty[Int]
       var j = from
       var scanning = true
@@ -261,7 +282,7 @@ object SeqPattern {
         val st = stepsB(j)
         if (st.untilPred.exists(_(e))) stop = true
         if (st.negated) {
-          if (st.matches(e, prefix)) { killed = true; scanning = false }
+          if (st.matches(e, prefix, sp)) { killed = true; scanning = false }
           else j += 1
         } else {
           // dominance pruning: consecutive IDENTICAL optional copies
@@ -271,7 +292,7 @@ object SeqPattern {
           // strictly dominated, so record only the first. (Function
           // fields compare by reference; copies share their lambdas,
           // so case-class equality identifies true expansion copies.)
-          if (st.matches(e, prefix) &&
+          if (st.matches(e, prefix, sp) &&
               (hits.isEmpty || stepsB(hits.last) != st)) hits += j
           if (st.optional) j += 1 else scanning = false
         }
@@ -296,7 +317,7 @@ object SeqPattern {
       // survives alongside its branches when the consumed step is
       // anyMatch (followedByAny: later hits branch too).
       val advanced = partials.flatMap { p =>
-        val (hits, killed, stop) = matchIdxs(p.stepIdx, e, p.vals)
+        val (hits, killed, stop) = matchIdxs(p.stepIdx, e, p.vals, p.idxs)
         val branches =
           hits.map(j => Partial(j + 1, p.tss :+ t, p.vals :+ e.value,
             p.idxs :+ j))
@@ -312,7 +333,7 @@ object SeqPattern {
       }
       // start new partials from step 0 (and optional-skipped starts)
       val started =
-        matchIdxs(0, e, Nil)._1.map(j =>
+        matchIdxs(0, e, Nil, Nil)._1.map(j =>
           Partial(j + 1, List(t), List(e.value), List(j)))
       val candidates = (advanced ++ started)
         .distinctBy(p => (p.stepIdx, p.tss))

@@ -220,4 +220,46 @@ class MrParserSpec extends SparkSpec {
       "PATTERN (A B C) DEFINE A AS kind = 'a', B AS kind = 'b', C AS kind = 'c'")
       .isEmpty)
   }
+
+  test("navigation DEFINE: rising run via LAST(A.value,1) with OR/IS NULL") {
+    // the reference's up-run pattern (TableSQLFunc.scala:1703-1712):
+    // A admits the first row (no previous A) OR a value above the
+    // previous A; B requires a drop below the LAST A.
+    val evs = Seq(
+      KeyedEvent(1, ts(1000), "p", 10), KeyedEvent(1, ts(2000), "p", 12),
+      KeyedEvent(1, ts(3000), "p", 15), KeyedEvent(1, ts(4000), "p", 11))
+    val out = detectBatch(evs,
+      "PATTERN (A+ B) DEFINE " +
+      "A AS LAST(A.value, 1) IS NULL OR A.value > LAST(A.value, 1), " +
+      "B AS B.value < LAST(A.value)")
+    // leftmost-longest under the default SKIP PAST LAST ROW
+    assert(out.map(_.values) == Seq(Seq(10.0, 12.0, 15.0, 11.0)))
+    assert(out.head.syms == Seq("A", "A", "A", "B"))
+  }
+
+  test("navigation DEFINE: cross-variable FIRST offset") {
+    // B must exceed the SECOND A row (FIRST(A.value, 1))
+    val evs = Seq(
+      KeyedEvent(1, ts(1000), "p", 5), KeyedEvent(1, ts(2000), "p", 9),
+      KeyedEvent(1, ts(3000), "p", 1), KeyedEvent(1, ts(4000), "p", 10),
+      KeyedEvent(2, ts(1000), "p", 5), KeyedEvent(2, ts(2000), "p", 9),
+      KeyedEvent(2, ts(3000), "p", 1), KeyedEvent(2, ts(4000), "p", 8))
+    val out = detectBatch(evs,
+      "PATTERN (A{3} B) DEFINE B AS B.value > FIRST(A.value, 1)")
+    // key 1: 10 > 9 matches; key 2: 8 > 9 fails
+    assert(out.map(m => (m.key, m.values)) == Seq((1L, Seq(5.0, 9.0, 1.0, 10.0))))
+  }
+
+  test("AFTER MATCH SKIP TO FIRST/LAST <var> parses to the new strategies") {
+    assert(MrParser.parse(
+      "PATTERN (A B) AFTER MATCH SKIP TO LAST A DEFINE A AS TRUE").skip ==
+      SkipToLast("A"))
+    assert(MrParser.parse(
+      "PATTERN (A B) AFTER MATCH SKIP TO FIRST B DEFINE A AS TRUE").skip ==
+      SkipToFirst("B"))
+    // legacy forms unaffected
+    assert(MrParser.parse(
+      "PATTERN (A B) AFTER MATCH SKIP TO NEXT ROW DEFINE A AS TRUE").skip ==
+      SkipToNext)
+  }
 }
