@@ -31,6 +31,47 @@ class SinkCatalogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Persistent-catalog analogue of the reference's Hive catalog
+    * registration (CreateTest.scala:461-479): tables whose metadata
+    * outlives the session that defined them and whose data outlives the
+    * application. The offline image has no Hive metastore, so the
+    * durable pieces exercised here are (a) the shared external catalog
+    * across `newSession()`s and (b) warehouse files that a later
+    * application re-attaches with CREATE TABLE ... LOCATION. */
+  test("persistent catalog: saveAsTable round-trip, cross-session visibility, LOCATION re-attach") {
+    spark.sql("DROP TABLE IF EXISTS cat_nation")
+    graft.core.Tables.load(spark, TestSpark.sf0001, "nation")
+      .write.mode("overwrite").saveAsTable("cat_nation")
+    try {
+      // managed table: data landed under spark.sql.warehouse.dir
+      val loc = new java.net.URI(spark.sql("DESCRIBE EXTENDED cat_nation")
+        .filter(col("col_name") === "Location").first().getString(1)).getPath
+      assert(new java.io.File(loc).listFiles().exists(_.getName.endsWith(".parquet")))
+      // a sibling session (fresh SessionCatalog, same external catalog)
+      // resolves the table by name — the metastore behavior users expect
+      val sibling = spark.newSession()
+      assert(sibling.catalog.tableExists("cat_nation"))
+      assert(sibling.sql("SELECT count(*) FROM cat_nation").first().getLong(0) == 25L)
+
+      // application restart story: metadata is gone (in-memory catalog)
+      // but the files are not — CREATE TABLE ... LOCATION re-attaches
+      // them with schema inferred from the parquet footers
+      val ext = java.nio.file.Files.createTempDirectory("graft-ext").toString
+      spark.table("cat_nation").write.mode("overwrite").parquet(ext)
+      spark.sql(s"CREATE TABLE cat_nation_ext USING parquet LOCATION '$ext'")
+      assert(spark.sql("SELECT count(*) FROM cat_nation_ext").first().getLong(0) == 25L)
+      // external table: DROP removes metadata only; data survives for
+      // the next application to re-register
+      spark.sql("DROP TABLE cat_nation_ext")
+      assert(new java.io.File(ext).listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.sql(s"CREATE TABLE cat_nation_ext USING parquet LOCATION '$ext'")
+      assert(spark.sql("SELECT count(*) FROM cat_nation_ext").first().getLong(0) == 25L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cat_nation_ext")
+      spark.sql("DROP TABLE IF EXISTS cat_nation")
+    }
+  }
+
   test("SQL DDL: CREATE TABLE ... PARTITIONED BY + INSERT INTO + catalog") {
     spark.sql("DROP TABLE IF EXISTS ddl_orders")
     spark.sql(
