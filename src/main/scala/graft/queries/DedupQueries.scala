@@ -118,6 +118,35 @@ object DedupQueries extends GroupBase {
         .orderBy("da", "db")
     }),
 
+    // duplicated-substring measure (the span-level complement of the
+    // doc-level dedups above): per document, the fraction of its
+    // distinct 8-gram shingles that occur in at least one OTHER
+    // document. This is the signal substring-level dedup pipelines
+    // threshold on — a doc can be globally unique while 80% of its
+    // spans are boilerplate copied corpus-wide. One corpus scan, one
+    // lineage: the doc-frequency count is a window over the shingle
+    // hash, and the per-doc rollup regroups the same (doc_id, h)
+    // rows — hashes (BIGINTs), never shingle strings, on both
+    // shuffles. At 100 TB both exchanges are plain hash partitions;
+    // no all-pairs, no skew (8-gram frequencies are long-tailed but
+    // the window state is one running count per key).
+    "dd_substr" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs",
+          array_distinct(VectorFunctions.shingleHashes(col("tk"), 8)))
+        .filter(col("hs").isNotNull)
+        .select(col("doc_id"), size(col("hs")).as("n8"),
+          explode(col("hs")).as("h"))
+      sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id", "n8")
+        .agg(sum(when(col("df") >= 2, 1).otherwise(0)).as("ndup"))
+        .select(col("doc_id"), col("n8"), col("ndup").cast("int").as("ndup"),
+          (col("ndup").cast("double") / col("n8")).as("dupfrac"),
+          (col("ndup").cast("double") / col("n8") >= 0.5).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash-32 near-dup: signature from 32 token-hash bit votes.
     // Shingle (3-gram) features, not bare tokens — with a tiny
     // vocabulary every doc shares most unigrams and a token-level
@@ -238,6 +267,24 @@ object DedupQueries extends GroupBase {
           FROM bands x JOIN bands y
             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
           ORDER BY da, db"""
+    },
+    "dd_substr" -> {
+      // 8-gram shingles: 1-based inclusive slice tk[i : i+7]
+      val sh8 =
+        s"""SELECT DISTINCT doc_id,
+                   ${TextOps.hash32Sql("array_to_string(tk[i : i + 7], ' ')")} AS h
+            FROM (SELECT doc_id, $toksSql AS tk FROM documents) t,
+                 LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+            WHERE i + 7 <= len(tk)"""
+      s"""WITH sh AS ($sh8),
+          df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+          per AS (SELECT doc_id, count(*) AS n8,
+                         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS ndup
+                  FROM sh JOIN df USING (h) GROUP BY 1)
+          SELECT doc_id, CAST(n8 AS INT) AS n8, CAST(ndup AS INT) AS ndup,
+                 CAST(ndup AS DOUBLE) / n8 AS dupfrac,
+                 CAST(ndup AS DOUBLE) / n8 >= CAST(0.5 AS DOUBLE) AS flagged
+          FROM per ORDER BY doc_id"""
     },
     "dd_simhash" ->
       s"""$simhashPairsSql

@@ -237,6 +237,58 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("vec_id")
     }),
 
+    // int8 scalar quantization (the storage side of the ANN scale
+    // path: 64 floats -> 64 bytes, 4x smaller than PQ-free float32
+    // storage with near-zero recall loss). Per-dimension min/max come
+    // from one posexplode pass (64 groups — map-side partials collapse
+    // to 64 rows per partition before the shuffle) and broadcast back;
+    // quantize/dequantize/error are element-wise single IEEE ops in a
+    // fixed evaluation order, so the oracle matches bit-for-bit with
+    // no rounding. Reported per vector: max and mean absolute
+    // reconstruction error (mean via the order-independent 2^53
+    // scaled sum).
+    "emb_sq8" -> ((s, d) => {
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .withColumn("x", col("xf").cast("double")).drop("xf")
+      val stats = ex.groupBy("pos")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      ex.join(broadcast(stats), "pos")
+        .withColumn("q",
+          round((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))
+        .withColumn("err",
+          abs(col("x") - (col("mn") + (col("q") * (col("mx") - col("mn"))) / lit(255.0))))
+        .groupBy("vec_id")
+        .agg(max(col("err")).as("max_err"),
+          (graft.core.Exact.fsum(col("err")) / count(lit(1))).as("mean_err"))
+        .orderBy("vec_id")
+    }),
+
+    // k-NN GRAPH construction (the substrate for graph-based dedup,
+    // diversity sampling, and label propagation): every vector's top-3
+    // cosine neighbors among its LSH bucket-mates. Same 16-way
+    // 4-plane blocking as emb_neardup — the self-join's sides are
+    // plan-identical (ReuseExchange computes the bucketed table once)
+    // and the per-source top-k goes through WindowGroupLimit, so
+    // partitions stream; never all-pairs at scale.
+    "emb_knn_graph" -> ((s, d) => {
+      val bucket = (0 until 4).map(i =>
+        when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
+        .reduce(_ + _)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), bucket.as("bkt"))
+      val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      e.as("x").join(e.as("y"),
+          col("x.bkt") === col("y.bkt") && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+          (dot(col("x.embedding"), col("y.embedding")) /
+            (norm(col("x.embedding")) * norm(col("y.embedding")))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("src", "dst", "rank", "cos")
+        .orderBy("src", "rank")
+    }),
+
     // SemDeDup-style semantic dedup: assign every vector to its
     // nearest coarse centroid (the k-means/IVF cells above), then KEEP
     // ONE of any within-cell pair with cosine >= 0.35 — the lower
@@ -406,6 +458,38 @@ object EmbeddingQueries extends GroupBase {
         .mkString(" + ")
       s"""SELECT vec_id, CAST($terms AS BIGINT) AS bucket
           FROM embeddings ORDER BY vec_id"""
+    },
+    "emb_sq8" ->
+      s"""WITH ex AS (SELECT vec_id, i - 1 AS pos,
+                             CAST(embedding[i] AS DOUBLE) AS x
+                      FROM embeddings, range(1, 65) r(i)),
+          st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+          q AS (SELECT vec_id, x, mn, mx,
+                       round((x - mn) * CAST(255.0 AS DOUBLE) / (mx - mn)) AS qv
+                FROM ex JOIN st USING (pos)),
+          e2 AS (SELECT vec_id,
+                        abs(x - (mn + (qv * (mx - mn)) / CAST(255.0 AS DOUBLE)))
+                          AS err
+                 FROM q)
+          SELECT vec_id, max(err) AS max_err,
+                 ${graft.core.ExactSql.fsum("err")} / count(*) AS mean_err
+          FROM e2 GROUP BY vec_id ORDER BY vec_id""",
+    "emb_knn_graph" -> {
+      val terms = (0 until 4).map(i =>
+        s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding, $terms AS bkt FROM embeddings),
+          scored AS (
+            SELECT x.vec_id AS src, y.vec_id AS dst,
+                   ${dotSql("x.embedding", "y.embedding")} /
+                     (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
+            FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id <> y.vec_id)
+          SELECT src, dst, CAST(rank AS INT) AS rank, cos FROM (
+            SELECT src, dst, cos,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos DESC, dst) AS rank
+            FROM scored) x
+          WHERE rank <= 3 ORDER BY src, rank"""
     },
     "emb_semdedup" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
