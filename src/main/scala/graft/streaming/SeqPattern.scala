@@ -191,6 +191,19 @@ object SeqPattern {
       }
   }
 
+  /** Pure single-key runner — exactly `detect`'s per-group body without
+    * the Spark plumbing. Exposed package-private for the property
+    * suite, which cross-checks the NFA against brute-force reference
+    * matchers on random inputs. */
+  private[graft] def runPure(events: Seq[KeyedEvent], steps: Seq[Step],
+      withinMs: Long, strict: Boolean, skip: Skip = SkipPastLastRow,
+      greedy: Boolean = true, flushEnd: Boolean = false): Seq[MatchOut] = {
+    val nfa = new Nfa(0L, expand(steps), withinMs, strict, skip, greedy)
+    events.sortBy(e => (micros(e.ts), e.value)).foreach(nfa.step)
+    if (flushEnd && greedy) nfa.endFlush()
+    nfa.out.toSeq
+  }
+
   /** Buffered state for the watermark-ordered runner: not-yet-mature
     * events + live partials. */
   case class CepBuf(pending: List[KeyedEvent], partials: List[Partial])
@@ -351,16 +364,26 @@ object SeqPattern {
           (c, candidates.filterNot(c.contains))
         } else candidates.partition(accepting)
       if (complete.nonEmpty) {
-        // leftmost-match priority: one candidate per start row,
-        // longest/shortest extent within the start
+        // leftmost-match priority by start row; within a start, the
+        // greedy/reluctant extent rule picks the longest/shortest
+        // length — but ALL candidates at that length emit, because
+        // anyMatch (followedByAny / allowCombinations) branches with
+        // distinct middle rows are distinct matches, not extent
+        // variants of one match (same-rows duplicates are already
+        // collapsed by `seen`). Without anyMatch steps a start group
+        // holds one distinct row set per length, so this reduces to
+        // the old one-per-start rule.
         val picks = complete.groupBy(_.tss.head).toSeq.sortBy(_._1)
-          .map { case (_, g) =>
-            if (greedy) g.maxBy(_.vals.length) else g.minBy(_.vals.length) }
+          .flatMap { case (_, g) =>
+            val len =
+              if (greedy) g.map(_.vals.length).max else g.map(_.vals.length).min
+            g.filter(_.vals.length == len) }
         (skip match {
           // simultaneous completions all contain the current row,
           // so they overlap: leftmost start only
-          case SkipPastLastRow => picks.take(1)
-          case _               => picks
+          case SkipPastLastRow =>
+            picks.filter(_.tss.head == picks.head.tss.head)
+          case _ => picks
         }).foreach(emit)
       }
       // AFTER MATCH skip strategy. SkipToFirst/SkipToLast anchor on the

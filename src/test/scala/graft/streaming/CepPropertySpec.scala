@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.SeqPattern._
+
+/** Property tests: the NFA against BRUTE-FORCE reference matchers on
+  * random event sequences. The example-based specs (CepCombinatorSpec,
+  * OrderedCepSpec) pin the reference scenarios; these pin the closed-
+  * form semantics each combinator is supposed to have, on inputs no
+  * example list would think of:
+  *   - followedByAny => ALL increasing subsequences (within horizon)
+  *   - plain followedBy => first-hit chains, one per start
+  *   - next (strict) => adjacent runs only
+  *   - .or(c) == widening the kind set (condition-algebra law)
+  *   - SkipPastLastRow == the non-overlapping left-to-right scan
+  * Events get distinct timestamps and values, so a match is identified
+  * by its value list and set-equality is exact.
+  */
+class CepPropertySpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(120), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Random kind sequence over {A, B, C, N}; event i at (i+1) seconds
+    * with value i — strictly increasing, collision-free. */
+  private val genEvents: Gen[List[KeyedEvent]] =
+    Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("A", "B", "C", "N")).map(_.zipWithIndex.map {
+        case (k, i) => KeyedEvent(1L, new Timestamp((i + 1) * 1000L), k, i.toDouble)
+      }))
+  private val genWithin: Gen[Long] = Gen.oneOf(4000L, 9000L, 1000000L)
+
+  private def ts(e: KeyedEvent): Long = e.ts.getTime
+  private def got(ms: Seq[MatchOut]): Set[List[Double]] =
+    ms.map(_.values.toList).toSet
+
+  test("followedByAny emits every increasing subsequence inside the horizon") {
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")).any)
+      val expect = (for {
+        a <- es if a.kind == "A"
+        b <- es if b.kind == "B" && ts(b) > ts(a) && ts(b) - ts(a) <= w
+      } yield List(a.value, b.value)).toSet
+      got(runPure(es, steps, w, strict = false, NoSkip)) == expect
+    })
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      val steps = Seq(Step("a", Set("A")),
+        Step("b", Set("B")).any, Step("c", Set("C")).any)
+      val expect = (for {
+        a <- es if a.kind == "A"
+        b <- es if b.kind == "B" && ts(b) > ts(a)
+        c <- es if c.kind == "C" && ts(c) > ts(b) && ts(c) - ts(a) <= w
+      } yield List(a.value, b.value, c.value)).toSet
+      got(runPure(es, steps, w, strict = false, NoSkip)) == expect
+    })
+  }
+
+  test("plain followedBy takes the first hit per step, one match per start") {
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")), Step("c", Set("C")))
+      val expect = (for {
+        a <- es if a.kind == "A"
+        b <- es.find(e => e.kind == "B" && ts(e) > ts(a)).toList
+        if ts(b) - ts(a) <= w // partial expired before b otherwise
+        c <- es.find(e => e.kind == "C" && ts(e) > ts(b)).toList
+        if ts(c) - ts(a) <= w
+      } yield List(a.value, b.value, c.value)).toSet
+      got(runPure(es, steps, w, strict = false, NoSkip)) == expect
+    })
+  }
+
+  test("next (strict contiguity) matches adjacent runs only") {
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")))
+      val expect = es.zip(es.drop(1)).collect {
+        case (a, b) if a.kind == "A" && b.kind == "B" && ts(b) - ts(a) <= w =>
+          List(a.value, b.value)
+      }.toSet
+      got(runPure(es, steps, w, strict = true, NoSkip)) == expect
+    })
+  }
+
+  test(".or(pred) is exactly kind-set widening") {
+    checkProp(forAll(genEvents, genWithin, Gen.oneOf(true, false)) { (es, w, strict) =>
+      val withOr = Seq(Step("a", Set("A")),
+        Step("b", Set("B")).or(e => e.kind == "C"))
+      val widened = Seq(Step("a", Set("A")), Step("b", Set("B", "C")))
+      runPure(es, withOr, w, strict, NoSkip) ==
+        runPure(es, widened, w, strict, NoSkip)
+    })
+  }
+
+  test("SkipPastLastRow is the non-overlapping left-to-right scan") {
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")))
+      // reference scan: open starts accumulate, expire, and the first
+      // B closes the LEFTMOST open start and clears the rest
+      var open = List.empty[KeyedEvent]
+      val expect = scala.collection.mutable.Set.empty[List[Double]]
+      es.foreach { e =>
+        open = open.filter(a => ts(e) - ts(a) <= w)
+        if (e.kind == "B" && open.nonEmpty) {
+          expect += List(open.minBy(ts).value, e.value)
+          open = Nil
+        }
+        if (e.kind == "A") open ::= e
+      }
+      got(runPure(es, steps, w, strict = false, SkipPastLastRow)) == expect.toSet
+    })
+  }
+}
