@@ -117,18 +117,29 @@ object TextQueries extends GroupBase {
     "text_lm_nll" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
-      val toks = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // ONE corpus tokenize: aggregate to per-(doc, token) counts
+      // first; the corpus vocab then folds out of that table (same
+      // ReuseExchange trick as text_tfidf — the m >= 1 filter keeps
+      // the two consumers' partial-agg exchanges identical, see the
+      // tfidf comment), and the per-doc NLL weights each distinct
+      // token by its multiplicity instead of re-joining every token
+      // instance. Shuffles carry (doc, distinct-token) rows — smaller
+      // than the token stream — and the text column is read once.
+      val tf = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      val freq = tf.filter(col("m") >= 1)
+        .groupBy("tok").agg(sum(col("m")).as("cnt"))
       // total token count folds out of the vocab table — the corpus is
-      // not scanned a third time for one scalar, and the freq
-      // exchange is shared between both consumers
+      // not scanned a third time for one scalar
       val total = freq.agg(sum(col("cnt")).as("n"))
-      toks.join(broadcast(freq), "tok").crossJoin(broadcast(total))
-        .select(col("doc_id"),
-          log(col("cnt").cast("double") / col("n").cast("double")).as("lnp"))
+      tf.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+        .select(col("doc_id"), col("m"),
+          (col("m").cast("double") *
+            log(col("cnt").cast("double") / col("n").cast("double"))).as("mlnp"))
         .groupBy("doc_id")
-        .agg(round(-(aggregate(sort_array(collect_list(col("lnp"))),
-            lit(0.0), (a, v) => a + v) / count(lit(1))), 6).as("nll"))
+        .agg(round(-(aggregate(sort_array(collect_list(col("mlnp"))),
+            lit(0.0), (a, v) => a + v) / sum(col("m")).cast("double")), 6)
+          .as("nll"))
         .orderBy("doc_id")
     }),
 
@@ -145,8 +156,14 @@ object TextQueries extends GroupBase {
         .withColumn("bg",
           graft.functions.VectorFunctions.shingleStrings(col("tk"), 2))
         .filter(col("bg").isNotNull)
-      val bgRows = docs.select(col("doc_id"), explode(col("bg")).as("b"))
-      val bgf = bgRows.groupBy("b").agg(count(lit(1)).as("cb"))
+      // ONE corpus tokenize+shingle (same shape as text_lm_nll): the
+      // per-(doc, bigram) table is the shared lineage; corpus bigram
+      // counts fold out of it and the per-doc score weights each
+      // distinct bigram by its in-doc multiplicity.
+      val bgd = docs.select(col("doc_id"), explode(col("bg")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+      val bgf = bgd.filter(col("m") >= 1)
+        .groupBy("b").agg(sum(col("m")).as("cb"))
       val ctxf = bgf.groupBy(substring_index(col("b"), " ", 1).as("w1"))
         .agg(sum(col("cb")).as("cc"))
       // fold the context count INTO the bigram table first (both are
@@ -154,12 +171,14 @@ object TextQueries extends GroupBase {
       // broadcast join instead of two
       val bgcc = bgf.withColumn("w1", substring_index(col("b"), " ", 1))
         .join(ctxf, "w1").select(col("b"), col("cb"), col("cc"))
-      bgRows.join(broadcast(bgcc), "b")
-        .select(col("doc_id"),
-          log(col("cb").cast("double") / col("cc").cast("double")).as("lnp"))
+      bgd.join(broadcast(bgcc), "b")
+        .select(col("doc_id"), col("m"),
+          (col("m").cast("double") *
+            log(col("cb").cast("double") / col("cc").cast("double"))).as("mlnp"))
         .groupBy("doc_id")
-        .agg(round(-(aggregate(sort_array(collect_list(col("lnp"))),
-            lit(0.0), (a, v) => a + v) / count(lit(1))), 6).as("nll2"))
+        .agg(round(-(aggregate(sort_array(collect_list(col("mlnp"))),
+            lit(0.0), (a, v) => a + v) / sum(col("m")).cast("double")), 6)
+          .as("nll2"))
         .orderBy("doc_id")
     }),
 
@@ -561,36 +580,41 @@ object TextQueries extends GroupBase {
           FROM hs ORDER BY doc_id"""
     },
     "text_lm_nll" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-          freq AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
-          n AS (SELECT count(*) AS n FROM tk),
-          lp AS (SELECT doc_id,
-                        ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS lnp
-                 FROM tk JOIN freq USING (tok) CROSS JOIN n)
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS m
+                      FROM (SELECT doc_id, unnest($toksSql) AS tok
+                            FROM documents) GROUP BY 1, 2),
+          freq AS (SELECT tok, sum(m) AS cnt FROM tf GROUP BY 1),
+          n AS (SELECT sum(cnt) AS n FROM freq),
+          lp AS (SELECT doc_id, m,
+                        CAST(m AS DOUBLE) *
+                          ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS mlnp
+                 FROM tf JOIN freq USING (tok) CROSS JOIN n)
           SELECT doc_id,
                  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_sort(array_agg(lnp))), (a, v) -> a + v)
-                   / count(*)), 6) AS nll
+                     list_sort(array_agg(mlnp))), (a, v) -> a + v)
+                   / CAST(sum(m) AS DOUBLE)), 6) AS nll
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, ${TextOps.hash32Sql("text")} AS fp32
           FROM documents ORDER BY doc_id""",
     "text_lm_bigram" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
-          bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
-                 FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
-                 WHERE i + 1 <= len(tk)),
-          bgf AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+          bgd AS (SELECT doc_id, b, count(*) AS m FROM (
+                    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+                    FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                    WHERE i + 1 <= len(tk)) GROUP BY 1, 2),
+          bgf AS (SELECT b, sum(m) AS cb FROM bgd GROUP BY 1),
           ctxf AS (SELECT string_split(b, ' ')[1] AS w1, sum(cb) AS cc
                    FROM bgf GROUP BY 1),
-          lp AS (SELECT doc_id,
-                        ln(CAST(cb AS DOUBLE) / CAST(cc AS DOUBLE)) AS lnp
-                 FROM bg JOIN bgf USING (b)
+          lp AS (SELECT doc_id, m,
+                        CAST(m AS DOUBLE) *
+                          ln(CAST(cb AS DOUBLE) / CAST(cc AS DOUBLE)) AS mlnp
+                 FROM bgd JOIN bgf USING (b)
                  JOIN ctxf ON string_split(b, ' ')[1] = w1)
           SELECT doc_id,
                  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_sort(array_agg(lnp))), (a, v) -> a + v)
-                   / count(*)), 6) AS nll2
+                     list_sort(array_agg(mlnp))), (a, v) -> a + v)
+                   / CAST(sum(m) AS DOUBLE)), 6) AS nll2
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "text_bpe" ->
       s"""SELECT doc_id,
