@@ -52,6 +52,50 @@ class OrderedCepSpec extends SparkSpec {
     assert(out.isEmpty, s"strict chain should be broken by the t=2 success: $out")
   }
 
+  test("order invariance: bounded-lateness random delivery == in-order pure run") {
+    val s = spark
+    import s.implicits._
+    // Random sequences delivered out of order (displacement <= 3 s,
+    // under the 5 s watermark delay, so nothing is dropped) must yield
+    // EXACTLY the in-order pure-NFA result — the detectOrdered
+    // contract, checked against runPure instead of hand-picked cases.
+    val relaxed = Seq(Step("a", Set("A")), Step("b", Set("B")))
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(8)
+      val main = (0 until n).map(i => KeyedEvent(1L, ts((i + 1) * 1000L),
+        Seq("A", "B", "N")(rnd.nextInt(3)), i.toDouble))
+      // two far-future flushes in SEPARATE batches: the first advances
+      // the watermark past every main event; the second delivers new
+      // data for the key so the group function runs again and the NFA
+      // consumes the now-mature buffer (watermark visible to a batch
+      // is the one computed at the END of the previous batch)
+      val flush1 = KeyedEvent(1L, ts(1000000L), "N", -1.0)
+      val flush2 = KeyedEvent(1L, ts(1001000L), "N", -2.0)
+      val events = main :+ flush1 :+ flush2
+      // shuffle within consecutive blocks of 4: displacement <= 3 s
+      val delivery = main.grouped(4).flatMap(g => rnd.shuffle(g)).toSeq
+      implicit val sqlCtx = s.sqlContext
+      val in = MemoryStream[KeyedEvent]
+      val wm = in.toDS().withWatermark("ts", "5 seconds").as[KeyedEvent]
+      val name = s"cep_inv_$seed"
+      val q = SeqPattern.detectOrdered(wm, relaxed, withinMs = 6000L,
+          strict = false, NoSkip)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      val got =
+        try {
+          (delivery.grouped(5).toSeq :+ Seq(flush1) :+ Seq(flush2)).foreach { b =>
+            in.addData(b: _*); q.processAllAvailable()
+          }
+          spark.table(name).collect().map(_.getSeq[Double](3).toList).toSet
+        } finally q.stop()
+      val expect = SeqPattern.runPure(events, relaxed, 6000L,
+        strict = false, NoSkip).map(_.values.toList).toSet
+      assert(got == expect, s"seed=$seed: streaming $got != pure $expect")
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE: parsed pattern text over an out-of-order stream") {
     val s = spark
     import s.implicits._
