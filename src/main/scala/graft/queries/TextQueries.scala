@@ -313,6 +313,54 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer TRAINING (the induction side of text_bpe's
+    // application estimate): 3 unrolled merge rounds of byte-pair
+    // encoding over the corpus word vocabulary. The 100 TB shape is
+    // the point — the corpus is scanned ONCE to build the (word,
+    // count) vocabulary (map-side combine collapses the token stream
+    // to vocab-sized partials), and every training round then runs on
+    // the vocab table: pair counting is a vocab-sized aggregation,
+    // the winning merge is a 1-row broadcast, and merge application
+    // is an element-wise string replace. Pairs are counted with
+    // overlaps (standard BPE); merge APPLICATION is leftmost
+    // non-overlapping on the space-padded symbol string, so an odd
+    // run of a merged symbol defers its tail to a later round — a
+    // deliberate, deterministic deviation from canonical
+    // list-walking BPE that both engines reproduce exactly
+    // (Java String.replace and DuckDB replace share the same
+    // leftmost-nonoverlap scan, verified " a a a a " -> " aa a a ").
+    "text_bpe_train" -> ((s, d) => {
+      // symbol string padded with one leading/trailing space: a merge
+      // target " s1 s2 " then only matches whole adjacent symbols,
+      // never a substring spanning a symbol boundary
+      val wf = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("sym", concat(lit(" "),
+          concat_ws(" ", filter(split(col("w"), ""), c => c =!= "")), lit(" ")))
+        .select("cnt", "sym")
+      def pairs(df: DataFrame): DataFrame = df
+        .select(col("cnt"), explode(
+          graft.functions.VectorFunctions.shingleStrings(
+            filter(split(col("sym"), " "), c => c =!= ""), 2)).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("pcnt"))
+      def top(pc: DataFrame, rnd: Int): DataFrame = pc
+        .orderBy(col("pcnt").desc, col("pair").asc).limit(1)
+        .select(lit(rnd).as("rnd"), col("pair"),
+          expr("replace(pair, ' ', '')").as("merged"), col("pcnt"))
+      def applyMerge(df: DataFrame, t: DataFrame): DataFrame = df
+        .crossJoin(broadcast(t.select(col("pair").as("mp"), col("merged").as("mm"))))
+        .withColumn("sym", expr(
+          "replace(sym, concat(' ', mp, ' '), concat(' ', mm, ' '))"))
+        .select("cnt", "sym")
+      val t1 = top(pairs(wf), 1)
+      val wf2 = applyMerge(wf, t1)
+      val t2 = top(pairs(wf2), 2)
+      val wf3 = applyMerge(wf2, t2)
+      val t3 = top(pairs(wf3), 3)
+      t1.unionByName(t2).unionByName(t3).orderBy("rnd")
+    }),
+
     // benchmark decontamination: flag training docs sharing 3-gram
     // shingles with the held-out benchmark set (source = src0 stands in
     // for the eval corpus). The benchmark n-gram set is tiny relative
@@ -616,6 +664,35 @@ object TextQueries extends GroupBase {
                      list_sort(array_agg(mlnp))), (a, v) -> a + v)
                    / CAST(sum(m) AS DOUBLE)), 6) AS nll2
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "text_bpe_train" -> {
+      // one training round: pair counts over the current symbol table,
+      // top merge, then the merged symbol table for the next round
+      def round(wfIn: String, n: Int): String =
+        s"""p$n AS (SELECT sy[i] || ' ' || sy[i+1] AS pair, sum(cnt) AS pcnt
+               FROM (SELECT cnt, list_filter(string_split(sym, ' '),
+                                             x -> x <> '') AS sy FROM $wfIn) t,
+                    LATERAL (SELECT unnest(range(1, len(sy) + 1)) AS i) r
+               WHERE i + 1 <= len(sy) GROUP BY 1),
+           t$n AS (SELECT $n AS rnd, pair, replace(pair, ' ', '') AS merged,
+                          pcnt
+                   FROM p$n ORDER BY pcnt DESC, pair LIMIT 1),
+           wf${n + 1} AS (SELECT cnt,
+                   replace(sym, ' ' || (SELECT pair FROM t$n) || ' ',
+                           ' ' || (SELECT merged FROM t$n) || ' ') AS sym
+                 FROM $wfIn)"""
+      s"""WITH wf1 AS (
+            SELECT count(*) AS cnt,
+                   ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym
+            FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY 2),
+          ${round("wf1", 1)},
+          ${round("wf2", 2)},
+          ${round("wf3", 3)}
+          SELECT CAST(rnd AS INT) AS rnd, pair, merged,
+                 CAST(pcnt AS BIGINT) AS pcnt
+          FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+                UNION ALL SELECT * FROM t3)
+          ORDER BY rnd"""
+    },
     "text_bpe" ->
       s"""SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))

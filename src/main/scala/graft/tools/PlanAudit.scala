@@ -27,7 +27,8 @@ object PlanAudit {
     "emb_knn", "emb_ivf_assign", "emb_ivf_knn", "emb_kmeans", "emb_pq",
     "emb_semdedup", "join_cross", "text_lm_nll", "text_tfidf",
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
-    "text_bm25")   // 1-row corpus-stats (nd, sumdl) broadcast
+    "text_bm25",   // 1-row corpus-stats (nd, sumdl) broadcast
+    "text_bpe_train") // 1-row winning-merge broadcast per training round
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
