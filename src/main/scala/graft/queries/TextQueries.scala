@@ -211,6 +211,28 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // exactly-k-per-stratum deterministic sample (the fixed-BUDGET
+    // complement of pipe_sample's fixed-RATE thinning): per (lang,
+    // source) stratum, the k docs with the smallest salted hash — a
+    // uniform random draw that any cluster size / re-run / engine
+    // reproduces, with a hard per-stratum row guarantee (evaluation
+    // sets, human-review pools). The per-stratum top-k is a
+    // WindowGroupLimit: partitions stream, no stratum ever
+    // materializes beyond k rows per partition before the shuffle.
+    "pipe_ksample" -> ((s, d) => {
+      val h = TextOps.hash32(
+        concat(lit("ksample:"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("lang", "source", "rk", "doc_id")
+        .orderBy("lang", "source", "rk")
+    }),
+
     // deterministic global shuffle into training shards: shard by a
     // salted content-independent hash, order within the shard by the
     // same hash — the data-layout primitive before sequence packing.
@@ -618,6 +640,16 @@ object TextQueries extends GroupBase {
       s"""SELECT doc_id, lang FROM documents
           WHERE ($h) % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
           ORDER BY doc_id"""
+    },
+    "pipe_ksample" -> {
+      val h = TextOps.hash32Sql("'ksample:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (SELECT lang, source, doc_id,
+                            row_number() OVER (PARTITION BY lang, source
+                                               ORDER BY ($h) ASC, doc_id ASC)
+                              AS rk
+                     FROM documents)
+          SELECT lang, source, CAST(rk AS INT) AS rk, doc_id
+          FROM r WHERE rk <= 5 ORDER BY lang, source, rk"""
     },
     "pipe_shard" -> {
       val h = TextOps.hash32Sql("'shard:' || CAST(doc_id AS VARCHAR)")
