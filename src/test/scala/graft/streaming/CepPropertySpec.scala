@@ -95,6 +95,41 @@ class CepPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("negated guard kills exactly the runs with an intervening guard hit") {
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      // A (!N) B: first B after each A completes it UNLESS an N
+      // arrived strictly between them
+      val steps = Seq(Step("a", Set("A")), Step("g", Set("N")).not,
+        Step("b", Set("B")))
+      val expect = (for {
+        a <- es if a.kind == "A"
+        b <- es.find(e => e.kind == "B" && ts(e) > ts(a)).toList
+        if ts(b) - ts(a) <= w
+        if !es.exists(n => n.kind == "N" && ts(n) > ts(a) && ts(n) < ts(b))
+      } yield List(a.value, b.value)).toSet
+      got(runPure(es, steps, w, strict = false, NoSkip)) == expect
+    })
+  }
+
+  test("greedy optional takes the longest extent available at completion") {
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      // A B? C: completion happens at the first C; the B branch wins
+      // when a B arrived in between (longest extent), else A-C
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")).opt,
+        Step("c", Set("C")))
+      val expect = (for {
+        a <- es if a.kind == "A"
+        c <- es.find(e => e.kind == "C" && ts(e) > ts(a)).toList
+        if ts(c) - ts(a) <= w
+      } yield {
+        val b = es.find(e => e.kind == "B" && ts(e) > ts(a) && ts(e) < ts(c))
+        b.map(bb => List(a.value, bb.value, c.value))
+          .getOrElse(List(a.value, c.value))
+      }).toSet
+      got(runPure(es, steps, w, strict = false, NoSkip)) == expect
+    })
+  }
+
   test("SkipPastLastRow is the non-overlapping left-to-right scan") {
     checkProp(forAll(genEvents, genWithin) { (es, w) =>
       val steps = Seq(Step("a", Set("A")), Step("b", Set("B")))
