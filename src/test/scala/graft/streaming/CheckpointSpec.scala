@@ -41,6 +41,58 @@ class CheckpointSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("CEP partial-match state survives a query restart (checkpointed NFA)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import SeqPattern._
+    val ckpt = Files.createTempDirectory("graft-cep-ckpt").toString
+    val steps = Seq(Step("a", Set("A")), Step("b", Set("B")))
+    val input = MemoryStream[KeyedEvent]
+    def stream = SeqPattern.detectOrdered(
+      input.toDS().withWatermark("ts", "5 seconds").as[KeyedEvent],
+      steps, withinMs = 60000L, strict = false)
+
+    // memory sink can't recover an Append query from a checkpoint;
+    // collect through foreachBatch instead (the production restart
+    // path — same one StreamPipelines' sinks use)
+    val out = CheckpointSpec.cepMatches
+    out.clear()
+    def start() = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[MatchOut], _: Long) =>
+        b.collect().foreach(m => out.add((m.key, m.values.toList)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // half a match before the stop: A consumed, partial in state.
+    // The flush event matures it past the watermark so the NFA has
+    // actually SEEN the A (not just buffered it) when the query stops.
+    input.addData(KeyedEvent(3L, ts(1000L), "A", 1.0))
+    input.addData(KeyedEvent(3L, ts(20000L), "N", 0.0))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(out.isEmpty, "no match should exist yet")
+
+    // restart from the checkpoint; the B completing the pre-restart A
+    // arrives only now — the match spans the restart. Each event goes
+    // in its own micro-batch: a batch only sees the watermark computed
+    // at the END of the previous batch, and a no-data watermark
+    // advance does not re-invoke the group function, so the B needs
+    // two later batches to mature and drain.
+    val q2 = start()
+    try {
+      Seq(KeyedEvent(3L, ts(21000L), "B", 2.0),
+        KeyedEvent(3L, ts(90000L), "N", 0.0),
+        KeyedEvent(3L, ts(91000L), "N", 0.0)).foreach { e =>
+        input.addData(e); q2.processAllAvailable()
+      }
+      val got = out.toArray.toList
+      assert(got == List((3L, List(1.0, 2.0))),
+        s"A-before-restart + B-after-restart must match: $got")
+    } finally q2.stop()
+  }
+
   test("stream-static join enriches a stream against a table (broadcast state)") {
     val s = spark
     import s.implicits._
@@ -61,4 +113,11 @@ class CheckpointSpec extends SparkSpec {
       assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
     } finally q.stop()
   }
+}
+
+object CheckpointSpec {
+  /** Driver-side collector for the CEP restart test (local mode:
+    * executor == driver JVM). */
+  val cepMatches =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, List[Double])]()
 }
