@@ -95,6 +95,25 @@ object JoinQueries extends GroupBase {
              Exact.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("p_brand")),
 
+    // explicit salted skew join (operators/Skew): the fact side gets
+    // an nSalts-way salt, the dim side replicates across salts, so one
+    // hot supplier key spreads over 8 reducers instead of melting a
+    // single one. AQE's runtime skew split covers sort-merge joins;
+    // explicit salting is the tool when skew is known a priori. The
+    // salt is internal — the result (and the oracle) is the plain
+    // equi-join, which is exactly the point: same answer, flatter
+    // reducers.
+    "join_skew" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, supp, "s_suppkey", 8)
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("nation")
+    }),
+
     // cogroup as relational full-outer of two grouped aggregates
     // (DataSetFunc.scala:456-465; DataStreamFunc.scala:360-505)
     "join_cogroup" -> ((s, d) => {
@@ -215,6 +234,11 @@ object JoinQueries extends GroupBase {
           JOIN part ON l_partkey = p_partkey
           JOIN supplier ON l_suppkey = s_suppkey
           GROUP BY p_brand ORDER BY p_brand""",
+    "join_skew" ->
+      s"""SELECT s_nationkey AS nation, count(*) AS n_items,
+                 ${ExactSql.dsum("l_extendedprice")} AS revenue
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1 ORDER BY 1""",
     "join_cogroup" ->
       """SELECT COALESCE(c.nk, s.nk) AS nk,
                 COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
