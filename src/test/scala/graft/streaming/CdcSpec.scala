@@ -73,4 +73,53 @@ class CdcSpec extends SparkSpec {
       assert(t2._3 == 2L && t2._2.isNaN, s"tombstone not preserved: $t2")
     } finally q.stop()
   }
+
+  test("materialization is delivery-order invariant: final state = max-seq change per key") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // random change logs under random batching and within-batch order:
+    // the final image per key must be its highest-seq change (value,
+    // or NaN tombstone for a delete) — the CDC guarantee an upsert
+    // sink consumer relies on, independent of how kafka partitions
+    // interleave the stream
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val ops = Seq("c", "u", "u", "d") // deletes at 25%
+      val changes = (1 to 40).map(seq => Cdc.Change(
+        1L + rnd.nextInt(5), ops(rnd.nextInt(ops.size)),
+        math.rint(rnd.nextDouble() * 100), seq.toLong))
+      val delivery = rnd.shuffle(changes)
+      val input = MemoryStream[Cdc.Change]
+      val finalState = scala.collection.mutable.Map.empty[Long, (Double, Long)]
+      val q = Cdc.materializeStream(input.toDS())
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Cdc.KeyState], _: Long) =>
+          b.collect().foreach(ks =>
+            CdcSpec.sync { finalState(ks.key) = (ks.value, ks.seq) })
+        }
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // batches of random size 1..7
+        var rest = delivery
+        while (rest.nonEmpty) {
+          val (b, r) = rest.splitAt(1 + rnd.nextInt(7))
+          input.addData(b); rest = r
+        }
+        q.processAllAvailable()
+        changes.groupBy(_.key).foreach { case (k, cs) =>
+          val top = cs.maxBy(_.seq)
+          val (v, seq) = finalState(k)
+          assert(seq == top.seq, s"seed=$seed key=$k: seq $seq != ${top.seq}")
+          if (top.op == "d") assert(v.isNaN, s"seed=$seed key=$k: expected tombstone")
+          else assert(v == top.value, s"seed=$seed key=$k: $v != ${top.value}")
+        }
+      } finally q.stop()
+    }
+  }
+}
+
+object CdcSpec {
+  private val lock = new Object
+  def sync[A](f: => A): A = lock.synchronized(f)
 }
