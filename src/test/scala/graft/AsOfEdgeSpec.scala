@@ -14,6 +14,34 @@ class AsOfEdgeSpec extends SparkSpec {
       .select(col("k"), timestamp_micros(col("t") * 1000).as("ts"), col(vcol))
   }
 
+  test("native exec equals the window formulation on random inputs") {
+    // the custom physical operator and the union+window formulation
+    // implement the same left-outer inclusive as-of contract; random
+    // keyed timelines (with duplicate timestamps and no-match keys)
+    // must agree row-for-row
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def timeline(n: Int): Seq[(Long, Long, Double)] =
+        Seq.fill(n)((1L + rnd.nextInt(6), rnd.nextInt(40).toLong,
+          math.rint(rnd.nextDouble() * 1000)))
+      val left = mk(timeline(60), "lv")
+      // unique right (key, ts): equal-ts right rows are a tie the two
+      // formulations may break differently (window takes the last by
+      // tieBreak, the merge exec the last in sort order) — the CONTRACT
+      // only fixes the inclusive boundary, so dedup like join_asof does
+      val right = mk(timeline(50), "rv")
+        .groupBy("k", "ts").agg(max("rv").as("rv"))
+      val a = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+          Seq("rv"), lit(0)).selectExpr("k", "ts", "lv", "rv")
+        .collect().map(_.toSeq).toList
+      val b = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", "ts",
+          Seq("rv")).selectExpr("k", "ts", "lv", "rv")
+        .collect().map(_.toSeq).toList
+      def norm(xs: List[Seq[Any]]) = xs.sortBy(_.mkString("|"))
+      assert(norm(a) == norm(b), s"seed=$seed: window vs native diverged")
+    }
+  }
+
   test("empty right side: every left row survives with null value") {
     val left = mk(Seq((1L, 1000L, 0.0), (2L, 2000L, 0.0)), "x")
     val right = mk(Seq.empty, "v")
