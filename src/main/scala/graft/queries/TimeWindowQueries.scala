@@ -63,6 +63,24 @@ object TimeWindowQueries extends GroupBase {
           col("cnt"), col("sum_v"))
         .orderBy("user_id", "s_start")),
 
+    // DYNAMIC-gap session windows (EventTimeSessionWindows
+    // .withDynamicGap, tutorial Window.scala:157-166): the gap is a
+    // per-ROW expression — purchases keep a session alive longer than
+    // ambient events. Spark's session_window takes the gap as a
+    // Column, so this is the same one-shuffle sessionization as
+    // tw_session; the oracle mirrors the merge rule exactly (an event
+    // joins while ts < running max end, session end = max member end).
+    "tw_session_dynamic" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", "40 minutes")
+            .otherwise("15 minutes")), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"),
+          col("cnt"), col("sum_v"))
+        .orderBy("user_id", "s_start")),
+
     // tumbling window with a 30m offset (TumbleOffsetApp.scala:41)
     "tw_tumble_offset" -> ((s, d) =>
       t(s, d, "events")
@@ -183,6 +201,31 @@ object TimeWindowQueries extends GroupBase {
             FROM g)
           SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTES AS s_end,
                  user_id, count(*) AS cnt, ${ExactSql.dsum("value")} AS sum_v
+          FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "tw_session_dynamic" ->
+      s"""WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN event_type = 'purchase' THEN INTERVAL 40 MINUTES
+                        ELSE INTERVAL 15 MINUTES END AS gap
+            FROM events),
+          g AS (
+            SELECT user_id, ts, value, gap,
+                   max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_end
+            FROM e),
+          f AS (
+            SELECT user_id, ts, value, gap,
+                   CASE WHEN prev_end IS NULL OR ts >= prev_end
+                        THEN 1 ELSE 0 END AS new_s
+            FROM g),
+          sess AS (
+            SELECT user_id, ts, value, gap,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f)
+          SELECT min(ts) AS s_start, max(ts + gap) AS s_end, user_id,
+                 count(*) AS cnt, ${ExactSql.dsum("value")} AS sum_v
           FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
     "tw_tumble_offset" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP),
