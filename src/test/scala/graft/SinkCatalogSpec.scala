@@ -72,6 +72,29 @@ class SinkCatalogSpec extends SparkSpec {
     }
   }
 
+  /** foreachBatch may re-deliver a batch after a failure; end-to-end
+    * exactly-once therefore rests on the SINK being idempotent per
+    * (batch, key). The keyed parquet upsert must converge: applying
+    * the same batch twice, or an older image after a newer one has
+    * been superseded by the same keys, leaves the same table. */
+  test("upsertParquet is idempotent under batch retries") {
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+    val b1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "tag", "v")
+    val b2 = Seq((2L, "b", 25.0), (3L, "c", 30.0)).toDF("k", "tag", "v")
+    def snap() = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    graft.sources.Writers.upsertParquet(b1, path, Seq("k"))
+    graft.sources.Writers.upsertParquet(b1, path, Seq("k")) // retry of b1
+    assert(snap() == Set((1L, "a", 10.0), (2L, "b", 20.0)))
+    graft.sources.Writers.upsertParquet(b2, path, Seq("k"))
+    val after = Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, "c", 30.0))
+    assert(snap() == after)
+    graft.sources.Writers.upsertParquet(b2, path, Seq("k")) // retry of b2
+    assert(snap() == after, "retried batch must be a no-op")
+  }
+
   test("SQL DDL: CREATE TABLE ... PARTITIONED BY + INSERT INTO + catalog") {
     spark.sql("DROP TABLE IF EXISTS ddl_orders")
     spark.sql(
