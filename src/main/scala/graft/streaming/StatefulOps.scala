@@ -247,6 +247,50 @@ object StatefulOps {
     * In-batch ties resolve to the lowest doc_id (deterministic).
     * Consumers wanting a per-doc verdict aggregate hits downstream
     * (any hit -> near-dup of `firstDocId`). */
+  /** Daily click-cap blacklist (hot-item/.../black/
+    * FilterBlackListUser.scala:19-50): per key, clicks pass through
+    * until the daily cap; the first click beyond it emits ONE
+    * blacklist warning for that day, further ones are swallowed, and
+    * the counter resets at the (event-time) day boundary — the
+    * reference registers a midnight timer, here the day is derived
+    * from event time so a replay produces identical output. Emits the
+    * surviving clicks (kind unchanged) interleaved with the warnings
+    * (kind = "blacklist", detail = cap); the caller splits them to
+    * main/side sinks (StreamPipelines.splitToSinks). State per key is
+    * three scalars; an EventTimeTimeout at the day boundary reclaims
+    * idle keys. */
+  def dailyCapBlacklist(clicks: Dataset[KeyedEvent], cap: Int,
+                        dayMs: Long = 86400000L): Dataset[KeyedEvent] = {
+    val spark = clicks.sparkSession
+    import spark.implicits._
+    // state: (dayStart, countToday, warnedToday)
+    clicks.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Boolean), KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, events, state: GroupState[(Long, Long, Boolean)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
+            var (day, n, warned) =
+              state.getOption.getOrElse((Long.MinValue, 0L, false))
+            events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val eDay = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
+              if (eDay != day) { day = eDay; n = 0L; warned = false }
+              if (n < cap) { n += 1; out += e }
+              else if (!warned) {
+                warned = true
+                out += KeyedEvent(key, e.ts, "blacklist", cap.toDouble)
+              }
+            }
+            state.update((day, n, warned))
+            // reclaim state once the watermark passes the day boundary
+            state.setTimeoutTimestamp(
+              math.max(day + dayMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming unique-visitor count per tumbling window with BOUNDED
     * state: a fixed-size bloom bitset + running count per window in
     * GroupState — the reference's bloom UV
