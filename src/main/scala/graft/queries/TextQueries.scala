@@ -211,6 +211,52 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization + domain blocklist + URL-dedup (the web
+    // half of a curation pipeline: Common-Crawl-style corpora dedup by
+    // canonical URL and drop blocked domains before any text pass).
+    // The testdata has no URL column, so a deterministically MESSY url
+    // is synthesized per document (case noise, optional WWW, utm_*
+    // tracking params, fragments — same fake-source convention as
+    // mm_*); the normalization is the real operator and is pure
+    // element-wise column work: lowercase scheme/host, strip www.,
+    // drop utm_* query params via split->filter->rejoin (no regex
+    // backtracking semantics to diverge cross-engine), drop the
+    // fragment. Dedup = min doc_id per canonical URL (hash-partition
+    // on the canonical string); blocklist is a tiny IN list (broadcast
+    // at scale).
+    "pipe_urlnorm" -> ((s, d) => {
+      val id = col("doc_id")
+      val rawUrl = concat(
+        when(id % 2 === 0, "https").otherwise("HTTPS"), lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        when(id % 5 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com/doc/"), (id % 50).cast("string"),
+        lit("?utm_source=feed&id="), (id % 7).cast("string"),
+        when(id % 4 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
+        when(id % 2 === 0, lit("#sec")).otherwise(lit("")))
+      val noFrag = substring_index(rawUrl, "#", 1)
+      val qsplit = split(noFrag, "\\?")
+      val base = element_at(qsplit, 1)
+      val query = when(size(qsplit) > 1, element_at(qsplit, 2)).otherwise(lit(""))
+      val keptParams = array_join(
+        filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
+      val scheme = lower(substring_index(base, "://", 1))
+      val hostPath = element_at(split(base, "://"), 2)
+      val hostRaw = substring_index(hostPath, "/", 1)
+      val host = regexp_replace(lower(hostRaw), lit("^www\\."), lit(""))
+      val path = hostPath.substr(length(hostRaw) + lit(1), length(hostPath))
+      val canon = concat(scheme, lit("://"), host, path,
+        when(keptParams =!= "", concat(lit("?"), keptParams)).otherwise(lit("")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+      t(s, d, "documents")
+        .select(id, col("source"), canon.as("canon"), host.as("domain"))
+        .withColumn("blocked", col("domain").isin("src3.example.com"))
+        .withColumn("kept",
+          !col("blocked") && id === min(id).over(w))
+        .select("doc_id", "canon", "domain", "blocked", "kept")
+        .orderBy("doc_id")
+    }),
+
     // exactly-k-per-stratum deterministic sample (the fixed-BUDGET
     // complement of pipe_sample's fixed-RATE thinning): per (lang,
     // source) stratum, the k docs with the smallest salted hash — a
@@ -641,6 +687,46 @@ object TextQueries extends GroupBase {
           WHERE ($h) % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
           ORDER BY doc_id"""
     },
+    "pipe_urlnorm" ->
+      s"""WITH raw AS (
+            SELECT doc_id, source,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+                   || '.example.com/doc/' || CAST(doc_id % 50 AS VARCHAR)
+                   || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END)
+                   || (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+            FROM documents),
+          parts AS (
+            SELECT doc_id,
+                   split_part(split_part(url, '#', 1), '?', 1) AS base,
+                   split_part(split_part(url, '#', 1), '?', 2) AS query
+            FROM raw),
+          np AS (
+            SELECT doc_id,
+                   lower(split_part(base, '://', 1)) AS scheme,
+                   split_part(base, '://', 2) AS hostpath,
+                   array_to_string(list_filter(string_split(query, '&'),
+                     p -> NOT starts_with(p, 'utm_')), '&') AS kept_params
+            FROM parts),
+          canon AS (
+            SELECT doc_id,
+                   scheme || '://'
+                   || regexp_replace(lower(split_part(hostpath, '/', 1)),
+                                     '^www\\.', '')
+                   || substr(hostpath, length(split_part(hostpath, '/', 1)) + 1)
+                   || (CASE WHEN kept_params <> '' THEN '?' || kept_params
+                            ELSE '' END) AS canon,
+                   regexp_replace(lower(split_part(hostpath, '/', 1)),
+                                  '^www\\.', '') AS domain
+            FROM np)
+          SELECT doc_id, canon, domain,
+                 domain IN ('src3.example.com') AS blocked,
+                 (NOT domain IN ('src3.example.com'))
+                   AND doc_id = min(doc_id) OVER (PARTITION BY canon) AS kept
+          FROM canon ORDER BY doc_id""",
     "pipe_ksample" -> {
       val h = TextOps.hash32Sql("'ksample:' || CAST(doc_id AS VARCHAR)")
       s"""WITH r AS (SELECT lang, source, doc_id,
