@@ -97,6 +97,20 @@ object OverWindowQueries extends GroupBase {
     }),
 
     // first_value / last_value over the whole partition
+    // relative-rank battery: percent_rank / cume_dist over a total
+    // per-partition order (orderkey tiebreak -> no ties -> both are
+    // exact rationals, deterministic cross-engine). One partitioned
+    // sort, streams like every other OVER window.
+    "over_pct_cume" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
     "over_first_last" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -170,6 +184,14 @@ object OverWindowQueries extends GroupBase {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
          ORDER BY user_id, event_id""",
+    "over_pct_cume" ->
+      """SELECT o_orderkey, o_orderstatus,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
     "over_first_last" ->
       """SELECT event_id, user_id,
                 first_value(value) OVER w AS first_v,
