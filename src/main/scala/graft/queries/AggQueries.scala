@@ -86,6 +86,20 @@ object AggQueries extends GroupBase {
              max(col("o_totalprice")).as("top_price"))
         .orderBy("o_orderstatus")),
 
+    // MODE (most frequent value per group): two-level hash agg — count
+    // per (group, value), then max_by over the counts with a
+    // deterministic low-value tiebreak. Both levels get map-side
+    // partials; no sort, no collect buffer — the shape that holds when
+    // one group has millions of distinct values at 100 TB.
+    "agg_mode" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").as("q"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(max_by(col("q"), struct(col("n"), negate(col("q")))).as("mode_qty"),
+          max(col("n")).as("mode_n"))
+        .orderBy("l_returnflag")),
+
     // custom UDAF, one-pass max+min (TabApiTest.scala:1453-1484)
     "agg_udaf_maxmin" -> ((s, d) => {
       val mm = udaf(graft.agg.MaxMin)
@@ -359,6 +373,17 @@ object AggQueries extends GroupBase {
           ${ExactSql.dsumDistinct("l_quantity")} AS sum_dq,
           count(DISTINCT (l_suppkey, l_linestatus)) AS n_pair
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity AS q, count(*) AS n
+                    FROM lineitem GROUP BY 1, 2),
+          r AS (SELECT l_returnflag, q, n,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY n DESC, q ASC) AS rn
+                FROM c)
+          SELECT l_returnflag, q AS mode_qty,
+                 (SELECT max(n) FROM c c2
+                  WHERE c2.l_returnflag = r.l_returnflag) AS mode_n
+          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
     "agg_maxby" ->
       """SELECT m.o_orderstatus, t.k AS top_order, b.k AS bottom_order,
                 m.mx AS top_price
