@@ -211,6 +211,36 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // Z-ORDER layout (multi-dimensional clustering): quantize two
+    // pruning dimensions to 8 bits each — document length and
+    // type-token ratio — and bit-interleave them into a 16-bit
+    // z-value; rows sorted/sharded by z cluster BOTH dimensions, so a
+    // parquet layout written in z-order serves min/max-pruned scans on
+    // either column (the standard lakehouse technique for 100 TB
+    // tables with two hot filter columns). The interleave is the
+    // classic shift-or-mask bit spread — pure integer ops, exact in
+    // both engines; the shard is the top 6 z bits (64 z-range files).
+    "pipe_zorder" -> ((s, d) => {
+      def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val m1 = c.bitwiseAND(lit(0xFF))
+        val m2 = (m1.bitwiseOR(shiftleft(m1, 4))).bitwiseAND(lit(0x0F0F))
+        val m3 = (m2.bitwiseOR(shiftleft(m2, 2))).bitwiseAND(lit(0x3333))
+        m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x5555))
+      }
+      val tk = col("tk")
+      val ttr = (size(array_distinct(tk)).cast("decimal(18,8)") /
+        size(tk).cast("decimal(18,8)")).cast("double")
+      t(s, d, "documents")
+        .withColumn("tk", graft.functions.TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          least(floor(col("n_chars") / 16), lit(255)).cast("int").as("q_len"),
+          floor(ttr * 255).cast("int").as("q_ttr"))
+        .withColumn("z",
+          shiftleft(spread(col("q_len")), 1).bitwiseOR(spread(col("q_ttr"))))
+        .withColumn("shard", shiftright(col("z"), 10))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization + domain blocklist + URL-dedup (the web
     // half of a curation pipeline: Common-Crawl-style corpora dedup by
     // canonical URL and drop blocked domains before any text pass).
@@ -686,6 +716,27 @@ object TextQueries extends GroupBase {
       s"""SELECT doc_id, lang FROM documents
           WHERE ($h) % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
           ORDER BY doc_id"""
+    },
+    "pipe_zorder" -> {
+      def spread(e: String): String = {
+        val m1 = s"(($e) & 255)"
+        val m2 = s"((($m1) | (($m1) << 4)) & 3855)"   // 0x0F0F
+        val m3 = s"((($m2) | (($m2) << 2)) & 13107)"  // 0x3333
+        s"((($m3) | (($m3) << 1)) & 21845)"           // 0x5555
+      }
+      s"""WITH q AS (
+            SELECT doc_id,
+                   CAST(least(floor(n_chars / 16), 255) AS INT) AS q_len,
+                   CAST(floor(CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
+                              / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE)
+                              * 255) AS INT) AS q_ttr
+            FROM documents)
+          SELECT doc_id, q_len, q_ttr,
+                 CAST(((${spread("q_len")}) << 1) | (${spread("q_ttr")}) AS INT)
+                   AS z,
+                 CAST((((${spread("q_len")}) << 1) | (${spread("q_ttr")})) >> 10
+                   AS INT) AS shard
+          FROM q ORDER BY doc_id"""
     },
     "pipe_urlnorm" ->
       s"""WITH raw AS (
