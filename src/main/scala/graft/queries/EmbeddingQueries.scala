@@ -44,20 +44,7 @@ object EmbeddingQueries extends GroupBase {
     // brute-force cosine top-5 per query vector (vec_id < 10):
     // the exact ANN baseline. The tiny query side broadcasts; the
     // big side streams — no shuffle of the corpus.
-    "emb_knn" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          (dot(col("qv"), col("embedding")) /
-            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("qid", "nid", "rank")
-        .orderBy("qid", "rank")
-    }),
+    "emb_knn" -> ((s, d) => bruteKnn(s, d).orderBy("qid", "rank")),
 
     // per-label centroids via posexplode + 2^53-scaled exact sum
     // (Exact.fsum): shuffles (label, pos), O(1) state per group with
@@ -99,32 +86,25 @@ object EmbeddingQueries extends GroupBase {
     // IVF search: queries probe ONLY their own cell — the candidate
     // set shrinks by ~#cells vs brute force; recall trades off at cell
     // boundaries exactly as in a production IVF index
-    "emb_ivf_knn" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      // same max_by hash-agg shape as emb_ivf_assign (no window sort)
-      val assign = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"),
-          (dot(col("embedding"), col("cv")) /
-            (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("embedding"), col("cid")),
-          struct(col("ccos"), negate(col("cid")))).as("r"))
-        .select(col("vec_id"), col("r.embedding").as("embedding"),
-          col("r.cid").as("cell"))
-      val q = assign.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
-      val kw = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      assign.join(broadcast(q), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          (dot(col("qv"), col("embedding")) /
-            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
-        .withColumn("rank", row_number().over(kw))
-        .filter(col("rank") <= 3)
-        .select("qid", "nid", "rank")
-        .orderBy("qid", "rank")
+    "emb_ivf_knn" -> ((s, d) => ivfKnn(s, d).orderBy("qid", "rank")),
+
+    // ANN pipeline QA: recall@3 of the IVF search against the exact
+    // brute-force truth — the evaluation every production ANN
+    // deployment runs before trusting an index. Pure composition of
+    // the two searches above (one left-semi-style join on the tiny
+    // result sets); the denominator is the fixed k, so a query whose
+    // own cell held fewer than k candidates is penalized, as it
+    // should be.
+    "emb_recall" -> ((s, d) => {
+      val truth = bruteKnn(s, d).filter(col("qid") < 5 && col("rank") <= 3)
+        .select(col("qid"), col("nid"))
+      ivfKnn(s, d).select(col("qid"), col("nid"))
+        .join(truth.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("qid"), col("n_hit").cast("int").as("n_hit"),
+          (col("n_hit").cast("double") / 3).as("recall3"))
+        .orderBy("qid")
     }),
 
     // k-means training for the IVF coarse quantizer (2 unrolled
@@ -342,11 +322,101 @@ object EmbeddingQueries extends GroupBase {
     }),
   )
 
+  /** Brute-force cosine top-5 for query vectors vec_id < 10 (shared by
+    * emb_knn and the emb_recall truth side). */
+  private def bruteKnn(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qv"), col("embedding")) /
+          (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "nid", "rank")
+  }
+
+  /** IVF probe-own-cell top-3 for query vectors vec_id < 5 (shared by
+    * emb_ivf_knn and the emb_recall measured side). */
+  private def ivfKnn(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // same max_by hash-agg shape as emb_ivf_assign (no window sort)
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        (dot(col("embedding"), col("cv")) /
+          (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("cid")),
+        struct(col("ccos"), negate(col("cid")))).as("r"))
+      .select(col("vec_id"), col("r.embedding").as("embedding"),
+        col("r.cid").as("cell"))
+    val q = assign.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+    val kw = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    assign.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qv"), col("embedding")) /
+          (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+      .withColumn("rank", row_number().over(kw))
+      .filter(col("rank") <= 3)
+      .select("qid", "nid", "rank")
+  }
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
         (acc, x) -> acc + x)"""
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** Oracle mirror of `bruteKnn` (no final ORDER BY — nests as a CTE). */
+  private lazy val embKnnSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id < 10),
+        scored AS (
+          SELECT qid, e.vec_id AS nid,
+                 ${dotSql("qv", "e.embedding")} /
+                   (${normSql("qv")} * ${normSql("e.embedding")}) AS cos
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+        ranked AS (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, nid) AS rank
+          FROM scored)
+        SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"""
+
+  /** Oracle mirror of `ivfKnn` (no final ORDER BY — nests as a CTE). */
+  private lazy val embIvfKnnSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                       WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, e.embedding, cid,
+                 ${dotSql("e.embedding", "cv")} /
+                   (${normSql("e.embedding")} * ${normSql("cv")}) AS ccos
+          FROM embeddings e CROSS JOIN cents),
+        assign AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cid) AS rn
+            FROM scored) x WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM assign
+              WHERE vec_id < 5),
+        cand AS (
+          SELECT qid, a.vec_id AS nid,
+                 ${dotSql("qv", "a.embedding")} /
+                   (${normSql("qv")} * ${normSql("a.embedding")}) AS cos
+          FROM assign a JOIN q USING (cell) WHERE a.vec_id <> qid)
+        SELECT qid, nid, CAST(rank AS INT) AS rank FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, nid) AS rank
+          FROM cand) r
+        WHERE rank <= 3"""
   private def planeSql(i: Int): String =
     (0 until Dim).map(j => s"${weight(i, j)}.0").mkString("[", ", ", "]")
 
@@ -354,21 +424,18 @@ object EmbeddingQueries extends GroupBase {
     "emb_norms" ->
       s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim, ${normSql("embedding")} AS l2
           FROM embeddings ORDER BY vec_id""",
-    "emb_knn" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-                     WHERE vec_id < 10),
-          scored AS (
-            SELECT qid, e.vec_id AS nid,
-                   ${dotSql("qv", "e.embedding")} /
-                     (${normSql("qv")} * ${normSql("e.embedding")}) AS cos
-            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
-          ranked AS (
-            SELECT qid, nid,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY cos DESC, nid) AS rank
-            FROM scored)
-          SELECT qid, nid, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
-          ORDER BY qid, rank""",
+    "emb_knn" -> s"$embKnnSql ORDER BY qid, rank",
+    "emb_recall" ->
+      s"""WITH brute AS ($embKnnSql),
+          ivf AS ($embIvfKnnSql)
+          SELECT i.qid,
+                 CAST(sum(CASE WHEN b.nid IS NOT NULL THEN 1 ELSE 0 END)
+                   AS INT) AS n_hit,
+                 CAST(sum(CASE WHEN b.nid IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / 3 AS recall3
+          FROM ivf i LEFT JOIN brute b
+            ON b.qid = i.qid AND b.nid = i.nid AND b.rank <= 3
+          GROUP BY i.qid ORDER BY i.qid""",
     "emb_centroid" ->
       s"""SELECT label, CAST(i - 1 AS INT) AS pos,
                 ${graft.core.ExactSql.fsum("embedding[i]")} / count(*) AS c
@@ -388,33 +455,7 @@ object EmbeddingQueries extends GroupBase {
                      FROM scored)
           SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
           ORDER BY vec_id""",
-    "emb_ivf_knn" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                         WHERE vec_id < 8),
-          scored AS (
-            SELECT e.vec_id, e.embedding, cid,
-                   ${dotSql("e.embedding", "cv")} /
-                     (${normSql("e.embedding")} * ${normSql("cv")}) AS ccos
-            FROM embeddings e CROSS JOIN cents),
-          assign AS (
-            SELECT vec_id, embedding, cid AS cell FROM (
-              SELECT vec_id, embedding, cid,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY ccos DESC, cid) AS rn
-              FROM scored) x WHERE rn = 1),
-          q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM assign
-                WHERE vec_id < 5),
-          cand AS (
-            SELECT qid, a.vec_id AS nid,
-                   ${dotSql("qv", "a.embedding")} /
-                     (${normSql("qv")} * ${normSql("a.embedding")}) AS cos
-            FROM assign a JOIN q USING (cell) WHERE a.vec_id <> qid)
-          SELECT qid, nid, CAST(rank AS INT) AS rank FROM (
-            SELECT qid, nid,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY cos DESC, nid) AS rank
-            FROM cand) r
-          WHERE rank <= 3 ORDER BY qid, rank""",
+    "emb_ivf_knn" -> s"$embIvfKnnSql ORDER BY qid, rank",
     "emb_pq" -> {
       // per-subspace squared-L2 as the same left fold, over 1-based
       // inclusive list slices (subspace m covers [m*16+1, m*16+16])

@@ -25,6 +25,7 @@ object PlanAudit {
     * acquiring a BNLJ is a regression. */
   private val expectedBnlj = Set(
     "emb_knn", "emb_ivf_assign", "emb_ivf_knn", "emb_kmeans", "emb_pq",
+    "emb_recall", // composes emb_knn + emb_ivf_knn, inherits their probes
     "emb_semdedup", "join_cross", "text_lm_nll", "text_tfidf",
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
     "text_bm25",   // 1-row corpus-stats (nd, sumdl) broadcast
