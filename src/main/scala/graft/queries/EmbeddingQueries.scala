@@ -46,6 +46,26 @@ object EmbeddingQueries extends GroupBase {
     // big side streams — no shuffle of the corpus.
     "emb_knn" -> ((s, d) => bruteKnn(s, d).orderBy("qid", "rank")),
 
+    // MIPS: max inner-product search (the recommender flavor of ANN —
+    // score = raw dot, NOT cosine, so vector magnitude matters and a
+    // popular/high-norm item can dominate every query). Same
+    // broadcast-probe shape as emb_knn: corpus un-shuffled, query side
+    // broadcast, top-k through WindowGroupLimit. The codegen float_dot
+    // kernel is the whole scoring cost.
+    "emb_mips" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          dot(col("qv"), col("embedding")).as("ip"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "nid", "rank", "ip")
+        .orderBy("qid", "rank")
+    }),
+
     // per-label centroids via posexplode + 2^53-scaled exact sum
     // (Exact.fsum): shuffles (label, pos), O(1) state per group with
     // map-side partials — a popular label holding millions of members
@@ -436,6 +456,20 @@ object EmbeddingQueries extends GroupBase {
           FROM ivf i LEFT JOIN brute b
             ON b.qid = i.qid AND b.nid = i.nid AND b.rank <= 3
           GROUP BY i.qid ORDER BY i.qid""",
+    "emb_mips" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                     WHERE vec_id < 5),
+          scored AS (
+            SELECT qid, e.vec_id AS nid,
+                   ${dotSql("qv", "e.embedding")} AS ip
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+          ranked AS (
+            SELECT qid, nid, ip,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY ip DESC, nid) AS rank
+            FROM scored)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, ip
+          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "emb_centroid" ->
       s"""SELECT label, CAST(i - 1 AS INT) AS pos,
                 ${graft.core.ExactSql.fsum("embedding[i]")} / count(*) AS c

@@ -24,7 +24,7 @@ object PlanAudit {
     * streams partition-parallel, so these scale. Anything else
     * acquiring a BNLJ is a regression. */
   private val expectedBnlj = Set(
-    "emb_knn", "emb_ivf_assign", "emb_ivf_knn", "emb_kmeans", "emb_pq",
+    "emb_knn", "emb_mips", "emb_ivf_assign", "emb_ivf_knn", "emb_kmeans", "emb_pq",
     "emb_recall", // composes emb_knn + emb_ivf_knn, inherits their probes
     "emb_semdedup", "join_cross", "text_lm_nll", "text_tfidf",
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
