@@ -15,9 +15,19 @@ import org.apache.spark.sql.functions._
   * small side — no extra shuffle stages.
   */
 object Skew {
-  /** Equi-join `big ⋈ small` on `key` with an `nSalts`-way salt. */
+  /** Equi-join `big ⋈ small` on `key` with an `nSalts`-way salt.
+    *
+    * Only `inner` and `left`(_outer) are supported: the small side is
+    * REPLICATED across all `nSalts` salt values, so a join type that
+    * preserves unmatched small-side rows (`right`/`full`) would emit
+    * each of them `nSalts` times as duplicate null-extended rows. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter")(
+        joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin replicates the small side $nSalts times; " +
+        s"'$joinType' would duplicate unmatched small-side rows — " +
+        "use inner/left")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(nSalts)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -41,27 +41,28 @@ object DedupQueries extends GroupBase {
       // the join/count shuffles move BIGINTs (~4× fewer bytes), and
       // both engines hash identically so Jaccard over distinct hashes
       // is oracle-exact.
-      // ONE lineage, ONE corpus scan, ONE pre-join shuffle:
-      // duplicates only exist WITHIN a document, so array_distinct
+      // Duplicates only exist WITHIN a document, so array_distinct
       // dedups element-wise (no global distinct exchange) and the doc
       // size is just the array length (no doc-side window). The
-      // doc-frequency cap is a count() window over the shingle key:
-      // it rides the SAME exchange the candidate self-join needs, so
-      // the whole corpus is read and tokenized exactly once. (A
-      // groupBy+join df formulation benches the same locally but
-      // column pruning splits it into a second full scan+tokenize of
-      // `text` — the shape that loses at 100 TB, where a second
-      // corpus pass costs more than the window's partition sort.)
-      val sh = docs
+      // doc-frequency cap is ShingleDf.capRare: a two-phase count
+      // whose partial agg runs below its exchange (the count shuffle
+      // carries pre-aggregated (sh, n) rows, never raw occurrences)
+      // plus a zero-exchange shuffle-hash anti join, so no partition
+      // is ever sorted and a hot shingle costs a streaming merge of
+      // per-task partials — never a WindowExec sort + buffer of every
+      // occurrence on one task. Accepted price: the count branch is a
+      // second (column-pruned, text-only) scan+tokenize — ReuseExchange
+      // cannot unify the differently-pruned branches; see ShingleDf's
+      // scaladoc for why the one-scan window variant loses at 100 TB.
+      // Both candidate-side exchanges ARE reused across the self-join
+      // (ReusedExchange x2, verified in PLANS.md).
+      val sh = graft.operators.ShingleDf.capRare(docs
         .withColumn("tk", TextOps.tokens(col("text")))
         .withColumn("hs",
           array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
         .filter(col("hs").isNotNull)
         .select(col("doc_id"), size(col("hs")).as("n"),
-          explode(col("hs")).as("sh"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .filter(col("df") <= 1000)
-        .drop("df")
+          explode(col("hs")).as("sh")), "sh", 1000)
       sh.as("a").join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -123,13 +124,17 @@ object DedupQueries extends GroupBase {
     // distinct 8-gram shingles that occur in at least one OTHER
     // document. This is the signal substring-level dedup pipelines
     // threshold on — a doc can be globally unique while 80% of its
-    // spans are boilerplate copied corpus-wide. One corpus scan, one
-    // lineage: the doc-frequency count is a window over the shingle
-    // hash, and the per-doc rollup regroups the same (doc_id, h)
-    // rows — hashes (BIGINTs), never shingle strings, on both
-    // shuffles. At 100 TB both exchanges are plain hash partitions;
-    // no all-pairs, no skew (8-gram frequencies are long-tailed but
-    // the window state is one running count per key).
+    // spans are boilerplate copied corpus-wide. NO window, NO raw-row
+    // shuffle: ndup = n8 - nuniq, where nuniq counts the doc's
+    // shingles whose corpus-wide df == 1. A singleton group has
+    // exactly one holder, so max(doc_id) attributes it exactly — df
+    // count and attribution collapse into ONE O(1)-state hash agg
+    // whose PARTIAL runs below the exchange, so every shuffle in the
+    // query carries pre-aggregated rows (at most #distinct-keys per
+    // map task), never the exploded (doc, h) relation. Hot 8-grams
+    // (long-tailed) cost a streaming merge of per-task partials, not
+    // a WindowExec sort + buffer of every occurrence on one task.
+    // All shuffles carry BIGINT hashes, never shingle strings.
     "dd_substr" -> ((s, d) => {
       val sh = t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
@@ -138,10 +143,15 @@ object DedupQueries extends GroupBase {
         .filter(col("hs").isNotNull)
         .select(col("doc_id"), size(col("hs")).as("n8"),
           explode(col("hs")).as("h"))
-      sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-        .groupBy("doc_id", "n8")
-        .agg(sum(when(col("df") >= 2, 1).otherwise(0)).as("ndup"))
-        .select(col("doc_id"), col("n8"), col("ndup").cast("int").as("ndup"),
+      val nuniq = sh.groupBy("h")
+        .agg(count(lit(1)).as("df"), max("doc_id").as("doc_id"))
+        .filter(col("df") === 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("nuniq"))
+      sh.groupBy("doc_id").agg(max("n8").as("n8"))
+        .join(nuniq.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n8"),
+          (col("n8") - coalesce(col("nuniq"), lit(0L))).cast("int").as("ndup"))
+        .select(col("doc_id"), col("n8"), col("ndup"),
           (col("ndup").cast("double") / col("n8")).as("dupfrac"),
           (col("ndup").cast("double") / col("n8") >= 0.5).as("flagged"))
         .orderBy("doc_id")

@@ -364,11 +364,17 @@ object TextQueries extends GroupBase {
           col("r.ntok").as("ntok"), col("r.nchars").as("nchars"),
           col("r.hs").as("hs"))
       // hash-keyed (doc, shingle) relation, deduped element-wise and
-      // sized from the array — no distinct exchange (see dd_jaccard)
-      val sh = exactKeep
+      // sized from the array — no distinct exchange (see dd_jaccard).
+      // Same rare-shingle df <= 1000 cap as dd_jaccard (ShingleDf):
+      // without it a boilerplate 3-gram shared by a million kept docs
+      // makes this self-join quadratic on one key at 100 TB. Doc
+      // sizes `n` are taken from the UNCAPPED array, so Jaccard
+      // denominators are exact; the cap only prunes candidate
+      // generation.
+      val sh = graft.operators.ShingleDf.capRare(exactKeep
         .filter(col("hs").isNotNull)
         .select(col("doc_id"), size(col("hs")).as("n"),
-          explode(col("hs")).as("sh"))
+          explode(col("hs")).as("sh")), "sh", 1000)
       val dupB = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -934,10 +940,13 @@ object TextQueries extends GroupBase {
                         LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
                    WHERE i + 2 <= len(tk))),
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          rare AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY 1)
+                   WHERE df <= 1000),
+          shr AS (SELECT doc_id, x.sh FROM sh x JOIN rare USING (sh)),
           dup_b AS (
             SELECT DISTINCT db AS doc_id FROM (
               SELECT a.doc_id da, b.doc_id db, count(*) AS inter
-              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2) p
             JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),

@@ -275,11 +275,20 @@ object StatefulOps {
               state.getOption.getOrElse((Long.MinValue, 0L, false))
             events.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val eDay = Math.floorDiv(e.ts.getTime, dayMs) * dayMs
-              if (eDay != day) { day = eDay; n = 0L; warned = false }
-              if (n < cap) { n += 1; out += e }
-              else if (!warned) {
-                warned = true
-                out += KeyedEvent(key, e.ts, "blacklist", cap.toDouble)
+              // Only a FORWARD day change opens a new day. A bounded-late
+              // event from an already-closed earlier day (newer than the
+              // watermark, so not dropped upstream) must not wipe the
+              // current day's count — that would let clicks past the cap
+              // and re-emit a second warning. Its own day's count state
+              // is gone, so the conservative cap-enforcing choice is to
+              // drop it rather than risk exceeding that day's cap.
+              if (eDay > day) { day = eDay; n = 0L; warned = false }
+              if (eDay == day) {
+                if (n < cap) { n += 1; out += e }
+                else if (!warned) {
+                  warned = true
+                  out += KeyedEvent(key, e.ts, "blacklist", cap.toDouble)
+                }
               }
             }
             state.update((day, n, warned))
@@ -301,17 +310,26 @@ object StatefulOps {
     * every probed bit was unset, so state is O(bloom bits) per window
     * regardless of cardinality; collisions undercount, exactly like
     * the reference's bloom (two probes here vs its one). The event
-    * `key` is the visitor id. */
+    * `key` is the visitor id. Window state is reclaimed by an
+    * EventTimeTimeout once the watermark (event time minus
+    * `lateness`) passes the window end, so total state is O(live
+    * windows), not O(stream lifetime); the window key uses floorDiv
+    * so pre-epoch timestamps bucket consistently with
+    * dailyCapBlacklist. */
   def uvWithBloom(ds: Dataset[KeyedEvent], windowMs: Long,
-                  bits: Int = 1 << 16): Dataset[UvCount] = {
+                  bits: Int = 1 << 16,
+                  lateness: String = "10 minutes"): Dataset[UvCount] = {
     val spark = ds.sparkSession
     import spark.implicits._
     require(Integer.bitCount(bits) == 1, "bloom size must be a power of two")
     val mask = bits - 1
-    ds.groupByKey(e => e.ts.getTime / windowMs * windowMs)
+    ds.withWatermark("ts", lateness)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
       .flatMapGroupsWithState[BloomUvState, UvCount](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (wstart, events, state: GroupState[BloomUvState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var st = state.getOption.getOrElse(
             BloomUvState(new Array[Long](bits / 64), 0L))
           events.foreach { e =>
@@ -327,7 +345,11 @@ object StatefulOps {
             }
           }
           state.update(st)
+          // reclaim the bloom once the watermark passes the window end
+          state.setTimeoutTimestamp(
+            math.max(wstart + windowMs, state.getCurrentWatermarkMs + 1))
           Iterator(UvCount(new Timestamp(wstart), st.count))
+          }
       }
   }
 

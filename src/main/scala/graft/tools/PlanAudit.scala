@@ -44,6 +44,36 @@ object PlanAudit {
     "emb_kmeans", "emb_pq", "text_lm_nll", "text_lm_bigram", "pipe_mix",
     "agg_string_agg", "over_sum_distinct")
 
+  /** EXPLODEWIN detector: a window function computed directly over the
+    * output of an explode/Generate (no aggregate in between) partitions
+    * by a per-element key — shingle hashes, band buckets — whose
+    * frequencies are long-tailed, so WindowExec buffers + sorts every
+    * occurrence of a hot key on one task. This is the exact bug class
+    * ShingleDf.capRare replaces (dd_jaccard / dd_substr / pipe_curation
+    * pre-round-6): use a two-phase groupBy count (partial agg below the
+    * exchange) + join instead. An Aggregate boundary clears the taint
+    * because it bounds per-key row counts before the window. */
+  private def perElementWindow(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Generate, LogicalPlan, Window => LWindow}
+    def tainted(n: LogicalPlan): Boolean = n match {
+      case _: Aggregate => false
+      case _: Generate  => true
+      case o            => o.children.exists(tainted)
+    }
+    p.collect { case w: LWindow => w }.exists(_.children.exists(tainted))
+  }
+
+  /** Queries where a window over Generate output is BOUNDED by
+    * construction and therefore allowed (document the bound here when
+    * adding an entry):
+    *  - tw_gapfill: the Generate is the explode(sequence(mn, mx, 1h))
+    *    bucket spine — exactly ONE row per (event_type, hour), so each
+    *    window partition holds hours-in-span rows, not data-dependent
+    *    occurrence counts. */
+  private val expectedExplodeWin: Set[String] = Set("tw_gapfill")
+
   /** Audit every registered query's plan at `d`; returns the flagged
     * (name, flags) pairs. Shared by the CLI main and the PlanSpec
     * regression test. */
@@ -52,9 +82,12 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val flags =
         try {
-          val p = fn(spark, d).queryExecution.explainString(
+          val qe = fn(spark, d).queryExecution
+          val p = qe.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           Seq(
+            "EXPLODEWIN" -> (perElementWindow(qe.optimizedPlan) &&
+              !expectedExplodeWin.contains(name)),
             "CARTESIAN" -> p.contains("CartesianProduct"),
             "BNLJ" -> (p.contains("BroadcastNestedLoopJoin") &&
               !expectedBnlj.contains(name)),

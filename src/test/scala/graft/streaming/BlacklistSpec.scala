@@ -16,8 +16,11 @@ class BlacklistSpec extends SparkSpec {
     implicit val sqlCtx = s.sqlContext
     val day = 86400000L
     val in = MemoryStream[KeyedEvent]
+    // 2-day allowed lateness so a previous-day event can arrive ABOVE
+    // the watermark (not dropped) after the state has advanced a day —
+    // the backwards-reset regression case below
     val q = StatefulOps.dailyCapBlacklist(
-        in.toDS().withWatermark("ts", "1 second"), cap = 2, dayMs = day)
+        in.toDS().withWatermark("ts", "2 days"), cap = 2, dayMs = day)
       .writeStream.format("memory").queryName("blk")
       .outputMode(OutputMode.Append()).start()
     def rows() = spark.table("blk").collect()
@@ -47,6 +50,18 @@ class BlacklistSpec extends SparkSpec {
       assert(day1 == List(
         (7L, day + 1000L, "click"), (7L, day + 2000L, "click"),
         (7L, day + 3000L, "blacklist")), s"day-1 reset wrong: $day1")
+      // bounded-late event from the already-closed day 0: must NOT wipe
+      // day 1's count/warning state (and is itself dropped — its own
+      // day's count is gone, so passing it could exceed day 0's cap)
+      val before = rows()
+      in.addData(KeyedEvent(7L, ts(5000L), "click", 1))
+      q.processAllAvailable()
+      assert(rows() == before, s"late day-0 event leaked: ${rows()}")
+      // day 1 is still capped + warned: another click stays swallowed
+      in.addData(KeyedEvent(7L, ts(day + 5000L), "click", 1))
+      q.processAllAvailable()
+      assert(rows() == before,
+        s"day-1 state was reset by the late event: ${rows()}")
     } finally q.stop()
   }
 }

@@ -44,6 +44,12 @@ class UvBloomSpec extends SparkSpec {
       in.addData((100L to 299L).map(u => KeyedEvent(u, ts(8000L), "pv", 0)): _*)
       q.processAllAvailable()
       assert(latest() == Map(0L -> 204L, 10000L -> 1L))
+      // push the watermark (10 min lateness) past both windows' ends:
+      // their bloom state times out and is reclaimed without emitting —
+      // counts stand, and the new window counts independently
+      in.addData(KeyedEvent(1L, ts(700000L), "pv", 0))
+      q.processAllAvailable()
+      assert(latest() == Map(0L -> 204L, 10000L -> 1L, 700000L -> 1L))
     } finally q.stop()
   }
 }
