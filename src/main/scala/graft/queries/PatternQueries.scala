@@ -313,6 +313,29 @@ object PatternQueries extends GroupBase {
           aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"))
         .orderBy("user_id", "m_start")
     }),
+
+    // MATCH_RECOGNIZE reluctant zero-or-more through the SQL surface
+    // (TableSQLFunc.scala:1936-1999 `*?` / `{1,}?`): for every signup,
+    // the SHORTEST run of arbitrary rows (B undefined = wildcard)
+    // until the FIRST row with value > 200 — greedy B* would extend to
+    // the last qualifying row; the reluctant marker stops the
+    // quantifier at the first, and completing fixes that start's
+    // match (same-start longer branches die). `*` expands to
+    // MaxRepeat=8 bounded optional repetitions, mirrored EXACTLY in
+    // the oracle via the row-position gap n_b <= 8.
+    "pat_mr_reluctant" -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      org.apache.spark.sql.GraftBridge.ensurePrepared(s)
+      s.sql(
+        """FROM events MATCH_RECOGNIZE (
+             PARTITION BY user_id ORDER BY ts
+             KIND event_type MEASURE value
+             MEASURES LAST(C.value) AS c_val, COUNT(B.*) AS n_b
+             PATTERN (A B*? C) WITHIN 1 DAY AFTER MATCH NO SKIP
+             DEFINE A AS kind = 'signup', C AS value > 200
+           )""")
+        .orderBy("user_id", "m_start")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -365,6 +388,24 @@ object PatternQueries extends GroupBase {
          SELECT user_id, ts AS m_start, t3 AS m_end,
                 v0 AS a_first, v1 AS a_mid, v3 AS b_val, CAST(3 AS INT) AS n_a
          FROM l WHERE v3 > v1 AND t3 <= ts + INTERVAL 7 DAY
+         ORDER BY user_id, m_start""",
+    "pat_mr_reluctant" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                           value,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), value) AS pos
+                    FROM events),
+         a AS (SELECT user_id, ts, pos FROM e WHERE event_type = 'signup'),
+         c AS (SELECT user_id, ts, value, pos FROM e WHERE value > 200),
+         firstc AS (
+           SELECT a.user_id, a.ts AS m_start, c.ts AS m_end,
+                  c.value AS c_val, c.pos - a.pos - 1 AS n_b,
+                  row_number() OVER (PARTITION BY a.user_id, a.pos
+                                     ORDER BY c.pos) AS rn
+           FROM a JOIN c ON c.user_id = a.user_id AND c.pos > a.pos)
+         SELECT user_id, m_start, m_end, c_val, CAST(n_b AS INT) AS n_b
+         FROM firstc
+         WHERE rn = 1 AND n_b <= 8 AND m_end <= m_start + INTERVAL 1 DAY
          ORDER BY user_id, m_start""",
     "pat_followany" ->
       """SELECT a.user_id, a.ts AS m_start, b.ts AS m_end,

@@ -155,6 +155,41 @@ object RelationalQueries extends GroupBase {
           col("event_id").as("last_event"), col("value").as("last_value"))
         .orderBy("user_id")
     }),
+
+    // Retract-stream materialization (toRetractStream,
+    // TableSQLFunc.scala:846-855; RowKind op column QueryTest.scala:
+    // 393-425): the full +I/-U/+U changelog a per-user running
+    // count+sum aggregate would emit while consuming events in
+    // (ts, event_id) order — the batch-verifiable twin of
+    // streaming/Changelog.attach (whose delta-diff ChangelogSpec
+    // asserts live; -D needs observed deletion, so it stays
+    // spec-covered). First event per key emits +I; every later one
+    // emits -U of the previous aggregate then +U of the new. The sum
+    // rides floor(value*100) BIGINTs so accumulation is exact and
+    // order-stable on both engines (raw double running sums are not).
+    // One window shuffle on user_id — the keyed-history shape.
+    "rel_retract_log" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = t(s, d, "events").filter(col("user_id") < 5)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("acc", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("pacc", lag(col("acc"), 1).over(w))
+      val ins = base.filter(col("seq") === 1)
+        .select(col("user_id"), col("seq"), lit("+I").as("op"),
+          lit(1L).as("cnt"), col("acc"))
+      val ret = base.filter(col("seq") > 1)
+        .select(col("user_id"), col("seq"), lit("-U").as("op"),
+          (col("seq") - 1).as("cnt"), col("pacc").as("acc"))
+      val upd = base.filter(col("seq") > 1)
+        .select(col("user_id"), col("seq"), lit("+U").as("op"),
+          col("seq").as("cnt"), col("acc"))
+      ins.unionByName(ret).unionByName(upd)
+        .orderBy("user_id", "seq", "op")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -243,5 +278,30 @@ object RelationalQueries extends GroupBase {
                         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
                FROM events) x
          WHERE rn = 1 AND op <> 'd' ORDER BY user_id""",
+    "rel_retract_log" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(ts AS TIMESTAMP) AS tts,
+                           CAST(floor(value * 100) AS BIGINT) AS v
+                    FROM events WHERE user_id < 5),
+          i AS (SELECT user_id,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                              ORDER BY tts, event_id) AS BIGINT) AS seq,
+                       CAST(sum(v) OVER (PARTITION BY user_id
+                              ORDER BY tts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS acc
+                FROM e),
+          b AS (SELECT user_id, seq, acc,
+                       lag(acc) OVER (PARTITION BY user_id ORDER BY seq) AS pacc
+                FROM i)
+          SELECT user_id, seq, '+I' AS op, CAST(1 AS BIGINT) AS cnt, acc
+          FROM b WHERE seq = 1
+          UNION ALL
+          SELECT user_id, seq, '-U' AS op, seq - 1 AS cnt, pacc AS acc
+          FROM b WHERE seq > 1
+          UNION ALL
+          SELECT user_id, seq, '+U' AS op, seq AS cnt, acc
+          FROM b WHERE seq > 1
+          ORDER BY user_id, seq, op""",
   )
 }

@@ -143,4 +143,18 @@ object Changelog {
         processCompleteBatch(batch.toDF(), keys, batchId, snapshotDir, changelogDir)
         ()
     }
+
+  /** The consumer half of the reference's `toRetractStream`
+    * (TableSQLFunc.scala:846-855): subscribe to a changelog directory
+    * written by attach/attachComplete as a STREAM of op-tagged rows.
+    * The changelog dir is append-only parquet, so a plain file-source
+    * readStream delivers every +I/-U/+U/-D row exactly once in batch
+    * order — a downstream retract-aware pipeline (cache invalidation,
+    * compensating aggregation) is just normal Structured Streaming
+    * over this source. `schema` is the aggregate's schema plus the
+    * `op` (string) and `batch_id` (long) columns appended. */
+  def retractStream(spark: SparkSession,
+                    changelogDir: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(changelogDir)
 }

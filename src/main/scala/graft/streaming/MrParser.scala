@@ -13,8 +13,8 @@ import graft.streaming.SeqPattern._
   * {{{
   * spec       := PATTERN '(' elem+ ')' within? afterMatch? DEFINE defs
   * elem       := SYMBOL quant? reluctant?
-  * quant      := '{' n '}' | '{' 1 ',' n '}' | '+' | '?'
-  * reluctant  := '?'                      // e.g. B{1,3}? / B+?
+  * quant      := '{' n '}' | '{' 1 ',' n '}' | '{' n ',' '}' | '+' | '?' | '*'
+  * reluctant  := '?'                      // e.g. B{1,3}? / B+? / B*?
   * within     := WITHIN n (SECOND|MINUTE|HOUR|DAY)[S]
   * afterMatch := AFTER MATCH (SKIP PAST LAST ROW|SKIP TO NEXT ROW|NO SKIP
   *                            |SKIP TO (FIRST|LAST) SYMBOL)
@@ -69,7 +69,7 @@ object MrParser {
     """AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
   private val DefineRe = """(?s)DEFINE\s+(.*)$""".r
   private val ElemRe =
-    """(!?)([A-Za-z_][A-Za-z0-9_]*)(\{(\d+)(,(\d+))?\}|\+|\?)?(\?)?""".r
+    """(!?)([A-Za-z_][A-Za-z0-9_]*)(\{(\d+)(,(\d+)?)?\}|\+|\?|\*)?(\?)?""".r
 
   def parse(spec: String): Compiled = {
     val s = spec.trim.replaceAll("\\s+", " ")
@@ -122,9 +122,15 @@ object MrParser {
         case null => Seq(base)
         case "?"  => Seq(base.opt)
         case "+"  => base.upTo(MaxRepeat)
+        case "*"  => base.zeroUpTo(MaxRepeat) // bounded zero-or-more
         case _ if m.group(6) != null => // {1,n} (lower bound must be 1)
           if (m.group(4).toInt != 1) fail(s"only {1,n} ranges supported: '$tok'", s)
           base.upTo(m.group(6).toInt)
+        case _ if m.group(5) != null => // {n,} open range, bounded at MaxRepeat
+          val lo = m.group(4).toInt
+          if (lo < 1 || lo > MaxRepeat)
+            fail(s"open range lower bound must be in 1..$MaxRepeat: '$tok'", s)
+          Seq.fill(lo)(base) ++ Seq.fill(MaxRepeat - lo)(base.opt)
         case _ => Seq(base.times(m.group(4).toInt)) // {n}
       }
     }

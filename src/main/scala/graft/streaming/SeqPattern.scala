@@ -93,6 +93,10 @@ object SeqPattern {
       * an explicit cap, CEPDemo timesOrMore). */
     def upTo(n: Int): Seq[Step] =
       copy(repeat = 1) +: Seq.fill(n - 1)(copy(repeat = 1, optional = true))
+    /** Bounded zero-or-more (MATCH_RECOGNIZE `B*` / reluctant `B*?`):
+      * n optional repetitions — zero matched rows is a valid extent. */
+    def zeroUpTo(n: Int): Seq[Step] =
+      Seq.fill(n)(copy(repeat = 1, optional = true))
     /** Bounded oneOrMore().allowCombinations(): every repetition may
       * match ANY later event, so non-contiguous combinations form
       * (CEPDemo.scala:211-247). */
@@ -319,9 +323,15 @@ object SeqPattern {
     def step(e: KeyedEvent): Unit = {
       val t = micros(e.ts)
       // prune expired partials; a greedy accepting partial that
-      // expires has reached its final extent — emit it
+      // expires has reached its final extent — emit it. Same-start
+      // partials always expire together (expiry depends only on
+      // tss.head), so the start's longest accepting extent is the ONE
+      // match greedy semantics assigns it — shorter accepting
+      // siblings are extent variants, not extra matches.
       val (kept, expired) = partials.partition(p => t - p.tss.head <= withinUs)
-      if (greedy) expired.filter(accepting).foreach(emit)
+      if (greedy)
+        expired.filter(accepting).groupBy(_.tss.head).toSeq.sortBy(_._1)
+          .foreach { case (_, g) => emit(g.maxBy(_.vals.length)) }
       partials = kept
       // advance existing partials. Branch priority: positive
       // consumption branches (hits BEFORE any tripped guard) survive;
@@ -329,6 +339,7 @@ object SeqPattern {
       // negative guard or an until-stop at its frontier, and ALSO
       // survives alongside its branches when the consumed step is
       // anyMatch (followedByAny: later hits branch too).
+      val dead = scala.collection.mutable.ListBuffer.empty[Partial]
       val advanced = partials.flatMap { p =>
         val (hits, killed, stop) = matchIdxs(p.stepIdx, e, p.vals, p.idxs)
         val branches =
@@ -338,7 +349,7 @@ object SeqPattern {
           if (killed || stop) false
           else if (hits.isEmpty) {
             if (strict) { // strict contiguity: chain broken
-              if (greedy && accepting(p)) emit(p) // final extent reached
+              if (greedy && accepting(p)) dead += p // final extent reached
               false
             } else true    // relaxed: partial survives
           } else !strict && hits.exists(j => stepsB(j).anyMatch)
@@ -350,6 +361,20 @@ object SeqPattern {
           Partial(j + 1, List(t), List(e.value), List(j)))
       val candidates = (advanced ++ started)
         .distinctBy(p => (p.stepIdx, p.tss))
+      // chain-broken accepting partials reached a final extent, but
+      // greedy assigns each start ONE match — its longest. Emit the
+      // longest dead extent per start UNLESS a surviving branch of the
+      // same start is at least as long (the trailing-quantifier case
+      // where the final step's row also extends the quantifier: the
+      // survivor IS this match attempt at longer extent, and the
+      // completion/expiry/flush paths will emit it).
+      if (greedy && dead.nonEmpty)
+        dead.groupBy(_.tss.head).toSeq.sortBy(_._1).foreach { case (st, g) =>
+          val p = g.maxBy(_.vals.length)
+          val superseded = candidates.exists(q =>
+            q.tss.head == st && q.vals.length >= p.vals.length)
+          if (!superseded) emit(p)
+        }
       // greedy completes only past the last step (longest extent)
       // AND only when no branch over the same matched rows can
       // still extend (optional-skip branches duplicate one match
@@ -397,20 +422,33 @@ object SeqPattern {
           .collect { case (j, ts) if stepsB(j).name == v => ts }
         if (last) rows.lastOption else rows.headOption
       }
+      // reluctant: completing at the shortest extent DETERMINES the
+      // match for that start row, so same-start siblings (the branches
+      // still extending a quantifier past the emitted extent) stop
+      // being match candidates — without this, `A B*? C` under NO SKIP
+      // would emit a second, longer "shortest" match for the same A at
+      // every later C. Greedy keeps them: the longest extent is only
+      // known once nothing can extend.
+      val live2 =
+        if (greedy || complete.isEmpty) live
+        else {
+          val done = complete.map(_.tss.head).toSet
+          live.filterNot(p => done(p.tss.head))
+        }
       partials =
-        if (complete.isEmpty) live
+        if (complete.isEmpty) live2
         else skip match {
           case SkipPastLastRow => Nil
           case SkipToNext =>
             val firstTs = complete.map(_.tss.head).min
-            live.filter(_.tss.head > firstTs)
-          case NoSkip => live
+            live2.filter(_.tss.head > firstTs)
+          case NoSkip => live2
           case SkipToFirst(v) =>
             varAnchor(v, last = false)
-              .map(a => live.filter(_.tss.head >= a)).getOrElse(live)
+              .map(a => live2.filter(_.tss.head >= a)).getOrElse(live2)
           case SkipToLast(v) =>
             varAnchor(v, last = true)
-              .map(a => live.filter(_.tss.head >= a)).getOrElse(live)
+              .map(a => live2.filter(_.tss.head >= a)).getOrElse(live2)
         }
     }
 

@@ -130,6 +130,24 @@ class CepPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("reluctant zero-or-more takes the shortest run to the FIRST completion") {
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      // A B*? C with wildcard B, strict contiguity, NO SKIP: each A
+      // start matches the contiguous run to its FIRST following C
+      // (within the horizon and the MaxRepeat=8 bounded expansion) —
+      // and ONLY that run: completion kills same-start longer branches
+      val steps = (Step("a", Set("A")) +:
+        Step("b", Set.empty[String]).zeroUpTo(8)) :+ Step("c", Set("C"))
+      val idx = es.zipWithIndex
+      val expect = (for {
+        (a, i) <- idx if a.kind == "A"
+        (c, j) <- idx.find { case (e, k) => e.kind == "C" && k > i }.toList
+        if j - i - 1 <= 8 && ts(c) - ts(a) <= w
+      } yield es.slice(i, j + 1).map(_.value)).toSet
+      got(runPure(es, steps, w, strict = true, NoSkip, greedy = false)) == expect
+    })
+  }
+
   test("SkipPastLastRow is the non-overlapping left-to-right scan") {
     checkProp(forAll(genEvents, genWithin) { (es, w) =>
       val steps = Seq(Step("a", Set("A")), Step("b", Set("B")))

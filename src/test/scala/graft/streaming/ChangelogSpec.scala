@@ -79,6 +79,19 @@ class ChangelogSpec extends SparkSpec {
       val snap = spark.read.parquet(s"$base/snap").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(snap == Map(3L -> 3L, 1L -> 2L))
+      // the consumer half: Changelog.retractStream subscribes to the
+      // same directory as a STREAM and sees every RowKind, -D included
+      val schema = spark.read.parquet(s"$base/log").schema
+      val consumed = Changelog.retractStream(spark, s"$base/log", schema)
+        .writeStream.format("memory").queryName("retract_consumer").start()
+      try {
+        consumed.processAllAvailable()
+        val seen = spark.table("retract_consumer")
+          .select("key", "cnt", "op", "batch_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .toSet
+        assert(seen == log, s"retractStream consumer saw $seen")
+      } finally consumed.stop()
     } finally q.stop()
   }
 }

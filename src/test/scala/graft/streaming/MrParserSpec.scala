@@ -39,6 +39,43 @@ class MrParserSpec extends SparkSpec {
     assert(steps(3).matches(KeyedEvent(1, ts(0), "anything", 0), Nil))
   }
 
+  test("parse: zero-or-more and open ranges, greedy and reluctant") {
+    // B* = MaxRepeat all-optional repetitions; still greedy
+    val star = MrParser.parse("PATTERN (A B* C) DEFINE A AS kind = 'a'")
+    val starSteps = SeqPattern.expand(star.steps)
+    assert(star.greedy)
+    assert(starSteps.length == 2 + MrParser.MaxRepeat)
+    assert(starSteps.slice(1, 1 + MrParser.MaxRepeat).forall(_.optional))
+    // B*? flips the whole match selection to reluctant
+    assert(!MrParser.parse("PATTERN (A B*? C) DEFINE A AS kind = 'a'").greedy)
+    // {2,} = 2 required + (MaxRepeat-2) optional repetitions
+    val open = MrParser.parse("PATTERN (A B{2,}) DEFINE A AS kind = 'a'")
+    val openSteps = SeqPattern.expand(open.steps)
+    assert(openSteps.length == 1 + MrParser.MaxRepeat)
+    assert(!openSteps(1).optional && !openSteps(2).optional &&
+      openSteps.drop(3).forall(_.optional))
+    // {1,}? — the reference's reluctant open range — is + with reluctance
+    assert(!MrParser.parse("PATTERN (A B{1,}?) DEFINE A AS kind = 'a'").greedy)
+  }
+
+  test("reluctant B*? stops each start at its FIRST completion (NO SKIP)") {
+    // kinds: a then noise then two c's — the shortest match per start
+    // takes the first c; the longer same-start branch must NOT emit a
+    // second match at the second c
+    val events = Seq(
+      KeyedEvent(1, ts(1000), "a", 1), KeyedEvent(1, ts(2000), "n", 2),
+      KeyedEvent(1, ts(3000), "c", 3), KeyedEvent(1, ts(4000), "c", 4))
+    val ms = detectBatch(events,
+      "PATTERN (A B*? C) AFTER MATCH NO SKIP " +
+      "DEFINE A AS kind = 'a', C AS kind = 'c'")
+    assert(ms.map(_.values.toList) == Seq(List(1.0, 2.0, 3.0)), s"got $ms")
+    // greedy B*: the same start extends to the LAST c
+    val gs = detectBatch(events,
+      "PATTERN (A B* C) AFTER MATCH NO SKIP " +
+      "DEFINE A AS kind = 'a', C AS kind = 'c'")
+    assert(gs.map(_.values.toList) == Seq(List(1.0, 2.0, 3.0, 4.0)), s"got $gs")
+  }
+
   test("parse errors: missing PATTERN, bad element, bad DEFINE term") {
     intercept[IllegalArgumentException](MrParser.parse("DEFINE A AS TRUE"))
     intercept[IllegalArgumentException](
