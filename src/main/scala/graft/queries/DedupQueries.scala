@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextOps, VectorFunctions}
 
@@ -21,13 +20,20 @@ object DedupQueries extends GroupBase {
   private val R = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact dedup by content hash: kept = first doc_id per md5 group
-    // (hash-groupBy; one shuffle on the hash at any scale)
+    // exact dedup by content hash: kept = first doc_id per md5 group.
+    // Two-phase (hash-agg min + shuffle-hash join back), not a window
+    // over the content hash: a viral document duplicated millions of
+    // times is ONE md5 key, and WindowExec would buffer+sort all its
+    // rows on one task — the join streams them against a 1-row-per-
+    // hash build side instead, and the min() shuffle carries map-side
+    // partials. Same accepted price as ShingleDf: the pruned second
+    // scan re-hashes text (cheaper than the hot-key sort at 100 TB).
     "dd_exact" -> ((s, d) => {
-      val w = Window.partitionBy(md5(col("text")))
-      t(s, d, "documents")
-        .withColumn("kept", col("doc_id") === min(col("doc_id")).over(w))
-        .select("doc_id", "kept")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val keep = docs.groupBy("h").agg(min("doc_id").as("keeper"))
+      docs.join(keep.hint("shuffle_hash"), Seq("h"))
+        .select(col("doc_id"), (col("doc_id") === col("keeper")).as("kept"))
         .orderBy("doc_id")
     }),
 

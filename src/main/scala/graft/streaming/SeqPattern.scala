@@ -329,9 +329,13 @@ object SeqPattern {
       // match greedy semantics assigns it — shorter accepting
       // siblings are extent variants, not extra matches.
       val (kept, expired) = partials.partition(p => t - p.tss.head <= withinUs)
-      if (greedy)
-        expired.filter(accepting).groupBy(_.tss.head).toSeq.sortBy(_._1)
-          .foreach { case (_, g) => emit(g.maxBy(_.vals.length)) }
+      if (greedy && expired.nonEmpty) {
+        val acc = expired.filter(accepting)
+        if (acc.lengthCompare(1) == 0) emit(acc.head)
+        else if (acc.nonEmpty)
+          acc.groupBy(_.tss.head).toSeq.sortBy(_._1)
+            .foreach { case (_, g) => emit(g.maxBy(_.vals.length)) }
+      }
       partials = kept
       // advance existing partials. Branch priority: positive
       // consumption branches (hits BEFORE any tripped guard) survive;
