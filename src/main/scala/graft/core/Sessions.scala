@@ -28,6 +28,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // rank-filter -> WindowGroupLimit conversion caps the per-task
+      // heap at the rank bound; the default threshold (1000) refuses
+      // budget-sized bounds like pipe_budget's 4001, silently falling
+      // back to a full per-key window sort. A 100k-row heap per key
+      // per task is far cheaper than that sort at any scale.
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "100000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

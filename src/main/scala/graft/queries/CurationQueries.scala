@@ -86,17 +86,33 @@ object CurationQueries extends GroupBase {
     // Token-budget selection: per language, take docs in quality order
     // (type-token ratio) until a token budget fills. The running sum is
     // per-lang (partition-parallel prefix scan), not a global sort.
+    // The rk <= BUDGET+1 prefilter bounds the cumsum window by the
+    // BUDGET, not the corpus: without it, lang is low-cardinality and
+    // one window task sorts every doc of a language. It is lossless
+    // because each admissible doc costs >= 1 token, so a row passing
+    // cum <= BUDGET has at most BUDGET positive-token rows before it
+    // (rank <= BUDGET+1 keeps the first boundary row so the cum of
+    // later rows is computed over the same prefix). Zero-token docs
+    // sort last (null quality, DESC NULLS LAST on both engines) and
+    // can only diverge in the degenerate corpus where empty docs
+    // outnumber the budget slack — where budget selection is
+    // meaningless anyway. With the filter, Spark plans the rank as a
+    // WindowGroupLimit: each map task keeps a (BUDGET+1)-row heap per
+    // lang before the shuffle.
     "pipe_budget" -> ((s, d) => {
+      val BUDGET = 4000
       val tk = col("tk")
       val q = (size(array_distinct(tk)).cast("decimal(18,8)") /
         size(tk).cast("decimal(18,8)")).cast("double")
-      val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ord = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+      val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
         .select(col("doc_id"), col("lang"), size(tk).as("n_tok"), q.as("q"))
+        .withColumn("rk", row_number().over(ord))
+        .filter(col("rk") <= BUDGET + 1)
         .withColumn("cum", sum(col("n_tok")).over(w))
-        .filter(col("cum") <= 4000)
+        .filter(col("cum") <= BUDGET)
         .select("doc_id", "lang", "n_tok", "cum")
         .orderBy("lang", "doc_id")
     }),
@@ -106,6 +122,15 @@ object CurationQueries extends GroupBase {
     // round-robin — the reproducible "mixture order" a trainer reads.
     // Ranks are per-source (parallel); only the selected prefix (400
     // rows after the position sort) is globally ordered.
+    // The rn <= 400 prefilter is lossless: pos is strictly increasing
+    // in rn within a source, so the selected 400 are a per-source
+    // PREFIX of the rank order — a row with rn > 400 would need 400+
+    // earlier rows of its OWN source selected first. The filter turns
+    // the full per-source numbering (source is low-cardinality — all
+    // rows of one source on one window task) into a WindowGroupLimit:
+    // each map task keeps a 400-row heap per source before the
+    // shuffle, so the post-shuffle sort is budget-bounded, not
+    // corpus-bounded.
     "pipe_interleave" -> ((s, d) => {
       val wsrc = Window.partitionBy("source").orderBy("doc_id")
       val weight = when(col("source") === "src0", lit(4.0))
@@ -113,6 +138,7 @@ object CurationQueries extends GroupBase {
       val sel = t(s, d, "documents")
         .select(col("doc_id"), col("source"))
         .withColumn("rn", row_number().over(wsrc))
+        .filter(col("rn") <= 400)
         .withColumn("pos", col("rn").cast("double") / weight)
         .orderBy("pos", "source", "doc_id")
         .limit(400)
