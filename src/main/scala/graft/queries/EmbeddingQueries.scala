@@ -236,6 +236,81 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("qid", "rank")
     }),
 
+    // IVF + PQ combined search — the "IVFADC" shape production ANN
+    // indexes (FAISS-style) actually deploy: the coarse quantizer
+    // prunes the corpus to each query's top-P cells, and the surviving
+    // candidates are scored by PQ asymmetric distance. Query time
+    // never touches corpus floats: it reads codes (M small ints per
+    // vector) for the probed cells plus two tiny broadcasts (the
+    // per-query cell list and the M×KC distance LUT). The index build
+    // is ONE corpus scan: the PQ coding aggregate rides the vec_id
+    // hash partitioning the cell-assign aggregate just produced
+    // (HashPartitioning(vec_id) satisfies the (vec_id, cell) clustering
+    // — no second exchange), and at 100 TB both artifacts are
+    // precomputed tables anyway. Constants follow emb_pq (M=4 subspaces
+    // of 16 dims, KC=4 codebooks-from-first-vectors) and emb_ivf_knn
+    // (8 coarse cells, P=2 probes, queries vec_id < 3, top-3 by
+    // (ad2, nid) with the order-fixed sorted-fold sum).
+    "emb_ivfpq" -> ((s, d) => {
+      val M = 4; val SUB = 16; val KC = 4; val P = 2
+      def d2(a: Column, b: Column) = VectorFunctions.vd2(a, b)
+      val e = t(s, d, "embeddings")
+      val coarse = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val scored = e.crossJoin(broadcast(coarse))
+        .select(col("vec_id"), col("embedding"),
+          (dot(col("embedding"), col("cv")) /
+            (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+      val assign = scored.groupBy("vec_id")
+        .agg(max_by(struct(col("embedding"), col("cid")),
+          struct(col("ccos"), negate(col("cid")))).as("r"))
+        .select(col("vec_id"), col("r.embedding").as("embedding"),
+          col("r.cid").as("cell"))
+      val books = e.filter(col("vec_id") < KC).select(
+        Seq(col("vec_id").as("cid")) ++ (0 until M).map(m =>
+          slice(col("embedding"), m * SUB + 1, SUB).as(s"cv$m")): _*)
+      val codes = assign.crossJoin(broadcast(books))
+        .select(Seq(col("vec_id"), col("cell")) ++ (0 until M).map(m =>
+          struct(d2(slice(col("embedding"), m * SUB + 1, SUB), col(s"cv$m"))
+            .as("d"), col("cid").as("c")).as(s"s$m")): _*)
+        .groupBy("vec_id", "cell")
+        .agg(min(col("s0")).as("m0"), min(col("s1")).as("m1"),
+          min(col("s2")).as("m2"), min(col("s3")).as("m3"))
+      // query side: top-P cells (ranking window sees ≤ 8 centroid rows
+      // per query) + exact subspace-distance LUT, both broadcast
+      val qcw = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+      val qcells = scored.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("ccos"), col("cid"))
+        .withColumn("pr", row_number().over(qcw))
+        .filter(col("pr") <= P)
+        .select(col("qid"), col("cid").as("cell"))
+      val lut = e.filter(col("vec_id") < 3).crossJoin(broadcast(books))
+        .select(col("vec_id").as("qid"),
+          explode(array((0 until M).map(m =>
+            struct(lit(m).as("m"), col("cid"),
+              d2(slice(col("embedding"), m * SUB + 1, SUB), col(s"cv$m"))
+                .as("dist"))): _*)).as("md"))
+        .select(col("qid"), col("md.m").as("m"), col("md.cid").as("cid"),
+          col("md.dist").as("dist"))
+      val corpusCodes = codes.select(col("vec_id"), col("cell"),
+          explode(array((0 until M).map(m =>
+            struct(lit(m).as("m"), col(s"m$m.c").as("code"))): _*)).as("mc"))
+        .select(col("vec_id"), col("cell"),
+          col("mc.m").as("m"), col("mc.code").as("code"))
+      val w = Window.partitionBy("qid").orderBy(col("ad2").asc, col("nid"))
+      corpusCodes.join(broadcast(qcells), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(lut), Seq("qid", "m"))
+        .filter(col("code") === col("cid"))
+        .groupBy(col("qid"), col("vec_id").as("nid"))
+        .agg(aggregate(sort_array(collect_list(col("dist"))), lit(0.0),
+          (a, v) => a + v).as("ad2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "nid", "rank", "ad2")
+        .orderBy("qid", "rank")
+    }),
+
     // random-hyperplane LSH bucket assignment (the ANN scale path:
     // equal buckets → candidate; 8 planes → 256-way partitioning)
     "emb_lsh_buckets" -> ((s, d) => {
@@ -558,6 +633,65 @@ object EmbeddingQueries extends GroupBase {
           pairs AS (SELECT l.qid, k.vec_id AS nid, l.dist
                     FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cid
                     WHERE k.vec_id <> l.qid),
+          approx AS (SELECT qid, nid,
+                            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                              list_sort(array_agg(dist))), (a, v) -> a + v) AS ad2
+                     FROM pairs GROUP BY 1, 2)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, ad2 FROM (
+            SELECT qid, nid, ad2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY ad2, nid) AS rank
+            FROM approx) x
+          WHERE rank <= 3 ORDER BY qid, rank"""
+    },
+    "emb_ivfpq" -> {
+      def subD2(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(
+              $a[m*16+1 : m*16+16], $b[m*16+1 : m*16+16]),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+            (acc, v) -> acc + v)"""
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                         WHERE vec_id < 8),
+          scored AS (
+            SELECT e.vec_id, e.embedding, cid,
+                   ${dotSql("e.embedding", "cv")} /
+                     (${normSql("e.embedding")} * ${normSql("cv")}) AS ccos
+            FROM embeddings e CROSS JOIN cents),
+          assign AS (
+            SELECT vec_id, embedding, cid AS cell FROM (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY ccos DESC, cid) AS rn
+              FROM scored) x WHERE rn = 1),
+          qcells AS (SELECT qid, cell FROM (
+                       SELECT vec_id AS qid, cid AS cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY ccos DESC, cid) AS pr
+                       FROM scored WHERE vec_id < 3) z
+                     WHERE pr <= 2),
+          books AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id < 4),
+          cdists AS (SELECT a.vec_id, a.cell, c.cid, m,
+                            ${subD2("a.embedding", "c.cv")} AS d
+                     FROM assign a CROSS JOIN books c
+                          CROSS JOIN range(0, 4) r(m)),
+          codes AS (SELECT vec_id, cell, m, cid AS code FROM (
+                      SELECT vec_id, cell, m, cid,
+                             row_number() OVER (PARTITION BY vec_id, m
+                                                ORDER BY d, cid) AS rn
+                      FROM cdists) x WHERE rn = 1),
+          lut AS (SELECT e.vec_id AS qid, c.cid, m,
+                         ${subD2("e.embedding", "c.cv")} AS dist
+                  FROM embeddings e CROSS JOIN books c
+                       CROSS JOIN range(0, 4) r(m)
+                  WHERE e.vec_id < 3),
+          pairs AS (SELECT q.qid, k.vec_id AS nid, l.dist
+                    FROM codes k JOIN qcells q ON k.cell = q.cell
+                         JOIN lut l ON l.qid = q.qid AND k.m = l.m
+                                    AND k.code = l.cid
+                    WHERE k.vec_id <> q.qid),
           approx AS (SELECT qid, nid,
                             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                               list_sort(array_agg(dist))), (a, v) -> a + v) AS ad2

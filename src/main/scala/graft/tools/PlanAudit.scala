@@ -25,6 +25,7 @@ object PlanAudit {
     * acquiring a BNLJ is a regression. */
   private val expectedBnlj = Set(
     "emb_knn", "emb_mips", "emb_ivf_assign", "emb_ivf_knn", "emb_kmeans", "emb_pq",
+    "emb_ivfpq", // centroid/codebook/LUT/probed-cell broadcasts, corpus streams
     "emb_recall", // composes emb_knn + emb_ivf_knn, inherits their probes
     "emb_semdedup", "join_cross", "text_lm_nll", "text_tfidf",
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
@@ -41,7 +42,7 @@ object PlanAudit {
     * an unbounded-group-state regression (the emb_centroid bug class —
     * use Exact.fsum / a bounded Aggregator instead). */
   private val expectedCollect = Set(
-    "emb_kmeans", "emb_pq", "text_lm_nll", "text_lm_bigram", "pipe_mix",
+    "emb_kmeans", "emb_pq", "emb_ivfpq", "text_lm_nll", "text_lm_bigram", "pipe_mix",
     "agg_string_agg", "over_sum_distinct")
 
   /** EXPLODEWIN detector: a window function computed directly over the
