@@ -4,11 +4,12 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** Late-data handling (WatermarkDemo.scala:207-300): Spark has no
-  * late-row side output (documented deviation, SURVEY §7.5) — the
-  * engine's mitigation is observability: rows dropped by the watermark
-  * are counted in StreamingQueryProgress.stateOperators, so a pipeline
-  * can alert on loss even though it cannot reroute the rows. */
+/** Late-data handling (WatermarkDemo.scala:207-300): Spark's BUILT-IN
+  * stateful operators drop late rows with accounting only — this spec
+  * pins that baseline behavior (numRowsDroppedByWatermark). The
+  * engine's per-row answer is LateRouter (LateRouterSpec): tag rows
+  * against the watermark BEFORE the aggregate so the late ones are
+  * routable instead of lost. */
 class LateDataSpec extends SparkSpec {
 
   test("rows later than the watermark are dropped AND counted in progress") {
