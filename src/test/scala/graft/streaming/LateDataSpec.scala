@@ -41,4 +41,40 @@ class LateDataSpec extends SparkSpec {
       assert(oldWindow.isEmpty)
     } finally q.stop()
   }
+
+  test("allowedLateness approximation: update mode re-fires a window for " +
+    "late-but-allowed rows") {
+    // Flink: a window fires at watermark >= end, then RE-fires for each
+    // late element until watermark > end + allowedLateness
+    // (WatermarkDemo.scala:207-300). Spark approximation (SURVEY §1.4):
+    // fold the lateness into the watermark delay and run update mode —
+    // the window's state stays open for the combined delay and every
+    // late-but-allowed row re-emits the updated aggregate. This spec
+    // pins the re-firing behavior the approximation promises.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val agg = input.toDS()
+      .withWatermark("ts", "5 seconds") // 1s disorder + 4s allowedLateness
+      .groupBy(window(col("ts"), "10 seconds"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("refire")
+      .outputMode("update").start()
+    try {
+      // window [90,100) fires with cnt=1; watermark -> 95s
+      input.addData(KeyedEvent(1L, ts(91000L), "a", 1.0),
+        KeyedEvent(1L, ts(100000L), "b", 1.0))
+      q.processAllAvailable()
+      // t=96s is LATE (window [90,100) already fired) but allowed
+      // (96 >= watermark 95) -> the window re-fires with cnt=2
+      input.addData(KeyedEvent(1L, ts(96000L), "late-allowed", 1.0))
+      q.processAllAvailable()
+      val fires = spark.table("refire")
+        .filter(col("window.start") === ts(90000L))
+        .select("cnt").collect().map(_.getLong(0)).sorted.toSeq
+      assert(fires === Seq(1L, 2L),
+        s"expected initial fire + late re-fire, got $fires")
+    } finally q.stop()
+  }
 }
