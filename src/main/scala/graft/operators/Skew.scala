@@ -17,17 +17,20 @@ import org.apache.spark.sql.functions._
 object Skew {
   /** Equi-join `big ⋈ small` on `key` with an `nSalts`-way salt.
     *
-    * Only `inner` and `left`(_outer) are supported: the small side is
-    * REPLICATED across all `nSalts` salt values, so a join type that
-    * preserves unmatched small-side rows (`right`/`full`) would emit
-    * each of them `nSalts` times as duplicate null-extended rows. */
+    * Supported: `inner`, `left`(_outer), `left_semi`, `left_anti` —
+    * every type whose output rows come from the big side only, where
+    * replicating the small side cannot duplicate output (each big row
+    * carries ONE salt, and semi/anti existence checks are unaffected
+    * by copies). Rejected: `right`/`full`, which preserve unmatched
+    * small-side rows and would emit each of them `nSalts` times as
+    * duplicate null-extended rows. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  nSalts: Int, joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left", "leftouter")(
-        joinType.toLowerCase.replace("_", "")),
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi",
+        "anti")(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin replicates the small side $nSalts times; " +
         s"'$joinType' would duplicate unmatched small-side rows — " +
-        "use inner/left")
+        "use inner/left/left_semi/left_anti")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(nSalts)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

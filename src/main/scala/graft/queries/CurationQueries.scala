@@ -92,10 +92,12 @@ object CurationQueries extends GroupBase {
     // because each admissible doc costs >= 1 token, so a row passing
     // cum <= BUDGET has at most BUDGET positive-token rows before it
     // (rank <= BUDGET+1 keeps the first boundary row so the cum of
-    // later rows is computed over the same prefix). Zero-token docs
-    // sort last (null quality, DESC NULLS LAST on both engines) and
-    // can only diverge in the degenerate corpus where empty docs
-    // outnumber the budget slack — where budget selection is
+    // later rows is computed over the same prefix). The prefilter is
+    // MIRRORED in the oracle SQL, so both engines compute the same
+    // selection by construction; the only divergence from the
+    // unfiltered ideal is the degenerate corpus where zero-token docs
+    // (null quality, DESC NULLS LAST on both engines — they sort
+    // last) outnumber the budget slack, where budget selection is
     // meaningless anyway. With the filter, Spark plans the rank as a
     // WindowGroupLimit: each map task keeps a (BUDGET+1)-row heap per
     // lang before the shuffle.
@@ -185,12 +187,16 @@ object CurationQueries extends GroupBase {
                             CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
                                  / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS q
                      FROM documents),
+          r AS (SELECT doc_id, lang, n_tok, q,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY q DESC, doc_id) AS rk
+                FROM d),
           c AS (SELECT doc_id, lang, n_tok, q,
                        CAST(sum(n_tok) OVER (PARTITION BY lang
                                              ORDER BY q DESC, doc_id
                                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
                          AS cum
-                FROM d)
+                FROM r WHERE rk <= 4001)
           SELECT doc_id, lang, n_tok, cum FROM c WHERE cum <= 4000
           ORDER BY lang, doc_id""",
     "pipe_interleave" ->

@@ -21,18 +21,13 @@ object DedupQueries extends GroupBase {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup by content hash: kept = first doc_id per md5 group.
-    // Two-phase (hash-agg min + shuffle-hash join back), not a window
-    // over the content hash: a viral document duplicated millions of
-    // times is ONE md5 key, and WindowExec would buffer+sort all its
-    // rows on one task — the join streams them against a 1-row-per-
-    // hash build side instead, and the min() shuffle carries map-side
-    // partials. Same accepted price as ShingleDf: the pruned second
-    // scan re-hashes text (cheaper than the hot-key sort at 100 TB).
+    // Keeper.withKeeper = two-phase hash-agg min + null-safe
+    // shuffle-hash join back (see Keeper's scaladoc for why not a
+    // window over the content hash, and why <=> matters for NULL text).
     "dd_exact" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), md5(col("text")).as("h"))
-      val keep = docs.groupBy("h").agg(min("doc_id").as("keeper"))
-      docs.join(keep.hint("shuffle_hash"), Seq("h"))
+      graft.operators.Keeper.withKeeper(docs, col("h"), "doc_id")
         .select(col("doc_id"), (col("doc_id") === col("keeper")).as("kept"))
         .orderBy("doc_id")
     }),

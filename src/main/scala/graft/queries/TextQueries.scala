@@ -277,17 +277,13 @@ object TextQueries extends GroupBase {
       val path = hostPath.substr(length(hostRaw) + lit(1), length(hostPath))
       val canon = concat(scheme, lit("://"), host, path,
         when(keptParams =!= "", concat(lit("?"), keptParams)).otherwise(lit("")))
-      // keeper = min doc_id per canonical URL via hash-agg + join back,
-      // NOT a window over the canon: a viral URL shared by millions of
-      // crawl records is ONE canon key, and WindowExec would buffer+sort
-      // all its rows on a single task — the aggregate ships map-side
-      // partials and the join streams against a 1-row-per-canon build
-      // side (same dd_exact discipline).
+      // keeper = min doc_id per canonical URL via Keeper.withKeeper
+      // (two-phase hash-agg + null-safe shuffle-hash join back — see
+      // Keeper's scaladoc for the hot-URL and NULL-key rationale)
       val urls = t(s, d, "documents")
         .select(id, canon.as("canon"), host.as("domain"))
         .withColumn("blocked", col("domain").isin("src3.example.com"))
-      val keep = urls.groupBy("canon").agg(min("doc_id").as("keeper"))
-      urls.join(keep.hint("shuffle_hash"), Seq("canon"))
+      graft.operators.Keeper.withKeeper(urls, col("canon"), "doc_id")
         .withColumn("kept", !col("blocked") && col("doc_id") === col("keeper"))
         .select("doc_id", "canon", "domain", "blocked", "kept")
         .orderBy("doc_id")

@@ -21,10 +21,26 @@ case class Routed[T](row: T, late: Boolean)
   * nothing — it only reads `GroupState.getCurrentWatermarkMs` (the
   * batch-start watermark, the same "watermark at element arrival" a
   * Flink ProcessFunction sees) and tags each row instead of losing it.
-  * Place it AFTER `withWatermark` and BEFORE the windowed aggregate:
-  * `filter(!late)` feeds the aggregate exactly what it would have kept
-  * anyway, while `filter(late)` is the quarantine stream, routable to
-  * its own sink via the multi-sink pattern (StreamPipelines.scala).
+  * Place it AFTER `withWatermark` and BEFORE the windowed aggregate;
+  * `filter(late)` is the quarantine stream, routable to its own sink
+  * via the multi-sink pattern (StreamPipelines.scala).
+  *
+  * Two lateness references, matching the reference's two late-data
+  * surfaces:
+  *   - `route` tags by the ROW's event time vs the watermark — what a
+  *     Flink ProcessFunction sees for the element itself
+  *     (ProcessFuncDemo late tagging). NOTE: this is STRICTER than a
+  *     windowed aggregate's own drop rule (which drops by window END,
+  *     not element time), so `filter(!late)` may withhold rows the
+  *     aggregate would still have counted into a not-yet-expired
+  *     window.
+  *   - `routeWindowed` tags by the row's WINDOW END vs the watermark —
+  *     Flink's `sideOutputLateData` rule (element late iff its window
+  *     end + allowedLateness <= watermark), and with lateness 0 it is
+  *     EXACTLY Structured Streaming's aggregate drop rule:
+  *     `filter(!late)` feeds the aggregate precisely what it would
+  *     have kept, and `filter(late)` is precisely what it would have
+  *     dropped.
   *
   * Scale: cost is the one groupBy shuffle on the key (which the
   * downstream keyed aggregate needed anyway — the exchange is shared
@@ -51,6 +67,25 @@ object LateRouter {
     *                (Flink `allowedLateness`; 0 = watermark-strict) */
   def route[K, T](ds: Dataset[T], keyFn: T => K, eventMs: T => Long,
                   allowedLatenessMs: Long)(
+      implicit ek: Encoder[K], eo: Encoder[Routed[T]]): Dataset[Routed[T]] =
+    routeBy(ds, keyFn, r => eventMs(r) + allowedLatenessMs)
+
+  /** Tag each row late iff its tumbling window of `windowMs` is
+    * already beyond recovery: `windowEnd + allowedLatenessMs <=
+    * watermark` — `sideOutputLateData` semantics, and (at lateness 0)
+    * the exact keep/drop rule of a downstream
+    * `groupBy(window(ts, windowMs))` aggregate. */
+  def routeWindowed[K, T](ds: Dataset[T], keyFn: T => K, eventMs: T => Long,
+                          windowMs: Long, allowedLatenessMs: Long)(
+      implicit ek: Encoder[K], eo: Encoder[Routed[T]]): Dataset[Routed[T]] =
+    routeBy(ds, keyFn, { r =>
+      val end = (Math.floorDiv(eventMs(r), windowMs) + 1L) * windowMs
+      end + allowedLatenessMs - 1L // late iff end + lateness <= wm
+    })
+
+  /** Shared core: a row is late iff `deadlineMs(row) < watermark`. */
+  private def routeBy[K, T](ds: Dataset[T], keyFn: T => K,
+                            deadlineMs: T => Long)(
       implicit ek: Encoder[K], eo: Encoder[Routed[T]]): Dataset[Routed[T]] = {
     implicit val es: Encoder[Boolean] = Encoders.scalaBoolean
     ds.groupByKey(keyFn)
@@ -58,7 +93,7 @@ object LateRouter {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
           val wm = state.getCurrentWatermarkMs()
-          rows.map(r => Routed(r, eventMs(r) + allowedLatenessMs < wm))
+          rows.map(r => Routed(r, deadlineMs(r) < wm))
       }
   }
 }

@@ -325,16 +325,22 @@ object SeqPattern {
       // prune expired partials; a greedy accepting partial that
       // expires has reached its final extent — emit it. Same-start
       // partials always expire together (expiry depends only on
-      // tss.head), so the start's longest accepting extent is the ONE
-      // match greedy semantics assigns it — shorter accepting
-      // siblings are extent variants, not extra matches.
+      // tss.head). Pick rule mirrors the completion path below:
+      // longest extent per start wins, and ALL candidates at that
+      // length emit — anyMatch branches with distinct middle rows are
+      // distinct matches, not extent variants of one match (same-rows
+      // duplicates are collapsed by `seen`); shorter siblings are the
+      // extent variants greedy suppresses.
       val (kept, expired) = partials.partition(p => t - p.tss.head <= withinUs)
       if (greedy && expired.nonEmpty) {
         val acc = expired.filter(accepting)
         if (acc.lengthCompare(1) == 0) emit(acc.head)
         else if (acc.nonEmpty)
           acc.groupBy(_.tss.head).toSeq.sortBy(_._1)
-            .foreach { case (_, g) => emit(g.maxBy(_.vals.length)) }
+            .foreach { case (_, g) =>
+              val len = g.map(_.vals.length).max
+              g.filter(_.vals.length == len).foreach(emit)
+            }
       }
       partials = kept
       // advance existing partials. Branch priority: positive
@@ -461,11 +467,16 @@ object SeqPattern {
       * SkipPastLastRow. */
     def endFlush(): Unit = {
       var lastEnd = Long.MinValue
+      // same pick rule as completion/expiry: longest extent per start,
+      // ALL candidates at that length (distinct-row anyMatch branches
+      // are distinct matches, not extent variants)
       partials.filter(accepting).groupBy(_.tss.head).toSeq.sortBy(_._1)
-        .map { case (_, g) => g.maxBy(_.vals.length) }
-        .foreach { p =>
-          if (skip != SkipPastLastRow || p.tss.head > lastEnd) {
-            emit(p); lastEnd = math.max(lastEnd, p.tss.last)
+        .foreach { case (st, g) =>
+          if (skip != SkipPastLastRow || st > lastEnd) {
+            val len = g.map(_.vals.length).max
+            val picks = g.filter(_.vals.length == len)
+            picks.foreach(emit)
+            lastEnd = math.max(lastEnd, picks.map(_.tss.last).max)
           }
         }
     }

@@ -33,5 +33,18 @@ class SkewSpec extends SparkSpec {
     // outer flavor: unmatched big-side keys survive exactly once
     val leftJoin = Skew.saltedJoin(big, small, "k", 8, "left")
     assert(leftJoin.count() == big.count())
+
+    // semi/anti are salt-safe (output rows come from the big side
+    // only, so small-side replication cannot duplicate them) and must
+    // match the plain forms
+    val semi = Skew.saltedJoin(big, small, "k", 8, "left_semi")
+    assert(semi.count() == big.join(small, Seq("k"), "left_semi").count())
+    val anti = Skew.saltedJoin(big, small, "k", 8, "left_anti")
+    assert(anti.count() == big.join(small, Seq("k"), "left_anti").count())
+
+    // right/full would duplicate unmatched small-side rows: rejected
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", 8, "full")
+    }
   }
 }

@@ -111,6 +111,36 @@ class CepPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WITHIN expiry emits every equal-length distinct-row combination, " +
+    "not one arbitrary pick") {
+    // A then B-combinations (anyMatch, up to 2) with a 5s horizon:
+    // [A,B1,B2] completes at B2 (greedy max extent); [A,B1] and [A,B2]
+    // stay accepting-but-extendable until the horizon passes. They are
+    // DISTINCT combination matches (different middle rows), so expiry
+    // must emit both — collapsing the start group to maxBy dropped one.
+    val es = List(
+      KeyedEvent(1L, new Timestamp(1000L), "A", 0.0),
+      KeyedEvent(1L, new Timestamp(2000L), "B", 1.0),
+      KeyedEvent(1L, new Timestamp(3000L), "B", 2.0),
+      KeyedEvent(1L, new Timestamp(20000L), "N", 3.0))
+    val steps = Step("a", Set("A")) +: Step("b", Set("B")).combinationsUpTo(2)
+    val out = got(runPure(es, steps, 5000L, strict = false, NoSkip))
+    assert(out === Set(List(0.0, 1.0), List(0.0, 2.0), List(0.0, 1.0, 2.0)))
+  }
+
+  test("end-of-input flush emits every equal-length distinct-row combination") {
+    // same shape, but the horizon never passes — the flush path must
+    // apply the same all-at-winning-length pick rule
+    val es = List(
+      KeyedEvent(1L, new Timestamp(1000L), "A", 0.0),
+      KeyedEvent(1L, new Timestamp(2000L), "B", 1.0),
+      KeyedEvent(1L, new Timestamp(3000L), "B", 2.0))
+    val steps = Step("a", Set("A")) +: Step("b", Set("B")).combinationsUpTo(2)
+    val out = got(runPure(es, steps, 1000000L, strict = false, NoSkip,
+      flushEnd = true))
+    assert(out === Set(List(0.0, 1.0), List(0.0, 2.0), List(0.0, 1.0, 2.0)))
+  }
+
   test("greedy optional takes the longest extent available at completion") {
     checkProp(forAll(genEvents, genWithin) { (es, w) =>
       // A B? C: completion happens at the first C; the B branch wins

@@ -79,6 +79,46 @@ class LateRouterSpec extends SparkSpec {
       assert(LateRouterSpec.mainCount.get() === 2L) // a and b, not stale
     } finally q.stop()
   }
+
+  test("routeWindowed tags exactly what a windowed aggregate drops") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val src = input.toDS().withWatermark("ts", "1 second")
+    val routed = LateRouter.routeWindowed[Long, KeyedEvent](
+      src, _.key, _.ts.getTime, windowMs = 10000L, allowedLatenessMs = 0L)
+      .select(col("row.kind").as("kind"), col("late"))
+    val agg = src.groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("cnt"))
+    val q1 = routed.writeStream.format("memory").queryName("rw")
+      .outputMode("append").start()
+    val q2 = agg.writeStream.format("memory").queryName("rwagg")
+      .outputMode("update").start()
+    try {
+      input.addData(KeyedEvent(1L, ts(100000L), "seed", 1.0))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      // watermark 99s. t=94s: window [90,100) end=100 > 99 -> the
+      // aggregate KEEPS it although the row itself is sub-watermark
+      // (route() would tag it late; routeWindowed must not).
+      // t=85s: window [80,90) end=90 <= 99 -> dropped.
+      input.addData(KeyedEvent(1L, ts(94000L), "recoverable", 1.0),
+        KeyedEvent(2L, ts(85000L), "expired", 1.0))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val tags = spark.table("rw").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(tags === Map(
+        "seed" -> false, "recoverable" -> false, "expired" -> true))
+      // parity with the aggregate: [90,100) got the late row...
+      val w90 = spark.table("rwagg")
+        .filter(col("window.start") === ts(90000L))
+        .select("cnt").collect().map(_.getLong(0))
+      assert(w90.contains(1L), s"aggregate should count t=94s, got $w90")
+      // ...and [80,90) never materialized
+      assert(spark.table("rwagg")
+        .filter(col("window.start") === ts(80000L)).collect().isEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
 }
 
 object LateRouterSpec {
