@@ -120,6 +120,30 @@ object DedupQueries extends GroupBase {
         .orderBy("da", "db")
     }),
 
+    // LSH pipeline QA: recall of the MinHash band-blocking candidates
+    // against the exact n-gram Jaccard truth, swept over the
+    // similarity threshold — the dedup twin of emb_recall. Production
+    // near-dup deploys banding (B bands × R rows fixes the S-curve);
+    // this query measures what the curve actually delivers per
+    // threshold tier before anyone trusts the candidate set. Pure
+    // composition of dd_minhash and dd_jaccard: the corpus-side work
+    // is theirs, the sweep re-filters the tiny joined pair table.
+    "dd_recall" -> ((s, d) => {
+      val truth = queries("dd_jaccard")(s, d).select("da", "db", "jac")
+      val cand = queries("dd_minhash")(s, d)
+        .select(col("da"), col("db")).withColumn("hit", lit(1))
+      val joined = truth.join(cand, Seq("da", "db"), "left")
+      Seq(0.2, 0.5, 0.8).map { thr =>
+        joined.filter(col("jac") >= thr)
+          .agg(count(lit(1)).as("n_truth"),
+            coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+          .select(lit(thr).as("thr"), col("n_truth"), col("n_hit"),
+            when(col("n_truth") === 0, lit(null).cast("double"))
+              .otherwise(col("n_hit").cast("double") / col("n_truth"))
+              .as("recall"))
+      }.reduce(_.unionByName(_)).orderBy("thr")
+    }),
+
     // duplicated-substring measure (the span-level complement of the
     // doc-level dedups above): per document, the fraction of its
     // distinct 8-gram shingles that occur in at least one OTHER
@@ -231,6 +255,44 @@ object DedupQueries extends GroupBase {
   }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  private def jaccardSql: String =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS sh
+                    FROM ($shinglesSql)),
+        rare AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY 1)
+                 WHERE df <= 1000),
+        shr AS (SELECT doc_id, x.sh FROM sh x JOIN rare USING (sh)),
+        sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
+                  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT da, db,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+        FROM pairs JOIN sizes sa ON da = sa.doc_id
+                   JOIN sizes sb ON db = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+        ORDER BY da, db"""
+
+  private def minhashSql: String = {
+    val h = TextOps.hash32Sql("sh")
+    val mins = (0 until K).map(k =>
+      s"min((($h) * ${A(k)} + ${Bc(k)}) % $P) AS m$k").mkString(", ")
+    val allM = (0 until K).map(k => s"m$k").mkString(", ")
+    val bandRows = (0 until B).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', " +
+        (0 until R).map(r => s"m${b * R + r}").mkString(", ") +
+        s") AS bkey, $allM FROM mh").mkString(" UNION ALL ")
+    val eqExpr = (0 until K).map(k =>
+      s"CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS ($shinglesSql),
+        mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS ($bandRows)
+        SELECT DISTINCT x.doc_id da, y.doc_id db, ($eqExpr) AS n_eq,
+               CAST(($eqExpr) AS DOUBLE) / $K AS est
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        ORDER BY da, db"""
+  }
   // DuckDB-side 3-gram shingles (1-based list indexing)
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
@@ -243,42 +305,23 @@ object DedupQueries extends GroupBase {
       """SELECT doc_id,
                 doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS kept
          FROM documents ORDER BY doc_id""",
-    "dd_jaccard" ->
-      s"""WITH sh AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS sh
-                      FROM ($shinglesSql)),
-          rare AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY 1)
-                   WHERE df <= 1000),
-          shr AS (SELECT doc_id, x.sh FROM sh x JOIN rare USING (sh)),
-          sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-          pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
-                    FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2)
-          SELECT da, db,
-                 CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-          FROM pairs JOIN sizes sa ON da = sa.doc_id
-                     JOIN sizes sb ON db = sb.doc_id
-          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
-          ORDER BY da, db""",
-    "dd_minhash" -> {
-      val h = TextOps.hash32Sql("sh")
-      val mins = (0 until K).map(k =>
-        s"min((($h) * ${A(k)} + ${Bc(k)}) % $P) AS m$k").mkString(", ")
-      val allM = (0 until K).map(k => s"m$k").mkString(", ")
-      val bandRows = (0 until B).map(b =>
-        s"SELECT doc_id, $b AS band, concat_ws('_', " +
-          (0 until R).map(r => s"m${b * R + r}").mkString(", ") +
-          s") AS bkey, $allM FROM mh").mkString(" UNION ALL ")
-      val eqExpr = (0 until K).map(k =>
-        s"CASE WHEN x.m$k = y.m$k THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH sh AS ($shinglesSql),
-          mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-          bands AS ($bandRows)
-          SELECT DISTINCT x.doc_id da, y.doc_id db, ($eqExpr) AS n_eq,
-                 CAST(($eqExpr) AS DOUBLE) / $K AS est
-          FROM bands x JOIN bands y
-            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-          ORDER BY da, db"""
-    },
+    "dd_jaccard" -> jaccardSql,
+    "dd_minhash" -> minhashSql,
+    "dd_recall" ->
+      s"""WITH truth AS ($jaccardSql),
+          cand AS (SELECT da, db, 1 AS hit FROM ($minhashSql)),
+          j AS (SELECT t.da, t.db, t.jac, c.hit
+                FROM truth t LEFT JOIN cand c USING (da, db)),
+          sel AS (SELECT t.thr, count(j.da) AS n_truth,
+                         CAST(coalesce(sum(j.hit), 0) AS BIGINT) AS n_hit
+                  FROM (VALUES (CAST(0.2 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                               (CAST(0.8 AS DOUBLE))) t(thr)
+                       LEFT JOIN j ON j.jac >= t.thr
+                  GROUP BY t.thr)
+          SELECT thr, n_truth, n_hit,
+                 CASE WHEN n_truth = 0 THEN NULL
+                      ELSE CAST(n_hit AS DOUBLE) / n_truth END AS recall
+          FROM sel ORDER BY thr""",
     "dd_substr" -> {
       // 8-gram shingles: 1-based inclusive slice tk[i : i+7]
       val sh8 =
