@@ -44,6 +44,31 @@ class CdcSpec extends SparkSpec {
     assert(out.toSet == Set(1L -> 11.0, 3L -> 30.0))
   }
 
+  test("batch materialize == brute-force latest-per-key on random changelogs") {
+    // pins the max_by-struct rewrite (hash-agg, no window) to the
+    // specification: lexicographic max over seqCols picks the same row
+    // row_number-desc did, tombstones drop the key
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(120)
+      // distinct (key, seq) pairs so "latest" is well-defined
+      val changes = rnd.shuffle(
+        (0 until n).map(i => (i % 7).toLong -> (i / 7).toLong).toList)
+        .map { case (k, seq) =>
+          (k, Seq("c", "u", "d")(rnd.nextInt(3)), rnd.nextDouble(), seq) }
+      val expected = changes.groupBy(_._1).values
+        .map(_.maxBy(_._4)).filter(_._2 != "d")
+        .map(c => (c._1, c._4)).toSet
+      val got = Cdc.materialize(changes.toDF("key", "op", "value", "seq"),
+          "key", Seq("seq"))
+        .select("key", "seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"trial $trial diverged")
+    }
+  }
+
   test("streaming materialize: updates apply in seq order, late change cannot resurrect a tombstone") {
     val s = spark
     import s.implicits._
