@@ -88,11 +88,13 @@ object EmbeddingQueries extends GroupBase {
       val e = t(s, d, "embeddings")
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      // argmax as a max_by hash-agg, not a row_number window: map-side
+      // argmax as a max_by aggregate, not a row_number window: map-side
       // partials collapse the k candidate rows per vector BEFORE the
-      // shuffle and no per-partition sort happens — the assign shape
-      // that scales. Ordering (cos desc, cid asc) becomes max over
-      // the lexicographic struct (cos, -cid).
+      // shuffle (the struct ordering buffer plans as SortAggregate — a
+      // spillable per-map-task sort on the uniform vec_id key, not a
+      // window's one-task hot-key sort) — the assign shape that
+      // scales. Ordering (cos desc, cid asc) becomes max over the
+      // lexicographic struct (cos, -cid).
       e.crossJoin(broadcast(cents))
         .select(col("vec_id"),
           (dot(col("embedding"), col("cv")) /

@@ -37,11 +37,14 @@ object Cdc {
 
   /** Batch changelog materialization: latest op per key wins (by the
     * lexicographic `seqCols` sequence); a trailing delete tombstones
-    * the key out of the result. A max_by struct hash-aggregate, not a
-    * row_number window: the aggregate gets map-side partials (the
-    * shuffle carries ONE candidate row per key per map task) and no
-    * per-partition sort — a hot key with millions of change events
-    * costs a streaming merge, never a WindowExec buffer. The CDC
+    * the key out of the result. A max_by struct aggregate, not a
+    * row_number window: the aggregate gets map-side partials, so the
+    * shuffle carries ONE candidate row per key per map task. (The
+    * struct ordering buffer makes Spark plan it as SortAggregate — a
+    * spillable per-MAP-TASK sort on the uniform group key, parallel
+    * across tasks; NOT the window's sort+buffer of one hot key's
+    * every row on a single task.) A hot key with millions of change
+    * events costs a streaming merge of per-task candidates. The CDC
     * compaction shape that holds at 100 TB change volume. */
   def materialize(changelog: DataFrame, keyCol: String,
                   seqCols: Seq[String]): DataFrame = {
