@@ -32,23 +32,35 @@ object Changelog {
                    snapshotDir: String, changelogDir: String): Unit = {
     val spark = batch.sparkSession
     val valueCols = batch.columns.filterNot(keys.contains)
+    // Only a MISSING snapshot (first batch) may fall back to None: a
+    // transient storage error must propagate and fail the batch (Spark
+    // retries it) — swallowing it would re-baseline the changelog,
+    // emitting spurious +I for every key and losing the other keys'
+    // last-known values when the snapshot rolls forward.
     val prev =
-      try Some(spark.read.parquet(snapshotDir)) catch { case _: Throwable => None }
+      try Some(spark.read.parquet(snapshotDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
 
     var cached: Option[DataFrame] = None
     val changes = prev match {
       case None =>
         batch.withColumn("op", lit("+I"))
       case Some(old) =>
-        val renamedOld = valueCols.foldLeft(old) { (df, c) =>
+        // key existence is detected by an explicit marker column, NOT
+        // by a value column being NULL after the left join — a key
+        // whose first value column is legitimately NULL would
+        // otherwise be misclassified as a fresh insert forever (and
+        // its real updates would never emit -U/+U).
+        val renamedOld = valueCols.foldLeft(
+          old.withColumn("__exists", lit(true))) { (df, c) =>
           df.withColumnRenamed(c, c + "__old")
         }
         val joined = batch.join(renamedOld, keys, "left").cache()
         cached = Some(joined)
-        val inserts = joined.filter(col(valueCols.head + "__old").isNull)
+        val inserts = joined.filter(col("__exists").isNull)
           .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("+I"))
         val changed = joined.filter(
-          col(valueCols.head + "__old").isNotNull && // key existed before
+          col("__exists").isNotNull && // key existed before
             valueCols.map(c => !(col(c) <=> col(c + "__old"))).reduce(_ || _))
         val retracts = changed
           .select(keys.map(col) ++ valueCols.map(c => col(c + "__old").as(c)): _*)
@@ -87,23 +99,30 @@ object Changelog {
                            snapshotDir: String, changelogDir: String): Unit = {
     val spark = batch.sparkSession
     val valueCols = batch.columns.filterNot(keys.contains)
+    // Only a MISSING snapshot (first batch) may fall back to None: a
+    // transient storage error must propagate and fail the batch (Spark
+    // retries it) — swallowing it would re-baseline the changelog,
+    // emitting spurious +I for every key and losing the other keys'
+    // last-known values when the snapshot rolls forward.
     val prev =
-      try Some(spark.read.parquet(snapshotDir)) catch { case _: Throwable => None }
+      try Some(spark.read.parquet(snapshotDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
 
     var cached: Option[DataFrame] = None
     val changes = prev match {
       case None =>
         batch.withColumn("op", lit("+I"))
       case Some(old) =>
-        val renamedOld = valueCols.foldLeft(old) { (df, c) =>
+        val renamedOld = valueCols.foldLeft(
+          old.withColumn("__exists", lit(true))) { (df, c) =>
           df.withColumnRenamed(c, c + "__old")
         }
         val joined = batch.join(renamedOld, keys, "left").cache()
         cached = Some(joined)
-        val inserts = joined.filter(col(valueCols.head + "__old").isNull)
+        val inserts = joined.filter(col("__exists").isNull)
           .select((keys ++ valueCols).map(col): _*).withColumn("op", lit("+I"))
         val changed = joined.filter(
-          col(valueCols.head + "__old").isNotNull &&
+          col("__exists").isNotNull && // null-safe key-existence marker
             valueCols.map(c => !(col(c) <=> col(c + "__old"))).reduce(_ || _))
         val retracts = changed
           .select(keys.map(col) ++ valueCols.map(c => col(c + "__old").as(c)): _*)

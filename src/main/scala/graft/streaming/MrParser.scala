@@ -62,11 +62,11 @@ object MrParser {
                       greedy: Boolean)
 
   private val PatternRe = """(?s)PATTERN\s*\(([^)]*)\)""".r
-  private val WithinRe = """WITHIN\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?""".r
+  private val WithinRe = """(?i)WITHIN\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\b""".r
   private val SkipRe =
-    """AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|NO\s+SKIP)""".r
+    """(?i)AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|NO\s+SKIP)""".r
   private val SkipToVarRe =
-    """AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
+    """(?i)AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
   private val DefineRe = """(?s)DEFINE\s+(.*)$""".r
   private val ElemRe =
     """(!?)([A-Za-z_][A-Za-z0-9_]*)(\{(\d+)(,(\d+)?)?\}|\+|\?|\*)?(\?)?""".r
@@ -78,23 +78,38 @@ object MrParser {
       .getOrElse(fail("missing PATTERN (...)", s)).group(1).trim
     val withinMs = WithinRe.findFirstMatchIn(s).map { m =>
       val n = m.group(1).toLong
-      m.group(2) match {
+      m.group(2).toUpperCase match {
         case "SECOND" => n * 1000L
         case "MINUTE" => n * 60000L
         case "HOUR"   => n * 3600000L
         case "DAY"    => n * 86400000L
       }
-    }.getOrElse(Long.MaxValue / 4) // unbounded horizon
+    }.getOrElse {
+      // a WITHIN the grammar can't parse (e.g. MILLISECONDS) must be a
+      // loud error, not a silent fall-through to the unbounded horizon
+      // — an unbounded CEP horizon admits matches (and state) the user
+      // explicitly asked to bound
+      if ("""(?i)\bWITHIN\b""".r.findFirstIn(s).isDefined)
+        fail("unparseable WITHIN clause (supported units: SECOND/MINUTE/HOUR/DAY)", s)
+      Long.MaxValue / 4 // no WITHIN at all: unbounded horizon
+    }
     val skip = SkipToVarRe.findFirstMatchIn(s) match {
       // SKIP TO FIRST/LAST <VAR> (TableSQLFunc.scala:1641,1694)
       case Some(m) if m.group(1).equalsIgnoreCase("FIRST") => SkipToFirst(m.group(2))
       case Some(m) => SkipToLast(m.group(2))
-      case None => SkipRe.findFirstMatchIn(s)
-        .map(_.group(1).replaceAll("\\s+", " ")).getOrElse("SKIP PAST LAST ROW") match {
-        case "SKIP PAST LAST ROW" => SkipPastLastRow
-        case "SKIP TO NEXT ROW"   => SkipToNext
-        case "NO SKIP"            => NoSkip
-      }
+      case None =>
+        val parsed = SkipRe.findFirstMatchIn(s)
+          .map(_.group(1).replaceAll("\\s+", " ").toUpperCase)
+        // same loud-error rule: a typo'd AFTER MATCH must not silently
+        // become the SKIP PAST LAST ROW default
+        if (parsed.isEmpty &&
+            """(?i)\bAFTER\s+MATCH\b""".r.findFirstIn(s).isDefined)
+          fail("unparseable AFTER MATCH clause", s)
+        parsed.getOrElse("SKIP PAST LAST ROW") match {
+          case "SKIP PAST LAST ROW" => SkipPastLastRow
+          case "SKIP TO NEXT ROW"   => SkipToNext
+          case "NO SKIP"            => NoSkip
+        }
     }
     val defs: Map[String, Step => Step] =
       DefineRe.findFirstMatchIn(s) match {
@@ -175,6 +190,8 @@ object MrParser {
 
   private val NavFnRe =
     """(?i)^(FIRST|LAST)\s*\(\s*(\w+)\.value\s*(?:,\s*(\d+))?\s*\)$""".r
+  private val AvgFnRe = """(?i)^AVG\s*\(\s*(?:(\w+)\.)?value\s*\)$""".r
+  private val PrevFnRe = """(?i)^PREV\s*\(\s*(?:\w+\.)?value\s*\)$""".r
   private val NavNullRe =
     """(?i)^(FIRST|LAST)\s*\(\s*(\w+)\.value\s*(?:,\s*(\d+))?\s*\)\s+IS\s+(NOT\s+)?NULL$""".r
   private val QualValRe = """(?i)^(\w+)\.value$""".r
@@ -210,6 +227,20 @@ object MrParser {
       if (sym == self) Some((e, _) => Some(e.value))
       else Some((e, sp) => rowsOf(sym, self, e.value, sp).lastOption)
     case t if t.equalsIgnoreCase("value") => Some((e, _) => Some(e.value))
+    // AVG / PREV as nav-mode operands: the grammar admits them inside
+    // OR disjuncts and alongside navigation terms, so the nav compiler
+    // must evaluate them too (semantics identical to the legacy
+    // conjunction compiler: AVG over the rows matched so far INCLUDING
+    // the candidate; PREV = immediately preceding matched row, no
+    // predecessor -> SQL NULL)
+    case AvgFnRe(sym) =>
+      Some((e, sp) => {
+        val rows =
+          if (sym == null) sp.map(_._2) :+ e.value
+          else rowsOf(sym, self, e.value, sp)
+        if (rows.isEmpty) None else Some(rows.sum / rows.length)
+      })
+    case PrevFnRe() => Some((_, sp) => sp.lastOption.map(_._2))
     case NumRe() => val n = expr.trim.toDouble; Some((_, _) => Some(n))
     case _ => None
   }

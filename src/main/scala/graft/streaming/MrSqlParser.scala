@@ -56,13 +56,20 @@ object MrSql {
         filter(arrays_zip(col("syms"), col("values")),
           x => x.getField("syms") === sym),
         x => x.getField("values"))
+    // try_element_at / empty-guards, not element_at / bare division:
+    // Spark 4 runs ANSI mode by default, where an out-of-range offset
+    // (LAST(A.value, n) with fewer than n+1 A-rows) or AVG over a
+    // zero-row optional symbol would THROW instead of yielding the
+    // NULL this surface documents (and SQL semantics require).
     (fn.toUpperCase match {
-      case "FIRST" => element_at(vs, off + 1)
-      case "LAST"  => element_at(vs, -(off + 1))
+      case "FIRST" => try_element_at(vs, lit(off + 1))
+      case "LAST"  => try_element_at(vs, lit(-(off + 1)))
       case "MIN"   => array_min(vs)
       case "MAX"   => array_max(vs)
-      case "SUM"   => aggregate(vs, lit(0.0), (a, v) => a + v)
-      case "AVG"   => aggregate(vs, lit(0.0), (a, v) => a + v) / size(vs)
+      case "SUM"   => when(size(vs) > 0,
+        aggregate(vs, lit(0.0), (a, v) => a + v))
+      case "AVG"   => when(size(vs) > 0,
+        aggregate(vs, lit(0.0), (a, v) => a + v) / size(vs))
       case "COUNT" => size(vs)
     }).as(alias)
   }

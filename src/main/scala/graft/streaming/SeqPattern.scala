@@ -231,9 +231,16 @@ object SeqPattern {
                     greedy: Boolean = true): Dataset[MatchOut] = {
     import ds.sparkSession.implicits._
     val stepsB = expand(steps)
+    // EventTimeTimeout, not NoTimeout: flatMapGroupsWithState only
+    // invokes the function for keys PRESENT in a batch, so without a
+    // timer a quiet key's buffered events would never mature and its
+    // expired-extent matches would never emit (and its state never
+    // shrink) — the old workaround was injecting per-key flush events.
+    // The timer wakes the key when the watermark passes its next
+    // pending event or its oldest partial's WITHIN horizon.
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[CepBuf, MatchOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, events, state: GroupState[CepBuf]) =>
           val st = state.getOption.getOrElse(CepBuf(Nil, Nil))
           val wmMs = state.getCurrentWatermarkMs()
@@ -242,7 +249,18 @@ object SeqPattern {
           val nfa = new Nfa(key, stepsB, withinMs, strict, skip, greedy)
           nfa.partials = st.partials
           mature.sortBy(e => (micros(e.ts), e.value)).foreach(nfa.step)
-          state.update(CepBuf(pending, nfa.partials))
+          // quiet-key expiry: partials whose horizon the watermark has
+          // passed emit their final extent now, not at the next event
+          nfa.expire(wmMs * 1000L)
+          if (pending.isEmpty && nfa.partials.isEmpty) state.remove()
+          else {
+            state.update(CepBuf(pending, nfa.partials))
+            val horizonCap = math.min(withinMs, Long.MaxValue / 4)
+            val nextWake =
+              (pending.map(_.ts.getTime) ++
+                nfa.partials.map(p => p.tss.head / 1000L + horizonCap)).min
+            state.setTimeoutTimestamp(math.max(nextWake + 1, wmMs + 1))
+          }
           nfa.out.iterator
       }
   }
@@ -317,21 +335,19 @@ object SeqPattern {
       (hits.toList, killed, stop)
     }
 
-    /** Consume one event (callers feed events in the order that defines
-      * the pattern semantics — sorted within batch for `detect`, fully
-      * watermark-ordered for `detectOrdered`). */
-    def step(e: KeyedEvent): Unit = {
-      val t = micros(e.ts)
-      // prune expired partials; a greedy accepting partial that
-      // expires has reached its final extent — emit it. Same-start
-      // partials always expire together (expiry depends only on
-      // tss.head). Pick rule mirrors the completion path below:
-      // longest extent per start wins, and ALL candidates at that
-      // length emit — anyMatch branches with distinct middle rows are
-      // distinct matches, not extent variants of one match (same-rows
-      // duplicates are collapsed by `seen`); shorter siblings are the
-      // extent variants greedy suppresses.
-      val (kept, expired) = partials.partition(p => t - p.tss.head <= withinUs)
+    /** Prune partials whose WITHIN horizon has passed at time `tUs`; a
+      * greedy accepting partial that expires has reached its final
+      * extent — emit it. Same-start partials always expire together
+      * (expiry depends only on tss.head). Pick rule mirrors the
+      * completion path: longest extent per start wins, and ALL
+      * candidates at that length emit — anyMatch branches with
+      * distinct middle rows are distinct matches, not extent variants
+      * of one match (same-rows duplicates are collapsed by `seen`);
+      * shorter siblings are the extent variants greedy suppresses.
+      * Called by step() for every event, and by detectOrdered at the
+      * watermark frontier so a QUIET key's matches still emit. */
+    def expire(tUs: Long): Unit = {
+      val (kept, expired) = partials.partition(p => tUs - p.tss.head <= withinUs)
       if (greedy && expired.nonEmpty) {
         val acc = expired.filter(accepting)
         if (acc.lengthCompare(1) == 0) emit(acc.head)
@@ -343,6 +359,14 @@ object SeqPattern {
             }
       }
       partials = kept
+    }
+
+    /** Consume one event (callers feed events in the order that defines
+      * the pattern semantics — sorted within batch for `detect`, fully
+      * watermark-ordered for `detectOrdered`). */
+    def step(e: KeyedEvent): Unit = {
+      val t = micros(e.ts)
+      expire(t)
       // advance existing partials. Branch priority: positive
       // consumption branches (hits BEFORE any tripped guard) survive;
       // the non-consuming continuation dies if the event tripped a
@@ -426,8 +450,15 @@ object SeqPattern {
       // leftmost-match priority): live runs that started before the
       // anchor row — the first/last row the named step matched — drop.
       def varAnchor(v: String, last: Boolean): Option[Long] = {
-        val m = complete.groupBy(_.tss.head).toSeq.minBy(_._1)._2
-          .maxBy(_.vals.length)
+        // anchor on an EMITTED match: same extent rule as the pick
+        // above (longest if greedy, shortest if reluctant) — maxBy
+        // alone would anchor a reluctant skip on the rows of a longer
+        // candidate that was never emitted, dropping/keeping live runs
+        // against the wrong row
+        val g = complete.groupBy(_.tss.head).toSeq.minBy(_._1)._2
+        val len =
+          if (greedy) g.map(_.vals.length).max else g.map(_.vals.length).min
+        val m = g.filter(_.vals.length == len).head
         val rows = m.idxs.zip(m.tss)
           .collect { case (j, ts) if stepsB(j).name == v => ts }
         if (last) rows.lastOption else rows.headOption

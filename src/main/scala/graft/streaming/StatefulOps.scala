@@ -85,13 +85,18 @@ object StatefulOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
           // per-key arrival order = event-time order within a batch
           events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-            if (pendingSmall >= 0 && e.value > largeMin &&
-                e.ts.getTime - pendingSmall <= gapMs) {
-              out += AlertOut(key, "fraud", new Timestamp(pendingSmall), e.ts, e.value)
+            // "immediately followed": the pending-small flag is
+            // evaluated against the NEXT transaction and then cleared
+            // whatever that transaction was (FraudDetector2.scala:
+            // 37-47 clears flagState after every flagged check) — a
+            // middle-valued event breaks the pattern; without the
+            // unconditional clear, small→mid→large would false-alarm.
+            if (pendingSmall >= 0) {
+              if (e.value > largeMin && e.ts.getTime - pendingSmall <= gapMs)
+                out += AlertOut(key, "fraud", new Timestamp(pendingSmall), e.ts, e.value)
               pendingSmall = -1L
             }
             if (e.value < smallMax) pendingSmall = e.ts.getTime
-            else if (e.value > largeMin) pendingSmall = -1L
           }
           state.update(pendingSmall)
           out.iterator
@@ -123,8 +128,20 @@ object StatefulOps {
                 case k if k == startKind =>
                   pending = e.ts.getTime
                 case k if k == endKind =>
-                  if (pending >= 0 && e.ts.getTime - pending <= timeoutMs)
-                    out += AlertOut(key, "matched", new Timestamp(pending), e.ts, e.value)
+                  if (pending >= 0) {
+                    if (e.ts.getTime - pending <= timeoutMs)
+                      out += AlertOut(key, "matched", new Timestamp(pending), e.ts, e.value)
+                    else
+                      // the end arrived, but past the horizon: the
+                      // start had ALREADY expired — the event-time
+                      // timer just hasn't fired yet because the
+                      // watermark lags arrivals. Emit the timeout the
+                      // timer would have emitted; clearing silently
+                      // would lose the alert (the timer later finds
+                      // pending == -1 and stays quiet).
+                      out += AlertOut(key, "timeout", new Timestamp(pending),
+                        new Timestamp(pending), 0.0)
+                  }
                   pending = -1L
                 case _ => ()
               }

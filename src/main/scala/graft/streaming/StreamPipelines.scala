@@ -108,15 +108,19 @@ object StreamPipelines {
     * (SideOutputApp1.scala:13-26; StatementSet multi-sink
     * TableSQLFunc.scala:532-590): one pass over each micro-batch,
     * split by predicate, two parquet sinks. The batch is cached so
-    * the fanout reads the source once per trigger. */
+    * the fanout reads the source once per trigger. The split is a
+    * PARTITION — every row reaches exactly one sink: a NULL-valued
+    * predicate routes to the B side (filter(pred) and filter(!pred)
+    * would BOTH drop it, silently losing the row, which the side-
+    * output contract forbids). */
   def splitToSinks(events: DataFrame, pred: org.apache.spark.sql.Column,
                    pathA: String, pathB: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.persist()
-        batch.filter(pred).write.mode("append").parquet(pathA)
-        batch.filter(!pred).write.mode("append").parquet(pathB)
+        batch.filter(coalesce(pred, lit(false))).write.mode("append").parquet(pathA)
+        batch.filter(!coalesce(pred, lit(false))).write.mode("append").parquet(pathB)
         batch.unpersist()
         ()
     }

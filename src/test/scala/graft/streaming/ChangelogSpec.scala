@@ -44,6 +44,26 @@ class ChangelogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a key whose first value column is legitimately NULL still emits -U/+U") {
+    // key existence in the snapshot is tracked by an explicit marker,
+    // not by valueCols.head being NULL after the left join — a
+    // nullable first value column previously re-classified the key as
+    // a fresh insert forever and its updates never retracted
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-cln").toString
+    val b1 = Seq((1L, Option.empty[Double])).toDF("key", "mx")
+    Changelog.processBatch(b1, Seq("key"), 0L, s"$base/snap", s"$base/log")
+    val b2 = Seq((1L, Option(5.0))).toDF("key", "mx")
+    Changelog.processBatch(b2, Seq("key"), 1L, s"$base/snap", s"$base/log")
+    val log = spark.read.parquet(s"$base/log")
+      .collect().map(r => (r.getString(r.fieldIndex("op")),
+        if (r.isNullAt(r.fieldIndex("mx"))) None else Some(r.getDouble(r.fieldIndex("mx")))))
+      .toSet
+    assert(log === Set(("+I", None), ("-U", None), ("+U", Some(5.0))),
+      s"got $log")
+  }
+
   test("complete-mode top-N emits -D when a key falls out of the result") {
     val s = spark
     import s.implicits._

@@ -39,6 +39,48 @@ class MrParserSpec extends SparkSpec {
     assert(steps(3).matches(KeyedEvent(1, ts(0), "anything", 0), Nil))
   }
 
+  test("unparseable WITHIN / AFTER MATCH fail loudly instead of defaulting") {
+    // an unsupported unit must not silently become an unbounded horizon
+    intercept[IllegalArgumentException] {
+      MrParser.parse(
+        "PATTERN (A B) WITHIN 500 MILLISECONDS DEFINE A AS kind = 'a'")
+    }
+    // a typo'd AFTER MATCH must not silently become SKIP PAST LAST ROW
+    intercept[IllegalArgumentException] {
+      MrParser.parse(
+        "PATTERN (A B) AFTER MATCH SKIP TO MARS DEFINE A AS kind = 'a'")
+    }
+    // lowercase clauses parse (the reference SQL is case-insensitive)
+    assert(MrParser.parse(
+      "PATTERN (A B) within 2 minutes after match skip to next row " +
+        "DEFINE A AS kind = 'a'").withinMs == 120000L)
+  }
+
+  test("AVG and PREV operands compose with OR (nav-mode compiler)") {
+    // grammar-admitted shapes that previously threw 'unsupported
+    // navigation term' when OR routed them to the nav compiler
+    val events = Seq(
+      KeyedEvent(1L, ts(1000L), "a", 10.0),
+      KeyedEvent(1L, ts(2000L), "y", 4.0),   // AVG(10,4)=7 > 5 -> matches
+      KeyedEvent(2L, ts(1000L), "a", 10.0),
+      KeyedEvent(2L, ts(2000L), "x", -100.0), // AVG=-45, but kind='x'
+      KeyedEvent(3L, ts(1000L), "a", 0.0),
+      KeyedEvent(3L, ts(2000L), "z", -10.0)) // AVG=-5, kind!='x': no match
+    val out = detectBatch(events,
+      "PATTERN (A B) DEFINE A AS kind = 'a', B AS AVG(value) > 5 OR kind = 'x'")
+    assert(out.map(_.key).sorted == Seq(1L, 2L), s"got $out")
+    // PREV as a comparison operand inside an OR disjunct
+    val rise = Seq(
+      KeyedEvent(1L, ts(1000L), "a", 5.0),
+      KeyedEvent(1L, ts(2000L), "b", 7.0),   // 7 > PREV(5) -> matches
+      KeyedEvent(2L, ts(1000L), "a", 5.0),
+      KeyedEvent(2L, ts(2000L), "b", 3.0))   // falls, and kind != 'x'
+    val out2 = detectBatch(rise,
+      "PATTERN (A B) DEFINE A AS kind = 'a', " +
+        "B AS value > PREV(value) OR kind = 'x'")
+    assert(out2.map(_.key) == Seq(1L), s"got $out2")
+  }
+
   test("parse: zero-or-more and open ranges, greedy and reluctant") {
     // B* = MaxRepeat all-optional repetitions; still greedy
     val star = MrParser.parse("PATTERN (A B* C) DEFINE A AS kind = 'a'")

@@ -56,6 +56,33 @@ class MrSqlParserSpec extends SparkSpec {
     assert(r.getDouble(7) == 5.0 && r.getInt(8) == 3)      // AVG, COUNT
   }
 
+  test("MEASURES out-of-range navigation and empty-symbol aggregates are " +
+    "NULL, not ANSI runtime errors") {
+    // Spark 4 defaults to ANSI mode: bare element_at would THROW on
+    // LAST(A.value, 5) when A matched fewer rows, and AVG over an
+    // optional symbol with zero rows would divide by zero — both must
+    // be SQL NULL per the MEASURES contract
+    val s = spark
+    import s.implicits._
+    Seq((1L, ts(1000L), "a", 5.0), (1L, ts(2000L), "b", 9.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .createOrReplaceTempView("mr_null")
+    val out = spark.sql(
+      """FROM mr_null MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts
+           MEASURES LAST(A.value, 5) AS far, AVG(C.value) AS avc,
+                    SUM(C.value) AS smc, COUNT(C.*) AS nc
+           PATTERN (A C? B)
+           DEFINE A AS kind = 'a', C AS kind = 'c', B AS kind = 'b'
+         )""").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.isNullAt(r.fieldIndex("far")), s"LAST offset 5 must be NULL: $r")
+    assert(r.isNullAt(r.fieldIndex("avc")), s"AVG over zero C rows must be NULL: $r")
+    assert(r.isNullAt(r.fieldIndex("smc")), s"SUM over zero C rows must be NULL: $r")
+    assert(r.getInt(r.fieldIndex("nc")) == 0)
+  }
+
   test("malformed MATCH_RECOGNIZE falls through to the delegate and errors") {
     intercept[Exception] {
       spark.sql("SELECT MATCH_RECOGNIZE FROM") // not our grammar, not Spark's

@@ -52,6 +52,23 @@ class OrderedCepSpec extends SparkSpec {
     assert(out.isEmpty, s"strict chain should be broken by the t=2 success: $out")
   }
 
+  test("quiet key: buffered matches emit via the event-time timer, " +
+    "without any further traffic on the key") {
+    // key 7 completes a match but its events are younger than the
+    // watermark when they arrive; the watermark then advances ONLY via
+    // key 9's traffic and key 7 never appears again. The event-time
+    // timer must wake key 7, mature its buffer, and emit — previously
+    // (NoTimeout) the match was held hostage until the key itself
+    // received another event.
+    val out = run(Seq(
+      Seq(KeyedEvent(7L, ts(1000L), "fail", 1), KeyedEvent(7L, ts(2000L), "fail", 1),
+        KeyedEvent(7L, ts(3000L), "fail", 1)),
+      Seq(KeyedEvent(9L, ts(60000L), "ok", 0)),   // watermark -> 55 s
+      Seq(KeyedEvent(9L, ts(61000L), "ok", 0))))  // key 7's timer fires
+    assert(out.contains((7L, 1000L, 3000L)),
+      s"quiet key's match never emitted: $out")
+  }
+
   test("order invariance: bounded-lateness random delivery == in-order pure run") {
     val s = spark
     import s.implicits._

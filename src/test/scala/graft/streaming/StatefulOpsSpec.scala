@@ -46,7 +46,10 @@ class StatefulOpsSpec extends SparkSpec {
       KeyedEvent(2L, ts(1000L), "tx", 0.5),    // small
       KeyedEvent(2L, ts(90000L), "tx", 600.0), // large, beyond 60s -> no alert
       KeyedEvent(3L, ts(1000L), "tx", 50.0),   // mid
-      KeyedEvent(3L, ts(2000L), "tx", 600.0))) // large, no preceding small
+      KeyedEvent(3L, ts(2000L), "tx", 600.0),  // large, no preceding small
+      KeyedEvent(4L, ts(1000L), "tx", 0.5),    // small...
+      KeyedEvent(4L, ts(2000L), "tx", 50.0),   // ...but a MID breaks the
+      KeyedEvent(4L, ts(3000L), "tx", 600.0))) // pattern -> no alert
     runAppend(StatefulOps.fraudDetector(input.toDS(), 1.0, 500.0, 60000L), "fraud") { rows =>
       assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
       assert(rows.head.getDouble(4) == 600.0)
@@ -77,6 +80,35 @@ class StatefulOpsSpec extends SparkSpec {
       val kinds = rows.map(r => (r.getLong(0), r.getString(1))).toSet
       assert(kinds.contains((1L, "matched")), s"got ${rows.toSeq}")
       assert(kinds.contains((2L, "timeout")), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("match-with-timeout: an end arriving past the horizon still times out " +
+    "the start (watermark lags arrivals)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    val wmInput = input.toDS().withWatermark("ts", "0 seconds").as[KeyedEvent]
+    // start@1s and end@50s arrive in the SAME batch: the event-time
+    // timer at 11s has not fired (watermark was 0), but the end proves
+    // the horizon passed — a "timeout" must emit, not silence
+    input.addData(Seq(
+      KeyedEvent(1L, ts(1000L), "order", 1.0),
+      KeyedEvent(1L, ts(50000L), "pay", 9.0)))
+    val out = StatefulOps.matchWithTimeout(wmInput, "order", "pay", 10000L)
+    val q = out.writeStream.format("memory").queryName("tmo2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(KeyedEvent(9L, ts(60000L), "noise", 0.0))
+      q.processAllAvailable()
+      input.addData(KeyedEvent(9L, ts(61000L), "noise", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tmo2").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.count(_ == (1L, "timeout")) === 1, s"got ${rows.toSeq}")
+      assert(!rows.contains((1L, "matched")), s"got ${rows.toSeq}")
     } finally q.stop()
   }
 
