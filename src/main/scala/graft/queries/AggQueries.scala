@@ -337,6 +337,54 @@ object AggQueries extends GroupBase {
           coalesce(col("exact_member"), lit(false)).as("exact_member"))
         .orderBy("c_custkey")
     }),
+
+    // funnel analysis (the batch twin of the CEP sequence queries in
+    // PatternQueries): per-user earliest signup -> earliest click at
+    // or after it -> earliest purchase at or after that, then one
+    // summary row per stage with user counts and the conversion rate
+    // from the previous stage. Shape at 100 TB: each stage is a
+    // type-filtered scan (predicate pushed to parquet) into a per-user
+    // min() hash-agg — O(1) state per user, partial agg below the
+    // exchange — then a shuffle join on user_id against the previous
+    // stage's (user, ts) table. No windows, no per-user event buffers:
+    // the stage chaining is monotone (min ts >= prev min ts), which is
+    // what lets a funnel of depth K run as type-filtered scans + joins
+    // instead of a sort + sequential scan per user. (In ONE lazy
+    // lineage stage k re-derives stages 1..k-1, so a deep funnel at
+    // 100 TB persists each stage's (user, ts) table — user-cardinality
+    // rows — before deriving the next; at K=3 the re-derivation is
+    // cheaper than the checkpoint write.)
+    "agg_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def stage(kind: String) = ev.filter(col("event_type") === kind)
+        .select(col("user_id"), col("ts"))
+      val s1 = stage("signup").groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = stage("click").join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = stage("purchase").join(s2, Seq("user_id"))
+        .filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def row(i: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("stage"), lit(name).as("event_type"),
+            col("n_users"))
+      val stages = row(1, "signup", s1).unionByName(row(2, "click", s2))
+        .unionByName(row(3, "purchase", s3))
+      // previous-stage lookup as a broadcast self-join of the 3-row
+      // summary, not a global window (the catalog-wide plan audit
+      // forbids unpartitioned windows, and a join states the intent:
+      // stage k reads stage k-1). NULLIF guards an empty stage — ANSI
+      // division by zero must be NULL on both engines, not a throw.
+      val prev = stages.select((col("stage") + 1).as("stage"),
+        col("n_users").as("prev_users"))
+      stages.join(broadcast(prev), Seq("stage"), "left")
+        .select(col("stage"), col("event_type"), col("n_users"),
+          (col("n_users").cast("decimal(18,8)") /
+            nullif(col("prev_users"), lit(0L)).cast("decimal(18,8)"))
+            .cast("double").as("conv_from_prev"))
+        .orderBy("stage")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -533,5 +581,24 @@ object AggQueries extends GroupBase {
       s"""SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
           ${ExactSql.dsum("value")} AS sum_v, ${ExactSql.davg("value")} AS avg_v,
           min(value) AS min_v, max(value) AS max_v FROM events""",
+    "agg_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type
+                    FROM events),
+          s1 AS (SELECT user_id, min(tts) AS t1 FROM e
+                 WHERE event_type = 'signup' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(tts) AS t2 FROM e JOIN s1 USING (user_id)
+                 WHERE event_type = 'click' AND tts >= t1 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(tts) AS t3 FROM e JOIN s2 USING (user_id)
+                 WHERE event_type = 'purchase' AND tts >= t2 GROUP BY 1),
+          st AS (SELECT 1 AS stage, 'signup' AS event_type,
+                        count(*) AS n_users FROM s1
+                 UNION ALL SELECT 2, 'click', count(*) FROM s2
+                 UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+          SELECT s.stage, s.event_type, s.n_users,
+                 CAST(CAST(s.n_users AS DECIMAL(18,8))
+                      / CAST(NULLIF(p.n_users, 0) AS DECIMAL(18,8)) AS DOUBLE)
+                   AS conv_from_prev
+          FROM st s LEFT JOIN st p ON s.stage = p.stage + 1
+          ORDER BY s.stage""",
   )
 }

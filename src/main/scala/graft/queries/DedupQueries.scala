@@ -182,6 +182,45 @@ object DedupQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // chunk-level exact dedup (the CCNet paragraph-dedup analogue at
+    // a granularity between dd_exact's whole-doc and dd_substr's
+    // 8-gram span): docs split into consecutive 8-token chunks; a
+    // chunk content-hash is KEPT only by the lowest doc_id holding it
+    // corpus-wide (within-doc repeats collapse to one), and each doc
+    // is re-scored by its surviving-chunk fraction — the signal CCNet
+    // thresholds on to drop boilerplate-heavy pages. Same hash-agg
+    // discipline as dd_substr: keeper attribution is min(doc_id)
+    // folded INTO the per-hash count group (O(1) state, partial agg
+    // below the exchange), never a window over the exploded relation,
+    // and every shuffle carries BIGINT hashes. n_chunks is an
+    // expression on the un-exploded row (ceil(n/8)), so the second
+    // branch is a narrow pruned scan, not a second explode.
+    "dd_chunk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+      val ch = docs.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), ceil(size(col("tk")).cast("double") / 8.0)
+              .cast("int") - 1),
+            i => TextOps.hash32(array_join(
+              slice(col("tk"), i * 8 + 1, lit(8)), " ")))).as("h"))
+      // one row per (hash): the keeper doc. DISTINCT-free: min(doc_id)
+      // both dedups within-doc repeats and attributes the keeper.
+      val kept = ch.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id"),
+          ceil(size(col("tk")).cast("double") / 8.0).cast("long").as("n_chunks"))
+        .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (coalesce(col("n_kept"), lit(0L)).cast("decimal(18,8)") /
+            col("n_chunks").cast("decimal(18,8)")).cast("double")
+            .as("keep_frac"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash-32 near-dup: signature from 32 token-hash bit votes.
     // Shingle (3-gram) features, not bare tokens — with a tiny
     // vocabulary every doc shares most unigrams and a token-level
@@ -340,6 +379,24 @@ object DedupQueries extends GroupBase {
                  CAST(ndup AS DOUBLE) / n8 >= CAST(0.5 AS DOUBLE) AS flagged
           FROM per ORDER BY doc_id"""
     },
+    "dd_chunk" ->
+      s"""WITH tkt AS (SELECT doc_id, $toksSql AS tk FROM documents
+                       WHERE len($toksSql) > 0),
+          ch AS (SELECT doc_id,
+                   ${TextOps.hash32Sql(
+                     "array_to_string(tk[i * 8 + 1 : i * 8 + 8], ' ')")} AS h
+                 FROM tkt,
+                      LATERAL (SELECT unnest(range(0,
+                        CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i) r),
+          keeper AS (SELECT h, min(doc_id) AS doc_id FROM ch GROUP BY 1),
+          kept AS (SELECT doc_id, count(*) AS n_kept FROM keeper GROUP BY 1)
+          SELECT t.doc_id,
+                 CAST(ceil(len(tk) / 8.0) AS BIGINT) AS n_chunks,
+                 CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+                 CAST(CAST(coalesce(n_kept, 0) AS DECIMAL(18,8))
+                      / CAST(CAST(ceil(len(tk) / 8.0) AS BIGINT)
+                             AS DECIMAL(18,8)) AS DOUBLE) AS keep_frac
+          FROM tkt t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""",
     "dd_simhash" ->
       s"""$simhashPairsSql
           SELECT da, db, hamming FROM pairs ORDER BY da, db""",

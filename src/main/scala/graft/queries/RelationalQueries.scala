@@ -190,6 +190,31 @@ object RelationalQueries extends GroupBase {
       ins.unionByName(ret).unionByName(upd)
         .orderBy("user_id", "seq", "op")
     }),
+
+    // SCD type-2 dimension build (the warehouse twin of the CDC
+    // latest-wins materialization in rel_cdc_materialize): each
+    // 'click' event is an attribute change for its user; the output
+    // is one validity interval per change — valid_from = the change's
+    // event time, valid_to = the NEXT change's time (NULL while
+    // current), plus version number and is_current flag. One window
+    // shuffle partitioned by user_id: per-key history is bounded by a
+    // user's own activity, so the window buffers human-scale rows no
+    // matter the corpus size — the same keyed-history argument as
+    // rel_retract_log. The value rides floor(value*100) BIGINTs so
+    // the attribute compares exactly across engines.
+    "rel_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .select(col("user_id"), col("v"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          row_number().over(w).cast("long").as("version"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -303,5 +328,16 @@ object RelationalQueries extends GroupBase {
           SELECT user_id, seq, '+U' AS op, seq AS cnt, acc
           FROM b WHERE seq > 1
           ORDER BY user_id, seq, op""",
+    "rel_scd2" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(ts AS TIMESTAMP) AS tts,
+                           CAST(floor(value * 100) AS BIGINT) AS v
+                    FROM events WHERE event_type = 'click')
+         SELECT user_id, v, tts AS valid_from,
+                lead(tts) OVER w AS valid_to,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                (lead(tts) OVER w IS NULL) AS is_current
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tts, event_id)
+         ORDER BY user_id, version""",
   )
 }

@@ -52,6 +52,45 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality-rule battery (Rae et al. 2021 appendix A
+    // shape, thresholds re-centered on the synthetic corpus so every
+    // rule splits the data): per-document metrics, one boolean per
+    // rule, and the composed keep flag a curation pipeline thresholds
+    // on. Every metric is an element-wise array expression over the
+    // one materialized token column — no shuffle but the output sort,
+    // so at 100 TB this is an embarrassingly-parallel scan exactly
+    // like text_quality. Ratios go through DECIMAL(18,8) before
+    // double, the house rule that keeps Spark and DuckDB hashes
+    // identical on division results.
+    "text_gopher" -> ((s, d) => {
+      val tk = col("tk")
+      val n = size(tk)
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,8)")
+      val meanWlen = (dec(aggregate(transform(tk, t => length(t)), lit(0),
+        (a, x) => a + x)) / dec(n)).cast("double")
+      val nStop = size(filter(tk, t => t.isInCollection(stopwords)))
+      val ttr = (dec(size(array_distinct(tk))) / dec(n)).cast("double")
+      // top-token fraction: O(u*n) per row element-wise beats an
+      // explode + per-(doc,token) count + re-join at any scale — the
+      // whole computation stays inside the scan's codegen stage
+      val topFrac = (dec(array_max(transform(array_distinct(tk),
+        u => size(filter(tk, x => x === u))))) / dec(n)).cast("double")
+      val rLen = n >= 15 && n <= 90
+      val rWlen = meanWlen >= 3.8 && meanWlen <= 4.4
+      val rStop = nStop >= 2
+      val rTtr = ttr >= 0.45
+      val rTop = topFrac <= 0.11
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(n > 0)
+        .select(col("doc_id"), n.as("n_tok"), meanWlen.as("mean_wlen"),
+          nStop.as("n_stop"), ttr.as("ttr"), topFrac.as("top_frac"),
+          rLen.as("r_len"), rWlen.as("r_wlen"), rStop.as("r_stop"),
+          rTtr.as("r_ttr"), rTop.as("r_top"),
+          (rLen && rWlen && rStop && rTtr && rTop).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // language-ID heuristic (n-gram/marker-based): deterministic
     // marker-token vote, compared against the labeled lang column
     "text_langid" -> ((s, d) => {
@@ -680,6 +719,34 @@ object TextQueries extends GroupBase {
                / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS ttr,
           (len($toksSql) >= 20 AND len($toksSql) <= 90) AS len_ok
           FROM documents ORDER BY doc_id""",
+    "text_gopher" ->
+      s"""WITH f AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          g AS (SELECT doc_id, len(tk) AS n_tok,
+                  CAST(CAST(list_sum(list_transform(tk, t -> length(t)))
+                            AS DECIMAL(18,8))
+                       / CAST(len(tk) AS DECIMAL(18,8)) AS DOUBLE) AS mean_wlen,
+                  len(list_filter(tk, t -> list_contains($stopSql, t))) AS n_stop,
+                  CAST(CAST(len(list_distinct(tk)) AS DECIMAL(18,8))
+                       / CAST(len(tk) AS DECIMAL(18,8)) AS DOUBLE) AS ttr,
+                  CAST(CAST(list_max(list_transform(list_distinct(tk),
+                              u -> len(list_filter(tk, x -> x = u))))
+                            AS DECIMAL(18,8))
+                       / CAST(len(tk) AS DECIMAL(18,8)) AS DOUBLE) AS top_frac
+                FROM f WHERE len(tk) > 0)
+          SELECT doc_id, CAST(n_tok AS INT) AS n_tok, mean_wlen,
+                 CAST(n_stop AS INT) AS n_stop, ttr, top_frac,
+                 (n_tok BETWEEN 15 AND 90) AS r_len,
+                 (mean_wlen BETWEEN CAST(3.8 AS DOUBLE) AND CAST(4.4 AS DOUBLE))
+                   AS r_wlen,
+                 (n_stop >= 2) AS r_stop,
+                 (ttr >= CAST(0.45 AS DOUBLE)) AS r_ttr,
+                 (top_frac <= CAST(0.11 AS DOUBLE)) AS r_top,
+                 ((n_tok BETWEEN 15 AND 90)
+                  AND (mean_wlen BETWEEN CAST(3.8 AS DOUBLE) AND CAST(4.4 AS DOUBLE))
+                  AND (n_stop >= 2)
+                  AND (ttr >= CAST(0.45 AS DOUBLE))
+                  AND (top_frac <= CAST(0.11 AS DOUBLE))) AS keep
+          FROM g ORDER BY doc_id""",
     "text_langid" ->
       s"""SELECT doc_id, lang,
           CASE WHEN len(list_filter($toksSql, t -> list_contains($stopSql, t))) > 0
