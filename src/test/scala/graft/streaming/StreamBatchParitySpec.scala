@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.{SparkSpec, TestSpark}
+import graft.SparkEntry
+import graft.core.{Exact, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** A row of the driver's `events` table, for MemoryStream replay. */
+case class EvRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Stream/batch PARITY over the real driver data: the reference is a
+  * streaming engine, so its test queries hold in both execution modes.
+  * Here the sf0.001 `events` parquet is replayed through a
+  * MemoryStream in 5 SCRAMBLED batches (rows assigned by event_id
+  * hash, so event time interleaves arbitrarily across batches), the
+  * streaming twin of an oracle-checked batch query runs in append
+  * mode with a large watermark delay, a far-future sentinel then
+  * advances the watermark past every real window, and the flushed
+  * sink must equal the batch query's rows EXACTLY — same windows,
+  * same counts, same decimal-exact sums. This pins the engine-level
+  * guarantee the per-operator streaming specs assume: out-of-order
+  * delivery within the watermark bound cannot change any result. */
+class StreamBatchParitySpec extends SparkSpec {
+
+  private def replay(): (MemoryStream[EvRow], Seq[Seq[EvRow]], java.sql.Timestamp) = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EvRow].collect().toSeq
+    val batches = rows.groupBy(e => math.abs(e.event_id * 2654435761L % 5))
+      .toSeq.sortBy(_._1).map(_._2)
+    val maxTs = rows.map(_.ts.getTime).max
+    // sentinel 100 days ahead: watermark (delay 30 d) lands 70 d past
+    // the last real event, closing every real window
+    val sentinel = new java.sql.Timestamp(maxTs + 100L * 86400 * 1000)
+    (MemoryStream[EvRow], batches, sentinel)
+  }
+
+  private def runAppend(df: org.apache.spark.sql.DataFrame, name: String)
+                       (input: MemoryStream[EvRow], batches: Seq[Seq[EvRow]],
+                        sentinel: java.sql.Timestamp): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(EvRow(-1L, sentinel, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  test("spendreport: streaming hourly per-user sums == batch tw_spendreport") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (input, batches, sentinel) = replay()
+    val stream = input.toDS().withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(Exact.dsum(col("value")).as("spend"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("spend"))
+    runAppend(stream, "parity_spend")(input, batches, sentinel)
+    val got = spark.table("parity_spend").filter(col("user_id") >= 0)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = SparkEntry.queries("tw_spendreport")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want,
+      s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
+  }
+
+  test("tumble: streaming hourly per-type count+sum == batch tw_tumble") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (input, batches, sentinel) = replay()
+    val stream = input.toDS().withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("cnt"), col("sum_v"))
+    runAppend(stream, "parity_tumble")(input, batches, sentinel)
+    val got = spark.table("parity_tumble")
+      .filter(col("event_type") =!= "sentinel").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val want = SparkEntry.queries("tw_tumble")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want,
+      s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
+  }
+
+  test("global stats: streaming complete-mode agg == batch scan") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (input, batches, _) = replay()
+    // complete mode: no watermark needed, the final emission covers
+    // all input; distinct aggregates are unsupported on streams, so
+    // the twin is count/sum/min/max (the agg_global_stats core)
+    val stream = input.toDS()
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    val q = stream.writeStream.format("memory").queryName("parity_stats")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("parity_stats").collect().head
+    val want = Tables.load(spark, TestSpark.sf0001, "events")
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .collect().head
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getDouble(1) == want.getDouble(1) &&
+      got.getDouble(2) == want.getDouble(2) &&
+      got.getDouble(3) == want.getDouble(3),
+      s"stream-batch divergence: got $got want $want")
+  }
+}
