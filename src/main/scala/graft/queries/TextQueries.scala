@@ -371,6 +371,82 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // CAPSTONE 2 (CCNet shape, Wenzek et al. 2020): the web-corpus
+    // curation recipe as ONE composed flow — corpus-wide chunk-level
+    // dedup gate (the paragraph-dedup analogue; a doc survives only if
+    // at least half its 8-token chunks are first-occurrences) →
+    // language ID → unigram-LM scoring of the gated corpus → per-
+    // language perplexity bucketing into head/middle/tail. Differs
+    // from pipe_curation in every stage: chunk granularity instead of
+    // whole-doc/Jaccard, LM score instead of length gate, bucketing
+    // instead of dropping. 100 TB shape notes:
+    //  - the dedup gate is dd_chunk's hash-agg (keeper = min(doc_id)
+    //    folded into the per-hash group, no window, hash-only
+    //    shuffles) and the gate itself is the INTEGER comparison
+    //    2*n_kept >= n_chunks — no division, no threshold drift;
+    //  - the LM is text_lm_nll's one-tokenize (doc,tok) partial-agg
+    //    lineage; vocab + total fold out of the same exchange and
+    //    broadcast back (vocab-sized, never corpus-sized);
+    //  - bucket thresholds are mean-relative (±1% of the per-language
+    //    mean NLL) rather than ntile terciles: the mean is a hash
+    //    aggregate over exact micro-unit BIGINTs (round(nll*1e6) —
+    //    decimal(30,4) would truncate 6-dp NLLs), so there is NO
+    //    whole-language window sort, which at 100 TB with a handful
+    //    of languages would be the classic hot-partition cliff.
+    "pipe_ccnet" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"),
+          size(col("tk")).cast("long").as("ntok"),
+          when(size(filter(col("tk"), t => t.isInCollection(stopwords))) > 0,
+            "en").otherwise("unk").as("lang_guess"))
+      val ch = docs.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ceil(size(col("tk")).cast("double") / 8.0)
+            .cast("int") - 1),
+          i => TextOps.hash32(array_join(
+            slice(col("tk"), i * 8 + 1, lit(8)), " ")))).as("h"))
+      val kept = ch.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      val gated = docs.join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .filter(coalesce(col("n_kept"), lit(0L)) * 2 >=
+          ceil(col("ntok").cast("double") / 8.0).cast("long"))
+        .select(col("doc_id"), col("tk"), col("ntok"), col("lang_guess"))
+      val tf = gated.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      val freq = tf.filter(col("m") >= 1)
+        .groupBy("tok").agg(sum(col("m")).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("n"))
+      val nll = tf.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+        .select(col("doc_id"), col("m"),
+          (col("m").cast("double") *
+            log(col("cnt").cast("double") / col("n").cast("double")))
+            .as("mlnp"))
+        .groupBy("doc_id")
+        .agg(round(-(aggregate(sort_array(collect_list(col("mlnp"))),
+            lit(0.0), (a, v) => a + v) / sum(col("m")).cast("double")), 6)
+          .as("nll"))
+      val scored = gated.select(col("doc_id"), col("lang_guess"), col("ntok"))
+        .join(nll, Seq("doc_id"))
+        .withColumn("nll_u", round(col("nll") * 1e6, 0).cast("long"))
+      val means = scored.groupBy("lang_guess")
+        .agg((sum(col("nll_u")).cast("double") /
+          count(lit(1)).cast("double") / 1e6).as("mean_nll"))
+      scored.join(broadcast(means), Seq("lang_guess"))
+        .withColumn("bucket",
+          when(col("nll") <= col("mean_nll") * 0.99, "head")
+            .when(col("nll") >= col("mean_nll") * 1.01, "tail")
+            .otherwise("middle"))
+        .groupBy("lang_guess", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          round(sum(col("nll_u")).cast("double") /
+            count(lit(1)).cast("double") / 1e6, 6).as("avg_nll"))
+        .orderBy("lang_guess", "bucket")
+    }),
+
     // CAPSTONE: the full curation pipeline as ONE composed flow —
     // quality gate → exact dedup (keep first) → near-dup removal
     // (Jaccard-blocked, drop the higher doc_id of any >=0.5 pair) →
@@ -994,6 +1070,56 @@ object TextQueries extends GroupBase {
                 FROM w)
           SELECT source, n_docs, n_tokens, round(w_raw / z, 8) AS weight
           FROM w CROSS JOIN z ORDER BY source""",
+    "pipe_ccnet" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
+                     WHERE len($toksSql) > 0),
+          base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS ntok,
+                     CASE WHEN len(list_filter(tk,
+                            t -> list_contains($stopSql, t))) > 0
+                          THEN 'en' ELSE 'unk' END AS lang_guess
+                   FROM d),
+          ch AS (SELECT doc_id,
+                   ${TextOps.hash32Sql(
+                     "array_to_string(tk[i * 8 + 1 : i * 8 + 8], ' ')")} AS h
+                 FROM base,
+                      LATERAL (SELECT unnest(range(0,
+                        CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS i) r),
+          keeper AS (SELECT h, min(doc_id) AS doc_id FROM ch GROUP BY 1),
+          keptc AS (SELECT doc_id, count(*) AS n_kept FROM keeper GROUP BY 1),
+          gated AS (SELECT b.doc_id, b.tk, b.ntok, b.lang_guess
+                    FROM base b LEFT JOIN keptc USING (doc_id)
+                    WHERE 2 * coalesce(n_kept, 0)
+                          >= CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+          tf AS (SELECT doc_id, tok, count(*) AS m
+                 FROM (SELECT doc_id, unnest(tk) AS tok FROM gated)
+                 GROUP BY 1, 2),
+          freq AS (SELECT tok, sum(m) AS cnt FROM tf GROUP BY 1),
+          n AS (SELECT sum(cnt) AS n FROM freq),
+          lp AS (SELECT doc_id, m,
+                        CAST(m AS DOUBLE) *
+                          ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS mlnp
+                 FROM tf JOIN freq USING (tok) CROSS JOIN n),
+          nll AS (SELECT doc_id,
+                         round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_sort(array_agg(mlnp))), (a, v) -> a + v)
+                           / CAST(sum(m) AS DOUBLE)), 6) AS nll
+                  FROM lp GROUP BY doc_id),
+          scored AS (SELECT g.lang_guess, g.ntok, s.nll,
+                            CAST(round(s.nll * 1000000.0, 0) AS BIGINT) AS nll_u
+                     FROM gated g JOIN nll s USING (doc_id)),
+          means AS (SELECT lang_guess,
+                           CAST(sum(nll_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                             / CAST(1000000.0 AS DOUBLE) AS mean_nll
+                    FROM scored GROUP BY 1)
+          SELECT s.lang_guess,
+                 CASE WHEN s.nll <= mean_nll * CAST(0.99 AS DOUBLE) THEN 'head'
+                      WHEN s.nll >= mean_nll * CAST(1.01 AS DOUBLE) THEN 'tail'
+                      ELSE 'middle' END AS bucket,
+                 count(*) AS n_docs, CAST(sum(s.ntok) AS BIGINT) AS n_tokens,
+                 round(CAST(sum(s.nll_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / CAST(1000000.0 AS DOUBLE), 6) AS avg_nll
+          FROM scored s JOIN means USING (lang_guess)
+          GROUP BY 1, 2 ORDER BY lang_guess, bucket""",
     "pipe_curation" ->
       s"""WITH docs AS (SELECT doc_id, text, lang, $toksSql AS tk FROM documents),
           quality AS (SELECT * FROM docs WHERE len(tk) >= 15),
