@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Randomized differential tests for the round-6 operators, against
+  * brute-force Scala models on generated corpora — the third leg next
+  * to the DuckDB oracle (which could share a bug with the Spark SQL
+  * expression) and the plan audit. Data is written in the driver's
+  * parquet shape (events.ts as int64 NANOS, matching Tables.load's
+  * ns→us truncation) so the queries run end-to-end through the same
+  * loader as production. Deterministic seeds, tiny vocab (3 words) to
+  * force chunk-hash collisions that the real testdata only grazes. */
+class NewOpsPropertySpec extends SparkSpec {
+
+  private val vocab = Vector("the", "scan", "window")
+
+  private def writeDocs(seed: Long): (String, Vector[Vector[String]]) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val docs = Vector.fill(40) {
+      Vector.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val dir = Files.createTempDirectory(s"graft-prop$seed").toString
+    docs.zipWithIndex
+      .map { case (tk, i) => (i.toLong, tk.mkString(" "), "en", "srcP", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (dir, docs)
+  }
+
+  test("dd_chunk matches a brute-force keeper model on random corpora") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val (dir, docs) = writeDocs(seed)
+      // brute force: 8-token chunks, corpus keeper = min doc_id per
+      // chunk string (hash collisions can't diverge: h32 is injective
+      // on these short strings only by luck, so model on the HASH)
+      val chunks = docs.zipWithIndex.flatMap { case (tk, i) =>
+        tk.grouped(8).map(c =>
+          (graft.functions.HashKernels.h32(c.mkString(" ")), i.toLong))
+      }
+      val keeper = chunks.groupBy(_._1).map { case (_, occ) => occ.map(_._2).min }
+      val wantKept = keeper.groupBy(identity).map { case (d, ks) => d -> ks.size.toLong }
+      val want = docs.zipWithIndex.map { case (tk, i) =>
+        val nc = (tk.size + 7) / 8
+        (i.toLong, nc.toLong, wantKept.getOrElse(i.toLong, 0L))
+      }.toSet
+      val got = SparkEntry.queries("dd_chunk")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed $seed: ${(got diff want) ++ (want diff got)}")
+    }
+  }
+
+  test("text_gopher metrics match a brute-force model on random corpora") {
+    for (seed <- Seq(7L, 8L)) {
+      val (dir, docs) = writeDocs(seed)
+      val got = SparkEntry.queries("text_gopher")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      docs.zipWithIndex.foreach { case (tk, i) =>
+        val r = got(i.toLong)
+        val n = tk.size
+        assert(r.getInt(r.fieldIndex("n_tok")) == n)
+        assert(r.getInt(r.fieldIndex("n_stop")) == tk.count(_ == "the"))
+        val wlen = tk.map(_.length).sum.toDouble / n
+        val ttr = tk.distinct.size.toDouble / n
+        val top = tk.groupBy(identity).values.map(_.size).max.toDouble / n
+        assert(math.abs(r.getDouble(r.fieldIndex("mean_wlen")) - wlen) < 1e-7)
+        assert(math.abs(r.getDouble(r.fieldIndex("ttr")) - ttr) < 1e-7)
+        assert(math.abs(r.getDouble(r.fieldIndex("top_frac")) - top) < 1e-7)
+        // the composed keep flag is exactly the rule conjunction
+        assert(r.getBoolean(r.fieldIndex("keep")) ==
+          (r.getBoolean(r.fieldIndex("r_len")) &&
+            r.getBoolean(r.fieldIndex("r_wlen")) &&
+            r.getBoolean(r.fieldIndex("r_stop")) &&
+            r.getBoolean(r.fieldIndex("r_ttr")) &&
+            r.getBoolean(r.fieldIndex("r_top"))))
+      }
+    }
+  }
+
+  test("agg_funnel matches a brute-force per-user sequential model") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      val kinds = Vector("signup", "click", "purchase", "view", "error")
+      val events = Vector.tabulate(300) { i =>
+        (i.toLong, 1700000000000000000L + rnd.nextInt(1000000) * 1000000L,
+          rnd.nextInt(12).toLong, kinds(rnd.nextInt(kinds.size)),
+          rnd.nextDouble() * 100, "{}")
+      }
+      val dir = Files.createTempDirectory(s"graft-fun$seed").toString
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      // brute force on nanos→micros-truncated times, exactly the
+      // loader's view of the data
+      val ev = events.map(e => (e._3, e._2 / 1000 * 1000, e._4))
+      def minAfter(kind: String, bound: Map[Long, Long]): Map[Long, Long] =
+        ev.filter(e => e._3 == kind && bound.get(e._1).exists(_ <= e._2))
+          .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+      val t1 = ev.filter(_._3 == "signup").groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._2).min }
+      val t2 = minAfter("click", t1)
+      val t3 = minAfter("purchase", t2)
+      val got = SparkEntry.queries("agg_funnel")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      assert(got.map(g => (g._1, g._3)).toSeq ==
+        Seq((1, t1.size.toLong), (2, t2.size.toLong), (3, t3.size.toLong)),
+        s"seed $seed: $got vs ${(t1.size, t2.size, t3.size)}")
+      // conversion rates: stage 1 NULL, stages 2-3 = n/prev
+      assert(got(0)._4.isEmpty)
+      if (t1.nonEmpty)
+        assert(math.abs(got(1)._4.get - t2.size.toDouble / t1.size) < 1e-7)
+      if (t2.nonEmpty)
+        assert(math.abs(got(2)._4.get - t3.size.toDouble / t2.size) < 1e-7)
+    }
+  }
+}
