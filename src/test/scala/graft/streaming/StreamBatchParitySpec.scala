@@ -95,6 +95,53 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
   }
 
+  test("hop: streaming sliding windows == batch tw_hop (4 windows/event)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (input, batches, sentinel) = replay()
+    val stream = input.toDS().withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+    runAppend(stream, "parity_hop")(input, batches, sentinel)
+    val got = spark.table("parity_hop")
+      .filter(col("event_type") =!= "sentinel").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("tw_hop")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
+  }
+
+  test("session: streaming gap-merge state == batch tw_session") {
+    // the strongest parity case: batch assembles sessions with a
+    // sort-based pass, streaming MERGES overlapping session state
+    // across scrambled batches — same gaps must close identically
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (input, batches, sentinel) = replay()
+    val stream = input.toDS().withWatermark("ts", "30 days")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"),
+        col("cnt"), col("sum_v"))
+    runAppend(stream, "parity_session")(input, batches, sentinel)
+    val got = spark.table("parity_session").filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val want = SparkEntry.queries("tw_session")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want,
+      s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
+  }
+
   test("global stats: streaming complete-mode agg == batch scan") {
     val s = spark
     import s.implicits._
