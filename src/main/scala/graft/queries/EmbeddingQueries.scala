@@ -148,6 +148,55 @@ object EmbeddingQueries extends GroupBase {
     // (cell,dim) per iteration, centroids never leave the executors
     // except the k×dim broadcast. The only collect_list left is the
     // k×64 centroid-vector re-assembly — bounded by dim, not by data.
+    // PCA top principal component by POWER ITERATION (the whitening /
+    // dim-reduction prep a SemDeDup-style pipeline runs before
+    // clustering): v <- normalize(Σ_x (x-μ)((x-μ)·v)), 3 unrolled
+    // rounds from the deterministic seed v0 = (0.125,...,0.125)
+    // (1/√64, float-exact). 100 TB shape: each round is ONE corpus
+    // scan — the projection t = (x-μ)·v is an element-wise fold
+    // against two broadcast 64-dim arrays, the new direction is a
+    // per-dimension Exact.fsum (O(1) group state, map-side partials)
+    // of projection-weighted centered coordinates, and normalization
+    // is a 1-row broadcast. The only collect_list is the 64-element
+    // direction re-assembly, bounded by the dimension (emb_kmeans
+    // discipline). Every fold is position-ordered so the double
+    // arithmetic is bit-identical to the DuckDB mirror.
+    "emb_pca" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("embedding"))
+      def assemble(df: DataFrame, value: String, as: String): DataFrame =
+        df.groupBy().agg(transform(
+          array_sort(collect_list(struct(col("pos"), col(value)))),
+          x => x.getField(value)).as(as))
+      val mu = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg((graft.core.Exact.fsum(col("x")) / count(lit(1))).as("m"))
+      val mu1 = assemble(mu, "m", "mu")
+      val v0 = e.sparkSession.range(1)
+        .select(transform(sequence(lit(0), lit(63)),
+          _ => lit(0.125)).as("v"))
+      def iter(vdf: DataFrame): DataFrame = {
+        val w = e.crossJoin(broadcast(mu1)).crossJoin(broadcast(vdf))
+          .select(zip_with(col("embedding"), col("mu"),
+            (a, b) => a.cast("double") - b).as("cx"), col("v"))
+          .select(col("cx"),
+            aggregate(zip_with(col("cx"), col("v"), (a, b) => a * b),
+              lit(0.0), (acc, p) => acc + p).as("t"))
+          .select(posexplode(col("cx")).as(Seq("pos", "cxj")), col("t"))
+          .groupBy("pos")
+          .agg(graft.core.Exact.fsum(col("cxj") * col("t")).as("w"))
+        assemble(w, "w", "wa")
+          .select(col("wa"),
+            sqrt(aggregate(transform(col("wa"), x => x * x),
+              lit(0.0), (a, b) => a + b)).as("nrm"))
+          .select(transform(col("wa"), x => x / col("nrm")).as("v"))
+      }
+      val vT = iter(iter(iter(v0)))
+      mu.crossJoin(broadcast(vT))
+        .select(col("pos"), col("m").as("mu"),
+          element_at(col("v"), col("pos") + 1).as("v"))
+        .orderBy("pos")
+    }),
+
     "emb_kmeans" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       // codegen'd kernel, bit-identical to the HOF fold
@@ -783,6 +832,40 @@ object EmbeddingQueries extends GroupBase {
                   (${normSql("x.embedding")} * ${normSql("y.embedding")})
                 >= CAST(0.35 AS DOUBLE)
           ORDER BY da, db"""
+    },
+    "emb_pca" -> {
+      def fold(expr: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $expr), (a, b) -> a + b)"
+      def iterSql(k: Int): String = {
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""cx$k AS (SELECT list_transform(list_zip(e.embedding, mua.mu),
+                       p -> CAST(p[1] AS DOUBLE) - p[2]) AS cx, v
+                     FROM e, mua, $prev),
+            tt$k AS (SELECT cx,
+                       ${fold("list_transform(list_zip(cx, v), p -> p[1] * p[2])")}
+                         AS t
+                     FROM cx$k),
+            w$k AS (SELECT CAST(i - 1 AS INT) AS pos,
+                      ${graft.core.ExactSql.fsum("cx[i] * t")} AS w
+                    FROM tt$k, range(1, 65) r(i) GROUP BY 1),
+            wa$k AS (SELECT array_agg(w ORDER BY pos) AS wa FROM w$k),
+            v$k AS (SELECT list_transform(wa, x -> x / nrm) AS v FROM
+                      (SELECT wa,
+                         sqrt(${fold("list_transform(wa, x -> x * x)")}) AS nrm
+                       FROM wa$k))"""
+      }
+      s"""WITH e AS (SELECT embedding FROM embeddings),
+          mu AS (SELECT CAST(i - 1 AS INT) AS pos,
+                        ${graft.core.ExactSql.fsum("embedding[i]")} / count(*) AS m
+                 FROM e, range(1, 65) r(i) GROUP BY 1),
+          mua AS (SELECT array_agg(m ORDER BY pos) AS mu FROM mu),
+          v0 AS (SELECT list_transform(range(1, 65),
+                   i -> CAST(0.125 AS DOUBLE)) AS v),
+          ${iterSql(1)},
+          ${iterSql(2)},
+          ${iterSql(3)}
+          SELECT mu.pos, mu.m AS mu, v[mu.pos + 1] AS v
+          FROM mu, v3 ORDER BY pos"""
     },
     "emb_kmeans" -> {
       // squared-L2 as the same left fold the Spark side uses

@@ -29,6 +29,7 @@ object PlanAudit {
     "emb_recall", // composes emb_knn + emb_ivf_knn, inherits their probes
     "emb_semdedup", "join_cross", "text_lm_nll", "text_tfidf",
     "pipe_ccnet",  // text_lm_nll's 1-row corpus-total broadcast, inherited
+    "emb_pca",     // 1-row mean/direction broadcasts, corpus streams
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
     "text_bm25",   // 1-row corpus-stats (nd, sumdl) broadcast
     "text_bpe_train") // 1-row winning-merge broadcast per training round
@@ -45,7 +46,8 @@ object PlanAudit {
   private val expectedCollect = Set(
     "emb_kmeans", "emb_pq", "emb_ivfpq", "text_lm_nll", "text_lm_bigram", "pipe_mix",
     "agg_string_agg", "over_sum_distinct",
-    "pipe_ccnet") // text_lm_nll's per-doc sorted NLL fold, state = one doc's vocab
+    "pipe_ccnet", // text_lm_nll's per-doc sorted NLL fold, state = one doc's vocab
+    "emb_pca")    // 64-element direction re-assembly, bounded by dim
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions
