@@ -338,6 +338,37 @@ object AggQueries extends GroupBase {
         .orderBy("c_custkey")
     }),
 
+    // cohort retention matrix (the second classic product-analytics
+    // aggregate next to agg_funnel): users are cohorted by their
+    // first active day; each later active day contributes to
+    // (cohort, day-offset) with the retention rate vs the cohort's
+    // day-0 size. Shape at 100 TB: one distinct on (user, day) —
+    // a hash-agg exchange carrying one row per user-day, never raw
+    // events — a per-user min, a user_id-keyed join back, and a
+    // (cohort, offset) hash-agg; the day-0 size table is bounded by
+    // the calendar (#days), so its join back is a broadcast, and the
+    // count needs NO count_distinct because the distinct upstream
+    // already guarantees one row per user per day.
+    "agg_retention" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      val act = e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort"),
+          datediff(col("day").cast("date"), col("cohort").cast("date"))
+            .as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val sizes = act.filter(col("day_offset") === 0)
+        .select(col("cohort"), col("n_users").as("cohort_size"))
+      act.join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("day_offset"), col("n_users"),
+          (col("n_users").cast("decimal(18,8)") /
+            col("cohort_size").cast("decimal(18,8)")).cast("double")
+            .as("retention"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     // funnel analysis (the batch twin of the CEP sequence queries in
     // PatternQueries): per-user earliest signup -> earliest click at
     // or after it -> earliest purchase at or after that, then one
@@ -581,6 +612,25 @@ object AggQueries extends GroupBase {
       s"""SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
           ${ExactSql.dsum("value")} AS sum_v, ${ExactSql.davg("value")} AS avg_v,
           min(value) AS min_v, max(value) AS max_v FROM events""",
+    "agg_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                             AS TIMESTAMP) AS day
+                    FROM events),
+          c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+          act AS (SELECT cohort,
+                         CAST(date_diff('day', CAST(cohort AS DATE),
+                           CAST(day AS DATE)) AS INT) AS day_offset,
+                         count(*) AS n_users
+                  FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+          sz AS (SELECT cohort, n_users AS cohort_size FROM act
+                 WHERE day_offset = 0)
+          SELECT a.cohort, a.day_offset, a.n_users,
+                 CAST(CAST(a.n_users AS DECIMAL(18,8))
+                      / CAST(cohort_size AS DECIMAL(18,8)) AS DOUBLE)
+                   AS retention
+          FROM act a JOIN sz USING (cohort)
+          ORDER BY cohort, day_offset""",
     "agg_funnel" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type
                     FROM events),
