@@ -25,6 +25,13 @@ case class AlertOut(key: Long, kind: String, firstTs: Timestamp,
   * `firstDocId` (streaming near-dup evidence). */
 case class BandHit(docId: Long, band: Int, firstDocId: Long)
 
+/** Funnel progression state: watermark buffer + the three stage marks
+  * (epoch ms, -1 = not reached). Permanent part is O(1) per user. */
+case class FunnelState(pending: List[KeyedEvent], t1: Long, t2: Long, t3: Long)
+
+/** First completion of funnel `stage` (1-based) for user `key`. */
+case class FunnelOut(key: Long, stage: Int, ts: Timestamp)
+
 /** Stateful streaming operators (SURVEY §2.11 / §7.2 step 4), each a
   * `flatMapGroupsWithState` over a keyed stream — Spark's analogue of
   * the reference's KeyedProcessFunction + ValueState + timers.
@@ -367,6 +374,55 @@ object StatefulOps {
             math.max(wstart + windowMs, state.getCurrentWatermarkMs + 1))
           Iterator(UvCount(new Timestamp(wstart), st.count))
           }
+      }
+  }
+
+  /** Event-driven funnel progression — the streaming twin of the batch
+    * `agg_funnel` query (per-user earliest s1 → earliest s2 at/after
+    * it → earliest s3 at/after that), as a KeyedProcessFunction-style
+    * stateful op: one FunnelOut(stage, ts) row the first time each
+    * stage completes for a user.
+    *
+    * Correct under bounded out-of-order delivery: events are BUFFERED
+    * per user until the watermark passes them, then folded in event-
+    * time order (stage priority breaks exact ts ties so an s2 at
+    * exactly t1 still counts, matching the batch `>=`). Updating the
+    * stage marks incrementally WITHOUT the buffer would be wrong — a
+    * late s1 arriving below an already-recorded t1 could enable an
+    * earlier s2 that was already discarded. Permanent state is 3
+    * longs per user (the reference's ValueState shape); the pending
+    * buffer drains to the watermark every batch, and the event-time
+    * timer matures a quiet user's buffer without further traffic. */
+  def funnelTrack(ds: Dataset[KeyedEvent], s1: String, s2: String,
+                  s3: String): Dataset[FunnelOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val prio = Map(s1 -> 0, s2 -> 1, s3 -> 2).withDefaultValue(3)
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, events, state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(Nil, -1L, -1L, -1L))
+          val wm = state.getCurrentWatermarkMs()
+          val all = st.pending ++ events.toSeq
+          val (mature, pending) = all.partition(_.ts.getTime <= wm)
+          var (t1, t2, t3) = (st.t1, st.t2, st.t3)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          mature.sortBy(e => (e.ts.getTime, prio(e.kind), e.value))
+            .foreach { e =>
+              if (t1 < 0 && e.kind == s1) {
+                t1 = e.ts.getTime; out += FunnelOut(key, 1, e.ts)
+              } else if (t1 >= 0 && t2 < 0 && e.kind == s2) {
+                t2 = e.ts.getTime; out += FunnelOut(key, 2, e.ts)
+              } else if (t2 >= 0 && t3 < 0 && e.kind == s3) {
+                t3 = e.ts.getTime; out += FunnelOut(key, 3, e.ts)
+              }
+            }
+          state.update(FunnelState(pending, t1, t2, t3))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_.ts.getTime).min + 1, wm + 1))
+          out.iterator
       }
   }
 

@@ -142,6 +142,45 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
   }
 
+  test("funnel: stateful funnelTrack == batch agg_funnel stage counts") {
+    // custom-state parity (not a built-in window): the buffered
+    // event-time fold must reproduce the batch min-chain exactly
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EvRow].collect().toSeq
+    val batches = rows.groupBy(e => math.abs(e.event_id * 2654435761L % 5))
+      .toSeq.sortBy(_._1).map(_._2)
+    val sentinel = new java.sql.Timestamp(
+      rows.map(_.ts.getTime).max + 100L * 86400 * 1000)
+    val input = MemoryStream[KeyedEvent]
+    val stream = StatefulOps.funnelTrack(
+      input.toDS().withWatermark("ts", "30 days"),
+      "signup", "click", "purchase")
+    val q = stream.writeStream.format("memory").queryName("parity_funnel")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        input.addData(b.map(e => KeyedEvent(e.user_id, e.ts, e.event_type, e.value)))
+        q.processAllAvailable()
+      }
+      input.addData(KeyedEvent(-1L, sentinel, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("parity_funnel").filter(col("key") >= 0)
+      .groupBy("stage").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = SparkEntry.queries("agg_funnel")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == want, s"stream-batch divergence: $got vs $want")
+    // a user emits each stage at most once across all batches
+    val perUser = spark.table("parity_funnel").filter(col("key") >= 0)
+      .groupBy("key", "stage").count().filter(col("count") > 1).count()
+    assert(perUser == 0L)
+  }
+
   test("global stats: streaming complete-mode agg == batch scan") {
     val s = spark
     import s.implicits._
