@@ -162,39 +162,34 @@ object EmbeddingQueries extends GroupBase {
     // discipline). Every fold is position-ordered so the double
     // arithmetic is bit-identical to the DuckDB mirror.
     "emb_pca" -> ((s, d) => {
-      val e = t(s, d, "embeddings").select(col("embedding"))
-      def assemble(df: DataFrame, value: String, as: String): DataFrame =
-        df.groupBy().agg(transform(
-          array_sort(collect_list(struct(col("pos"), col(value)))),
-          x => x.getField(value)).as(as))
-      val mu = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("pos")
-        .agg((graft.core.Exact.fsum(col("x")) / count(lit(1))).as("m"))
-      val mu1 = assemble(mu, "m", "mu")
-      val v0 = e.sparkSession.range(1)
-        .select(transform(sequence(lit(0), lit(63)),
-          _ => lit(0.125)).as("v"))
-      def iter(vdf: DataFrame): DataFrame = {
-        val w = e.crossJoin(broadcast(mu1)).crossJoin(broadcast(vdf))
-          .select(zip_with(col("embedding"), col("mu"),
-            (a, b) => a.cast("double") - b).as("cx"), col("v"))
-          .select(col("cx"),
-            aggregate(zip_with(col("cx"), col("v"), (a, b) => a * b),
-              lit(0.0), (acc, p) => acc + p).as("t"))
-          .select(posexplode(col("cx")).as(Seq("pos", "cxj")), col("t"))
-          .groupBy("pos")
-          .agg(graft.core.Exact.fsum(col("cxj") * col("t")).as("w"))
-        assemble(w, "w", "wa")
-          .select(col("wa"),
-            sqrt(aggregate(transform(col("wa"), x => x * x),
-              lit(0.0), (a, b) => a + b)).as("nrm"))
-          .select(transform(col("wa"), x => x / col("nrm")).as("v"))
-      }
-      val vT = iter(iter(iter(v0)))
+      val (mu, _, vT) = pcaTrain(s, d)
       mu.crossJoin(broadcast(vT))
         .select(col("pos"), col("m").as("mu"),
           element_at(col("v"), col("pos") + 1).as("v"))
         .orderBy("pos")
+    }),
+
+    // APPLY the trained component: per-vector projection score
+    // t = (x-μ)·v and squared reconstruction residual ‖(x-μ)-t·v‖²
+    // — the transform side of emb_pca, and the reduced-representation
+    // error a whitening pipeline thresholds on. Pure element-wise
+    // folds against the two broadcast 64-dim arrays: after training,
+    // scoring is a single scan with NO shuffle but the output sort.
+    "emb_pca_scores" -> ((s, d) => {
+      val (_, mu1, vT) = pcaTrain(s, d)
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(mu1)).crossJoin(broadcast(vT))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("mu"),
+            (a, b) => a.cast("double") - b).as("cx"), col("v"))
+        .select(col("vec_id"), col("cx"), col("v"),
+          aggregate(zip_with(col("cx"), col("v"), (a, b) => a * b),
+            lit(0.0), (acc, p) => acc + p).as("t"))
+        .select(col("vec_id"), col("t"),
+          aggregate(zip_with(col("cx"), col("v"),
+            (a, b) => (a - col("t") * b) * (a - col("t") * b)),
+            lit(0.0), (acc, p) => acc + p).as("err"))
+        .orderBy("vec_id")
     }),
 
     "emb_kmeans" -> ((s, d) => {
@@ -543,6 +538,80 @@ object EmbeddingQueries extends GroupBase {
       .select("qid", "nid", "rank")
   }
 
+  /** Position-ordered left fold with 0.0 init (matches the Spark
+    * `aggregate(..., lit(0.0), _+_)` order exactly). */
+  private def pcaFold(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $expr), (a, b) -> a + b)"
+
+  /** Oracle mirror of `pcaTrain`: CTE chain ending in mu/mua/v3. */
+  private lazy val pcaCteSql: String = {
+    def iterSql(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""cx$k AS (SELECT list_transform(list_zip(e.embedding, mua.mu),
+                     p -> CAST(p[1] AS DOUBLE) - p[2]) AS cx, v
+                   FROM e, mua, $prev),
+          tt$k AS (SELECT cx,
+                     ${pcaFold("list_transform(list_zip(cx, v), p -> p[1] * p[2])")}
+                       AS t
+                   FROM cx$k),
+          w$k AS (SELECT CAST(i - 1 AS INT) AS pos,
+                    ${graft.core.ExactSql.fsum("cx[i] * t")} AS w
+                  FROM tt$k, range(1, 65) r(i) GROUP BY 1),
+          wa$k AS (SELECT array_agg(w ORDER BY pos) AS wa FROM w$k),
+          v$k AS (SELECT list_transform(wa, x -> x / nrm) AS v FROM
+                    (SELECT wa,
+                       sqrt(${pcaFold("list_transform(wa, x -> x * x)")}) AS nrm
+                     FROM wa$k))"""
+    }
+    s"""WITH e AS (SELECT embedding FROM embeddings),
+        mu AS (SELECT CAST(i - 1 AS INT) AS pos,
+                      ${graft.core.ExactSql.fsum("embedding[i]")} / count(*) AS m
+               FROM e, range(1, 65) r(i) GROUP BY 1),
+        mua AS (SELECT array_agg(m ORDER BY pos) AS mu FROM mu),
+        v0 AS (SELECT list_transform(range(1, 65),
+                 i -> CAST(0.125 AS DOUBLE)) AS v),
+        ${iterSql(1)},
+        ${iterSql(2)},
+        ${iterSql(3)}"""
+  }
+
+  /** PCA power-iteration training shared by emb_pca / emb_pca_scores:
+    * returns (per-dim mean rows, 1-row mean array, 1-row unit
+    * direction after 3 rounds). See emb_pca's scaladoc for the 100 TB
+    * shape argument. */
+  private def pcaTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = t(s, d, "embeddings").select(col("embedding"))
+    def assemble(df: DataFrame, value: String, as: String): DataFrame =
+      df.groupBy().agg(transform(
+        array_sort(collect_list(struct(col("pos"), col(value)))),
+        x => x.getField(value)).as(as))
+    val mu = e.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg((graft.core.Exact.fsum(col("x")) / count(lit(1))).as("m"))
+    val mu1 = assemble(mu, "m", "mu")
+    val v0 = e.sparkSession.range(1)
+      .select(transform(sequence(lit(0), lit(63)),
+        _ => lit(0.125)).as("v"))
+    def iter(vdf: DataFrame): DataFrame = {
+      val w = e.crossJoin(broadcast(mu1)).crossJoin(broadcast(vdf))
+        .select(zip_with(col("embedding"), col("mu"),
+          (a, b) => a.cast("double") - b).as("cx"), col("v"))
+        .select(col("cx"),
+          aggregate(zip_with(col("cx"), col("v"), (a, b) => a * b),
+            lit(0.0), (acc, p) => acc + p).as("t"))
+        .select(posexplode(col("cx")).as(Seq("pos", "cxj")), col("t"))
+        .groupBy("pos")
+        .agg(graft.core.Exact.fsum(col("cxj") * col("t")).as("w"))
+      assemble(w, "w", "wa")
+        .select(col("wa"),
+          sqrt(aggregate(transform(col("wa"), x => x * x),
+            lit(0.0), (a, b) => a + b)).as("nrm"))
+        .select(transform(col("wa"), x => x / col("nrm")).as("v"))
+    }
+    (mu, mu1, iter(iter(iter(v0))))
+  }
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
@@ -833,40 +902,24 @@ object EmbeddingQueries extends GroupBase {
                 >= CAST(0.35 AS DOUBLE)
           ORDER BY da, db"""
     },
-    "emb_pca" -> {
-      def fold(expr: String) =
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $expr), (a, b) -> a + b)"
-      def iterSql(k: Int): String = {
-        val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""cx$k AS (SELECT list_transform(list_zip(e.embedding, mua.mu),
-                       p -> CAST(p[1] AS DOUBLE) - p[2]) AS cx, v
-                     FROM e, mua, $prev),
-            tt$k AS (SELECT cx,
-                       ${fold("list_transform(list_zip(cx, v), p -> p[1] * p[2])")}
-                         AS t
-                     FROM cx$k),
-            w$k AS (SELECT CAST(i - 1 AS INT) AS pos,
-                      ${graft.core.ExactSql.fsum("cx[i] * t")} AS w
-                    FROM tt$k, range(1, 65) r(i) GROUP BY 1),
-            wa$k AS (SELECT array_agg(w ORDER BY pos) AS wa FROM w$k),
-            v$k AS (SELECT list_transform(wa, x -> x / nrm) AS v FROM
-                      (SELECT wa,
-                         sqrt(${fold("list_transform(wa, x -> x * x)")}) AS nrm
-                       FROM wa$k))"""
-      }
-      s"""WITH e AS (SELECT embedding FROM embeddings),
-          mu AS (SELECT CAST(i - 1 AS INT) AS pos,
-                        ${graft.core.ExactSql.fsum("embedding[i]")} / count(*) AS m
-                 FROM e, range(1, 65) r(i) GROUP BY 1),
-          mua AS (SELECT array_agg(m ORDER BY pos) AS mu FROM mu),
-          v0 AS (SELECT list_transform(range(1, 65),
-                   i -> CAST(0.125 AS DOUBLE)) AS v),
-          ${iterSql(1)},
-          ${iterSql(2)},
-          ${iterSql(3)}
+    "emb_pca" ->
+      s"""$pcaCteSql
           SELECT mu.pos, mu.m AS mu, v[mu.pos + 1] AS v
-          FROM mu, v3 ORDER BY pos"""
-    },
+          FROM mu, v3 ORDER BY pos""",
+    "emb_pca_scores" ->
+      s"""$pcaCteSql,
+          cxq AS (SELECT q.vec_id,
+                         list_transform(list_zip(q.embedding, mua.mu),
+                           p -> CAST(p[1] AS DOUBLE) - p[2]) AS cx, v
+                  FROM (SELECT vec_id, embedding FROM embeddings) q, mua, v3),
+          tq AS (SELECT vec_id, cx, v,
+                   ${pcaFold("list_transform(list_zip(cx, v), p -> p[1] * p[2])")}
+                     AS t
+                 FROM cxq)
+          SELECT vec_id, t,
+                 ${pcaFold("list_transform(list_zip(cx, v), " +
+                   "p -> (p[1] - t * p[2]) * (p[1] - t * p[2]))")} AS err
+          FROM tq ORDER BY vec_id""",
     "emb_kmeans" -> {
       // squared-L2 as the same left fold the Spark side uses
       def d2Sql(a: String, c: String): String =

@@ -30,6 +30,7 @@ object PlanAudit {
     "emb_semdedup", "join_cross", "text_lm_nll", "text_tfidf",
     "pipe_ccnet",  // text_lm_nll's 1-row corpus-total broadcast, inherited
     "emb_pca",     // 1-row mean/direction broadcasts, corpus streams
+    "emb_pca_scores", // same trained-direction broadcasts, scoring scan
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
     "text_bm25",   // 1-row corpus-stats (nd, sumdl) broadcast
     "text_bpe_train") // 1-row winning-merge broadcast per training round
@@ -47,7 +48,8 @@ object PlanAudit {
     "emb_kmeans", "emb_pq", "emb_ivfpq", "text_lm_nll", "text_lm_bigram", "pipe_mix",
     "agg_string_agg", "over_sum_distinct",
     "pipe_ccnet", // text_lm_nll's per-doc sorted NLL fold, state = one doc's vocab
-    "emb_pca")    // 64-element direction re-assembly, bounded by dim
+    "emb_pca",    // 64-element direction re-assembly, bounded by dim
+    "emb_pca_scores") // inherits the training lineage's assembly
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions
