@@ -338,6 +338,30 @@ object AggQueries extends GroupBase {
         .orderBy("c_custkey")
     }),
 
+    // top user journeys (path analysis, the Sankey-diagram source
+    // aggregate): the 10 most frequent 3-step event-type sequences
+    // across all per-user event streams. The sequence windows (two
+    // lead()s) partition by user_id — bounded keyed history, same
+    // scale argument as rel_scd2 — and everything after is a hash-agg
+    // on the path string; the top-10 is a count-ordered limit with a
+    // total (cnt DESC, path ASC) tiebreak so the boundary is
+    // deterministic on both engines.
+    "agg_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path"))
+        .limit(10)
+    }),
+
     // cohort retention matrix (the second classic product-analytics
     // aggregate next to agg_funnel): users are cohorted by their
     // first active day; each later active day contributes to
@@ -612,6 +636,17 @@ object AggQueries extends GroupBase {
       s"""SELECT count(*) AS cnt, count(DISTINCT user_id) AS n_users,
           ${ExactSql.dsum("value")} AS sum_v, ${ExactSql.davg("value")} AS avg_v,
           min(value) AS min_v, max(value) AS max_v FROM events""",
+    "agg_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+                           lead(event_type, 1) OVER w AS t2,
+                           lead(event_type, 2) OVER w AS t3
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+          p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path
+                FROM o WHERE t3 IS NOT NULL)
+          SELECT path, count(*) AS cnt FROM p GROUP BY 1
+          ORDER BY cnt DESC, path LIMIT 10""",
     "agg_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
                            CAST(date_trunc('day', CAST(ts AS TIMESTAMP))

@@ -93,6 +93,48 @@ class CheckpointSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("funnel stage marks and pending buffer survive a query restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft-fun-ckpt").toString
+    val input = MemoryStream[KeyedEvent]
+    def stream = StatefulOps.funnelTrack(
+      input.toDS().withWatermark("ts", "5 seconds").as[KeyedEvent],
+      "signup", "click", "purchase")
+    val out = CheckpointSpec.funnelRows
+    out.clear()
+    def start() = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelOut], _: Long) =>
+        b.collect().foreach(m => out.add((m.key, m.stage)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // stage 1 completes before the stop (matured by the 20s event);
+    // the click at 21s is still PENDING (above the watermark) when
+    // the query stops — both the t1 mark and the buffered click must
+    // come back from the checkpoint.
+    input.addData(KeyedEvent(5L, ts(1000L), "signup", 1.0))
+    input.addData(KeyedEvent(5L, ts(20000L), "noise", 0.0))
+    input.addData(KeyedEvent(5L, ts(21000L), "click", 2.0))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(out.toArray.toList == List((5L, 1)), s"pre-restart: $out")
+
+    val q2 = start()
+    try {
+      Seq(KeyedEvent(5L, ts(60000L), "purchase", 3.0),
+        KeyedEvent(5L, ts(120000L), "noise", 0.0),
+        KeyedEvent(5L, ts(121000L), "noise", 0.0)).foreach { e =>
+        input.addData(e); q2.processAllAvailable()
+      }
+      val got = out.toArray.toList
+      assert(got == List((5L, 1), (5L, 2), (5L, 3)),
+        s"click buffered pre-restart + purchase post-restart: $got")
+    } finally q2.stop()
+  }
+
   test("stream-static join enriches a stream against a table (broadcast state)") {
     val s = spark
     import s.implicits._
@@ -120,4 +162,8 @@ object CheckpointSpec {
     * executor == driver JVM). */
   val cepMatches =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, List[Double])]()
+
+  /** Driver-side collector for the funnel restart test. */
+  val funnelRows =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
 }
