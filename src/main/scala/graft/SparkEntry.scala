@@ -20,6 +20,7 @@ object SparkEntry {
     EmbeddingQueries,
     MultimodalQueries,
     CurationQueries,
+    GraphQueries,
   )
 
   /** Flagship query (SpendReport, SURVEY §7.2 step 1): hourly spend per

@@ -76,6 +76,39 @@ object DedupQueries extends GroupBase {
         .orderBy("da", "db")
     }),
 
+    // DIRECTED n-gram containment C(A→B) = |S(A)∩S(B)| / |S(A)|: the
+    // asymmetric complement of dd_jaccard's symmetric score. A short
+    // quote wholly contained in a much longer page has near-zero
+    // Jaccard (the union is dominated by the long side) but
+    // containment ≈ 1 from the quote's side — this is the signal
+    // subset/quote dedup thresholds on. Same 100 TB discipline as
+    // dd_jaccard, unchanged: hashes-not-strings shuffles, within-doc
+    // array_distinct (no global distinct exchange), ShingleDf.capRare
+    // rare-shingle blocking (a hot boilerplate shingle generates no
+    // candidates), ReuseExchange on the self-join. The only deltas:
+    // the pair predicate is <> (both directions are emitted — the
+    // score is asymmetric) and the denominator is the SOURCE side's
+    // shingle count only.
+    "dd_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = graft.operators.ShingleDf.capRare(docs
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs",
+          array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
+        .filter(col("hs").isNotNull)
+        .select(col("doc_id"), size(col("hs")).as("n"),
+          explode(col("hs")).as("sh")), "sh", 1000)
+      sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.n").as("na"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("da"), col("db"), col("na"), col("inter"),
+          (col("inter").cast("double") / col("na")).as("cont"))
+        .filter(col("cont") >= 0.5)
+        .orderBy("da", "db")
+    }),
+
     // MinHash signatures + LSH banding: emit candidate pairs sharing
     // any band, with the fraction of equal minhash components.
     // Signature computation is SHUFFLE-FREE and runs in the codegen'd
@@ -345,6 +378,22 @@ object DedupQueries extends GroupBase {
                 doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS kept
          FROM documents ORDER BY doc_id""",
     "dd_jaccard" -> jaccardSql,
+    "dd_containment" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS sh
+                      FROM ($shinglesSql)),
+          rare AS (SELECT sh FROM (SELECT sh, count(*) df FROM sh GROUP BY 1)
+                   WHERE df <= 1000),
+          shr AS (SELECT doc_id, x.sh FROM sh x JOIN rare USING (sh)),
+          sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+          pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) inter
+                    FROM shr a JOIN shr b
+                      ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2)
+          SELECT da, db, CAST(sa.n AS INT) AS na, inter,
+                 CAST(inter AS DOUBLE) / sa.n AS cont
+          FROM pairs JOIN sizes sa ON da = sa.doc_id
+          WHERE CAST(inter AS DOUBLE) / sa.n >= CAST(0.5 AS DOUBLE)
+          ORDER BY da, db""",
     "dd_minhash" -> minhashSql,
     "dd_recall" ->
       s"""WITH truth AS ($jaccardSql),

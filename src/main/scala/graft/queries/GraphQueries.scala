@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, ExactSql}
+
+/** Link-graph analytics over a deterministic document web — the graph
+  * signals a web-scale curation pipeline ranks and filters with
+  * (PageRank as a page-quality prior; triangle counts as a
+  * link-farm/community signal).
+  *
+  * The graph is pure arithmetic on doc_id, so the DuckDB oracle
+  * rebuilds it bit-identically: every page with doc_id % 7 != 0 links
+  * to one popular hub page (doc_id % 10 — ten pages absorb ~a quarter
+  * of all edges, giving real in-degree skew) and three pseudo-random
+  * pages ((doc_id*31 + j*17) % N for j=1..3), self-loops dropped,
+  * duplicates collapsed. Pages with doc_id % 7 == 0 have NO outlinks —
+  * the dangling-node case every correct PageRank must redistribute.
+  *
+  * 100 TB shape notes:
+  *   - The edge list is derived element-wise from the node scan (no
+  *     shuffle); a real crawl would read it from a parquet edge table
+  *     with identical downstream shape.
+  *   - Each PageRank round is join(edges, ranks) hash-partitioned on
+  *     src + a groupBy(dst) whose partial aggregate runs below the
+  *     exchange — the hub pages' hot in-degree costs a streaming merge
+  *     of O(1)-state per-task partials (Exact.fsum), never a buffer of
+  *     raw contributions on one task, so no salting is needed.
+  *   - Scalar aggregates (node count, dangling mass) broadcast as
+  *     1-row tables; ranks never touch the driver.
+  *   - Rounds are unrolled 3× in one lineage (same convention as
+  *     dd_cluster / emb_pca / text_bpe_train); a production run would
+  *     iterate to convergence, checkpointing ranks between rounds.
+  */
+object GraphQueries extends GroupBase {
+
+  /** (nodes, edges): nodes = (doc_id, n_nodes); edges = (src, deg, dst)
+    * with deg the out-degree AFTER self-loop removal / dedup, carried
+    * on every edge row so contribution r/deg needs no second join. */
+  private def graph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val nrow = docs.agg(count(lit(1)).as("n_nodes"))
+    val nodes = docs.select(col("doc_id")).crossJoin(broadcast(nrow))
+    val edges = nodes.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("ds", array_distinct(filter(
+        concat(array(col("doc_id") % 10),
+          transform(sequence(lit(1), lit(3)),
+            j => (col("doc_id") * 31 + j * 17) % col("n_nodes"))),
+        x => x =!= col("doc_id"))))
+      .select(col("doc_id").as("src"), size(col("ds")).as("deg"),
+        explode(col("ds")).as("dst"))
+    (nodes, edges)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PageRank (d=0.85), 3 unrolled power-iteration rounds from the
+    // uniform vector, with dangling-mass redistribution: pages with no
+    // outlinks leak their rank to the whole graph each round, so
+    //   r'(v) = 0.15/N + 0.85*(sum_{u->v} r(u)/deg(u) + dm/N).
+    // All sums are Exact.fsum (order-independent 2^53-grid), every
+    // other operation is a single IEEE op on bit-identical operands in
+    // both engines, so three chained iterations verify hash-exact with
+    // NO rounding.
+    "graph_pagerank" -> ((s, d) => {
+      val (nodes, edges) = graph(s, d)
+      var ranks = nodes.select(col("doc_id"),
+        (lit(1.0) / col("n_nodes")).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+          .groupBy(col("dst")).agg(Exact.fsum(col("r") / col("deg")).as("s"))
+        val dm = ranks.filter(col("doc_id") % 7 === 0)
+          .agg(Exact.fsum(col("r")).as("dm"))
+        ranks = nodes.join(contrib, nodes("doc_id") === contrib("dst"), "left")
+          .crossJoin(broadcast(dm))
+          .select(col("doc_id"),
+            (lit(0.15) / col("n_nodes") + lit(0.85) *
+              (coalesce(col("s"), lit(0.0)) + col("dm") / col("n_nodes")))
+              .as("r"))
+      }
+      ranks.select(col("doc_id"), col("r").as("rank"),
+          (col("doc_id") % 7 === 0).as("dangling"))
+        .orderBy("doc_id")
+    }),
+
+    // per-node triangle count: canonicalize to undirected id-ordered
+    // edges (u < v), wedge-join e1(a,b) ⋈ e2(b,c) (a<b<c by
+    // transitivity — each triangle is enumerated exactly once), close
+    // the wedge against e3(a,c), then credit all three corners.
+    // Id-ordering bounds the wedge fan-out by the FORWARD degree; at
+    // 100 TB the standard refinement orients edges low-degree → high-
+    // degree instead (same plan shape, flatter wedge skew on power-law
+    // graphs). All joins are hash equi-joins on edge keys; the corner
+    // credit is an explode(3) + count hash-agg with map-side partials.
+    "graph_triangles" -> ((s, d) => {
+      val (nodes, edges) = graph(s, d)
+      val und = edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val tri = und.as("e1").join(und.as("e2"), col("e1.v") === col("e2.u"))
+        .join(und.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      val per = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      nodes.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  /** Shared oracle CTEs: node count + derived edge list (mirrors
+    * `graph` expression-for-expression; list_distinct/list_filter
+    * order differences are irrelevant — consumers are order-
+    * insensitive aggregates). */
+  private val graphSql =
+    """nn AS (SELECT count(*) AS n FROM documents),
+       outs AS (SELECT doc_id AS src,
+           list_distinct(list_filter(
+             list_prepend(doc_id % 10,
+               list_transform(range(1, 4), j -> (doc_id*31 + j*17) % n)),
+             x -> x <> doc_id)) AS ds
+         FROM documents CROSS JOIN nn WHERE doc_id % 7 <> 0),
+       edges AS (SELECT src, len(ds) AS deg, unnest(ds) AS dst FROM outs)"""
+
+  private def prRound(prev: String, out: String): String =
+    s"""$out AS (
+        SELECT d.doc_id,
+               CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+                 (coalesce(c.s, CAST(0.0 AS DOUBLE)) + dm.dm / nn.n) AS r
+        FROM documents d CROSS JOIN nn
+        CROSS JOIN (SELECT ${ExactSql.fsum("r")} AS dm FROM $prev
+                    WHERE doc_id % 7 = 0) dm
+        LEFT JOIN (SELECT dst, ${ExactSql.fsum("r / deg")} AS s
+                   FROM edges JOIN $prev p ON p.doc_id = edges.src
+                   GROUP BY dst) c
+          ON c.dst = d.doc_id)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH $graphSql,
+          r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / n AS r
+                 FROM documents CROSS JOIN nn),
+          ${prRound("r0", "r1")},
+          ${prRound("r1", "r2")},
+          ${prRound("r2", "r3")}
+          SELECT doc_id, r AS rank, doc_id % 7 = 0 AS dangling
+          FROM r3 ORDER BY doc_id""",
+    "graph_triangles" ->
+      s"""WITH $graphSql,
+          und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                  FROM edges),
+          tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                  FROM und e1 JOIN und e2 ON e1.v = e2.u
+                  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+          per AS (SELECT x AS doc_id, count(*) AS n_tri
+                  FROM (SELECT unnest([a, b, c]) AS x FROM tri) GROUP BY 1)
+          SELECT d.doc_id, coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri
+          FROM documents d LEFT JOIN per USING (doc_id)
+          ORDER BY doc_id""",
+  )
+}

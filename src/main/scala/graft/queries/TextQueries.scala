@@ -182,6 +182,34 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // per-doc token-distribution Shannon entropy (bits): the
+    // model-free diversity signal between text_repetition's fixed
+    // n-gram fractions and text_lm_nll's corpus-model NLL — a spam
+    // page repeating one phrase scores near 0, varied prose near
+    // log2(vocab). Needs NO corpus statistics, so unlike lm_nll there
+    // is no broadcast join: one tokenize, one (doc, distinct-token)
+    // count agg (partial below the exchange), one per-doc agg.
+    // Identity H = ln(n) - (1/n)·Σ m·ln(m), all in nats then one
+    // /ln(2), avoids needing p=m/n before the per-doc total n is
+    // known — a single agg instead of two. ln() is transcendental
+    // (engines differ in the last ulp) → per-doc sorted-fold of the
+    // m·ln(m) terms + round(6), the text_lm_nll discipline; the fold
+    // state is one doc's distinct-token terms, bounded by doc vocab.
+    "text_entropy" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      val n = sum(col("m")).cast("double")
+      tf.select(col("doc_id"), col("m"),
+          (col("m").cast("double") * log(col("m").cast("double"))).as("mlm"))
+        .groupBy("doc_id")
+        .agg(sum(col("m")).as("n"), count(lit(1)).as("k"),
+          round((log(n) - aggregate(sort_array(collect_list(col("mlm"))),
+              lit(0.0), (a, v) => a + v) / n) / log(lit(2.0)), 6)
+            .as("ent"))
+        .orderBy("doc_id")
+    }),
+
     // bigram-LM quality score (perplexity-filter shape, one level
     // deeper than text_lm_nll): per-doc mean -ln P(w_i | w_{i-1})
     // with ML estimates from corpus counts. Context count derives
@@ -962,6 +990,20 @@ object TextQueries extends GroupBase {
                      list_sort(array_agg(mlnp))), (a, v) -> a + v)
                    / CAST(sum(m) AS DOUBLE)), 6) AS nll
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "text_entropy" ->
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS m
+                      FROM (SELECT doc_id, unnest($toksSql) AS tok
+                            FROM documents) GROUP BY 1, 2),
+          terms AS (SELECT doc_id, m,
+                           CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)) AS mlm
+                    FROM tf)
+          SELECT doc_id, CAST(sum(m) AS BIGINT) AS n, count(*) AS k,
+                 round((ln(CAST(sum(m) AS DOUBLE)) -
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_sort(array_agg(mlm))), (a, v) -> a + v)
+                          / CAST(sum(m) AS DOUBLE))
+                       / ln(CAST(2.0 AS DOUBLE)), 6) AS ent
+          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, ${TextOps.hash32Sql("text")} AS fp32
           FROM documents ORDER BY doc_id""",

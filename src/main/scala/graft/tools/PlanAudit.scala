@@ -33,7 +33,9 @@ object PlanAudit {
     "emb_pca_scores", // same trained-direction broadcasts, scoring scan
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
     "text_bm25",   // 1-row corpus-stats (nd, sumdl) broadcast
-    "text_bpe_train") // 1-row winning-merge broadcast per training round
+    "text_bpe_train", // 1-row winning-merge broadcast per training round
+    "graph_pagerank",  // 1-row node-count + per-round dangling-mass broadcasts
+    "graph_triangles") // 1-row node-count broadcast builds the node spine
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -49,7 +51,8 @@ object PlanAudit {
     "agg_string_agg", "over_sum_distinct",
     "pipe_ccnet", // text_lm_nll's per-doc sorted NLL fold, state = one doc's vocab
     "emb_pca",    // 64-element direction re-assembly, bounded by dim
-    "emb_pca_scores") // inherits the training lineage's assembly
+    "emb_pca_scores", // inherits the training lineage's assembly
+    "text_entropy")   // per-doc m·ln(m) fold, state = one doc's vocab
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions

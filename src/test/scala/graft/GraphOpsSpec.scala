@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import graft.functions.HashKernels
+
+/** Brute-force differential tests for the link-graph family and the
+  * round-6 text/dedup additions — the third leg next to the DuckDB
+  * oracle (which could share a bug with the SQL expression) and the
+  * plan audit. The graph queries derive their edge list from doc_id
+  * arithmetic, so a tiny corpus with contiguous ids exercises the
+  * full pipeline: hubs, dangling mass, self-loop removal.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  private val vocab = Vector("the", "scan", "window", "merge")
+
+  /** n docs with ids 0..n-1 (the graph queries' modulo targets need
+    * contiguity, which the driver's generator also guarantees). */
+  private def writeDocs(seed: Long, n: Int): (String, Vector[Vector[String]]) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val docs = Vector.fill(n) {
+      Vector.fill(3 + rnd.nextInt(28))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val dir = Files.createTempDirectory(s"graft-graph$seed").toString
+    docs.zipWithIndex
+      .map { case (tk, i) => (i.toLong, tk.mkString(" "), "en", "srcG", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (dir, docs)
+  }
+
+  /** The query's edge rule, brute-forced: hub + 3 modulo links,
+    * self-loops dropped, duplicates collapsed, % 7 == 0 dangling. */
+  private def outlinks(n: Int): Map[Int, Seq[Int]] =
+    (0 until n).filter(_ % 7 != 0).map { s =>
+      s -> (Seq(s % 10) ++ (1 to 3).map(j => (s * 31 + j * 17) % n))
+        .filter(_ != s).distinct
+    }.toMap
+
+  test("graph_pagerank matches a brute-force 3-round power iteration") {
+    val n = 40
+    val (dir, _) = writeDocs(11L, n)
+    val ds = outlinks(n)
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to 3) {
+      val contrib = Array.fill(n)(0.0)
+      ds.foreach { case (s, ts) =>
+        ts.foreach(t => contrib(t) += r(s) / ts.size)
+      }
+      val dm = (0 until n).filter(_ % 7 == 0).map(r(_)).sum
+      r = Array.tabulate(n)(v => 0.15 / n + 0.85 * (contrib(v) + dm / n))
+    }
+    val got = SparkEntry.queries("graph_pagerank")(spark, dir).collect()
+    assert(got.length == n)
+    got.foreach { row =>
+      val (id, rank, dangling) =
+        (row.getLong(0).toInt, row.getDouble(1), row.getBoolean(2))
+      assert(dangling == (id % 7 == 0))
+      // Exact.fsum quantizes each term on the 2^-53 grid; three
+      // chained rounds stay within ~1e-12 of the plain-double model
+      assert(math.abs(rank - r(id)) < 1e-9, s"node $id: $rank vs ${r(id)}")
+    }
+    // rank is a probability distribution: total mass conserved
+    assert(math.abs(got.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+  }
+
+  test("graph_triangles matches a brute-force wedge enumeration") {
+    val n = 40
+    val (dir, _) = writeDocs(12L, n)
+    val und = outlinks(n).toSeq
+      .flatMap { case (s, ts) => ts.map(t => (s min t, s max t)) }.toSet
+    val cnt = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- und; (b2, c) <- und
+      if b2 == b && und.contains((a, c))
+    } Seq(a, b, c).foreach(v => cnt(v) += 1)
+    val got = SparkEntry.queries("graph_triangles")(spark, dir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (0 until n).foreach(v => assert(got(v) == cnt(v), s"node $v"))
+    // sanity: the generated graph actually has triangles to count
+    assert(cnt.values.sum > 0)
+  }
+
+  test("dd_containment matches a brute-force shingle-hash model") {
+    for (seed <- Seq(21L, 22L)) {
+      val (dir, docs) = writeDocs(seed, 30)
+      // model on the HASH (like the query): distinct 3-gram h32 per doc
+      val hs = docs.map(tk =>
+        tk.sliding(3).filter(_.size == 3)
+          .map(g => HashKernels.h32(g.mkString(" "))).toSet)
+      val want = (for {
+        a <- hs.indices; b <- hs.indices
+        if a != b && hs(a).nonEmpty
+        inter = (hs(a) & hs(b)).size
+        if inter.toDouble / hs(a).size >= 0.5
+      } yield (a.toLong, b.toLong, hs(a).size, inter.toLong,
+        inter.toDouble / hs(a).size)).toSet
+      val got = SparkEntry.queries("dd_containment")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(got == want,
+        s"seed $seed: ${(got diff want) ++ (want diff got)}")
+    }
+  }
+
+  test("text_entropy matches brute-force Shannon entropy per doc") {
+    val (dir, docs) = writeDocs(31L, 30)
+    val got = SparkEntry.queries("text_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0).toInt -> r).toMap
+    docs.zipWithIndex.foreach { case (tk, i) =>
+      val n = tk.size
+      val m = tk.groupBy(identity).values.map(_.size)
+      val h = (math.log(n) - m.map(c => c * math.log(c)).sum / n) / math.log(2)
+      val row = got(i)
+      assert(row.getLong(row.fieldIndex("n")) == n)
+      assert(row.getLong(row.fieldIndex("k")) == m.size)
+      assert(math.abs(row.getDouble(row.fieldIndex("ent")) - h) < 2e-6,
+        s"doc $i")
+      // bounds: 0 <= H <= log2(k)
+      val ent = row.getDouble(row.fieldIndex("ent"))
+      assert(ent >= 0.0 && ent <= math.log(m.size.toDouble) / math.log(2) + 2e-6)
+    }
+  }
+}
