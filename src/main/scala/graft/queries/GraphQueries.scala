@@ -106,6 +106,32 @@ object GraphQueries extends GroupBase {
         .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
         .orderBy("doc_id")
     }),
+
+    // Connected components by bounded min-label propagation (3 rounds,
+    // the dd_cluster discipline applied to the link graph): each round
+    // every node takes the minimum label among itself and its
+    // neighbors. The component structure is what a crawl pipeline
+    // partitions mirror/duplicate sites by. Deterministic at any round
+    // count, so the 3-round labels are oracle-exact even where not yet
+    // converged; a production run iterates to fixpoint with a
+    // checkpoint between rounds. Per round: one join hash-partitioned
+    // on the edge dst + one min agg with map-side partials — no
+    // driver-side union-find, labels never collected.
+    "graph_cc" -> ((s, d) => {
+      val (nodes, edges) = graph(s, d)
+      val und = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+      for (_ <- 1 to 3) {
+        val nbr = und.join(labels, und("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+        labels = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      }
+      labels.orderBy("doc_id")
+    }),
   )
 
   /** Shared oracle CTEs: node count + derived edge list (mirrors
@@ -157,5 +183,24 @@ object GraphQueries extends GroupBase {
           SELECT d.doc_id, coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri
           FROM documents d LEFT JOIN per USING (doc_id)
           ORDER BY doc_id""",
+    "graph_cc" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (
+            SELECT l.doc_id,
+                   least(l.comp, coalesce(m.nc, l.comp)) AS comp
+            FROM $prev l
+            LEFT JOIN (SELECT und.src, min(p.comp) AS nc
+                       FROM und JOIN $prev p ON p.doc_id = und.dst
+                       GROUP BY 1) m
+              ON m.src = l.doc_id)"""
+      s"""WITH $graphSql,
+          und AS (SELECT src, dst FROM edges
+                  UNION SELECT dst, src FROM edges),
+          l0 AS (SELECT doc_id, doc_id AS comp FROM documents),
+          ${round("l0", "l1")},
+          ${round("l1", "l2")},
+          ${round("l2", "l3")}
+          SELECT doc_id, comp FROM l3 ORDER BY doc_id"""
+    },
   )
 }

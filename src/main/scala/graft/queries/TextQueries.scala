@@ -378,6 +378,35 @@ object TextQueries extends GroupBase {
         .orderBy("lang", "source", "rk")
     }),
 
+    // WEIGHTED sampling without replacement (priority/A-ExpJ shape):
+    // draw k=100 docs with inclusion probability proportional to
+    // token count — the draw a mixture builder uses when "sample 1%
+    // of tokens" must not over-represent short documents. Each doc
+    // gets priority ln(u)/w (u = salted-hash uniform in (0,1],
+    // w = n_tok); the k LARGEST priorities are exactly an
+    // exponential-race draw ∝ w. Deterministic: u is hash-derived, so
+    // any cluster size / re-run / engine reproduces the same sample.
+    // Scale shape: priorities are element-wise; the global top-k is
+    // orderBy+limit = TakeOrderedAndProject (per-partition k-heaps,
+    // k-row merge on one task) — never a global sort or window. The
+    // priority is rounded to 6 dp BEFORE ranking with a doc_id
+    // tie-break, so a last-ulp ln() difference between engines cannot
+    // flip the boundary of the kept set (text_lm_nll discipline).
+    "pipe_wsample" -> ((s, d) => {
+      val h = TextOps.hash32(
+        concat(lit("wsample:"), col("doc_id").cast("string")))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).as("n_tok"), h.as("h"))
+        .filter(col("n_tok") > 0)
+        .withColumn("pri", round(
+          log((col("h").cast("double") + lit(1.0)) / lit(4294967296.0))
+            / col("n_tok"), 6))
+        .orderBy(col("pri").desc, col("doc_id").asc)
+        .limit(100)
+        .select("doc_id", "lang", "n_tok", "pri")
+    }),
+
     // deterministic global shuffle into training shards: shard by a
     // salted content-independent hash, order within the shard by the
     // same hash — the data-layout primitive before sequence packing.
@@ -966,6 +995,19 @@ object TextQueries extends GroupBase {
                      FROM documents)
           SELECT lang, source, CAST(rk AS INT) AS rk, doc_id
           FROM r WHERE rk <= 5 ORDER BY lang, source, rk"""
+    },
+    "pipe_wsample" -> {
+      val h = TextOps.hash32Sql("'wsample:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH w AS (SELECT doc_id, lang,
+                            CAST(len($toksSql) AS INT) AS n_tok,
+                            ($h) AS h
+                     FROM documents)
+          SELECT doc_id, lang, n_tok,
+                 round(ln((CAST(h AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                          / CAST(4294967296.0 AS DOUBLE))
+                       / n_tok, 6) AS pri
+          FROM w WHERE n_tok > 0
+          ORDER BY pri DESC, doc_id ASC LIMIT 100"""
     },
     "pipe_shard" -> {
       val h = TextOps.hash32Sql("'shard:' || CAST(doc_id AS VARCHAR)")

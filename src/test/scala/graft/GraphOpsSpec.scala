@@ -84,6 +84,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(cnt.values.sum > 0)
   }
 
+  test("graph_cc matches brute-force 3-round min-label propagation") {
+    val n = 40
+    val (dir, _) = writeDocs(13L, n)
+    val und = outlinks(n).toSeq
+      .flatMap { case (s, ts) => ts.flatMap(t => Seq(s -> t, t -> s)) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).distinct }
+    var lbl = Array.tabulate(n)(identity)
+    for (_ <- 1 to 3) {
+      val nxt = Array.tabulate(n) { v =>
+        (lbl(v) +: und.getOrElse(v, Seq.empty).map(lbl(_))).min
+      }
+      lbl = nxt
+    }
+    val got = SparkEntry.queries("graph_cc")(spark, dir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (0 until n).foreach(v => assert(got(v) == lbl(v), s"node $v"))
+    // min-label is monotone: a label never exceeds the node's own id
+    (0 until n).foreach(v => assert(got(v) <= v))
+    // the hub structure actually merges something
+    assert(lbl.distinct.length < n)
+  }
+
+  test("pipe_wsample matches a brute-force weighted priority draw") {
+    val (dir, docs) = writeDocs(41L, 300)
+    val want = docs.zipWithIndex.flatMap { case (tk, i) =>
+      val nTok = tk.size // writeDocs emits non-empty docs
+      val h = HashKernels.h32(s"wsample:$i")
+      val pri = BigDecimal(math.log((h + 1.0) / 4294967296.0) / nTok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Some((i.toLong, nTok, pri))
+    }.sortBy { case (id, _, pri) => (-pri, id) }.take(100)
+    val got = SparkEntry.queries("pipe_wsample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(got.length == 100)
+    assert(got.toSeq == want.toSeq)
+    // weighting sanity: the kept set over-represents long docs
+    val avgAll = docs.map(_.size).sum.toDouble / docs.size
+    val avgKept = got.map(_._2).sum.toDouble / got.length
+    assert(avgKept > avgAll)
+  }
+
   test("dd_containment matches a brute-force shingle-hash model") {
     for (seed <- Seq(21L, 22L)) {
       val (dir, docs) = writeDocs(seed, 30)
