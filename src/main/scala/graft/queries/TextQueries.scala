@@ -378,6 +378,37 @@ object TextQueries extends GroupBase {
         .orderBy("lang", "source", "rk")
     }),
 
+    // robust per-language outlier detection (median/MAD, the data-QC
+    // gate that flags anomalous documents without assuming
+    // normality): dev = |n_tok - median|, outlier when
+    // dev > 3 * 1.4826 * MAD (1.4826 scales MAD to sigma under a
+    // normal reference). Mean/stddev z-scores break exactly when
+    // outliers are present; median/MAD does not.
+    // Scale shape: Spark's exact `percentile` aggregates a value ->
+    // count map, so per-group state is O(distinct token counts) — an
+    // integer signal with bounded range — not O(rows), and the map is
+    // a map-side partial. The two stats tables are per-lang rows,
+    // broadcast back; the corpus lineage is re-derived per pass
+    // (persist between passes at 100 TB — the pipe_ccnet trade).
+    // med/MAD interpolate on the integer grid (exact in double), dev
+    // and the threshold derive identically on both engines, so the
+    // boolean is engine-exact with no rounding needed.
+    "text_outliers" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).as("n_tok"))
+      val med = base.groupBy("lang")
+        .agg(expr("percentile(n_tok, 0.5)").as("med"))
+      val dev = base.join(broadcast(med), "lang")
+        .withColumn("dev", abs(col("n_tok") - col("med")))
+      val mad = dev.groupBy("lang")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "lang")
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("med"),
+          col("mad"), col("dev"),
+          (col("dev") > lit(3.0) * lit(1.4826) * col("mad")).as("outlier"))
+        .orderBy("doc_id")
+    }),
+
     // WEIGHTED sampling without replacement (priority/A-ExpJ shape):
     // draw k=100 docs with inclusion probability proportional to
     // token count — the draw a mixture builder uses when "sample 1%
@@ -996,6 +1027,20 @@ object TextQueries extends GroupBase {
           SELECT lang, source, CAST(rk AS INT) AS rk, doc_id
           FROM r WHERE rk <= 5 ORDER BY lang, source, rk"""
     },
+    "text_outliers" ->
+      s"""WITH b AS (SELECT doc_id, lang, CAST(len($toksSql) AS INT) AS n_tok
+                     FROM documents),
+          med AS (SELECT lang, quantile_cont(n_tok, 0.5) AS med
+                  FROM b GROUP BY 1),
+          dv AS (SELECT b.doc_id, b.lang, b.n_tok, med.med,
+                        abs(n_tok - med) AS dev
+                 FROM b JOIN med USING (lang)),
+          mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+                  FROM dv GROUP BY 1)
+          SELECT doc_id, dv.lang, n_tok, med, mad, dev,
+                 dev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+                   AS outlier
+          FROM dv JOIN mad USING (lang) ORDER BY doc_id""",
     "pipe_wsample" -> {
       val h = TextOps.hash32Sql("'wsample:' || CAST(doc_id AS VARCHAR)")
       s"""WITH w AS (SELECT doc_id, lang,

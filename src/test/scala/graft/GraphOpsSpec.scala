@@ -16,7 +16,8 @@ class GraphOpsSpec extends SparkSpec {
 
   /** n docs with ids 0..n-1 (the graph queries' modulo targets need
     * contiguity, which the driver's generator also guarantees). */
-  private def writeDocs(seed: Long, n: Int): (String, Vector[Vector[String]]) = {
+  private def writeDocs(seed: Long, n: Int,
+      lang: Int => String = _ => "en"): (String, Vector[Vector[String]]) = {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(seed)
@@ -25,7 +26,7 @@ class GraphOpsSpec extends SparkSpec {
     }
     val dir = Files.createTempDirectory(s"graft-graph$seed").toString
     docs.zipWithIndex
-      .map { case (tk, i) => (i.toLong, tk.mkString(" "), "en", "srcG", 1L) }
+      .map { case (tk, i) => (i.toLong, tk.mkString(" "), lang(i), "srcG", 1L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     (dir, docs)
@@ -124,6 +125,54 @@ class GraphOpsSpec extends SparkSpec {
     val avgAll = docs.map(_.size).sum.toDouble / docs.size
     val avgKept = got.map(_._2).sum.toDouble / got.length
     assert(avgKept > avgAll)
+  }
+
+  test("text_outliers matches a brute-force median/MAD model") {
+    val langs = Vector("en", "de", "fr")
+    // heavy-tailed lengths: a tight 10..20 body plus spam-page blowups
+    // every 29th doc, so both flag classes occur
+    val s0 = spark
+    import s0.implicits._
+    val rnd = new scala.util.Random(51L)
+    val docs = Vector.tabulate(200) { i =>
+      val len = if (i % 29 == 0) 200 + rnd.nextInt(50) else 10 + rnd.nextInt(11)
+      Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    }
+    val dir = Files.createTempDirectory("graft-outliers").toString
+    docs.zipWithIndex
+      .map { case (tk, i) =>
+        (i.toLong, tk.mkString(" "), langs(i % 3), "srcG", 1L)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // quantile_cont / Spark percentile: index (n-1)*p into the sorted
+    // values, linear interpolation
+    def qcont(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val p = (s.size - 1) * 0.5
+      val lo = p.toInt
+      if (p == lo) s(lo) else s(lo) + (p - lo) * (s(lo + 1) - s(lo))
+    }
+    val byLang = docs.zipWithIndex.groupBy { case (_, i) => langs(i % 3) }
+    val med = byLang.map { case (l, ds) =>
+      l -> qcont(ds.map(_._1.size.toDouble))
+    }
+    val mad = byLang.map { case (l, ds) =>
+      l -> qcont(ds.map { case (tk, _) => math.abs(tk.size - med(l)) })
+    }
+    val got = SparkEntry.queries("text_outliers")(spark, dir).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (id, l, n) = (r.getLong(0).toInt, r.getString(1), r.getInt(2))
+      assert(n == docs(id).size)
+      assert(r.getDouble(3) == med(l), s"med doc $id")
+      assert(r.getDouble(4) == mad(l), s"mad doc $id")
+      assert(r.getDouble(5) == math.abs(n - med(l)), s"dev doc $id")
+      assert(r.getBoolean(6) ==
+        (math.abs(n - med(l)) > 3.0 * 1.4826 * mad(l)), s"flag doc $id")
+    }
+    // the corpus actually produces both classes
+    assert(got.exists(_.getBoolean(6)) && got.exists(!_.getBoolean(6)))
   }
 
   test("dd_containment matches a brute-force shingle-hash model") {
