@@ -440,6 +440,43 @@ object AggQueries extends GroupBase {
             .cast("double").as("conv_from_prev"))
         .orderBy("stage")
     }),
+
+    // A/B experiment readout with a two-proportion z-test: users are
+    // deterministically hash-assigned to variant 0/1 (the bucketing a
+    // real experiment framework does), conversion = any 'purchase'
+    // event, and the readout is one row: per-variant sizes, rates,
+    // pooled z, significance at |z| > 1.96. Shape: per-user conversion
+    // is ONE user-keyed hash agg (map-side max partials), the variant
+    // split a conditional scalar agg — no second shuffle, nothing on
+    // the driver. z is transcendental (sqrt) so it rounds to 6 dp and
+    // the flag derives from the ROUNDED value on both engines
+    // (pipe_wsample discipline); a degenerate pool (p = 0 or 1) makes
+    // se = 0, guarded to z = 0 identically on both engines (Spark
+    // x/0 = NULL vs DuckDB IEEE inf — the emb_sq8 divergence class).
+    "agg_ab" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val users = ev.groupBy("user_id")
+        .agg(max((col("event_type") === "purchase").cast("int")).as("conv"))
+        .withColumn("v", pmod(graft.functions.TextOps.hash32(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)))
+      val c = users.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 0, col("conv").cast("long")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("v") === 1, col("conv").cast("long")).otherwise(0L))
+          .as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a")
+      val pb = col("conv_b").cast("double") / col("n_b")
+      val p = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val se = sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      val z = round(when(se === 0.0, 0.0).otherwise((pa - pb) / se), 6)
+      c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+        z.as("z"), (abs(z) > lit(1.96)).as("significant"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -685,5 +722,40 @@ object AggQueries extends GroupBase {
                    AS conv_from_prev
           FROM st s LEFT JOIN st p ON s.stage = p.stage + 1
           ORDER BY s.stage""",
+    "agg_ab" -> {
+      val h = graft.functions.TextOps.hash32Sql(
+        "'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT user_id,
+                            max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv,
+                            ($h) % 2 AS v
+                     FROM events GROUP BY user_id),
+          c AS (SELECT
+                  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_a,
+                  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b,
+                  CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_b
+                FROM u),
+          r AS (SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
+                       CAST(conv_b AS DOUBLE) / n_b AS pb,
+                       CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p
+                FROM c),
+          se AS (SELECT *, sqrt(p * (CAST(1.0 AS DOUBLE) - p) *
+                   (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b))
+                   AS sev
+                 FROM r),
+          zt AS (SELECT *, round(CASE WHEN sev = CAST(0.0 AS DOUBLE)
+                                      THEN CAST(0.0 AS DOUBLE)
+                                      ELSE (pa - pb) / sev END, 6) AS z
+                 FROM se)
+          SELECT n_a, conv_a, n_b, conv_b,
+                 round(pa, 6) AS rate_a, round(pb, 6) AS rate_b, z,
+                 abs(z) > CAST(1.96 AS DOUBLE) AS significant
+          FROM zt"""
+    },
   )
 }

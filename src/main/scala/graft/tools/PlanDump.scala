@@ -53,6 +53,8 @@ object PlanDump {
     "dd_containment" -> "directed containment: dd_jaccard's rare-shingle cap + ReusedExchange self-join, asymmetric score",
     "graph_pagerank" -> "PageRank: per-round edge join + dst agg with map-side partials, 1-row scalar broadcasts",
     "text_entropy" -> "per-doc Shannon entropy: one tokenize, partial agg below the (doc,tok) exchange",
+    "pipe_wsample" -> "weighted priority sample: element-wise priorities, global top-k as TakeOrderedAndProject (no sort/window)",
+    "text_outliers" -> "median/MAD gate: bounded value->count percentile state, per-lang stats broadcast back",
   )
 
   def main(args: Array[String]): Unit = {

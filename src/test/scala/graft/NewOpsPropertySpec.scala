@@ -117,4 +117,39 @@ class NewOpsPropertySpec extends SparkSpec {
         assert(math.abs(got(2)._4.get - t3.size.toDouble / t2.size) < 1e-7)
     }
   }
+
+  test("agg_ab matches a brute-force two-proportion z-test") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(21L, 22L)) {
+      val rnd = new scala.util.Random(seed)
+      val kinds = Vector("signup", "click", "purchase", "view")
+      val events = Vector.tabulate(400) { i =>
+        (i.toLong, 1700000000000000000L + rnd.nextInt(1000000) * 1000000L,
+          rnd.nextInt(30).toLong, kinds(rnd.nextInt(kinds.size)),
+          rnd.nextDouble() * 100, "{}")
+      }
+      val dir = Files.createTempDirectory(s"graft-ab$seed").toString
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val byUser = events.groupBy(_._3).map { case (u, es) =>
+        (u, es.exists(_._4 == "purchase"),
+          graft.functions.HashKernels.h32(s"ab:$u") % 2)
+      }.toSeq
+      def cnt(v: Long, conv: Boolean => Boolean) =
+        byUser.count(x => x._3 == v && conv(x._2)).toLong
+      val (na, ca) = (cnt(0, _ => true), cnt(0, identity))
+      val (nb, cb) = (cnt(1, _ => true), cnt(1, identity))
+      val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+      val p = (ca + cb).toDouble / (na + nb)
+      val se = math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+      val z = BigDecimal(if (se == 0.0) 0.0 else (pa - pb) / se)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val r = SparkEntry.queries("agg_ab")(spark, dir).collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((na, ca, nb, cb)), s"seed $seed counts")
+      assert(r.getDouble(6) == z, s"seed $seed z")
+      assert(r.getBoolean(7) == (math.abs(z) > 1.96), s"seed $seed flag")
+    }
+  }
 }
