@@ -378,6 +378,47 @@ object TextQueries extends GroupBase {
         .orderBy("lang", "source", "rk")
     }),
 
+    // two-sample Kolmogorov-Smirnov drift test between two sources'
+    // token-count distributions — the QC a mixture builder runs
+    // before folding a new crawl snapshot in ("did this source's
+    // length profile shift?"). KS = max_v |F1(v) - F2(v)|, drift at
+    // the 5% critical value 1.358*sqrt((n1+n2)/(n1*n2)).
+    // Scale shape: the corpus collapses to a (n_tok, c1, c2)
+    // histogram in ONE pass (bounded by distinct integer token
+    // counts, not rows); the CDFs come from a triangular <= self-join
+    // of that broadcast-tiny histogram — NOT a global-partition
+    // window, which the catalog-wide plan audit forbids (WindowExec
+    // would put the whole CDF on one task; here the hist is provably
+    // tiny so the BNLJ is the deliberate-broadcast class). No
+    // rounding needed anywhere: counts are integers, the ratios and
+    // |diffs| are exact doubles, and IEEE sqrt is correctly rounded,
+    // so both engines agree bit-for-bit.
+    "text_ks" -> ((s, d) => {
+      val b = t(s, d, "documents")
+        .filter(col("source").isin("src1", "src2"))
+        .select(col("source"), size(TextOps.tokens(col("text"))).as("n_tok"))
+      val h = b.groupBy("n_tok").agg(
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src2", 1L).otherwise(0L)).as("c2"))
+      val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val cdf = h.as("x").join(broadcast(h.as("y")),
+          col("y.n_tok") <= col("x.n_tok"))
+        .groupBy(col("x.n_tok"))
+        .agg(sum(col("y.c1")).as("f1"), sum(col("y.c2")).as("f2"))
+      cdf.crossJoin(broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("f1").cast("double") / col("n1") -
+          col("f2").cast("double") / col("n2"))).as("ks"))
+        .select(col("n1"), col("n2"), col("ks"),
+          // n1*n2 multiplies as DOUBLE: a bigint product overflows
+          // past ~3e9 docs per source, a double (exact under 2^53
+          // per factor) does not — and both engines IEEE-agree
+          (col("ks") > lit(1.358) *
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast("double") * col("n2").cast("double"))))
+            .as("drifted"))
+    }),
+
     // robust per-language outlier detection (median/MAD, the data-QC
     // gate that flags anomalous documents without assuming
     // normality): dev = |n_tok - median|, outlier when
@@ -1027,6 +1068,30 @@ object TextQueries extends GroupBase {
           SELECT lang, source, CAST(rk AS INT) AS rk, doc_id
           FROM r WHERE rk <= 5 ORDER BY lang, source, rk"""
     },
+    "text_ks" ->
+      s"""WITH b AS (SELECT source, CAST(len($toksSql) AS INT) AS n_tok
+                     FROM documents WHERE source IN ('src1', 'src2')),
+          h AS (SELECT n_tok,
+                  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c2
+                FROM b GROUP BY 1),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+          cdf AS (SELECT x.n_tok, CAST(sum(y.c1) AS BIGINT) AS f1,
+                         CAST(sum(y.c2) AS BIGINT) AS f2
+                  FROM h x JOIN h y ON y.n_tok <= x.n_tok GROUP BY 1),
+          k AS (SELECT n1, n2,
+                       max(abs(CAST(f1 AS DOUBLE) / n1 -
+                               CAST(f2 AS DOUBLE) / n2)) AS ks
+                FROM cdf CROSS JOIN tot GROUP BY 1, 2)
+          SELECT n1, n2, ks,
+                 ks > CAST(1.358 AS DOUBLE) *
+                      sqrt(CAST(n1 + n2 AS DOUBLE) /
+                           (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                   AS drifted
+          FROM k""",
     "text_outliers" ->
       s"""WITH b AS (SELECT doc_id, lang, CAST(len($toksSql) AS INT) AS n_tok
                      FROM documents),

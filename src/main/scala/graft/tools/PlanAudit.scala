@@ -36,7 +36,8 @@ object PlanAudit {
     "text_bpe_train", // 1-row winning-merge broadcast per training round
     "graph_pagerank",  // 1-row node-count + per-round dangling-mass broadcasts
     "graph_triangles", // 1-row node-count broadcast builds the node spine
-    "graph_cc")        // same node-count broadcast via the shared graph builder
+    "graph_cc",        // same node-count broadcast via the shared graph builder
+    "text_ks")         // triangular <= join over the bounded length histogram
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

@@ -55,6 +55,7 @@ object PlanDump {
     "text_entropy" -> "per-doc Shannon entropy: one tokenize, partial agg below the (doc,tok) exchange",
     "pipe_wsample" -> "weighted priority sample: element-wise priorities, global top-k as TakeOrderedAndProject (no sort/window)",
     "text_outliers" -> "median/MAD gate: bounded value->count percentile state, per-lang stats broadcast back",
+    "text_ks" -> "KS drift test: corpus collapses to a bounded histogram, CDFs from a broadcast triangular join",
   )
 
   def main(args: Array[String]): Unit = {

@@ -175,6 +175,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.exists(_.getBoolean(6)) && got.exists(!_.getBoolean(6)))
   }
 
+  test("text_ks matches a brute-force two-sample KS statistic") {
+    val s0 = spark
+    import s0.implicits._
+    // shifted = src2 lengths drawn from a longer regime -> must drift;
+    // unshifted -> same regime, must not
+    for (shift <- Seq(0, 25)) {
+      val rnd = new scala.util.Random(61L + shift)
+      val docs = Vector.tabulate(240) { i =>
+        val src = if (i % 2 == 0) "src1" else "src2"
+        val len = 10 + rnd.nextInt(15) + (if (src == "src2") shift else 0)
+        (i.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))), src)
+      }
+      val dir = Files.createTempDirectory(s"graft-ks$shift").toString
+      docs.map { case (id, tk, src) => (id, tk.mkString(" "), "en", src, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val l1 = docs.filter(_._3 == "src1").map(_._2.size)
+      val l2 = docs.filter(_._3 == "src2").map(_._2.size)
+      val vs = (l1 ++ l2).distinct.sorted
+      val ks = vs.map { v =>
+        math.abs(l1.count(_ <= v).toDouble / l1.size -
+          l2.count(_ <= v).toDouble / l2.size)
+      }.max
+      val crit = 1.358 * math.sqrt(
+        (l1.size + l2.size).toDouble / (l1.size.toDouble * l2.size.toDouble))
+      val r = SparkEntry.queries("text_ks")(spark, dir).collect().head
+      assert((r.getLong(0), r.getLong(1)) == ((l1.size.toLong, l2.size.toLong)))
+      assert(r.getDouble(2) == ks, s"shift $shift ks")
+      assert(r.getBoolean(3) == (ks > crit), s"shift $shift flag")
+      assert(r.getBoolean(3) == (shift > 0), s"shift $shift expected class")
+    }
+  }
+
   test("dd_containment matches a brute-force shingle-hash model") {
     for (seed <- Seq(21L, 22L)) {
       val (dir, docs) = writeDocs(seed, 30)
