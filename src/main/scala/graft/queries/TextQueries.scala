@@ -378,6 +378,42 @@ object TextQueries extends GroupBase {
         .orderBy("lang", "source", "rk")
     }),
 
+    // chi-square test of independence between lang and source — the
+    // third leg of the statistical-QC family (agg_ab's z-test for a
+    // designed split, text_ks for one numeric signal across two
+    // groups, chi2 for two categoricals: "is language mix independent
+    // of source?"). chi2 = sum over cells of (o - e)^2/e with
+    // e = rowTot*colTot/N; emitted with the table shape (r, c, df) so
+    // the consumer picks the critical value.
+    // Scale shape: ONE corpus pass collapses to the R x C contingency
+    // cells; margins re-aggregate the CELLS (not the corpus) and
+    // broadcast back. The cell terms are exact doubles but their SUM
+    // is order-sensitive, so it runs as the bounded sorted-fold
+    // (collect_list state = R x C cells, text_entropy discipline) +
+    // round(6); margins multiply as doubles (bigint product would
+    // overflow at extreme counts, the text_ks lesson).
+    "text_chi2" -> ((s, d) => {
+      val cells = t(s, d, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("lang").agg(sum(col("o")).as("rl"))
+      val cols = cells.groupBy("source").agg(sum(col("o")).as("cs"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      val e = col("rl").cast("double") * col("cs").cast("double") /
+        col("n").cast("double")
+      val od = col("o").cast("double")
+      cells.join(broadcast(rows), "lang").join(broadcast(cols), "source")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("n"),
+          ((od - e) * (od - e) / e).as("term"))
+        .groupBy("n")
+        .agg(countDistinct(col("lang")).as("r"),
+          countDistinct(col("source")).as("c"),
+          round(aggregate(sort_array(collect_list(col("term"))),
+            lit(0.0), (a, v) => a + v), 6).as("chi2"))
+        .select(col("n"), col("r"), col("c"),
+          ((col("r") - 1) * (col("c") - 1)).as("df"), col("chi2"))
+    }),
+
     // two-sample Kolmogorov-Smirnov drift test between two sources'
     // token-count distributions — the QC a mixture builder runs
     // before folding a new crawl snapshot in ("did this source's
@@ -1068,6 +1104,31 @@ object TextQueries extends GroupBase {
           SELECT lang, source, CAST(rk AS INT) AS rk, doc_id
           FROM r WHERE rk <= 5 ORDER BY lang, source, rk"""
     },
+    "text_chi2" ->
+      s"""WITH cells AS (SELECT lang, source, count(*) AS o
+                         FROM documents GROUP BY 1, 2),
+          rws AS (SELECT lang, sum(o) AS rl FROM cells GROUP BY 1),
+          cls AS (SELECT source, sum(o) AS cs FROM cells GROUP BY 1),
+          nn AS (SELECT sum(o) AS n FROM cells),
+          terms AS (SELECT cells.lang, cells.source, nn.n,
+                      (CAST(o AS DOUBLE) -
+                       CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                         / CAST(n AS DOUBLE)) *
+                      (CAST(o AS DOUBLE) -
+                       CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                         / CAST(n AS DOUBLE)) /
+                      (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE)
+                         / CAST(n AS DOUBLE)) AS term
+                    FROM cells JOIN rws USING (lang)
+                    JOIN cls USING (source) CROSS JOIN nn)
+          SELECT CAST(n AS BIGINT) AS n,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                 CAST(count(DISTINCT source) AS BIGINT) AS c,
+                 CAST((count(DISTINCT lang) - 1) *
+                      (count(DISTINCT source) - 1) AS BIGINT) AS df,
+                 round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_sort(array_agg(term))), (a, v) -> a + v), 6) AS chi2
+          FROM terms GROUP BY n""",
     "text_ks" ->
       s"""WITH b AS (SELECT source, CAST(len($toksSql) AS INT) AS n_tok
                      FROM documents WHERE source IN ('src1', 'src2')),

@@ -37,7 +37,8 @@ object PlanAudit {
     "graph_pagerank",  // 1-row node-count + per-round dangling-mass broadcasts
     "graph_triangles", // 1-row node-count broadcast builds the node spine
     "graph_cc",        // same node-count broadcast via the shared graph builder
-    "text_ks")         // triangular <= join over the bounded length histogram
+    "text_ks",         // triangular <= join over the bounded length histogram
+    "text_chi2")       // 1-row grand-total broadcast onto the R x C cells
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -54,7 +55,8 @@ object PlanAudit {
     "pipe_ccnet", // text_lm_nll's per-doc sorted NLL fold, state = one doc's vocab
     "emb_pca",    // 64-element direction re-assembly, bounded by dim
     "emb_pca_scores", // inherits the training lineage's assembly
-    "text_entropy")   // per-doc m·ln(m) fold, state = one doc's vocab
+    "text_entropy",   // per-doc m·ln(m) fold, state = one doc's vocab
+    "text_chi2")      // cell-term fold, state = the R x C contingency cells
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions

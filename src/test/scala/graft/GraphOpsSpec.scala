@@ -208,6 +208,43 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_chi2 matches a brute-force contingency model") {
+    val s0 = spark
+    import s0.implicits._
+    val langs = Vector("en", "de", "fr")
+    val srcs = Vector("srcA", "srcB", "srcC", "srcD")
+    val rnd = new scala.util.Random(71L)
+    // skewed assignment so independence genuinely fails: lang index
+    // correlates with source index
+    val docs = Vector.tabulate(300) { i =>
+      val li = rnd.nextInt(3)
+      val si = if (rnd.nextBoolean()) li else rnd.nextInt(4)
+      (i.toLong, "the scan window", langs(li), srcs(si), 1L)
+    }
+    val dir = Files.createTempDirectory("graft-chi2").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val o = docs.groupBy(x => (x._3, x._4)).view.mapValues(_.size).toMap
+    val rl = docs.groupBy(_._3).view.mapValues(_.size).toMap
+    val cs = docs.groupBy(_._4).view.mapValues(_.size).toMap
+    val n = docs.size.toDouble
+    val chi2 = o.map { case ((l, src), cnt) =>
+      val e = rl(l) * cs(src) / n
+      (cnt - e) * (cnt - e) / e
+    }.sum
+    val r = SparkEntry.queries("text_chi2")(spark, dir).collect().head
+    assert(r.getLong(0) == docs.size)
+    assert((r.getLong(1), r.getLong(2)) ==
+      ((rl.size.toLong, cs.size.toLong)))
+    assert(r.getLong(3) == (rl.size - 1L) * (cs.size - 1L))
+    // brute force sums in map order; the query folds sorted terms —
+    // equal to ~1e-9, not bit-equal
+    assert(math.abs(r.getDouble(4) - chi2) < 1e-6, s"${r.getDouble(4)} vs $chi2")
+    // the engineered correlation must be detected: chi2 >> df at any
+    // reasonable critical value
+    assert(r.getDouble(4) > 3 * r.getLong(3))
+  }
+
   test("dd_containment matches a brute-force shingle-hash model") {
     for (seed <- Seq(21L, 22L)) {
       val (dir, docs) = writeDocs(seed, 30)
