@@ -466,12 +466,17 @@ object AggQueries extends GroupBase {
         sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("v") === 1, col("conv").cast("long")).otherwise(0L))
           .as("conv_b"))
-      val pa = col("conv_a").cast("double") / col("n_a")
-      val pb = col("conv_b").cast("double") / col("n_b")
+      // NULLIF on the variant sizes: an empty bucket must yield NULL
+      // on BOTH engines (Spark x/0 = NULL vs DuckDB IEEE inf — the
+      // emb_sq8 divergence class); NULL then propagates through z,
+      // the CASE predicate, and the flag identically
+      val pa = col("conv_a").cast("double") / nullif(col("n_a"), lit(0L))
+      val pb = col("conv_b").cast("double") / nullif(col("n_b"), lit(0L))
       val p = (col("conv_a") + col("conv_b")).cast("double") /
-        (col("n_a") + col("n_b"))
+        nullif(col("n_a") + col("n_b"), lit(0L))
       val se = sqrt(p * (lit(1.0) - p) *
-        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+        (lit(1.0) / nullif(col("n_a"), lit(0L)) +
+          lit(1.0) / nullif(col("n_b"), lit(0L))))
       val z = round(when(se === 0.0, 0.0).otherwise((pa - pb) / se), 6)
       c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
         round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
@@ -740,12 +745,14 @@ object AggQueries extends GroupBase {
                   CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
                     AS conv_b
                 FROM u),
-          r AS (SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
-                       CAST(conv_b AS DOUBLE) / n_b AS pb,
-                       CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p
+          r AS (SELECT *, CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0) AS pa,
+                       CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0) AS pb,
+                       CAST(conv_a + conv_b AS DOUBLE) / NULLIF(n_a + n_b, 0)
+                         AS p
                 FROM c),
           se AS (SELECT *, sqrt(p * (CAST(1.0 AS DOUBLE) - p) *
-                   (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b))
+                   (CAST(1.0 AS DOUBLE) / NULLIF(n_a, 0) +
+                    CAST(1.0 AS DOUBLE) / NULLIF(n_b, 0)))
                    AS sev
                  FROM r),
           zt AS (SELECT *, round(CASE WHEN sev = CAST(0.0 AS DOUBLE)

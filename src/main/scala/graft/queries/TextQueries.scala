@@ -441,10 +441,14 @@ object TextQueries extends GroupBase {
           col("y.n_tok") <= col("x.n_tok"))
         .groupBy(col("x.n_tok"))
         .agg(sum(col("y.c1")).as("f1"), sum(col("y.c2")).as("f2"))
+      // NULLIF on the group sizes: an empty source must yield NULL on
+      // BOTH engines (unguarded, Spark x/0 is NULL where DuckDB
+      // follows IEEE inf — the emb_sq8 divergence class)
       cdf.crossJoin(broadcast(tot))
         .groupBy("n1", "n2")
-        .agg(max(abs(col("f1").cast("double") / col("n1") -
-          col("f2").cast("double") / col("n2"))).as("ks"))
+        .agg(max(abs(
+          col("f1").cast("double") / nullif(col("n1"), lit(0L)) -
+          col("f2").cast("double") / nullif(col("n2"), lit(0L)))).as("ks"))
         .select(col("n1"), col("n2"), col("ks"),
           // n1*n2 multiplies as DOUBLE: a bigint product overflows
           // past ~3e9 docs per source, a double (exact under 2^53
@@ -1144,8 +1148,8 @@ object TextQueries extends GroupBase {
                          CAST(sum(y.c2) AS BIGINT) AS f2
                   FROM h x JOIN h y ON y.n_tok <= x.n_tok GROUP BY 1),
           k AS (SELECT n1, n2,
-                       max(abs(CAST(f1 AS DOUBLE) / n1 -
-                               CAST(f2 AS DOUBLE) / n2)) AS ks
+                       max(abs(CAST(f1 AS DOUBLE) / NULLIF(n1, 0) -
+                               CAST(f2 AS DOUBLE) / NULLIF(n2, 0))) AS ks
                 FROM cdf CROSS JOIN tot GROUP BY 1, 2)
           SELECT n1, n2, ks,
                  ks > CAST(1.358 AS DOUBLE) *
