@@ -107,6 +107,46 @@ object GraphQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // HITS hubs & authorities (2 unrolled rounds from h=1, L1
+    // normalization): auth(v) = Σ_{u→v} hub(u), hub(v) = Σ_{v→w}
+    // auth(w), each vector divided by its own total after every
+    // half-step. The directory-page / cited-page split PageRank's
+    // single score conflates — a curation pipeline uses hub scores to
+    // find link farms (high hub, low auth) and auth scores as the
+    // quality prior. L1 instead of the textbook L2 keeps the oracle
+    // sqrt-free: every sum is Exact.fsum (order-independent 2^53
+    // grid) and every division a single IEEE op on bit-identical
+    // operands, so two chained rounds verify hash-exact with NO
+    // rounding (the graph_pagerank discipline).
+    // Per half-step at 100 TB: one hash equi-join partitioned on the
+    // edge key + one fsum agg with map-side partials; norms broadcast
+    // as 1-row tables; scores never touch the driver.
+    "graph_hits" -> ((s, d) => {
+      val (nodes, edges) = graph(s, d)
+      val ids = nodes.select("doc_id")
+      var hub = ids.select(col("doc_id"), lit(1.0).as("h"))
+      var auth = ids.select(col("doc_id"), lit(0.0).as("a"))
+      for (_ <- 1 to 2) {
+        val a0 = edges.join(hub, edges("src") === hub("doc_id"))
+          .groupBy(col("dst")).agg(Exact.fsum(col("h")).as("a0"))
+        val an = a0.agg(Exact.fsum(col("a0")).as("na"))
+        auth = ids.join(a0, ids("doc_id") === a0("dst"), "left")
+          .crossJoin(broadcast(an))
+          .select(col("doc_id"),
+            (coalesce(col("a0"), lit(0.0)) / col("na")).as("a"))
+        val h0 = edges.join(auth, edges("dst") === auth("doc_id"))
+          .groupBy(col("src")).agg(Exact.fsum(col("a")).as("h0"))
+        val hn = h0.agg(Exact.fsum(col("h0")).as("nh"))
+        hub = ids.join(h0, ids("doc_id") === h0("src"), "left")
+          .crossJoin(broadcast(hn))
+          .select(col("doc_id"),
+            (coalesce(col("h0"), lit(0.0)) / col("nh")).as("h"))
+      }
+      hub.join(auth, "doc_id")
+        .select(col("doc_id"), col("h").as("hub"), col("a").as("auth"))
+        .orderBy("doc_id")
+    }),
+
     // Connected components by bounded min-label propagation (3 rounds,
     // the dd_cluster discipline applied to the link graph): each round
     // every node takes the minimum label among itself and its
@@ -161,7 +201,33 @@ object GraphQueries extends GroupBase {
                    GROUP BY dst) c
           ON c.dst = d.doc_id)"""
 
+  /** One HITS round: auth from prevH's hubs, then hub from that auth,
+    * each L1-normalized — CTE names {aOut,hOut} + "r"/"n" suffixed
+    * raw-sum and norm tables, mirroring the Spark lineage. */
+  private def hitsRound(prevH: String, aOut: String, hOut: String): String =
+    s"""${aOut}r AS (SELECT dst, ${ExactSql.fsum("h")} AS a0
+          FROM edges JOIN $prevH p ON p.doc_id = edges.src GROUP BY dst),
+        ${aOut}n AS (SELECT ${ExactSql.fsum("a0")} AS na FROM ${aOut}r),
+        $aOut AS (SELECT d.doc_id,
+            coalesce(a0, CAST(0.0 AS DOUBLE)) / na AS a
+          FROM documents d LEFT JOIN ${aOut}r ON ${aOut}r.dst = d.doc_id
+          CROSS JOIN ${aOut}n),
+        ${hOut}r AS (SELECT src, ${ExactSql.fsum("a")} AS h0
+          FROM edges JOIN $aOut p ON p.doc_id = edges.dst GROUP BY src),
+        ${hOut}n AS (SELECT ${ExactSql.fsum("h0")} AS nh FROM ${hOut}r),
+        $hOut AS (SELECT d.doc_id,
+            coalesce(h0, CAST(0.0 AS DOUBLE)) / nh AS h
+          FROM documents d LEFT JOIN ${hOut}r ON ${hOut}r.src = d.doc_id
+          CROSS JOIN ${hOut}n)"""
+
   def oracleSql: Map[String, String] = Map(
+    "graph_hits" ->
+      s"""WITH $graphSql,
+          hh0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS h FROM documents),
+          ${hitsRound("hh0", "aa1", "hh1")},
+          ${hitsRound("hh1", "aa2", "hh2")}
+          SELECT hh2.doc_id, hh2.h AS hub, aa2.a AS auth
+          FROM hh2 JOIN aa2 USING (doc_id) ORDER BY doc_id""",
     "graph_pagerank" ->
       s"""WITH $graphSql,
           r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / n AS r

@@ -35,6 +35,7 @@ object PlanAudit {
     "text_bm25",   // 1-row corpus-stats (nd, sumdl) broadcast
     "text_bpe_train", // 1-row winning-merge broadcast per training round
     "graph_pagerank",  // 1-row node-count + per-round dangling-mass broadcasts
+    "graph_hits",      // 1-row node-count + per-half-step L1-norm broadcasts
     "graph_triangles", // 1-row node-count broadcast builds the node spine
     "graph_cc",        // same node-count broadcast via the shared graph builder
     "text_ks",         // triangular <= join over the bounded length histogram

@@ -108,6 +108,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(lbl.distinct.length < n)
   }
 
+  test("graph_hits matches a brute-force 2-round L1-normalized HITS") {
+    val n = 40
+    val (dir, _) = writeDocs(14L, n)
+    val ds = outlinks(n)
+    var h = Array.fill(n)(1.0)
+    var a = Array.fill(n)(0.0)
+    for (_ <- 1 to 2) {
+      val a0 = Array.fill(n)(0.0)
+      ds.foreach { case (s, ts) => ts.foreach(t => a0(t) += h(s)) }
+      val na = a0.sum
+      a = a0.map(_ / na)
+      val h0 = Array.fill(n)(0.0)
+      ds.foreach { case (s, ts) => h0(s) = ts.map(a(_)).sum }
+      val nh = h0.sum
+      h = h0.map(_ / nh)
+    }
+    val got = SparkEntry.queries("graph_hits")(spark, dir).collect()
+    assert(got.length == n)
+    got.foreach { row =>
+      val (id, hub, auth) =
+        (row.getLong(0).toInt, row.getDouble(1), row.getDouble(2))
+      assert(math.abs(hub - h(id)) < 1e-9, s"hub $id: $hub vs ${h(id)}")
+      assert(math.abs(auth - a(id)) < 1e-9, s"auth $id: $auth vs ${a(id)}")
+    }
+    // L1 normalization: both score vectors are distributions
+    assert(math.abs(got.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // pages without outlinks contribute nothing as hubs
+    got.filter(_.getLong(0) % 7 == 0).foreach(r =>
+      assert(r.getDouble(1) == 0.0))
+  }
+
   test("pipe_wsample matches a brute-force weighted priority draw") {
     val (dir, docs) = writeDocs(41L, 300)
     val want = docs.zipWithIndex.flatMap { case (tk, i) =>
