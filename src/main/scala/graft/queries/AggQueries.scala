@@ -482,6 +482,49 @@ object AggQueries extends GroupBase {
         round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
         z.as("z"), (abs(z) > lit(1.96)).as("significant"))
     }),
+
+    // ROC AUC of an activity-based conversion predictor (score = the
+    // user's event count, label = any purchase with value > 95 — the
+    // plain any-purchase label saturates to all-positive on this
+    // data) — the readout a quality-classifier gate runs before
+    // trusting a model's ranking.
+    // AUC = P(score+ > score-) + 0.5·P(tie), computed by rank
+    // arithmetic over the score HISTOGRAM, never per-pair:
+    //   2·num = 2·Σ_s pos_s·cumneg_<s + Σ_s pos_s·neg_s,
+    //   AUC   = num / (P·N)
+    // stays in bigint until ONE final double division, so both
+    // engines agree bit-for-bit with no rounding (exact while
+    // P·N < 2^62 — ~2e9 users per class; past that flip the products
+    // to decimal(38,0), the text_ks overflow lesson).
+    // Scale shape: per-user agg is ONE user-keyed hash agg; the
+    // corpus then collapses to a histogram bounded by distinct
+    // integer scores, and the cumulative negatives come from the
+    // text_ks triangular <= self-join of that broadcast-tiny
+    // histogram (deliberate-broadcast class, not a global window).
+    // An empty class makes AUC undefined → NULLIF yields NULL on
+    // both engines identically; gini = 2·AUC - 1 propagates it.
+    "agg_auc" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy("user_id").agg(
+        count(lit(1)).as("score"),
+        max((col("event_type") === "purchase" && col("value") > 95)
+          .cast("long")).as("conv"))
+      val h = users.groupBy("score").agg(
+        sum(col("conv")).as("pos"),
+        sum(lit(1L) - col("conv")).as("neg"))
+      val c = h.as("x").join(broadcast(h.as("y")),
+          col("y.score") <= col("x.score"))
+        .groupBy(col("x.score"), col("x.pos"), col("x.neg"))
+        .agg(sum(col("y.neg")).as("cumneg_le"))
+      val tot = c.agg(
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (col("cumneg_le") - col("neg")) * lit(2L) +
+          col("pos") * col("neg")).as("num2"))
+      val auc = col("num2").cast("double") /
+        nullif(col("n_pos").cast("double") * col("n_neg").cast("double") *
+          lit(2.0), lit(0.0))
+      tot.select(col("n_pos"), col("n_neg"), auc.as("auc"),
+        (lit(2.0) * auc - lit(1.0)).as("gini"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -764,5 +807,32 @@ object AggQueries extends GroupBase {
                  abs(z) > CAST(1.96 AS DOUBLE) AS significant
           FROM zt"""
     },
+    "agg_auc" ->
+      """WITH u AS (SELECT user_id, count(*) AS score,
+                           max(CASE WHEN event_type = 'purchase'
+                                     AND value > 95
+                               THEN 1 ELSE 0 END) AS conv
+                    FROM events GROUP BY user_id),
+          h AS (SELECT score, CAST(sum(conv) AS BIGINT) AS pos,
+                       CAST(sum(1 - conv) AS BIGINT) AS neg
+                FROM u GROUP BY score),
+          c AS (SELECT x.score, x.pos, x.neg,
+                       CAST(sum(y.neg) AS BIGINT) AS cumneg_le
+                FROM h x JOIN h y ON y.score <= x.score
+                GROUP BY x.score, x.pos, x.neg),
+          t2 AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                        CAST(sum(neg) AS BIGINT) AS n_neg,
+                        CAST(sum(pos * (cumneg_le - neg) * 2 + pos * neg)
+                             AS BIGINT) AS num2
+                 FROM c),
+          a AS (SELECT n_pos, n_neg,
+                       CAST(num2 AS DOUBLE) /
+                         NULLIF(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                                * CAST(2.0 AS DOUBLE),
+                                CAST(0.0 AS DOUBLE)) AS auc
+                FROM t2)
+          SELECT n_pos, n_neg, auc,
+                 CAST(2.0 AS DOUBLE) * auc - CAST(1.0 AS DOUBLE) AS gini
+          FROM a""",
   )
 }

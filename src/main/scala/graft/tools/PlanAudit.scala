@@ -39,6 +39,7 @@ object PlanAudit {
     "graph_triangles", // 1-row node-count broadcast builds the node spine
     "graph_cc",        // same node-count broadcast via the shared graph builder
     "text_ks",         // triangular <= join over the bounded length histogram
+    "agg_auc",         // same triangular <= join, score histogram is bounded
     "text_chi2")       // 1-row grand-total broadcast onto the R x C cells
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by

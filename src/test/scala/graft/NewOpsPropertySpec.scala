@@ -152,4 +152,42 @@ class NewOpsPropertySpec extends SparkSpec {
       assert(r.getBoolean(7) == (math.abs(z) > 1.96), s"seed $seed flag")
     }
   }
+
+  test("agg_auc matches brute-force pairwise AUC (ties at 0.5)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      val kinds = Vector("signup", "click", "purchase", "view")
+      val events = Vector.tabulate(800) { i =>
+        (i.toLong, 1700000000000000000L + rnd.nextInt(1000000) * 1000000L,
+          rnd.nextInt(25).toLong, kinds(rnd.nextInt(kinds.size)),
+          rnd.nextDouble() * 100, "{}")
+      }
+      val dir = Files.createTempDirectory(s"graft-auc$seed").toString
+      events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      // brute force: every (positive, negative) user pair scored
+      // 1 / 0.5 / 0 — the O(P·N) definition the histogram-rank
+      // arithmetic must reproduce exactly
+      val byUser = events.groupBy(_._3).toSeq.map { case (_, es) =>
+        (es.size, es.exists(e => e._4 == "purchase" && e._5 > 95))
+      }
+      val pos = byUser.filter(_._2).map(_._1)
+      val neg = byUser.filterNot(_._2).map(_._1)
+      // the non-degenerate case is the one worth testing (an empty
+      // class is covered by the NULLIF guard, not this model)
+      assert(pos.nonEmpty && neg.nonEmpty, s"seed $seed degenerate")
+      val num = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val want = num / (pos.size.toLong * neg.size)
+      val r = SparkEntry.queries("agg_auc")(spark, dir).collect().head
+      assert((r.getLong(0), r.getLong(1)) ==
+        ((pos.size.toLong, neg.size.toLong)), s"seed $seed counts")
+      // 2·num is integral, so the query's value is exact
+      assert(math.abs(r.getDouble(2) - want) < 1e-12, s"seed $seed auc")
+      assert(math.abs(r.getDouble(3) - (2 * want - 1)) < 1e-12,
+        s"seed $seed gini")
+    }
+  }
 }
