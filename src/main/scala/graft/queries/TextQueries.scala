@@ -249,6 +249,45 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // top collocations by pointwise mutual information over the
+    // corpus bigram distribution — the phrase-mining signal a
+    // tokenizer/vocab builder uses to decide which pairs deserve a
+    // merged token ("new york" scores high, "of the" near 0). PMI =
+    // ln(P(a,b) / (P(a,·)·P(·,b))) with margins taken from the
+    // bigram table itself (first-word / second-word sums), so the
+    // corpus is tokenized ONCE; a count floor kills the noise at the
+    // rare tail (PMI's known failure mode).
+    // Scale shape: the token stream collapses to vocab²-bounded
+    // bigram counts (partial agg below the exchange); margins and the
+    // grand total re-aggregate the COUNT table, not the corpus, and
+    // broadcast back. The double products inside ln() are IEEE-
+    // identical on both engines but ln is transcendental → round(6)
+    // BEFORE the rank, ties broken by the words themselves; top-50 is
+    // a TakeOrderedAndProject, never a global sort materialization.
+    "text_pmi" -> ((s, d) => {
+      val bg = t(s, d, "documents")
+        .select(graft.functions.VectorFunctions.shingleStrings(
+          TextOps.tokens(col("text")), 2).as("bgs"))
+        .filter(col("bgs").isNotNull)
+        .select(explode(col("bgs")).as("b"))
+      val cnt = bg.groupBy("b").agg(count(lit(1)).as("n_ab"))
+      val w = cnt.select(col("b"), col("n_ab"),
+        substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+      val ca = w.groupBy("w1").agg(sum(col("n_ab")).as("ca"))
+      val cb = w.groupBy("w2").agg(sum(col("n_ab")).as("cb"))
+      val tot = cnt.agg(sum(col("n_ab")).as("nb"))
+      w.join(broadcast(ca), "w1").join(broadcast(cb), "w2")
+        .crossJoin(broadcast(tot))
+        .filter(col("n_ab") >= 5)
+        .select(col("w1"), col("w2"), col("n_ab"),
+          round(log(col("n_ab").cast("double") * col("nb").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     // deterministic train/val/test split (80/10/10) by salted content
     // hash — the reproducible-split primitive of a training pipeline.
     // Hash-mod, not rand(): same rows land in the same split on any
@@ -1243,6 +1282,25 @@ object TextQueries extends GroupBase {
                      list_sort(array_agg(mlnp))), (a, v) -> a + v)
                    / CAST(sum(m) AS DOUBLE)), 6) AS nll2
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "text_pmi" ->
+      s"""WITH d AS (SELECT $toksSql AS tk FROM documents),
+          bg AS (SELECT tk[i] || ' ' || tk[i+1] AS b
+                 FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                 WHERE i + 1 <= len(tk)),
+          cnt AS (SELECT b, count(*) AS n_ab FROM bg GROUP BY 1),
+          w AS (SELECT b, n_ab, string_split(b, ' ')[1] AS w1,
+                       string_split(b, ' ')[2] AS w2
+                FROM cnt),
+          ca AS (SELECT w1, sum(n_ab) AS ca FROM w GROUP BY 1),
+          cb AS (SELECT w2, sum(n_ab) AS cb FROM w GROUP BY 1),
+          tot AS (SELECT sum(n_ab) AS nb FROM cnt)
+          SELECT w.w1, w.w2, CAST(w.n_ab AS BIGINT) AS n_ab,
+                 round(ln(CAST(w.n_ab AS DOUBLE) * CAST(nb AS DOUBLE) /
+                          (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE))), 6)
+                   AS pmi
+          FROM w JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
+          WHERE w.n_ab >= 5
+          ORDER BY pmi DESC, w.w1, w.w2 LIMIT 50""",
     "text_bpe_train" -> {
       // one training round: pair counts over the current symbol table,
       // top merge, then the merged symbol table for the next round

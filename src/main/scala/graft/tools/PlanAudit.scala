@@ -33,6 +33,7 @@ object PlanAudit {
     "emb_pca_scores", // same trained-direction broadcasts, scoring scan
     "tw_gapfill",  // 1-row global-span broadcast builds the bucket spine
     "text_bm25",   // 1-row corpus-stats (nd, sumdl) broadcast
+    "text_pmi",    // 1-row bigram-total broadcast onto the count table
     "text_bpe_train", // 1-row winning-merge broadcast per training round
     "graph_pagerank",  // 1-row node-count + per-round dangling-mass broadcasts
     "graph_hits",      // 1-row node-count + per-half-step L1-norm broadcasts

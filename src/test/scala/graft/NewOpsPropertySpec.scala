@@ -153,6 +153,30 @@ class NewOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("text_pmi matches a brute-force collocation model") {
+    for (seed <- Seq(41L, 42L)) {
+      val (dir, docs) = writeDocs(seed)
+      val bgs = docs.flatMap(tk =>
+        tk.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      val cnt = bgs.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+      val nb = bgs.size.toLong
+      val ca = bgs.groupBy(_._1).map { case (w, o) => w -> o.size.toLong }
+      val cb = bgs.groupBy(_._2).map { case (w, o) => w -> o.size.toLong }
+      val want = cnt.toSeq.filter(_._2 >= 5).map { case ((a, b), c) =>
+        val pmi = BigDecimal(
+          math.log(c.toDouble * nb / (ca(a).toDouble * cb(b))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, c, pmi)
+      }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(50)
+      val got = SparkEntry.queries("text_pmi")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == want, s"seed $seed: $got vs $want")
+      // the 3-word vocab guarantees the floor actually binds somewhere
+      assert(want.nonEmpty)
+    }
+  }
+
   test("agg_auc matches brute-force pairwise AUC (ties at 0.5)") {
     val s = spark
     import s.implicits._
