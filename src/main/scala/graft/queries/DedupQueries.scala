@@ -166,15 +166,30 @@ object DedupQueries extends GroupBase {
       val cand = queries("dd_minhash")(s, d)
         .select(col("da"), col("db")).withColumn("hit", lit(1))
       val joined = truth.join(cand, Seq("da", "db"), "left")
-      Seq(0.2, 0.5, 0.8).map { thr =>
-        joined.filter(col("jac") >= thr)
-          .agg(count(lit(1)).as("n_truth"),
-            coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
-          .select(lit(thr).as("thr"), col("n_truth"), col("n_hit"),
-            when(col("n_truth") === 0, lit(null).cast("double"))
-              .otherwise(col("n_hit").cast("double") / col("n_truth"))
-              .as("recall"))
-      }.reduce(_.unionByName(_)).orderBy("thr")
+      // the 3-tier sweep is ONE conditional aggregation pass over the
+      // pair table (map-side partials), not three filter+agg branches:
+      // ReuseExchange would dedup the branches' shuffles but each
+      // would still re-run the join + scan — at 100 TB the pair table
+      // is the big intermediate, and it should be read once. The
+      // 1-row result then unpivots via explode, so the whole query
+      // stays a single lineage.
+      val thrs = Seq(0.2, 0.5, 0.8)
+      val aggs = thrs.zipWithIndex.flatMap { case (thr, i) => Seq(
+        coalesce(sum(when(col("jac") >= thr, 1L).otherwise(0L)), lit(0L))
+          .as(s"nt$i"),
+        coalesce(sum(when(col("jac") >= thr, coalesce(col("hit"), lit(0)))
+          .otherwise(0L)), lit(0L)).cast("long").as(s"nh$i")) }
+      val tiers = thrs.zipWithIndex.map { case (thr, i) =>
+        struct(lit(thr).as("thr"), col(s"nt$i").as("n_truth"),
+          col(s"nh$i").as("n_hit")) }
+      joined.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(tiers: _*)).as("r"))
+        .select(col("r.thr").as("thr"), col("r.n_truth").as("n_truth"),
+          col("r.n_hit").as("n_hit"),
+          when(col("r.n_truth") === 0, lit(null).cast("double"))
+            .otherwise(col("r.n_hit").cast("double") / col("r.n_truth"))
+            .as("recall"))
+        .orderBy("thr")
     }),
 
     // duplicated-substring measure (the span-level complement of the

@@ -622,22 +622,28 @@ object TextQueries extends GroupBase {
         .filter(coalesce(col("n_kept"), lit(0L)) * 2 >=
           ceil(col("ntok").cast("double") / 8.0).cast("long"))
         .select(col("doc_id"), col("tk"), col("ntok"), col("lang_guess"))
-      val tf = gated.select(col("doc_id"), explode(col("tk")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      // lang_guess / ntok are constant per doc, so they ride the
+      // (doc, token) aggregation as extra group keys (same group
+      // cardinality) instead of a second join back to `gated` — which
+      // would re-run the whole tokenize + chunk-dedup lineage a
+      // second time (exchange reuse dedups shuffles, not the
+      // upstream scan). One gated computation total.
+      val tf = gated.select(col("doc_id"), col("lang_guess"), col("ntok"),
+          explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "lang_guess", "ntok", "tok")
+        .agg(count(lit(1)).as("m"))
       val freq = tf.filter(col("m") >= 1)
         .groupBy("tok").agg(sum(col("m")).as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("n"))
-      val nll = tf.join(broadcast(freq), "tok").crossJoin(broadcast(total))
-        .select(col("doc_id"), col("m"),
+      val scored = tf.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+        .select(col("doc_id"), col("lang_guess"), col("ntok"), col("m"),
           (col("m").cast("double") *
             log(col("cnt").cast("double") / col("n").cast("double")))
             .as("mlnp"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang_guess", "ntok")
         .agg(round(-(aggregate(sort_array(collect_list(col("mlnp"))),
             lit(0.0), (a, v) => a + v) / sum(col("m")).cast("double")), 6)
           .as("nll"))
-      val scored = gated.select(col("doc_id"), col("lang_guess"), col("ntok"))
-        .join(nll, Seq("doc_id"))
         .withColumn("nll_u", round(col("nll") * 1e6, 0).cast("long"))
       val means = scored.groupBy("lang_guess")
         .agg((sum(col("nll_u")).cast("double") /
