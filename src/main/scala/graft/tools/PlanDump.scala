@@ -56,6 +56,10 @@ object PlanDump {
     "pipe_wsample" -> "weighted priority sample: element-wise priorities, global top-k as TakeOrderedAndProject (no sort/window)",
     "text_outliers" -> "median/MAD gate: bounded value->count percentile state, per-lang stats broadcast back",
     "text_ks" -> "KS drift test: corpus collapses to a bounded histogram, CDFs from a broadcast triangular join",
+    "graph_hits" -> "HITS: per-round edge-keyed join + agg, L1 norms as 1-row broadcasts (no driver scores)",
+    "agg_auc" -> "ROC AUC: score histogram + rank arithmetic, no per-row global sort",
+    "text_pmi" -> "PMI collocations: one tokenize pass shared by unigram and bigram tables, vocab broadcasts",
+    "dd_recall" -> "LSH recall sweep: pair table read once, 3 thresholds as one conditional agg + explode",
   )
 
   def main(args: Array[String]): Unit = {
