@@ -525,6 +525,33 @@ object AggQueries extends GroupBase {
       tot.select(col("n_pos"), col("n_neg"), auc.as("auc"),
         (lit(2.0) * auc - lit(1.0)).as("gini"))
     }),
+
+    // calibration reliability bins — the third leg of the model-
+    // readout triad (agg_ab decides, agg_auc ranks, this one checks
+    // whether the score MAGNITUDE means what it claims): bucket users
+    // by activity score, compare the bin's average score against its
+    // empirical conversion rate. Everything is bigint until one final
+    // double division per output column, so both engines agree
+    // bit-for-bit with no rounding. Scale shape: one user-keyed hash
+    // agg, then a hash agg over ~score/5 bins — output bounded by the
+    // score range, no window, no broadcast.
+    "agg_calibration" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy("user_id").agg(
+        count(lit(1)).as("score"),
+        max((col("event_type") === "purchase" && col("value") > 95)
+          .cast("long")).as("conv"))
+      users
+        .withColumn("bin",
+          floor(col("score").cast("double") / lit(5.0)).cast("long"))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(col("score")).as("ss"),
+          sum(col("conv")).as("np"))
+        .select(col("bin"), col("n"),
+          (col("ss").cast("double") / col("n")).as("avg_score"),
+          (col("np").cast("double") / col("n")).as("conv_rate"))
+        .orderBy("bin")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -834,5 +861,20 @@ object AggQueries extends GroupBase {
           SELECT n_pos, n_neg, auc,
                  CAST(2.0 AS DOUBLE) * auc - CAST(1.0 AS DOUBLE) AS gini
           FROM a""",
+    "agg_calibration" ->
+      """WITH u AS (SELECT user_id, count(*) AS score,
+                           max(CASE WHEN event_type = 'purchase'
+                                     AND value > 95
+                               THEN 1 ELSE 0 END) AS conv
+                    FROM events GROUP BY user_id),
+          b AS (SELECT CAST(floor(CAST(score AS DOUBLE) / 5.0) AS BIGINT)
+                         AS bin,
+                       count(*) AS n,
+                       CAST(sum(score) AS BIGINT) AS ss,
+                       CAST(sum(conv) AS BIGINT) AS np
+                FROM u GROUP BY 1)
+          SELECT bin, n, CAST(ss AS DOUBLE) / n AS avg_score,
+                 CAST(np AS DOUBLE) / n AS conv_rate
+          FROM b ORDER BY bin""",
   )
 }
