@@ -22,11 +22,30 @@ import graft.core.Sessions
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // `--only q1,q2` (or bare names) restricts the run — lets a single
+    // regressed query be bisected without a full-suite run.
+    val only: Set[String] =
+      args.filterNot(_ == "--only").flatMap(_.split(",")).map(_.trim)
+        .filter(_.nonEmpty).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else {
+        val unknown = only -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] unknown query names ignored: ${unknown.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(only).toMap
+      }
     val spark = Sessions.build("graft-bench")
     // JVM/codegen warmup so the alphabetically-first query doesn't
-    // absorb one-time JIT + classloading cost into its measurement
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.entry(spark).count()
+    // absorb one-time JIT + classloading cost into its measurement.
+    // Guarded: a warm-up failure must not zero the whole artifact —
+    // the timed loop below reports per-query failures as -1.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.entry(spark).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
+    }
     // Per-query plan warm-up against the smoke-scale data: whole-stage
     // codegen + JIT of each query's generated classes is a ONE-TIME
     // driver-side cost, not data-proportional work — at cluster scale
@@ -36,11 +55,11 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Pay accumulated GC debt OUTSIDE the timed window: with one
       // timed run per query in a single long session, a collection
       // triggered by query N's garbage otherwise lands in query N+1's

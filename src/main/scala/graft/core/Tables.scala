@@ -7,12 +7,20 @@ import org.apache.spark.sql.functions._
   * (TESTDATA.md): region nation customer supplier part orders lineitem
   * events documents embeddings.
   *
-  * The `events` table stores TIMESTAMP(NANOS) parquet, which Spark's
-  * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions.build
-  * sets `spark.sql.legacy.parquet.nanosAsLong` once; here we truncate
-  * ns -> us with floor division, which matches DuckDB's read-time
-  * truncation exactly (both engines see identical microsecond values;
-  * floor vs toward-zero only differs pre-1970, guarded for anyway).
+  * The `events.ts` column's PHYSICAL type has varied across testdata
+  * generations: int64 TIMESTAMP(NANOS) (which Spark's vectorized
+  * reader surfaces as LongType under `nanosAsLong`, rejecting it
+  * outright otherwise) vs plain timestamp[us] (surfaced as
+  * TIMESTAMP_NTZ under `inferTimestampNTZ`). A real engine reads what
+  * the file says, so `read` branches on the ACTUAL loaded schema:
+  *   - LongType  -> ns->us floor-division shim (matches DuckDB's
+  *     read-time truncation; floor vs toward-zero only differs
+  *     pre-1970, guarded for anyway)
+  *   - TIMESTAMP_NTZ -> cast to session-tz TIMESTAMP. Session tz is
+  *     UTC (Sessions.build), so the microsecond values are identical
+  *     to the naive file values — and identical to what the nanos
+  *     shim produced — keeping every downstream consumer on one type.
+  *   - TIMESTAMP -> pass through.
   */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -64,11 +72,20 @@ object Tables {
     case "events" =>
       // Defensive: keep sessions built outside Sessions.build working.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        // Floor division in pure integer arithmetic: `/` would go through
-        // DOUBLE (precision loss at ~1.7e18 ns) and `div` truncates toward
-        // zero (wrong pre-1970). pmod keeps it exact and floor-like.
-        .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // int64 TIMESTAMP(NANOS) file. Floor division in pure integer
+          // arithmetic: `/` would go through DOUBLE (precision loss at
+          // ~1.7e18 ns) and `div` truncates toward zero (wrong
+          // pre-1970). pmod keeps it exact and floor-like.
+          df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // timestamp[us] file read as NTZ: re-type to session-tz
+          // TIMESTAMP (UTC session => identical micros, see scaladoc).
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -89,8 +106,21 @@ object Tables {
       // load mustn't make later calls skip registration, and two
       // concurrent calls mustn't interleave views from different dirs
       if (registered.get(spark) != dir) {
-        all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-        registered.put(spark, dir)
+        // Per-table fault isolation: one unreadable table must not
+        // poison SQL queries on the other nine (a broken `events`
+        // once took out lineitem-only queries through this loop).
+        // Failures log + skip; the dir is recorded only on a clean
+        // sweep so later calls retry the broken table.
+        var allOk = true
+        all.foreach { n =>
+          try load(spark, dir, n).createOrReplaceTempView(n)
+          catch { case e: Throwable =>
+            allOk = false
+            System.err.println(
+              s"[graft] registerAll: table '$n' from $dir failed: ${e.getMessage}")
+          }
+        }
+        if (allOk) registered.put(spark, dir)
       }
     }
 }
