@@ -230,12 +230,23 @@ object AggQueries extends GroupBase {
 
     // approx_count_distinct (HLL++): the engine-side analogue of the
     // reference's Bloom-filter UV (UvCountWithBloomByWindow.scala:13-39).
-    // No DuckDB oracle — sketch values are engine-specific; the
-    // ScalaTest asserts <5% relative error vs exact.
+    // The raw sketch value is engine-specific (DuckDB's HLL estimates
+    // differently), so the ORACLE-CHECKED output is the accuracy
+    // INVARIANT itself: per group, |approx - exact| <= 5% * exact,
+    // emitted as a boolean the oracle pins to TRUE plus the exact
+    // count both engines agree on. rsd = 0.01 (vs the 5% gate) keeps
+    // the margin wide; the estimate stays deterministic per input.
+    // Scale note: exact + approx ride ONE hash aggregation — at
+    // 100 TB the distinct expansion dominates, and the HLL partial is
+    // O(registers) per task on top of it.
     "agg_approx_distinct" -> ((s, d) =>
       t(s, d, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+             approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("approx_ok"))
         .orderBy("event_type")),
 
     // From-scratch HyperLogLog (p=6, m=64 buckets) built entirely from
@@ -555,6 +566,12 @@ object AggQueries extends GroupBase {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the boolean is the checked claim: Spark's HLL++ estimate landed
+    // within 5% of the exact distinct count the two engines share
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         TRUE AS approx_ok FROM events
+         GROUP BY event_type ORDER BY event_type""",
     "agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${ExactSql.dsum("l_quantity")} AS sum_qty,

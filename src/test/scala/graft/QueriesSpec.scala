@@ -35,12 +35,14 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact (HLL++ invariant)") {
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, d)
-      .agg(sum("approx_users")).first().getLong(0).toDouble
-    val exact = graft.core.Tables.load(spark, d, "events")
-      .groupBy("event_type").agg(countDistinct("user_id").as("u"))
-      .agg(sum("u")).first().getLong(0).toDouble
-    assert(math.abs(approx - exact) / exact < 0.05)
+    // the query now emits the invariant itself (approx_ok), which the
+    // DuckDB oracle pins to TRUE; assert it per group here too
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, ok) =>
+      assert(ok, s"HLL++ estimate for '$k' drifted past 5% of exact")
+    }
   }
 
   test("manual HLL (p=6) within 20% of exact per event_type") {
