@@ -269,6 +269,63 @@ object DedupQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // CONTENT-DEFINED chunking dedup (rsync/LBFS-style): chunk
+    // boundaries come from the CONTENT (rolling hash of the last
+    // W=4 tokens ≡ 0 mod 16 → expected ~16-token chunks), not from
+    // fixed offsets — so an insertion near the top of a document
+    // shifts only the chunk it lands in, and every following chunk
+    // still hashes identically. Fixed-stride chunking (dd_chunk)
+    // re-aligns NOTHING after an insertion; CDC is the
+    // shift-resistant variant a byte/token-level dedup pipeline
+    // actually deploys. Everything is element-wise per doc (boundary
+    // scan, cut points, chunk hashes are array ops inside one
+    // projection); the only shuffles are the same two hash-aggs as
+    // dd_chunk — no window, no all-pairs, scale shape unchanged.
+    "dd_cdc" -> ((s, d) => {
+      val W = 4; val MOD = 16
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+        // boundary positions: i in [W, n] where the rolling hash of
+        // tokens (i-W, i] divides MOD. sequence() descends when
+        // stop < start, so short docs get an explicit empty list.
+        .withColumn("bpos",
+          when(size(col("tk")) >= W,
+            filter(
+              transform(sequence(lit(W), size(col("tk"))),
+                i => when(TextOps.hash32(array_join(
+                    slice(col("tk"), i - W + 1, lit(W)), " ")) % MOD === 0, i)),
+              x => x.isNotNull))
+            .otherwise(array().cast("array<int>")))
+        // cut points 0 = doc start .. n = doc end; chunk j spans
+        // (cuts[j], cuts[j+1]]. A boundary at exactly n would yield
+        // an empty trailing chunk — filtered by the span > 0 guard.
+        .withColumn("cuts",
+          concat(array(lit(0)), col("bpos"), array(size(col("tk")))))
+        .withColumn("chs",
+          filter(
+            transform(sequence(lit(1), size(col("cuts")) - 1),
+              j => when(
+                element_at(col("cuts"), j + 1) > element_at(col("cuts"), j),
+                TextOps.hash32(array_join(
+                  slice(col("tk"), element_at(col("cuts"), j) + 1,
+                    element_at(col("cuts"), j + 1) - element_at(col("cuts"), j)),
+                  " ")))),
+            x => x.isNotNull))
+      val ch = docs.select(col("doc_id"), explode(col("chs")).as("h"))
+      val kept = ch.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id"), size(col("chs")).cast("long").as("n_chunks"))
+        .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (coalesce(col("n_kept"), lit(0L)).cast("decimal(18,8)") /
+            col("n_chunks").cast("decimal(18,8)")).cast("double")
+            .as("keep_frac"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash-32 near-dup: signature from 32 token-hash bit votes.
     // Shingle (3-gram) features, not bare tokens — with a tiny
     // vocabulary every doc shares most unigrams and a token-level
@@ -461,6 +518,31 @@ object DedupQueries extends GroupBase {
                       / CAST(CAST(ceil(len(tk) / 8.0) AS BIGINT)
                              AS DECIMAL(18,8)) AS DOUBLE) AS keep_frac
           FROM tkt t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""",
+    "dd_cdc" ->
+      s"""WITH tkt AS (SELECT doc_id, $toksSql AS tk FROM documents
+                       WHERE len($toksSql) > 0),
+          cut AS (SELECT doc_id, tk,
+                    [0] || [i FOR i IN range(4, len(tk) + 1)
+                           IF ${TextOps.hash32Sql(
+                             "array_to_string(tk[i - 3 : i], ' ')")} % 16 = 0]
+                        || [len(tk)] AS cuts
+                  FROM tkt),
+          chs AS (SELECT doc_id,
+                    [${TextOps.hash32Sql(
+                      "array_to_string(tk[cuts[j] + 1 : cuts[j + 1]], ' ')")}
+                     FOR j IN range(1, len(cuts))
+                     IF cuts[j + 1] > cuts[j]] AS chs
+                  FROM cut),
+          ch AS (SELECT doc_id, unnest(chs) AS h FROM chs),
+          keeper AS (SELECT h, min(doc_id) AS doc_id FROM ch GROUP BY 1),
+          kept AS (SELECT doc_id, count(*) AS n_kept FROM keeper GROUP BY 1)
+          SELECT c.doc_id,
+                 CAST(len(chs) AS BIGINT) AS n_chunks,
+                 CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+                 CAST(CAST(coalesce(n_kept, 0) AS DECIMAL(18,8))
+                      / CAST(CAST(len(chs) AS BIGINT)
+                             AS DECIMAL(18,8)) AS DOUBLE) AS keep_frac
+          FROM chs c LEFT JOIN kept USING (doc_id) ORDER BY doc_id""",
     "dd_simhash" ->
       s"""$simhashPairsSql
           SELECT da, db, hamming FROM pairs ORDER BY da, db""",
