@@ -14,6 +14,11 @@ object Verify {
     val only = args.drop(2).toSet
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Failed queries get an explicit entry in _errors.json (not just a
+    // stderr line): round 7 showed that silently-absent result dirs
+    // read as "query deleted" rather than "query erroring", hiding a
+    // 59-query regression from the artifact diff.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -21,6 +26,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,6 +44,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rc stays 0 even with failures: the driver must still DuckDB-compare
+    // the surviving dumps — a non-zero exit would zero the whole round.
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(",")}")
     spark.stop()
   }
 }
