@@ -475,7 +475,91 @@ object EmbeddingQueries extends GroupBase {
         .filter(col("cos") >= 0.35)
         .orderBy("da", "db")
     }),
+
+    // Maximal-marginal-relevance selection (the diversity-aware data
+    // picker a fine-tune curation pass runs after retrieval): greedily
+    // take K items maximizing 0.7·rel − 0.3·max-sim-to-selected, rel =
+    // cosine to the query (vec_id 0). 100 TB shape: K bounded rounds,
+    // each ONE corpus scan — the selected set (≤K rows) broadcasts,
+    // per-candidate max-sim is a hash agg (max over ≤K doubles,
+    // order-free), and the argmax is a 1-row max_by (no global sort).
+    // Score weights are the literals 0.7/0.3 on BOTH engines (never
+    // 1−λ: 1-0.7 ≠ 0.3 in doubles), ties break to the lower vec_id.
+    "emb_mmr" -> ((s, d) => mmrSelect(s, d, k = 4)),
+
+    // k-center / farthest-point-first coreset (greedy 2-approx cover;
+    // the geometry-spread counterpart to emb_mmr's query-anchored
+    // pick): seed = vec_id 0, each round adds the point FARTHEST
+    // (squared L2, codegen vec_d2 kernel) from the selected set. Same
+    // bounded-round scan shape as emb_mmr; `mind2` is each pick's
+    // distance to the set — the classic coreset radius curve.
+    "emb_kcenter" -> ((s, d) => kcenterSelect(s, d, k = 4)),
   )
+
+  /** Greedy MMR loop shared shape: round 1 = pure-relevance argmax;
+    * round r scores remaining candidates against the ≤(r−1)-row
+    * broadcast selected set. The growing `sel` union is K 1-row
+    * aggregates — plan depth O(K), data motion O(K · corpus scan). */
+  private def mmrSelect(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        (dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv")))).as("rel"))
+    def pick(scored: DataFrame, r: Int): DataFrame =
+      scored.agg(max_by(
+        struct(col("vec_id"), col("embedding"), col("rel"), col("score")),
+        struct(col("score"), negate(col("vec_id")))).as("p"))
+        .select(lit(r).as("round"), col("p.vec_id").as("vec_id"),
+          col("p.embedding").as("embedding"), col("p.rel").as("rel"),
+          col("p.score").as("score"))
+    var sel = pick(cand.withColumn("score", col("rel")), 1)
+    for (r <- 2 to k) {
+      val sv = sel.select(col("vec_id").as("sid"), col("embedding").as("sv"))
+      val msim = cand
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(sv))
+        .select(col("vec_id"), col("rel"),
+          (dot(col("embedding"), col("sv")) /
+            (norm(col("embedding")) * norm(col("sv")))).as("sim"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("msim"))
+      val scored = cand.select("vec_id", "embedding").join(msim, "vec_id")
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+      sel = sel.unionByName(pick(scored, r))
+    }
+    sel.select("round", "vec_id", "rel", "score").orderBy("round")
+  }
+
+  /** Farthest-point-first loop: `mind2` = min squared L2 to the
+    * selected set (min over ≤K doubles, order-free); the seed's mind2
+    * is 0 by convention. */
+  private def kcenterSelect(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    var sel = e.filter(col("vec_id") === 0)
+      .select(lit(1).as("round"), col("vec_id"), col("embedding"),
+        lit(0.0).as("mind2"))
+    for (r <- 2 to k) {
+      val sv = sel.select(col("vec_id").as("sid"), col("embedding").as("sv"))
+      val scored = e
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(sv))
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.vd2(col("embedding"), col("sv")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          min(col("d2")).as("mind2"))
+      sel = sel.unionByName(scored.agg(max_by(
+        struct(col("vec_id"), col("embedding"), col("mind2")),
+        struct(col("mind2"), negate(col("vec_id")))).as("p"))
+        .select(lit(r).as("round"), col("p.vec_id").as("vec_id"),
+          col("p.embedding").as("embedding"), col("p.mind2").as("mind2")))
+    }
+    sel.select("round", "vec_id", "mind2").orderBy("round")
+  }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10 (shared by
     * emb_knn and the emb_recall truth side). */
@@ -901,6 +985,67 @@ object EmbeddingQueries extends GroupBase {
                   (${normSql("x.embedding")} * ${normSql("y.embedding")})
                 >= CAST(0.35 AS DOUBLE)
           ORDER BY da, db"""
+    },
+    // greedy rounds unrolled as CTEs (the emb_kmeans convention):
+    // p_r = round-r pick, c_r = remaining candidates rescored against
+    // the picks so far. greatest()/least() over the per-pick scores
+    // mirror the Spark side's max/min aggs — identical doubles in,
+    // order-free combine, identical doubles out.
+    "emb_mmr" -> {
+      def cosSql(a: String, b: String): String =
+        s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+      def msim(r: Int): String = {
+        val sims = (1 until r).map(i => cosSql("c.emb", s"p$i.emb"))
+        if (sims.size == 1) sims.head else s"greatest(${sims.mkString(", ")})"
+      }
+      def cte(r: Int): String = {
+        val prev = (1 until r).map(i => s"p$i").mkString(", ")
+        val notIn = (1 until r).map(i => s"p$i.id").mkString(", ")
+        s"""c$r AS (SELECT c.id, c.emb, c.rel, ${msim(r)} AS msim
+                    FROM cand c, $prev WHERE c.id NOT IN ($notIn)),
+            p$r AS (SELECT id, emb, rel,
+                           CAST(0.7 AS DOUBLE) * rel
+                             - CAST(0.3 AS DOUBLE) * msim AS score
+                    FROM c$r ORDER BY score DESC, id LIMIT 1)"""
+      }
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cand AS (SELECT e.vec_id AS id, e.embedding AS emb,
+                          ${cosSql("e.embedding", "qv")} AS rel
+                   FROM embeddings e, q WHERE e.vec_id <> 0),
+          p1 AS (SELECT id, emb, rel, rel AS score FROM cand
+                 ORDER BY rel DESC, id LIMIT 1),
+          ${(2 to 4).map(cte).mkString(",\n")}
+          ${(1 to 4).map(r =>
+            s"SELECT CAST($r AS INT) AS round, id AS vec_id, rel, score FROM p$r")
+            .mkString("\nUNION ALL ")}
+          ORDER BY round"""
+    },
+    "emb_kcenter" -> {
+      def d2Sql(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                 * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+            (acc, v) -> acc + v)"""
+      def mind2(r: Int): String = {
+        val ds = (1 until r).map(i => d2Sql("c.emb", s"p$i.emb"))
+        if (ds.size == 1) ds.head else s"least(${ds.mkString(", ")})"
+      }
+      def cte(r: Int): String = {
+        val prev = (1 until r).map(i => s"p$i").mkString(", ")
+        val notIn = (1 until r).map(i => s"p$i.id").mkString(", ")
+        s"""c$r AS (SELECT c.id, c.emb, ${mind2(r)} AS mind2
+                    FROM e c, $prev WHERE c.id NOT IN ($notIn)),
+            p$r AS (SELECT id, emb, mind2 FROM c$r
+                    ORDER BY mind2 DESC, id LIMIT 1)"""
+      }
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+          p1 AS (SELECT id, emb, CAST(0.0 AS DOUBLE) AS mind2 FROM e WHERE id = 0),
+          ${(2 to 4).map(cte).mkString(",\n")}
+          ${(1 to 4).map(r =>
+            s"SELECT CAST($r AS INT) AS round, id AS vec_id, mind2 FROM p$r")
+            .mkString("\nUNION ALL ")}
+          ORDER BY round"""
     },
     "emb_pca" ->
       s"""$pcaCteSql
