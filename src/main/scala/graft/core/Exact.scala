@@ -73,7 +73,15 @@ object ExactSql {
     s"(${dsum(e)} / COUNT($e))"
   def dsumDistinct(e: String): String =
     s"CAST(SUM(DISTINCT CAST(($e) AS DECIMAL(30,4))) AS DOUBLE)"
+  /** The int128→double hop goes through VARCHAR: DuckDB's direct
+    * HUGEINT→DOUBLE cast double-rounds NEGATIVE values beyond 2^53
+    * (measured ~0.4% of magnitudes in [2^53, 2^62] off by 1 ulp —
+    * the upper·2^64 + lower two-double composition), while its
+    * string→double parse is correctly rounded, matching Spark's
+    * BigDecimal.doubleValue on the Scala side. Positive sums convert
+    * exactly either way; without the hop, emb_pca's negative
+    * direction components drift 1 ulp on unlucky data. */
   def fsum(e: String): String =
-    s"""(CAST(SUM(CAST(floor(CAST(($e) AS DOUBLE) * 9007199254740992.0)
-         AS BIGINT)) AS DOUBLE) / 9007199254740992.0)"""
+    s"""(CAST(CAST(SUM(CAST(floor(CAST(($e) AS DOUBLE) * 9007199254740992.0)
+         AS BIGINT)) AS VARCHAR) AS DOUBLE) / 9007199254740992.0)"""
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
@@ -730,6 +730,47 @@ object TextQueries extends GroupBase {
         TextOps.hash32(col("text")).as("fp32"))
         .orderBy("doc_id")),
 
+    // MOSS-style WINNOWING fingerprints — the edit-robust complement
+    // to text_fingerprint's whole-doc hash: hash every token 3-gram,
+    // slide a window of W=4 consecutive hashes, keep the RIGHTMOST
+    // MINIMUM per window; the distinct (pos, hash) survivors are the
+    // doc's fingerprint (density → 2/(W+1), guaranteed match for any
+    // shared run of W+K-1 tokens). Shape: the whole selection is
+    // per-ROW array arithmetic (tk and the hash array materialize
+    // once as columns — TextOps.shingles inlining rule — then each
+    // window is a 4-step fold where `h <= acc.h` makes later ties
+    // win, i.e. rightmost-min for free); NO explode of the k-gram
+    // table, NO self-join, zero shuffle until the output sort. The
+    // oracle deliberately takes the other road (banded self-join +
+    // row_number) so the two engines cross-check algorithm against
+    // algorithm, not a shared formulation. Docs with < W full
+    // windows contribute nothing (empty sequence).
+    "text_winnow" -> ((s, d) => {
+      val W = 4; val K = 3
+      val hs = col("hs")
+      val pick = (i: Column) =>
+        aggregate(sequence(lit(0), lit(W - 1)),
+          struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
+          (acc, j) => {
+            val p = (i + j).cast("int")
+            val h = element_at(hs, p + 1)
+            when(h <= acc.getField("h"),
+              struct(h.as("h"), p.as("pos"))).otherwise(acc)
+          })
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs",
+          transform(TextOps.shingles(col("tk"), K), g => TextOps.hash32(g)))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            when(size(hs) >= W,
+              transform(sequence(lit(0), size(hs) - W), i => pick(i)))
+              .otherwise(array().cast("array<struct<h:bigint,pos:int>>"))))
+            .as("m"))
+        .select(col("doc_id"), col("m.pos").as("pos"), col("m.h").as("h"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // BPE-ish token counting: a GPT-2-style regex pre-tokenizer
     // (letter runs / digit runs / other) plus a deterministic subword
     // estimate (ceil(len/4) pieces per pre-token — the avg BPE piece
@@ -1269,6 +1310,23 @@ object TextQueries extends GroupBase {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, ${TextOps.hash32Sql("text")} AS fp32
           FROM documents ORDER BY doc_id""",
+    // rightmost-min tie-break = row_number ordered (h ASC, pos DESC)
+    "text_winnow" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          kg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                   ${TextOps.hash32Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+                 FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                 WHERE i + 2 <= len(tk)),
+          win AS (SELECT a.doc_id, a.pos AS wstart, b.pos, b.h,
+                         count(*) OVER (PARTITION BY a.doc_id, a.pos) AS n,
+                         row_number() OVER (PARTITION BY a.doc_id, a.pos
+                                            ORDER BY b.h, b.pos DESC) AS rn
+                  FROM kg a JOIN kg b
+                    ON a.doc_id = b.doc_id
+                   AND b.pos BETWEEN a.pos AND a.pos + 3)
+          SELECT DISTINCT doc_id, pos, h
+          FROM win WHERE n = 4 AND rn = 1
+          ORDER BY doc_id, pos""",
     "text_lm_bigram" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
           bgd AS (SELECT doc_id, b, count(*) AS m FROM (

@@ -41,7 +41,9 @@ object PlanAudit {
     "graph_cc",        // same node-count broadcast via the shared graph builder
     "text_ks",         // triangular <= join over the bounded length histogram
     "agg_auc",         // same triangular <= join, score histogram is bounded
-    "text_chi2")       // 1-row grand-total broadcast onto the R x C cells
+    "text_chi2",       // 1-row grand-total broadcast onto the R x C cells
+    "emb_mmr",         // <=K-row selected-set broadcast per greedy round
+    "emb_kcenter")     // same bounded selected-set broadcast, vd2 scoring
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
