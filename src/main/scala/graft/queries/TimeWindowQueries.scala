@@ -44,6 +44,28 @@ object TimeWindowQueries extends GroupBase {
           col("event_type"), col("cnt"), col("sum_v"))
         .orderBy("w_start", "event_type")),
 
+    // CASCADING window rollup — minute partials re-aggregated to hour
+    // finals (the Flink window-TVF cascade / streaming-warehouse
+    // materialized-rollup idiom): the raw table is scanned and
+    // shuffled ONCE at minute grain; the hour level aggregates the
+    // ~60× smaller partial table, never the raw events. The partials
+    // keep their sums in DECIMAL across the two levels (re-summing
+    // doubles would be order-dependent and break cross-engine
+    // equality); only the final hour sum casts back to double.
+    // `n_minutes` exposes the partial count the rollup consumed.
+    "tw_rollup" -> ((s, d) => {
+      val m = t(s, d, "events")
+        .groupBy(date_trunc("minute", col("ts")).as("w_min"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(Exact.Dec)).as("sumd"))
+      m.groupBy(date_trunc("hour", col("w_min")).as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_minutes"), sum(col("cnt")).as("cnt"),
+          sum(col("sumd")).cast("double").as("sum_v"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // HOP / sliding window, 1h size, 15m slide (TableDemo.scala:650-893)
     "tw_hop" -> ((s, d) =>
       t(s, d, "events")
@@ -175,6 +197,15 @@ object TimeWindowQueries extends GroupBase {
           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
           event_type, count(*) AS cnt, ${ExactSql.dsum("value")} AS sum_v
           FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "tw_rollup" ->
+      """WITH m AS (SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w_min,
+                          event_type, count(*) AS cnt,
+                          SUM(CAST(value AS DECIMAL(30,4))) AS sumd
+                   FROM events GROUP BY 1, 2)
+         SELECT date_trunc('hour', w_min) AS w_start, event_type,
+                count(*) AS n_minutes, CAST(SUM(cnt) AS BIGINT) AS cnt,
+                CAST(SUM(sumd) AS DOUBLE) AS sum_v
+         FROM m GROUP BY 1, 2 ORDER BY w_start, event_type""",
     "tw_hop" ->
       """SELECT ws AS w_start, event_type, count(*) AS cnt FROM (
            SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
