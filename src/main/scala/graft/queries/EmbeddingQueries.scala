@@ -518,15 +518,17 @@ object EmbeddingQueries extends GroupBase {
     var sel = pick(cand.withColumn("score", col("rel")), 1)
     for (r <- 2 to k) {
       val sv = sel.select(col("vec_id").as("sid"), col("embedding").as("sv"))
-      val msim = cand
+      // embedding rides the agg as first() (functionally dependent on
+      // vec_id) so no corpus-side re-join is needed per round
+      val scored = cand
         .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .crossJoin(broadcast(sv))
-        .select(col("vec_id"), col("rel"),
+        .select(col("vec_id"), col("rel"), col("embedding"),
           (dot(col("embedding"), col("sv")) /
             (norm(col("embedding")) * norm(col("sv")))).as("sim"))
         .groupBy(col("vec_id"), col("rel"))
-        .agg(max(col("sim")).as("msim"))
-      val scored = cand.select("vec_id", "embedding").join(msim, "vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          max(col("sim")).as("msim"))
         .withColumn("score",
           lit(0.7) * col("rel") - lit(0.3) * col("msim"))
       sel = sel.unionByName(pick(scored, r))

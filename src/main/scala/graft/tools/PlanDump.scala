@@ -60,6 +60,10 @@ object PlanDump {
     "agg_auc" -> "ROC AUC: score histogram + rank arithmetic, no per-row global sort",
     "text_pmi" -> "PMI collocations: one tokenize pass shared by unigram and bigram tables, vocab broadcasts",
     "dd_recall" -> "LSH recall sweep: pair table read once, 3 thresholds as one conditional agg + explode",
+    "text_winnow" -> "winnowing fingerprints: per-row array folds, zero shuffle before the output sort",
+    "emb_mmr" -> "MMR selection: K greedy rounds, <=K-row selected-set broadcasts, max_by argmax (no sort)",
+    "emb_kcenter" -> "k-center coreset: same bounded-round shape, codegen vec_d2 scoring",
+    "tw_rollup" -> "cascading rollup: hour level re-aggregates minute partials, raw table scanned once",
   )
 
   def main(args: Array[String]): Unit = {
