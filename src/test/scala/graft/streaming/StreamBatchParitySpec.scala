@@ -208,4 +208,52 @@ class StreamBatchParitySpec extends SparkSpec {
       got.getDouble(3) == want.getDouble(3),
       s"stream-batch divergence: got $got want $want")
   }
+
+  test("cascading rollup: streaming minute partials + store rollup == batch tw_rollup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (input, batches, sentinel) = replay()
+    // Spark refuses two chained streaming aggregations in append mode,
+    // so the production cascade is: watermark-closed MINUTE partials
+    // stream into a partial store via foreachBatch (each window-key
+    // emits exactly ONCE — asserted), and the HOUR level re-aggregates
+    // the store — the streaming-warehouse materialized-rollup pattern
+    // tw_rollup expresses in batch. Decimals stay decimal in the
+    // store so the re-aggregation is order-independent.
+    val store = scala.collection.mutable.Map
+      .empty[(Long, String), (Long, java.math.BigDecimal)]
+    val minute = input.toDS().withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(Exact.Dec)).as("sumd"))
+      .select(col("window.start").as("w_min"), col("event_type"),
+        col("cnt"), col("sumd"))
+    val q = minute.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val k = (r.getTimestamp(0).getTime, r.getString(1))
+          assert(!store.contains(k), s"minute partial $k emitted twice")
+          store(k) = (r.getLong(2), r.getDecimal(3))
+        }
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(EvRow(-1L, sentinel, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = store.toSeq
+      .filterNot(_._1._2 == "sentinel")
+      .groupBy { case ((mMs, et), _) =>
+        (Math.floorDiv(mMs, 3600000L) * 3600000L, et) }
+      .map { case ((hMs, et), ms) =>
+        (new java.sql.Timestamp(hMs), et, ms.size.toLong,
+          ms.map(_._2._1).sum,
+          ms.map(_._2._2).reduce(_ add _).doubleValue)
+      }.toSet
+    val want = SparkEntry.queries("tw_rollup")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want,
+      s"cascade divergence: ${(got diff want) ++ (want diff got)}")
+  }
 }
