@@ -135,6 +135,52 @@ class CheckpointSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("punctuated-window accumulators and per-key watermark survive a restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ckpt = Files.createTempDirectory("graft-punct-ckpt").toString
+    val T0 = 1585015920000L
+    val input = MemoryStream[KeyedEvent]
+    def stream = PunctuatedWindows.tumbling(input.toDS(),
+      windowMs = 10000L, delayMs = 0L)
+    val out = CheckpointSpec.punctRows
+    out.clear()
+    def start() = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[PunctWindowOut], _: Long) =>
+        b.collect().foreach(o => out.add((o.key, o.windowStart.getTime,
+          o.cnt, o.sum)))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+
+    // two accumulations into [0,10s) and a watermark at 8s — window
+    // still open when the query stops
+    input.addData(KeyedEvent(1L, ts(T0 + 3000L), "e", 3.0),
+      KeyedEvent(1L, ts(T0 + 8000L), "e", 8.0))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(out.isEmpty, "window fired before its end crossed the watermark")
+
+    // restart: the pre-restart (cnt=2, sum=11, wm=8s) state must be
+    // live — a 12s element (late vs NOTHING) closes [0,10s) with the
+    // pre-restart members, and a pre-restart-late 7s element must be
+    // dropped against the RECOVERED 12s watermark afterwards
+    val q2 = start()
+    try {
+      input.addData(KeyedEvent(1L, ts(T0 + 12000L), "e", 12.0))
+      q2.processAllAvailable()
+      assert(out.toArray.toList == List((1L, T0, 2L, 11.0)),
+        s"pre-restart accumulations lost: ${out.toArray.toList}")
+      input.addData(KeyedEvent(1L, ts(T0 + 7000L), "e", 7.0),
+        KeyedEvent(1L, ts(T0 + 22000L), "e", 22.0))
+      q2.processAllAvailable()
+      val fired = out.toArray.toList
+      assert(fired == List((1L, T0, 2L, 11.0), (1L, T0 + 10000L, 1L, 12.0)),
+        s"recovered watermark must drop the 7s late row: $fired")
+    } finally q2.stop()
+  }
+
   test("stream-static join enriches a stream against a table (broadcast state)") {
     val s = spark
     import s.implicits._
@@ -166,4 +212,8 @@ object CheckpointSpec {
   /** Driver-side collector for the funnel restart test. */
   val funnelRows =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+
+  /** Driver-side collector for the punctuated-window restart test. */
+  val punctRows =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
 }
