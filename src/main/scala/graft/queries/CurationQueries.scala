@@ -149,6 +149,34 @@ object CurationQueries extends GroupBase {
         .select(col("ord"), col("doc_id"), col("source"), col("pos"))
         .orderBy("ord")
     }),
+
+    // JOINT curation gate — the decision join a production pipeline
+    // runs last: text-side signals (exact-dup keeper, Gopher quality)
+    // joined with the embedding-side SemDeDup verdict on
+    // doc_id = vec_id, one row per document with the per-stage
+    // verdicts and the final AND. Missing joins default conservatively
+    // (no tokens -> quality fail; no embedding -> semantic pass:
+    // at 100 TB only a sampled slice is embedded). Each component is
+    // the already-audited catalog query — this adds three hash joins
+    // on doc_id over their outputs, nothing else.
+    "pipe_gate" -> ((s, d) => {
+      val ex = DedupQueries.queries("dd_exact")(s, d)
+        .select(col("doc_id"), col("kept").as("exact_kept"))
+      val gq = TextQueries.queries("text_gopher")(s, d)
+        .select(col("doc_id"), col("keep").as("gopher_keep"))
+      val se = EmbeddingQueries.queries("emb_semdedup")(s, d)
+        .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(ex, Seq("doc_id"), "left")
+        .join(gq, Seq("doc_id"), "left")
+        .join(se, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_kept"),
+          coalesce(col("gopher_keep"), lit(false)).as("gopher_keep"),
+          coalesce(col("sem_kept"), lit(true)).as("sem_kept"),
+          (col("exact_kept") && coalesce(col("gopher_keep"), lit(false)) &&
+            coalesce(col("sem_kept"), lit(true))).as("keep"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -215,5 +243,21 @@ object CurationQueries extends GroupBase {
                    AS ord,
                  doc_id, source, pos
           FROM sel ORDER BY ord""",
+    // composed from the component queries' own oracle strings, so the
+    // gate's oracle stays in lock-step with theirs
+    "pipe_gate" ->
+      s"""WITH ex AS (${DedupQueries.oracleSql("dd_exact")}),
+          gq AS (${TextQueries.oracleSql("text_gopher")}),
+          se AS (${EmbeddingQueries.oracleSql("emb_semdedup")})
+          SELECT d.doc_id, ex.kept AS exact_kept,
+                 coalesce(gq.keep, false) AS gopher_keep,
+                 coalesce(se.kept, true) AS sem_kept,
+                 (ex.kept AND coalesce(gq.keep, false)
+                   AND coalesce(se.kept, true)) AS keep
+          FROM documents d
+          LEFT JOIN ex ON d.doc_id = ex.doc_id
+          LEFT JOIN gq ON d.doc_id = gq.doc_id
+          LEFT JOIN se ON d.doc_id = se.vec_id
+          ORDER BY d.doc_id""",
   )
 }

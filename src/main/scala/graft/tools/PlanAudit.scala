@@ -43,7 +43,8 @@ object PlanAudit {
     "agg_auc",         // same triangular <= join, score histogram is bounded
     "text_chi2",       // 1-row grand-total broadcast onto the R x C cells
     "emb_mmr",         // <=K-row selected-set broadcast per greedy round
-    "emb_kcenter")     // same bounded selected-set broadcast, vd2 scoring
+    "emb_kcenter",     // same bounded selected-set broadcast, vd2 scoring
+    "pipe_gate")       // composes emb_semdedup -> inherits its centroid broadcast
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
