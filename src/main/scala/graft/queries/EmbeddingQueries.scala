@@ -399,6 +399,46 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("vec_id")
     }),
 
+    // RESIDUAL quantization (two-level additive coding — the RQ step
+    // production ANN indexes stack on top of IVF when PQ's subspace
+    // independence loses too much precision): level-1 codes each
+    // vector against a coarse codebook, then the RESIDUAL (v − c1) is
+    // coded against a second codebook built from sample residuals, and
+    // the per-vector quantization errors after each level quantify the
+    // compression fidelity. Codebooks follow the house stand-in for
+    // offline training (level 1 = vectors 0-3, level 2 = the residuals
+    // of vectors 4-7). The 100 TB shape: both codebooks are K-row
+    // broadcasts, both assignment passes are broadcast-join + argmin
+    // hash-aggs (map-side partials, no window sort), and the residual
+    // never shuffles — it is computed in the same projection that
+    // scores it, so the corpus is scanned once per level with nothing
+    // wider than (vec_id, 64 doubles) in flight.
+    "emb_rq" -> ((s, d) => {
+      def d2(a: Column, b: Column) = VectorFunctions.vd2(a, b)
+      val e = t(s, d, "embeddings")
+      val c1 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c1id"), col("embedding").as("cv"))
+      val a1 = e.crossJoin(broadcast(c1))
+        .withColumn("err1", d2(col("embedding"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min_by(
+          struct(col("embedding"), col("c1id"), col("cv"), col("err1")),
+          struct(col("err1"), col("c1id"))).as("r"))
+        .select(col("vec_id"),
+          col("r.c1id").as("c1id"), col("r.err1").as("err1"),
+          zip_with(col("r.embedding"), col("r.cv"),
+            (x, y) => x.cast("double") - y.cast("double")).as("res"))
+      val c2 = a1.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+        .select(col("vec_id").as("c2id"), col("res").as("rv"))
+      a1.crossJoin(broadcast(c2))
+        .withColumn("err2", d2(col("res"), col("rv")))
+        .groupBy(col("vec_id"), col("c1id"), col("err1"))
+        .agg(min(struct(col("err2"), col("c2id"))).as("m"))
+        .select(col("vec_id"), col("c1id").as("c1"), col("m.c2id").as("c2"),
+          col("err1"), col("m.err2").as("err2"))
+        .orderBy("vec_id")
+    }),
+
     // k-NN GRAPH construction (the substrate for graph-based dedup,
     // diversity sampling, and label propagation): every vector's top-3
     // cosine neighbors among its LSH bucket-mates. Same 16-way
@@ -933,6 +973,40 @@ object EmbeddingQueries extends GroupBase {
           SELECT vec_id, max(err) AS max_err,
                  ${graft.core.ExactSql.fsum("err")} / count(*) AS mean_err
           FROM e2 GROUP BY vec_id ORDER BY vec_id""",
+    "emb_rq" -> {
+      // same position-ordered 0.0-seeded fold as the vec_d2 kernel
+      def d2Sql(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                 * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+            (acc, v) -> acc + v)"""
+      s"""WITH c1 AS (SELECT vec_id AS c1id, embedding AS cv FROM embeddings
+                      WHERE vec_id < 4),
+          a1 AS (SELECT vec_id, c1id, err1, cv FROM (
+                   SELECT e.vec_id, c1id,
+                          ${d2Sql("e.embedding", "cv")} AS err1, cv,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${d2Sql("e.embedding", "cv")} ASC, c1id)
+                            AS rn
+                   FROM embeddings e CROSS JOIN c1) x WHERE rn = 1),
+          res AS (SELECT a1.vec_id, c1id, err1,
+                         list_transform(list_zip(e.embedding, cv),
+                           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                           AS r
+                  FROM a1 JOIN embeddings e USING (vec_id)),
+          c2 AS (SELECT vec_id AS c2id, r AS rv FROM res
+                 WHERE vec_id >= 4 AND vec_id < 8),
+          a2 AS (SELECT vec_id, c1id, err1, c2id, err2 FROM (
+                   SELECT res.vec_id, c1id, err1, c2id,
+                          ${d2Sql("res.r", "rv")} AS err2,
+                          row_number() OVER (PARTITION BY res.vec_id
+                            ORDER BY ${d2Sql("res.r", "rv")} ASC, c2id) AS rn
+                   FROM res CROSS JOIN c2) x WHERE rn = 1)
+          SELECT vec_id, CAST(c1id AS BIGINT) AS c1, CAST(c2id AS BIGINT) AS c2,
+                 err1, err2
+          FROM a2 ORDER BY vec_id"""
+    },
     "emb_knn_graph" -> {
       val terms = (0 until 4).map(i =>
         s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")

@@ -186,6 +186,34 @@ object JoinQueries extends GroupBase {
         .select("event_id", "user_id", "click_value")
         .orderBy("event_id")
     }),
+
+    // SymSpell-style fuzzy self-join (edit distance <= 1) over customer
+    // names — the entity-resolution join the reference's exact equi
+    // joins can't express. Each name emits its deletion neighborhood
+    // (itself + every single-character deletion) as blocking keys; two
+    // names within one edit always share a variant, so candidates are
+    // a HASH join on O(N·L) short strings — never the O(N²) cross join
+    // a naive fuzzy join needs — and the real `levenshtein` (codegen'd
+    // built-in) verifies only the blocked pairs. A variant is shared by
+    // at most ~|alphabet| names, so there are no hot blocking keys at
+    // 100 TB; the ck<=300 filter just bounds the demo output.
+    "join_fuzzy" -> ((s, d) => {
+      val names = t(s, d, "customer")
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
+      val variants = names.select(col("ck"), col("nm"), explode(
+        array_union(array(col("nm")),
+          transform(sequence(lit(1), length(col("nm"))), i =>
+            concat(col("nm").substr(lit(1), i - 1),
+              col("nm").substr(i + 1, length(col("nm"))))))).as("v"))
+      variants.as("a").join(variants.as("b"),
+          col("a.v") === col("b.v") && col("a.nm") < col("b.nm"))
+        .select(col("a.ck").as("ck1"), col("b.ck").as("ck2"),
+          col("a.nm").as("nm1"), col("b.nm").as("nm2"))
+        .distinct()
+        .filter(levenshtein(col("nm1"), col("nm2")) <= 1)
+        .orderBy("ck1", "ck2")
+    }),
   )
 
   private val rev = "l_extendedprice * (1.0 - l_discount)"
@@ -283,5 +311,18 @@ object JoinQueries extends GroupBase {
                WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY event_id""",
+    "join_fuzzy" ->
+      """WITH names AS (SELECT c_custkey AS ck, c_name AS nm FROM customer
+                        WHERE c_custkey <= 300),
+         v AS (SELECT ck, nm, unnest(list_distinct(list_append(
+                 list_transform(range(1, length(nm) + 1),
+                   i -> substr(nm, 1, CAST(i - 1 AS INT)) ||
+                        substr(nm, CAST(i + 1 AS INT), length(nm))), nm))) AS var
+               FROM names),
+         cand AS (SELECT DISTINCT a.ck AS ck1, b.ck AS ck2,
+                         a.nm AS nm1, b.nm AS nm2
+                  FROM v a JOIN v b ON a.var = b.var AND a.nm < b.nm)
+         SELECT ck1, ck2, nm1, nm2 FROM cand
+         WHERE levenshtein(nm1, nm2) <= 1 ORDER BY ck1, ck2""",
   )
 }

@@ -837,6 +837,33 @@ object TextQueries extends GroupBase {
       t1.unionByName(t2).unionByName(t3).orderBy("rnd")
     }),
 
+    // Unigram-LM tokenizer SEED VOCABULARY (the SentencePiece
+    // counterpart of text_bpe_train's merge induction): enumerate every
+    // character substring of length 2-6 of every vocabulary word (the
+    // suffix-array substring-counting stage of Kudo 2018, expressed as
+    // a per-word array expression), score each candidate piece by
+    // corpus frequency × piece length, and keep the top-30 — the seed
+    // set unigram-LM EM pruning starts from. The 100 TB shape matches
+    // bpe_train: ONE corpus scan collapses the token stream to the
+    // (word, count) vocabulary with map-side combine; the substring
+    // explosion and piece aggregation are vocab-sized, not
+    // corpus-sized, and the top-30 runs through TakeOrderedAndProject
+    // (per-partition heaps, no global sort).
+    "text_unigram_seed" -> ((s, d) => {
+      val wf = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      wf.select(col("cnt"), explode(flatten(
+          transform(sequence(lit(1), length(col("w"))), i =>
+            filter(transform(sequence(lit(2), lit(6)), l =>
+              when(i + l - lit(1) <= length(col("w")), col("w").substr(i, l))),
+              p => p.isNotNull)))).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("freq"))
+        .select(col("piece"), col("freq"),
+          (col("freq") * length(col("piece"))).as("score"))
+        .orderBy(col("score").desc, col("piece").asc).limit(30)
+    }),
+
     // benchmark decontamination: flag training docs sharing 3-gram
     // shingles with the held-out benchmark set (source = src0 stands in
     // for the eval corpus). The benchmark n-gram set is tiny relative
@@ -1394,6 +1421,19 @@ object TextQueries extends GroupBase {
                 UNION ALL SELECT * FROM t3)
           ORDER BY rnd"""
     },
+    "text_unigram_seed" ->
+      s"""WITH wf AS (SELECT w, count(*) AS cnt
+                      FROM (SELECT unnest($toksSql) AS w FROM documents)
+                      GROUP BY 1),
+          p AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+                       sum(cnt) AS freq
+                FROM wf,
+                     LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) a,
+                     LATERAL (SELECT unnest(range(2, 7)) AS l) b
+                WHERE i + l - 1 <= length(w) GROUP BY 1)
+          SELECT piece, CAST(freq AS BIGINT) AS freq,
+                 CAST(freq * length(piece) AS BIGINT) AS score
+          FROM p ORDER BY score DESC, piece LIMIT 30""",
     "text_bpe" ->
       s"""SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
