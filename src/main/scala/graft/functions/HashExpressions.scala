@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Shared MinHash parameters — referenced by BOTH the codegen kernels
   * here and the DuckDB oracle SQL in queries.DedupQueries, so the two
@@ -165,6 +165,43 @@ object HashKernels {
     }
     java.lang.Long.valueOf(sim)
   }
+
+  /** Winnowing fingerprint picks (Schleimer et al. 2003) over a
+    * shingle-hash array in one pass: for every w-window the RIGHTMOST
+    * minimal hash, consecutive duplicates collapsed. A position can
+    * only be picked by the contiguous window range [pos-w+1, pos]
+    * (once a later position ties-or-beats it, it stays preferred until
+    * the earlier one leaves the window), so collapsing equal
+    * consecutive picks equals a global distinct — the HOF formulation
+    * (per-window aggregate fold + array_distinct) computes exactly
+    * this at ~w structs allocated per position. Empty array (not
+    * null) when there are fewer than w hashes: no window exists. */
+  def winnow(hs: ArrayData, w: Int): ArrayData = {
+    val len = hs.numElements()
+    if (len < w) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var lastH = -1L
+    var lastP = -1
+    var i = 0
+    while (i + w <= len) {
+      var mh = Long.MaxValue
+      var mp = -1
+      var j = 0
+      while (j < w) {
+        val h = hs.getLong(i + j)
+        if (h <= mh) { mh = h; mp = i + j }
+        j += 1
+      }
+      if (mp != lastP || mh != lastH) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](mh, mp))
+        lastH = mh
+        lastP = mp
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 private[functions] trait ShingleKernelExpr extends UnaryExpression {
@@ -217,6 +254,39 @@ case class ShingleHashes(child: Expression, n: Int) extends ShingleKernelExpr {
     })
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** `winnow_fingerprints(hashes, w)` → ARRAY<STRUCT<h:BIGINT,pos:INT>>
+  * — the deduplicated winnowing picks over a shingle-hash array. */
+case class WinnowFingerprints(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> hashes and w >= 1")
+  }
+
+  override def nullSafeEval(hs: Any): Any =
+    HashKernels.winnow(hs.asInstanceOf[ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.HashKernels.winnow($a, $w);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
     copy(child = c)
 }
 

@@ -182,6 +182,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new FunctionIdentifier("token_topcount"),
       new ExpressionInfo(classOf[TokenTopCount].getName, "token_topcount"),
       (args: Seq[Expression]) => TokenTopCount(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => WinnowFingerprints(args(0), litInt(args(1)))))
     ext.injectOptimizerRule(_ => graft.plans.ExistsRewriteRule)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectParser((session, delegate) =>
@@ -221,4 +225,9 @@ object VectorFunctions {
   /** Codegen'd max per-token occurrence count (single hashmap pass). */
   def tokenTopCount(toks: Column): Column =
     call_function("token_topcount", toks)
+
+  /** Codegen'd winnowing fingerprint picks over a shingle-hash array. */
+  def winnowFingerprints(hashes: Column, w: Int): Column =
+    call_function("winnow_fingerprints", hashes,
+      org.apache.spark.sql.functions.lit(w))
 }

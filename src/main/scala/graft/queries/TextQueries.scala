@@ -735,38 +735,29 @@ object TextQueries extends GroupBase {
     // slide a window of W=4 consecutive hashes, keep the RIGHTMOST
     // MINIMUM per window; the distinct (pos, hash) survivors are the
     // doc's fingerprint (density → 2/(W+1), guaranteed match for any
-    // shared run of W+K-1 tokens). Shape: the whole selection is
-    // per-ROW array arithmetic (tk and the hash array materialize
-    // once as columns — TextOps.shingles inlining rule — then each
-    // window is a 4-step fold where `h <= acc.h` makes later ties
-    // win, i.e. rightmost-min for free); NO explode of the k-gram
-    // table, NO self-join, zero shuffle until the output sort. The
-    // oracle deliberately takes the other road (banded self-join +
+    // shared run of W+K-1 tokens). Shape: two codegen kernels per ROW
+    // (shingle_hashes = one md5 pass per k-gram, winnow_fingerprints
+    // = one primitive min-scan per window with consecutive-duplicate
+    // collapse — equal to a global distinct because a position's pick
+    // range is contiguous); NO explode of the k-gram table, NO
+    // self-join, zero shuffle until the output sort. The HOF
+    // formulation this replaced (per-window aggregate fold +
+    // array_distinct) allocated ~W structs per position through
+    // interpreted lambdas — 2.5× slower at sf0.1. The oracle
+    // deliberately takes the other road (banded self-join +
     // row_number) so the two engines cross-check algorithm against
     // algorithm, not a shared formulation. Docs with < W full
-    // windows contribute nothing (empty sequence).
+    // windows contribute nothing (kernel returns an empty array;
+    // docs under K tokens hash to null and explode drops them).
     "text_winnow" -> ((s, d) => {
       val W = 4; val K = 3
-      val hs = col("hs")
-      val pick = (i: Column) =>
-        aggregate(sequence(lit(0), lit(W - 1)),
-          struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
-          (acc, j) => {
-            val p = (i + j).cast("int")
-            val h = element_at(hs, p + 1)
-            when(h <= acc.getField("h"),
-              struct(h.as("h"), p.as("pos"))).otherwise(acc)
-          })
       t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
         .withColumn("hs",
-          transform(TextOps.shingles(col("tk"), K), g => TextOps.hash32(g)))
+          graft.functions.VectorFunctions.shingleHashes(col("tk"), K))
         .select(col("doc_id"),
-          explode(array_distinct(
-            when(size(hs) >= W,
-              transform(sequence(lit(0), size(hs) - W), i => pick(i)))
-              .otherwise(array().cast("array<struct<h:bigint,pos:int>>"))))
-            .as("m"))
+          explode(graft.functions.VectorFunctions
+            .winnowFingerprints(col("hs"), W)).as("m"))
         .select(col("doc_id"), col("m.pos").as("pos"), col("m.h").as("h"))
         .orderBy("doc_id", "pos")
     }),

@@ -94,4 +94,40 @@ class HashKernelSpec extends SparkSpec {
     val h = out(2).getLong(2)
     assert(h >= 0 && h <= 0xffffffffL)
   }
+
+  test("winnow_fingerprints == HOF per-window rightmost-min + distinct") {
+    val W = 4
+    val hs = col("hs")
+    // the formulation the kernel replaced (text_winnow's original body)
+    val pick = (i: org.apache.spark.sql.Column) =>
+      aggregate(sequence(lit(0), lit(W - 1)),
+        struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
+        (acc, j) => {
+          val p = (i + j).cast("int")
+          val hv = element_at(hs, p + 1)
+          when(hv <= acc.getField("h"),
+            struct(hv.as("h"), p.as("pos"))).otherwise(acc)
+        })
+    val base = docs
+      .withColumn("hs", VectorFunctions.shingleHashes(col("tk"), 3))
+    val hof = base.select(col("doc_id"),
+      explode(array_distinct(
+        when(size(hs) >= W,
+          transform(sequence(lit(0), size(hs) - W), i => pick(i)))
+          .otherwise(array().cast("array<struct<h:bigint,pos:int>>"))))
+        .as("m"))
+      .select(col("doc_id"), col("m.h").as("h"), col("m.pos").as("pos"))
+    val kern = base.select(col("doc_id"),
+      explode(VectorFunctions.winnowFingerprints(hs, W)).as("m"))
+      .select(col("doc_id"), col("m.h").as("h"), col("m.pos").as("pos"))
+    assert(kern.count() == hof.count() && kern.count() > 0)
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+    // fewer hashes than windows -> empty array (explode drops the doc)
+    val s = spark
+    import s.implicits._
+    val short = Seq(Seq(5L, 1L, 9L)).toDF("hs")
+      .select(size(VectorFunctions.winnowFingerprints(col("hs"), W)))
+      .head.getInt(0)
+    assert(short == 0)
+  }
 }
