@@ -334,6 +334,36 @@ object DedupQueries extends GroupBase {
     // (pigeonhole), so the blocking is recall-lossless. Hamming filter
     // runs BEFORE the distinct — the byte buckets are skewed and the
     // candidate set dwarfs the survivors.
+    // MOSS-style near-dup PAIR DETECTION over winnowing fingerprints
+    // (Schleimer et al. 2003 — the plagiarism-detection deployment of
+    // the text_winnow primitive): each doc keeps its winnowed (h, pos)
+    // picks, and two docs are flagged when they share >= 3 distinct
+    // fingerprint hashes — guaranteed to fire for any shared token run
+    // of W+K-1 = 6 tokens per fingerprint, while sampling only
+    // ~2/(W+1) of the k-gram table. Scale shape mirrors dd_jaccard:
+    // the pair join is BLOCKED on the fingerprint hash (never
+    // all-pairs), ShingleDf.capRare drops boilerplate fingerprints
+    // shared by > 1000 docs before the self-join can square them, and
+    // every shuffle carries (doc_id, BIGINT hash) — the fingerprint
+    // table is already ~3× smaller than the k-gram table dd_jaccard
+    // starts from, which is the whole point of winnowing at 100 TB.
+    "dd_winnow" -> ((s, d) => {
+      val W = 4; val K = 3
+      val fp = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs", VectorFunctions.shingleHashes(col("tk"), K))
+        .select(col("doc_id"),
+          explode(VectorFunctions.winnowFingerprints(col("hs"), W)).as("m"))
+        .select(col("doc_id"), col("m.h").as("h")).distinct()
+      val capped = graft.operators.ShingleDf.capRare(fp, "h", 1000)
+      capped.as("a").join(capped.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dd_simhash" -> ((s, d) =>
       simhashPairs(s, d).orderBy("da", "db")),
 
@@ -543,6 +573,26 @@ object DedupQueries extends GroupBase {
                       / CAST(CAST(len(chs) AS BIGINT)
                              AS DECIMAL(18,8)) AS DOUBLE) AS keep_frac
           FROM chs c LEFT JOIN kept USING (doc_id) ORDER BY doc_id""",
+    "dd_winnow" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          kg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                   ${TextOps.hash32Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")} AS h
+                 FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                 WHERE i + 2 <= len(tk)),
+          win AS (SELECT a.doc_id, a.pos AS wstart, b.pos, b.h,
+                         count(*) OVER (PARTITION BY a.doc_id, a.pos) AS n,
+                         row_number() OVER (PARTITION BY a.doc_id, a.pos
+                                            ORDER BY b.h, b.pos DESC) AS rn
+                  FROM kg a JOIN kg b
+                    ON a.doc_id = b.doc_id
+                   AND b.pos BETWEEN a.pos AND a.pos + 3),
+          fp AS (SELECT DISTINCT doc_id, h FROM win WHERE n = 4 AND rn = 1),
+          ok AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 1000),
+          fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN ok USING (h))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_shared
+          FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""",
     "dd_simhash" ->
       s"""$simhashPairsSql
           SELECT da, db, hamming FROM pairs ORDER BY da, db""",

@@ -139,6 +139,49 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("qid")
     }),
 
+    // MATRYOSHKA truncation sweep (MRL, Kusupati et al. 2022): how
+    // much top-3 recall survives searching on only the first 16 / 32
+    // dimensions of the 64-dim embedding — the dimension-vs-recall
+    // curve that decides how far a deployment can truncate stored
+    // vectors (4× or 2× smaller index) before re-ranking on full
+    // vectors is needed. Each arm is the brute-force broadcast-probe
+    // shape of emb_knn on a SLICED vector (slice of array<float>
+    // feeds the same codegen float_dot kernel); the prefix scoring
+    // scans proportionally fewer floats, which is exactly the
+    // production win being measured. Recall joins are on the tiny
+    // (qid, nid) result sets.
+    "emb_matryoshka" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      def knn(dim: Int): DataFrame = {
+        val proj =
+          if (dim == 64) e.select(col("vec_id"), col("embedding").as("v"))
+          else e.select(col("vec_id"),
+            slice(col("embedding"), 1, dim).as("v"))
+        val q = proj.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+        proj.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            (dot(col("qv"), col("v")) /
+              (norm(col("qv")) * norm(col("v")))).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("qid", "nid")
+      }
+      val truth = knn(64)
+      def hits(dim: Int) = knn(dim)
+        .join(truth.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0))).as(s"n_hit_d$dim"))
+      hits(16).join(hits(32), Seq("qid"))
+        .select(col("qid"),
+          col("n_hit_d16").cast("int").as("n_hit_d16"),
+          (col("n_hit_d16").cast("double") / 3).as("recall3_d16"),
+          col("n_hit_d32").cast("int").as("n_hit_d32"),
+          (col("n_hit_d32").cast("double") / 3).as("recall3_d32"))
+        .orderBy("qid")
+    }),
+
     // k-means training for the IVF coarse quantizer (2 unrolled
     // Lloyd iterations, k=4, deterministic init = first k vectors).
     // Assignment: centroids broadcast, squared-L2 as a left fold —
@@ -818,6 +861,33 @@ object EmbeddingQueries extends GroupBase {
                  n_hit_p2, CAST(n_hit_p2 AS DOUBLE) / 3 AS recall3_p2,
                  n_hit_p4, CAST(n_hit_p4 AS DOUBLE) / 3 AS recall3_p4
           FROM r1 JOIN r2 USING (qid) JOIN r4 USING (qid) ORDER BY qid"""
+    },
+    "emb_matryoshka" -> {
+      def arm(dim: Int): String = {
+        val v = if (dim == 64) "embedding" else s"embedding[1:$dim]"
+        s"""e$dim AS (SELECT vec_id, $v AS v FROM embeddings),
+            k$dim AS (SELECT qid, nid FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS nid,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${dotSql("q.v", "e.v")} /
+                         (${normSql("q.v")} * ${normSql("e.v")}) DESC,
+                         e.vec_id) AS rank
+              FROM e$dim e CROSS JOIN
+                   (SELECT * FROM e$dim WHERE vec_id < 5) q
+              WHERE e.vec_id <> q.vec_id) x WHERE rank <= 3)"""
+      }
+      def hit(dim: Int): String =
+        s"""h$dim AS (SELECT k$dim.qid,
+                        sum(CASE WHEN t.nid IS NULL THEN 0 ELSE 1 END) AS n
+                      FROM k$dim LEFT JOIN k64 t
+                        ON k$dim.qid = t.qid AND k$dim.nid = t.nid
+                      GROUP BY 1)"""
+      s"""WITH ${arm(64)}, ${arm(16)}, ${arm(32)}, ${hit(16)}, ${hit(32)}
+          SELECT h16.qid, CAST(h16.n AS INT) AS n_hit_d16,
+                 CAST(h16.n AS DOUBLE) / 3 AS recall3_d16,
+                 CAST(h32.n AS INT) AS n_hit_d32,
+                 CAST(h32.n AS DOUBLE) / 3 AS recall3_d32
+          FROM h16 JOIN h32 USING (qid) ORDER BY h16.qid"""
     },
     "emb_mips" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
