@@ -249,6 +249,52 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // Interpolated KNESER-NEY bigram scoring — the smoothing KenLM
+    // (and therefore the CCNet perplexity filter) actually uses, where
+    // text_lm_bigram is the unsmoothed MLE: P(w2|w1) =
+    // (c(w1w2)−D)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··) with
+    // absolute discount D = 0.75; the continuation probability
+    // N1+(·w2)/N1+(··) scores a word by how many CONTEXTS it follows,
+    // not how often — the insight that makes KN the strongest n-gram
+    // smoother. Scale shape identical to text_lm_bigram: ONE corpus
+    // tokenize+shingle; every KN statistic (bigram counts, context
+    // totals, left/right continuation type counts, grand type count)
+    // folds out of the vocab-sized bigram table, the assembled
+    // probability table broadcasts back to the corpus-scale
+    // (doc, bigram) relation, and the per-doc NLL is the sorted fold
+    // rounded to 6 (ln is transcendental).
+    "text_kneser" -> ((s, d) => {
+      val D = 0.75
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("bg",
+          graft.functions.VectorFunctions.shingleStrings(col("tk"), 2))
+        .filter(col("bg").isNotNull)
+      val bgd = docs.select(col("doc_id"), explode(col("bg")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+      val bgf = bgd.groupBy("b").agg(sum(col("m")).as("cb"))
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+        .withColumn("w2", substring_index(col("b"), " ", -1))
+      val cc = bgf.groupBy("w1")
+        .agg(sum(col("cb")).as("cc"), count(lit(1)).as("n1r"))
+      val n1l = bgf.groupBy("w2").agg(count(lit(1)).as("n1l"))
+      val nb = bgf.agg(count(lit(1)).as("nb"))
+      val tbl = bgf.join(cc, "w1").join(n1l, "w2")
+        .crossJoin(broadcast(nb))
+        .select(col("b"),
+          ((col("cb").cast("double") - lit(D)) / col("cc").cast("double") +
+            (lit(D) * col("n1r").cast("double")) / col("cc").cast("double") *
+              (col("n1l").cast("double") / col("nb").cast("double"))).as("p"))
+      bgd.join(broadcast(tbl), "b")
+        .select(col("doc_id"), col("m"),
+          (col("m").cast("double") * log(col("p"))).as("mlnp"))
+        .groupBy("doc_id")
+        .agg(round(-(aggregate(sort_array(collect_list(col("mlnp"))),
+            lit(0.0), (a, v) => a + v) / sum(col("m")).cast("double")), 6)
+          .as("nll_kn"))
+        .orderBy("doc_id")
+    }),
+
     // top collocations by pointwise mutual information over the
     // corpus bigram distribution — the phrase-mining signal a
     // tokenizer/vocab builder uses to decide which pairs deserve a
@@ -1363,6 +1409,33 @@ object TextQueries extends GroupBase {
                  round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                      list_sort(array_agg(mlnp))), (a, v) -> a + v)
                    / CAST(sum(m) AS DOUBLE)), 6) AS nll2
+          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "text_kneser" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          bgd AS (SELECT doc_id, b, count(*) AS m FROM (
+                    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+                    FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                    WHERE i + 1 <= len(tk)) GROUP BY 1, 2),
+          bgf AS (SELECT b, sum(m) AS cb, string_split(b, ' ')[1] AS w1,
+                         string_split(b, ' ')[2] AS w2
+                  FROM bgd GROUP BY b),
+          cc AS (SELECT w1, sum(cb) AS cc, count(*) AS n1r FROM bgf GROUP BY 1),
+          n1l AS (SELECT w2, count(*) AS n1l FROM bgf GROUP BY 1),
+          nb AS (SELECT count(*) AS nb FROM bgf),
+          tbl AS (SELECT b,
+                    (CAST(cb AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                      / CAST(cc AS DOUBLE)
+                    + (CAST(0.75 AS DOUBLE) * CAST(n1r AS DOUBLE))
+                      / CAST(cc AS DOUBLE)
+                      * (CAST(n1l AS DOUBLE) / CAST(nb AS DOUBLE)) AS p
+                  FROM bgf JOIN cc USING (w1) JOIN n1l USING (w2)
+                  CROSS JOIN nb),
+          lp AS (SELECT doc_id, m, CAST(m AS DOUBLE) * ln(p) AS mlnp
+                 FROM bgd JOIN tbl USING (b))
+          SELECT doc_id,
+                 round(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(array_agg(mlnp))), (a, v) -> a + v)
+                   / CAST(sum(m) AS DOUBLE)), 6) AS nll_kn
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "text_pmi" ->
       s"""WITH d AS (SELECT $toksSql AS tk FROM documents),
