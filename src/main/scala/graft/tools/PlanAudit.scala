@@ -44,7 +44,10 @@ object PlanAudit {
     "text_chi2",       // 1-row grand-total broadcast onto the R x C cells
     "emb_mmr",         // <=K-row selected-set broadcast per greedy round
     "emb_kcenter",     // same bounded selected-set broadcast, vd2 scoring
-    "pipe_gate")       // composes emb_semdedup -> inherits its centroid broadcast
+    "pipe_gate",       // composes emb_semdedup -> inherits its centroid broadcast
+    "emb_rq",          // 4-row codebook broadcasts per level, corpus streams
+    "emb_matryoshka",  // brute probe-vector broadcasts per truncation arm
+    "text_kneser")     // 1-row bigram-type-total broadcast onto the vocab table
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -62,7 +65,8 @@ object PlanAudit {
     "emb_pca",    // 64-element direction re-assembly, bounded by dim
     "emb_pca_scores", // inherits the training lineage's assembly
     "text_entropy",   // per-doc m·ln(m) fold, state = one doc's vocab
-    "text_chi2")      // cell-term fold, state = the R x C contingency cells
+    "text_chi2",      // cell-term fold, state = the R x C contingency cells
+    "text_kneser")    // per-doc sorted NLL fold, state = one doc's vocab
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions

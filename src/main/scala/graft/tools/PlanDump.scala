@@ -60,7 +60,11 @@ object PlanDump {
     "agg_auc" -> "ROC AUC: score histogram + rank arithmetic, no per-row global sort",
     "text_pmi" -> "PMI collocations: one tokenize pass shared by unigram and bigram tables, vocab broadcasts",
     "dd_recall" -> "LSH recall sweep: pair table read once, 3 thresholds as one conditional agg + explode",
-    "text_winnow" -> "winnowing fingerprints: per-row array folds, zero shuffle before the output sort",
+    "text_winnow" -> "winnowing fingerprints: two codegen kernels per row (shingle_hashes + winnow_fingerprints), zero shuffle before the output sort",
+    "dd_winnow" -> "winnow pair detection: fingerprint-hash-blocked self-join with df cap, never all-pairs",
+    "join_fuzzy" -> "fuzzy join: deletion-variant blocking keys -> hash join, levenshtein verify as join residual",
+    "emb_rq" -> "residual quantization: broadcast codebooks, argmin hash-aggs, level-2 branch scan pruned to sample vectors",
+    "text_kneser" -> "Kneser-Ney scoring: all KN statistics fold out of the vocab-sized bigram table, probability table broadcast back",
     "emb_mmr" -> "MMR selection: K greedy rounds, <=K-row selected-set broadcasts, max_by argmax (no sort)",
     "emb_kcenter" -> "k-center coreset: same bounded-round shape, codegen vec_d2 scoring",
     "tw_rollup" -> "cascading rollup: hour level re-aggregates minute partials, raw table scanned once",

@@ -214,4 +214,46 @@ class NewOpsPropertySpec extends SparkSpec {
         s"seed $seed gini")
     }
   }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("join_fuzzy finds EVERY edit-distance<=1 pair (blocking is complete)") {
+    // the SymSpell guarantee under test: for any two strings within
+    // one edit, their deletion neighborhoods (self + all length-1
+    // deletions) intersect — so the variant-blocked hash join misses
+    // nothing a naive all-pairs levenshtein scan would find. A tiny
+    // alphabet forces dense near-pair structure plus plenty of
+    // blocked-but-rejected candidates (the verify path).
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      val names = Vector.fill(60)( // length 3-6 over {a,b,c}
+        Vector.fill(3 + rnd.nextInt(4))(
+          ('a' + rnd.nextInt(3)).toChar).mkString)
+      val dir = Files.createTempDirectory(s"graft-fuzzy$seed").toString
+      names.zipWithIndex.map { case (nm, i) => (i.toLong, nm) }
+        .toDF("c_custkey", "c_name")
+        .write.parquet(s"$dir/customer.parquet")
+      val want = (for {
+        i <- names.indices; j <- names.indices
+        if names(i) < names(j) && lev(names(i), names(j)) <= 1
+      } yield (i.toLong, j.toLong, names(i), names(j))).toSet
+      val got = SparkEntry.queries("join_fuzzy")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(want.nonEmpty, s"seed $seed degenerate")
+      assert(got == want, s"seed $seed: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+    }
+  }
 }
