@@ -105,6 +105,54 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // TRAINED language-ID (multinomial naive Bayes — the fastText/
+    // langid.py shape, where text_langid is the marker heuristic):
+    // per-language Laplace-smoothed token log-probs and document
+    // priors are fit on the labeled corpus in one tokenize pass, every
+    // doc is scored under every language, and the output is the
+    // (actual, predicted) confusion matrix a pipeline owner reads
+    // before trusting the classifier. Scale shape: the model — the
+    // (lang, token) count table, per-lang totals, vocab size, priors —
+    // is (vocab × L)-bounded and broadcasts; scoring expands the
+    // per-doc distinct-token relation by L candidate languages
+    // (bounded fan-out) and folds per (doc, lang) with a ≤|doc vocab|
+    // sorted fold; argmax is a min(struct) hash-agg, no window. Scores
+    // round to 6 (ln) BEFORE the argmax so both engines pick the same
+    // winner; ties break to the alphabetically-first language.
+    "text_langid_nb" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+      val dt = docs.select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
+      val dtm = dt.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("m"))
+      val lt = dt.groupBy(col("lang").as("l"), col("w")).agg(count(lit(1)).as("c"))
+      val tl = lt.groupBy("l").agg(sum(col("c")).as("t"))
+      val vs = dt.agg(countDistinct(col("w")).as("v"))
+      val pri = docs.groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+      val nda = docs.agg(count(lit(1)).as("ndall"))
+      val langs = tl.join(pri, "l").crossJoin(broadcast(nda))
+        .crossJoin(broadcast(vs))
+      val terms = dtm.crossJoin(broadcast(langs))
+        .join(broadcast(lt), Seq("l", "w"), "left")
+        .select(col("doc_id"), col("lang"), col("l"),
+          (col("m").cast("double") *
+            log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+              (col("t") + col("v")).cast("double"))).as("term"),
+          col("nd"), col("ndall"))
+      val pl = terms
+        .groupBy(col("doc_id"), col("lang"), col("l"), col("nd"), col("ndall"))
+        .agg(round(
+          aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+            (a, v) => a + v) +
+            log(col("nd").cast("double") / col("ndall").cast("double")), 6)
+          .as("w8"))
+      pl.groupBy("doc_id", "lang")
+        .agg(min(struct(negate(col("w8")).as("nw"), col("l").as("g"))).as("mm"))
+        .select(col("lang"), col("mm.g").as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")
+    }),
+
     // corpus token frequencies, top 20 (flatMap/explode + agg;
     // Transform.scala:67-90 flatMap → word count idiom)
     "text_token_freq" -> ((s, d) =>
@@ -929,6 +977,60 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw doc
+    // by its importance weight under hashed-bigram bag models of the
+    // TARGET domain (source = src0, as in pipe_decontam) vs the raw
+    // pool — log w(x) = Σ_f m_f · (ln p_tgt[f] − ln p_raw[f]) with
+    // Laplace-smoothed 64-bucket feature distributions — and keep the
+    // top-100. Where pipe_classify gates on FIXED weights, DSIR's
+    // weights are corpus-derived: this is the method that picks
+    // "Wikipedia-like" training data out of a web crawl. Scale shape:
+    // ONE corpus tokenize+shingle to the (doc, bucket) multiplicity
+    // table (≤64 rows per doc, partial agg below the exchange); both
+    // feature distributions and the totals are 64-row/1-row
+    // broadcasts; the per-doc weight is a ≤64-term sorted fold
+    // (ln is transcendental → round 6) and the top-100 is a
+    // TakeOrderedAndProject, never a global sort.
+    "pipe_dsir" -> ((s, d) => {
+      val NB = 64
+      val feats = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("fs",
+          graft.functions.VectorFunctions.shingleHashes(col("tk"), 2))
+        .filter(col("fs").isNotNull)
+        .select(col("doc_id"), col("source"), explode(col("fs")).as("h"))
+        .select(col("doc_id"), col("source"),
+          pmod(col("h"), lit(NB.toLong)).as("f"))
+      val dfb = feats.groupBy("doc_id", "source", "f")
+        .agg(count(lit(1)).as("m"))
+      // full bucket spine so smoothing covers buckets absent from one
+      // side (matters at smoke scale; free at 64 rows)
+      val spine = s.range(0, NB).select(col("id").as("f"))
+      def side(pred: Column, cname: String) = spine.join(
+          dfb.filter(pred).groupBy("f").agg(sum(col("m")).as(cname)),
+          Seq("f"), "left")
+        .select(col("f"), coalesce(col(cname), lit(0L)).as(cname))
+      val tgt = side(col("source") === "src0", "ct")
+      val raw = side(col("source") =!= "src0", "cr")
+      val tots = tgt.agg(sum(col("ct")).as("st"))
+        .crossJoin(raw.agg(sum(col("cr")).as("sr")))
+        .select((col("st") + NB).as("tt"), (col("sr") + NB).as("tr"))
+      val lr = tgt.join(raw, "f").crossJoin(broadcast(tots))
+        .select(col("f"),
+          (log((col("ct").cast("double") + lit(1.0)) /
+              col("tt").cast("double")) -
+            log((col("cr").cast("double") + lit(1.0)) /
+              col("tr").cast("double"))).as("lw"))
+      dfb.filter(col("source") =!= "src0")
+        .join(broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(round(aggregate(
+            sort_array(collect_list(col("m").cast("double") * col("lw"))),
+            lit(0.0), (a, v) => a + v), 6).as("w"))
+        .orderBy(col("w").desc, col("doc_id").asc).limit(100)
+    }),
+
     // repetition-based quality signals (the Gopher-style filters):
     // duplicate-3-gram fraction and top-token frequency fraction per
     // document. Both are exact small-integer ratios, so the doubles
@@ -1149,6 +1251,39 @@ object TextQueries extends GroupBase {
           (lang = CASE WHEN len(list_filter($toksSql, t -> list_contains($stopSql, t))) > 0
                        THEN 'en' ELSE 'unk' END) AS agree
           FROM documents ORDER BY doc_id""",
+    "text_langid_nb" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS tk FROM documents
+                     WHERE len($toksSql) > 0),
+          dt AS (SELECT doc_id, lang, unnest(tk) AS w FROM d),
+          dtm AS (SELECT doc_id, lang, w, count(*) AS m FROM dt GROUP BY 1, 2, 3),
+          lt AS (SELECT lang AS l, w, count(*) AS c FROM dt GROUP BY 1, 2),
+          tl AS (SELECT l, sum(c) AS t FROM lt GROUP BY 1),
+          vs AS (SELECT count(DISTINCT w) AS v FROM dt),
+          pri AS (SELECT lang AS l, count(*) AS nd FROM d GROUP BY 1),
+          nda AS (SELECT count(*) AS ndall FROM d),
+          langs AS (SELECT l, t, nd, ndall, v
+                    FROM tl JOIN pri USING (l) CROSS JOIN nda CROSS JOIN vs),
+          terms AS (SELECT dtm.doc_id, dtm.lang, lg.l,
+                           CAST(m AS DOUBLE) *
+                             ln((CAST(coalesce(c, 0) AS DOUBLE)
+                                 + CAST(1.0 AS DOUBLE))
+                                / CAST(t + v AS DOUBLE)) AS term,
+                           nd, ndall
+                    FROM dtm CROSS JOIN langs lg
+                    LEFT JOIN lt ON lt.l = lg.l AND lt.w = dtm.w),
+          pl AS (SELECT doc_id, lang, l,
+                        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list_sort(array_agg(term))), (a, v) -> a + v)
+                        + ln(CAST(nd AS DOUBLE) / CAST(ndall AS DOUBLE)), 6)
+                          AS w8
+                 FROM terms GROUP BY doc_id, lang, l, nd, ndall),
+          pred AS (SELECT doc_id, lang, l AS guess FROM (
+                     SELECT doc_id, lang, l,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY w8 DESC, l) AS rn
+                     FROM pl) x WHERE rn = 1)
+          SELECT lang, guess, count(*) AS n
+          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_tfidf" ->
       s"""WITH docs AS (SELECT doc_id, $toksSql AS tk FROM documents),
           toks AS (SELECT doc_id, len(tk) AS dlen, unnest(tk) AS tok FROM docs),
@@ -1507,6 +1642,37 @@ object TextQueries extends GroupBase {
                         t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4) AS BIGINT)))
                       AS BIGINT) AS n_bpe
           FROM documents ORDER BY doc_id""",
+    "pipe_dsir" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+          feats AS (SELECT doc_id, source,
+                           ${TextOps.hash32Sql("tk[i] || ' ' || tk[i+1]")} % 64
+                             AS f
+                    FROM d, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+                    WHERE i + 1 <= len(tk)),
+          dfb AS (SELECT doc_id, source, f, count(*) AS m
+                  FROM feats GROUP BY 1, 2, 3),
+          spine AS (SELECT unnest(range(0, 64)) AS f),
+          tgt AS (SELECT s.f, coalesce(sum(m), 0) AS ct FROM spine s
+                  LEFT JOIN (SELECT * FROM dfb WHERE source = 'src0') t
+                    USING (f) GROUP BY 1),
+          raw AS (SELECT s.f, coalesce(sum(m), 0) AS cr FROM spine s
+                  LEFT JOIN (SELECT * FROM dfb WHERE source <> 'src0') t
+                    USING (f) GROUP BY 1),
+          tots AS (SELECT (SELECT sum(ct) + 64 FROM tgt) AS tt,
+                          (SELECT sum(cr) + 64 FROM raw) AS tr),
+          lr AS (SELECT f,
+                   ln((CAST(ct AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                      / CAST(tt AS DOUBLE))
+                   - ln((CAST(cr AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                      / CAST(tr AS DOUBLE)) AS lw
+                 FROM tgt JOIN raw USING (f) CROSS JOIN tots),
+          sc AS (SELECT doc_id,
+                   round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_sort(array_agg(CAST(m AS DOUBLE) * lw))),
+                     (a, v) -> a + v), 6) AS w
+                 FROM dfb JOIN lr USING (f)
+                 WHERE source <> 'src0' GROUP BY 1)
+          SELECT doc_id, w FROM sc ORDER BY w DESC, doc_id LIMIT 100""",
     "pipe_decontam" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
           sh AS (SELECT DISTINCT doc_id, source, ${TextOps.hash32Sql("sh")} AS sh

@@ -47,7 +47,9 @@ object PlanAudit {
     "pipe_gate",       // composes emb_semdedup -> inherits its centroid broadcast
     "emb_rq",          // 4-row codebook broadcasts per level, corpus streams
     "emb_matryoshka",  // brute probe-vector broadcasts per truncation arm
-    "text_kneser")     // 1-row bigram-type-total broadcast onto the vocab table
+    "text_kneser",     // 1-row bigram-type-total broadcast onto the vocab table
+    "pipe_dsir",       // 1-row feature-total broadcast onto the 64-bucket table
+    "text_langid_nb")  // L-row model crossJoin (bounded candidate fan-out)
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -66,7 +68,9 @@ object PlanAudit {
     "emb_pca_scores", // inherits the training lineage's assembly
     "text_entropy",   // per-doc m·ln(m) fold, state = one doc's vocab
     "text_chi2",      // cell-term fold, state = the R x C contingency cells
-    "text_kneser")    // per-doc sorted NLL fold, state = one doc's vocab
+    "text_kneser",    // per-doc sorted NLL fold, state = one doc's vocab
+    "pipe_dsir",      // per-doc weight fold, state <= 64 bucket terms
+    "text_langid_nb") // per-(doc,lang) fold, state = one doc's vocab
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions
