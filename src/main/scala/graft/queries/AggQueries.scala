@@ -452,6 +452,55 @@ object AggQueries extends GroupBase {
         .orderBy("stage")
     }),
 
+    // DETERMINISTIC Poisson bootstrap (Chamandy et al., Google 2012 —
+    // "Estimating uncertainty for massive data streams"): the
+    // production way to attach a confidence interval to a statistic
+    // over data too large to resample classically. Each of B=16
+    // replicas reweights every row by a Poisson(1)-distributed weight
+    // derived from a HASH of (row, replica) — deterministic, so both
+    // engines draw identical "random" weights; the integer inverse-CDF
+    // thresholds are h32-scale constants (u < F(k) ⟺ h < F(k)·2³²),
+    // so the draw is pure integer comparison with no float parsing
+    // hazards. Replica estimates are ratio means Σwx/Σw; the readout
+    // is mean ± 1.96·se over the replica spread. Scale: the explode
+    // is a bounded ×B fan-out feeding ONE hash-agg with fsum partials
+    // (16 final groups); the replica table is 16 rows — everything
+    // after it is driver-free arithmetic on broadcast scalars.
+    "agg_bootstrap" -> ((s, d) => {
+      val Bn = 16
+      val ev = t(s, d, "events").select(col("event_id"), col("value"))
+      val rep = ev
+        .select(col("event_id"), col("value"),
+          explode(sequence(lit(0), lit(Bn - 1))).as("b"))
+        .withColumn("h", graft.functions.TextOps.hash32(
+          concat(col("event_id").cast("string"), lit(":"),
+            col("b").cast("string"))))
+        .withColumn("w",
+          when(col("h") < 1580030169L, 0L)
+            .when(col("h") < 3160060337L, 1L)
+            .when(col("h") < 3950075421L, 2L)
+            .when(col("h") < 4213413788L, 3L).otherwise(4L))
+      // w·value can reach 4·max(value) ≈ 1070, and fsum's per-element
+      // floor(x·2^53) must fit the oracle's BIGINT (|x| < 1024) — so
+      // scale by the exact power-of-two 1/4 before the fold and
+      // multiply back after (both ops exact, no precision change)
+      val ests = rep.groupBy("b")
+        .agg((Exact.fsum(col("w").cast("double") * col("value") / lit(4.0)) *
+          lit(4.0) / sum(col("w")).cast("double")).as("est"))
+      val ea = ests.agg(
+        (Exact.fsum(col("est")) / lit(16.0)).as("ea"))
+      val se = ests.crossJoin(broadcast(ea))
+        .agg(sqrt(Exact.fsum((col("est") - col("ea")) * (col("est") - col("ea"))) /
+          lit(15.0)).as("se"))
+      val base = ev.agg(count(lit(1)).as("n"),
+        (Exact.fsum(col("value")) / count(lit(1))).as("mean"))
+      base.crossJoin(broadcast(se))
+        .select(col("n"), round(col("mean"), 6).as("mean"),
+          round(col("se"), 6).as("se_boot"),
+          round(col("mean") - lit(1.96) * col("se"), 6).as("lo95"),
+          round(col("mean") + lit(1.96) * col("se"), 6).as("hi95"))
+    }),
+
     // A/B experiment readout with a two-proportion z-test: users are
     // deterministically hash-assigned to variant 0/1 (the bucketing a
     // real experiment framework does), conversion = any 'purchase'
@@ -814,6 +863,37 @@ object AggQueries extends GroupBase {
                    AS conv_from_prev
           FROM st s LEFT JOIN st p ON s.stage = p.stage + 1
           ORDER BY s.stage""",
+    "agg_bootstrap" -> {
+      val h = graft.functions.TextOps.hash32Sql("event_id || ':' || b")
+      s"""WITH ev AS (SELECT event_id, value FROM events),
+          rep AS (SELECT event_id, value, b, $h AS h
+                  FROM ev, LATERAL (SELECT unnest(range(0, 16)) AS b) r),
+          wt AS (SELECT b, value,
+                        CASE WHEN h < 1580030169 THEN 0
+                             WHEN h < 3160060337 THEN 1
+                             WHEN h < 3950075421 THEN 2
+                             WHEN h < 4213413788 THEN 3
+                             ELSE 4 END AS w
+                 FROM rep),
+          ests AS (SELECT b,
+                     ${ExactSql.fsum(
+                       "CAST(w AS DOUBLE) * value / CAST(4.0 AS DOUBLE)")}
+                       * CAST(4.0 AS DOUBLE)
+                       / CAST(sum(w) AS DOUBLE) AS est
+                   FROM wt GROUP BY 1),
+          ea AS (SELECT ${ExactSql.fsum("est")} / CAST(16.0 AS DOUBLE) AS ea
+                 FROM ests),
+          se AS (SELECT sqrt(${ExactSql.fsum("(est - ea) * (est - ea)")}
+                   / CAST(15.0 AS DOUBLE)) AS se
+                 FROM ests CROSS JOIN ea),
+          base AS (SELECT count(*) AS n,
+                          ${ExactSql.fsum("value")} / count(*) AS mean
+                   FROM ev)
+          SELECT n, round(mean, 6) AS mean, round(se, 6) AS se_boot,
+                 round(mean - CAST(1.96 AS DOUBLE) * se, 6) AS lo95,
+                 round(mean + CAST(1.96 AS DOUBLE) * se, 6) AS hi95
+          FROM base CROSS JOIN se"""
+    },
     "agg_ab" -> {
       val h = graft.functions.TextOps.hash32Sql(
         "'ab:' || CAST(user_id AS VARCHAR)")

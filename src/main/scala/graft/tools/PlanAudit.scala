@@ -49,7 +49,8 @@ object PlanAudit {
     "emb_matryoshka",  // brute probe-vector broadcasts per truncation arm
     "text_kneser",     // 1-row bigram-type-total broadcast onto the vocab table
     "pipe_dsir",       // 1-row feature-total broadcast onto the 64-bucket table
-    "text_langid_nb")  // L-row model crossJoin (bounded candidate fan-out)
+    "text_langid_nb",  // L-row model crossJoin (bounded candidate fan-out)
+    "agg_bootstrap")   // 1-row replica-spread/mean broadcasts onto the readout
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
