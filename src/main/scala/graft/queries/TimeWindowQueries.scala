@@ -185,9 +185,81 @@ object TimeWindowQueries extends GroupBase {
           last(col("c"), ignoreNulls = true).over(w).as("carried"))
         .orderBy("event_type", "hb")
     }),
+
+    // EWMA FORECAST + ANOMALY FLAG over the hourly count series — the
+    // monitoring readout a streaming-analytics deployment hangs off
+    // every windowed aggregate: forecast_t = exponentially-weighted
+    // mean of the 8 trailing buckets (α = 0.5 ⇒ weights 2^-k, all
+    // exactly representable doubles), residual z-score against the
+    // trailing sample stddev (+1 smoothing so an all-constant history
+    // can't divide by zero), anomaly at |z| > 3 on the ROUNDED z (the
+    // agg_ab discipline). The 8 lags are explicit columns so both
+    // engines evaluate the weighted sum and the variance in the SAME
+    // left-associated order — no engine-internal window-agg summation
+    // order in play. Scale: one (type, hour) hash-agg collapses the
+    // corpus, then the lag window runs per event_type over a
+    // TIME-bounded series (8.8k rows/key/year) — WindowExec state is
+    // the 8-row frame, partitions parallelize across keys.
+    "tw_anomaly" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ws"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ws")
+      val lagged = hourly.select(
+        col("event_type") +: col("ws") +: col("c") +:
+          (1 to 8).map(k =>
+            lag(col("c"), k).over(w).cast("double").as(s"x$k")): _*)
+        .filter(col("x8").isNotNull)
+      val wsum = lit(0.99609375) // Σ 2^-k, k=1..8 — exact
+      val f = (1 to 8).map(k => col(s"x$k") * lit(math.pow(0.5, k)))
+        .reduce(_ + _) / wsum
+      val m8 = (1 to 8).map(k => col(s"x$k")).reduce(_ + _) / lit(8.0)
+      val staged = lagged.withColumn("f", f).withColumn("m8", m8)
+      val varE = (1 to 8).map(k =>
+        (col(s"x$k") - col("m8")) * (col(s"x$k") - col("m8")))
+        .reduce(_ + _) / lit(7.0)
+      staged.withColumn("sd", sqrt(varE))
+        .withColumn("z",
+          round((col("c").cast("double") - col("f")) /
+            (col("sd") + lit(1.0)), 6))
+        .select(col("event_type"), col("ws"), col("c"),
+          round(col("f"), 6).as("forecast"), col("z"),
+          (abs(col("z")) > lit(3.0)).as("anomaly"))
+        .orderBy("event_type", "ws")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "tw_anomaly" -> {
+      val lags = (1 to 8).map(k =>
+        s"""CAST(lag(c, $k) OVER (PARTITION BY event_type ORDER BY ws)
+            AS DOUBLE) AS x$k""").mkString(",\n            ")
+      val fterms = (1 to 8)
+        .map(k => s"x$k * CAST(${math.pow(0.5, k)} AS DOUBLE)")
+        .mkString(" + ")
+      val msum = (1 to 8).map(k => s"x$k").mkString(" + ")
+      val vterms = (1 to 8).map(k => s"(x$k - m8) * (x$k - m8)")
+        .mkString(" + ")
+      s"""WITH hourly AS (SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+                 count(*) AS c
+               FROM events GROUP BY 1, 2),
+          lagged AS (SELECT event_type, ws, c,
+            $lags FROM hourly),
+          ok AS (SELECT * FROM lagged WHERE x8 IS NOT NULL),
+          ff AS (SELECT *, ($fterms) / CAST(0.99609375 AS DOUBLE) AS f,
+                        ($msum) / CAST(8.0 AS DOUBLE) AS m8 FROM ok),
+          sdd AS (SELECT *, sqrt(($vterms) / CAST(7.0 AS DOUBLE)) AS sd
+                  FROM ff),
+          zz AS (SELECT event_type, ws, c, round(f, 6) AS forecast,
+                        round((CAST(c AS DOUBLE) - f)
+                          / (sd + CAST(1.0 AS DOUBLE)), 6) AS z
+                 FROM sdd)
+          SELECT event_type, ws, c, forecast, z,
+                 abs(z) > CAST(3.0 AS DOUBLE) AS anomaly
+          FROM zz ORDER BY event_type, ws"""
+    },
     "tw_spendreport" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, user_id,
           ${ExactSql.dsum("value")} AS spend
