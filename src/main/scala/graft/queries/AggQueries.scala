@@ -501,6 +501,81 @@ object AggQueries extends GroupBase {
           round(col("mean") + lit(1.96) * col("se"), 6).as("hi95"))
     }),
 
+    // CUPED variance reduction (Deng et al. 2013 — the standard
+    // trick every large experimentation platform applies before the
+    // t-test): adjust each user's outcome y (purchase spend) by a
+    // pre-experiment covariate x (view count), y_adj = y − θ·(x − x̄)
+    // with θ = Cov(x,y)/Var(x) fit on the pooled data; the readout is
+    // the per-variant raw vs adjusted means, both lifts, and the
+    // variance-reduction fraction 1 − Var(y_adj)/Var(y). Bucketing is
+    // agg_ab's hash split. Exactness: per-user y and all Σy/Σxy go
+    // through dsum (4-dp-exact decimals); y_adj has full double
+    // precision, so its sums use the 2^53-grid fsum with exact
+    // power-of-two prescaling (/2^12 for sums, /2^15 for squares —
+    // per-element |x| < 1024 bound documented in Exact.fsum); θ is
+    // rounded to 6 BEFORE the adjustment so both engines adjust by
+    // the same θ. Shape: one user-keyed hash agg, 1-row pooled-stat
+    // broadcasts, one bounded second pass for the adjusted sums —
+    // nothing on the driver.
+    "agg_cuped" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val users = ev.groupBy("user_id").agg(
+          count(when(col("event_type") === "view", 1)).as("x"),
+          Exact.dsum(when(col("event_type") === "purchase", col("value")))
+            .as("ysum"))
+        .select(col("user_id"), col("x"),
+          coalesce(col("ysum"), lit(0.0)).as("y"),
+          pmod(graft.functions.TextOps.hash32(
+            concat(lit("ab:"), col("user_id").cast("string"))), lit(2)).as("v"))
+      val nD = col("n").cast("double")
+      val pool = users.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          Exact.dsum(col("y")).as("sy"),
+          Exact.dsum(col("x").cast("double") * col("y")).as("sxy"))
+        .select(col("n"), col("sy"),
+          round((nD * col("sxy") - col("sx").cast("double") * col("sy")) /
+            (nD * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("theta"),
+          (col("sx").cast("double") / nD).as("mx"))
+      val adj = users.crossJoin(broadcast(pool))
+        .withColumn("yadj",
+          col("y") - col("theta") * (col("x").cast("double") - col("mx")))
+      def su(c: org.apache.spark.sql.Column, s: Double) =
+        Exact.fsum(c / lit(s)) * lit(s)
+      val byV = adj.groupBy("v").agg(
+          count(lit(1)).as("nv"),
+          Exact.dsum(col("y")).as("syv"),
+          su(col("yadj"), 4096.0).as("sav"))
+        .select(col("v"), col("nv"),
+          (col("syv") / col("nv").cast("double")).as("mean_y"),
+          (col("sav") / col("nv").cast("double")).as("mean_adj"))
+      val va = byV.filter(col("v") === 0)
+        .select(col("nv").as("n_a"), col("mean_y").as("my_a"),
+          col("mean_adj").as("ma_a"))
+      val vb = byV.filter(col("v") === 1)
+        .select(col("nv").as("n_b"), col("mean_y").as("my_b"),
+          col("mean_adj").as("ma_b"))
+      val vstats = adj.agg(
+        su(col("y") * col("y"), 32768.0).as("syy"),
+        su(col("yadj") * col("yadj"), 32768.0).as("saa"),
+        su(col("yadj"), 4096.0).as("sa"))
+      va.crossJoin(vb).crossJoin(broadcast(pool)).crossJoin(broadcast(vstats))
+        .select(col("n_a"), col("n_b"), col("theta"),
+          round(col("my_a"), 6).as("mean_a"),
+          round(col("my_b"), 6).as("mean_b"),
+          round(col("my_b") - col("my_a"), 6).as("lift"),
+          round(col("ma_a"), 6).as("mean_adj_a"),
+          round(col("ma_b"), 6).as("mean_adj_b"),
+          round(col("ma_b") - col("ma_a"), 6).as("lift_adj"),
+          round(lit(1.0) -
+            ((col("saa") - col("sa") * col("sa") / nD) / nD) /
+            ((col("syy") - col("sy") * col("sy") / nD) / nD), 6)
+            .as("var_reduction"))
+    }),
+
     // A/B experiment readout with a two-proportion z-test: users are
     // deterministically hash-assigned to variant 0/1 (the bucketing a
     // real experiment framework does), conversion = any 'purchase'
@@ -893,6 +968,58 @@ object AggQueries extends GroupBase {
                  round(mean - CAST(1.96 AS DOUBLE) * se, 6) AS lo95,
                  round(mean + CAST(1.96 AS DOUBLE) * se, 6) AS hi95
           FROM base CROSS JOIN se"""
+    },
+    "agg_cuped" -> {
+      val h = graft.functions.TextOps.hash32Sql(
+        "'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT user_id,
+                 count(CASE WHEN event_type = 'view' THEN 1 END) AS x,
+                 coalesce(CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(30,4)) END) AS DOUBLE),
+                   CAST(0.0 AS DOUBLE)) AS y,
+                 ($h) % 2 AS v
+               FROM events GROUP BY user_id),
+          pool AS (SELECT n, sy,
+                     round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                       AS theta,
+                     CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+                   FROM (SELECT count(*) AS n, sum(x) AS sx,
+                                sum(x * x) AS sxx,
+                                ${ExactSql.dsum("y")} AS sy,
+                                ${ExactSql.dsum("CAST(x AS DOUBLE) * y")} AS sxy
+                         FROM u)),
+          adj AS (SELECT u.user_id, u.x, u.y, u.v,
+                         y - theta * (CAST(x AS DOUBLE) - mx) AS yadj,
+                         n, sy, theta
+                  FROM u CROSS JOIN pool),
+          byv AS (SELECT v, count(*) AS nv, ${ExactSql.dsum("y")} AS syv,
+                         ${ExactSql.fsum("yadj / CAST(4096.0 AS DOUBLE)")}
+                           * CAST(4096.0 AS DOUBLE) AS sav
+                  FROM adj GROUP BY v),
+          bv AS (SELECT v, nv, syv / CAST(nv AS DOUBLE) AS mean_y,
+                        sav / CAST(nv AS DOUBLE) AS mean_adj FROM byv),
+          vst AS (SELECT
+                    ${ExactSql.fsum("y * y / CAST(32768.0 AS DOUBLE)")}
+                      * CAST(32768.0 AS DOUBLE) AS syy,
+                    ${ExactSql.fsum("yadj * yadj / CAST(32768.0 AS DOUBLE)")}
+                      * CAST(32768.0 AS DOUBLE) AS saa,
+                    ${ExactSql.fsum("yadj / CAST(4096.0 AS DOUBLE)")}
+                      * CAST(4096.0 AS DOUBLE) AS sa
+                  FROM adj)
+          SELECT a.nv AS n_a, b.nv AS n_b, theta,
+                 round(a.mean_y, 6) AS mean_a, round(b.mean_y, 6) AS mean_b,
+                 round(b.mean_y - a.mean_y, 6) AS lift,
+                 round(a.mean_adj, 6) AS mean_adj_a,
+                 round(b.mean_adj, 6) AS mean_adj_b,
+                 round(b.mean_adj - a.mean_adj, 6) AS lift_adj,
+                 round(CAST(1.0 AS DOUBLE)
+                   - ((saa - sa * sa / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                   / ((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)),
+                   6) AS var_reduction
+          FROM (SELECT * FROM bv WHERE v = 0) a,
+               (SELECT * FROM bv WHERE v = 1) b, pool, vst"""
     },
     "agg_ab" -> {
       val h = graft.functions.TextOps.hash32Sql(

@@ -82,6 +82,46 @@ object GraphQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // PERSONALIZED PageRank (random walk with restart to a seed set —
+    // the crawl-prioritization / related-pages signal, where
+    // graph_pagerank is the global-quality prior): teleport and
+    // dangling mass return to the PERSONALIZATION vector p (uniform
+    // over the seeds doc_id % 11 == 1) instead of 1/N, so rank
+    // concentrates in the seeds' neighborhoods and most of the graph
+    // stays at exactly 0.0 —
+    //   r'(v) = 0.15·p(v) + 0.85·(Σ_{u→v} r(u)/deg(u) + dm·p(v)).
+    // Same 3-unrolled-round shape, Exact.fsum sums, and 1-row scalar
+    // broadcasts as graph_pagerank; the top-25 by the bit-exact rank
+    // is a TakeOrderedAndProject. At 100 TB the p-sparsity is the
+    // point: a production PPR over a seed set touches only the
+    // frontier reachable in k hops, and the zero ranks never leave
+    // the executors.
+    "graph_ppr" -> ((s, d) => {
+      val (nodes, edges) = graph(s, d)
+      val ns = nodes.filter(col("doc_id") % 11 === 1)
+        .agg(count(lit(1)).as("ns"))
+      val base = nodes.crossJoin(broadcast(ns))
+        .withColumn("p",
+          when(col("doc_id") % 11 === 1, lit(1.0) / col("ns"))
+            .otherwise(lit(0.0)))
+      var ranks = base.select(col("doc_id"), col("p"), col("p").as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+          .groupBy(col("dst")).agg(Exact.fsum(col("r") / col("deg")).as("s"))
+        val dm = ranks.filter(col("doc_id") % 7 === 0)
+          .agg(Exact.fsum(col("r")).as("dm"))
+        ranks = base.join(contrib, base("doc_id") === contrib("dst"), "left")
+          .crossJoin(broadcast(dm))
+          .select(base("doc_id"), col("p"),
+            (lit(0.15) * col("p") + lit(0.85) *
+              (coalesce(col("s"), lit(0.0)) + col("dm") * col("p"))).as("r"))
+      }
+      ranks.filter(col("r") > lit(0.0))
+        .select(col("doc_id"), col("r").as("ppr"),
+          (col("doc_id") % 11 === 1).as("seed"))
+        .orderBy(col("ppr").desc, col("doc_id")).limit(25)
+    }),
+
     // per-node triangle count: canonicalize to undirected id-ordered
     // edges (u < v), wedge-join e1(a,b) ⋈ e2(b,c) (a<b<c by
     // transitivity — each triangle is enumerated exactly once), close
@@ -237,6 +277,34 @@ object GraphQueries extends GroupBase {
           ${prRound("r2", "r3")}
           SELECT doc_id, r AS rank, doc_id % 7 = 0 AS dangling
           FROM r3 ORDER BY doc_id""",
+    "graph_ppr" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (
+            SELECT b.doc_id, b.p,
+                   CAST(0.15 AS DOUBLE) * b.p + CAST(0.85 AS DOUBLE) *
+                     (coalesce(c.s, CAST(0.0 AS DOUBLE)) + dm.dm * b.p) AS r
+            FROM base b
+            CROSS JOIN (SELECT ${ExactSql.fsum("r")} AS dm FROM $prev
+                        WHERE doc_id % 7 = 0) dm
+            LEFT JOIN (SELECT dst, ${ExactSql.fsum("r / deg")} AS s
+                       FROM edges JOIN $prev p ON p.doc_id = edges.src
+                       GROUP BY dst) c
+              ON c.dst = b.doc_id)"""
+      s"""WITH $graphSql,
+          nsd AS (SELECT count(*) AS ns FROM documents WHERE doc_id % 11 = 1),
+          base AS (SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 1
+                          THEN CAST(1.0 AS DOUBLE) / ns
+                          ELSE CAST(0.0 AS DOUBLE) END AS p
+                   FROM documents CROSS JOIN nsd),
+          r0 AS (SELECT doc_id, p, p AS r FROM base),
+          ${round("r0", "r1")},
+          ${round("r1", "r2")},
+          ${round("r2", "r3")}
+          SELECT doc_id, r AS ppr, doc_id % 11 = 1 AS seed
+          FROM r3 WHERE r > CAST(0.0 AS DOUBLE)
+          ORDER BY ppr DESC, doc_id LIMIT 25"""
+    },
     "graph_triangles" ->
       s"""WITH $graphSql,
           und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

@@ -39,6 +39,7 @@ object PlanAudit {
     "graph_hits",      // 1-row node-count + per-half-step L1-norm broadcasts
     "graph_triangles", // 1-row node-count broadcast builds the node spine
     "graph_cc",        // same node-count broadcast via the shared graph builder
+    "graph_ppr",       // same 1-row seed-count/dangling-mass broadcasts
     "text_ks",         // triangular <= join over the bounded length histogram
     "agg_auc",         // same triangular <= join, score histogram is bounded
     "text_chi2",       // 1-row grand-total broadcast onto the R x C cells
@@ -50,7 +51,8 @@ object PlanAudit {
     "text_kneser",     // 1-row bigram-type-total broadcast onto the vocab table
     "pipe_dsir",       // 1-row feature-total broadcast onto the 64-bucket table
     "text_langid_nb",  // L-row model crossJoin (bounded candidate fan-out)
-    "agg_bootstrap")   // 1-row replica-spread/mean broadcasts onto the readout
+    "agg_bootstrap",   // 1-row replica-spread/mean broadcasts onto the readout
+    "agg_cuped")       // 1-row pooled-stat broadcasts onto the per-user pass
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
