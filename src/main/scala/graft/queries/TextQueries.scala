@@ -70,11 +70,12 @@ object TextQueries extends GroupBase {
         (a, x) => a + x)) / dec(n)).cast("double")
       val nStop = size(filter(tk, t => t.isInCollection(stopwords)))
       val ttr = (dec(size(array_distinct(tk))) / dec(n)).cast("double")
-      // top-token fraction: O(u*n) per row element-wise beats an
-      // explode + per-(doc,token) count + re-join at any scale — the
-      // whole computation stays inside the scan's codegen stage
-      val topFrac = (dec(array_max(transform(array_distinct(tk),
-        u => size(filter(tk, x => x === u))))) / dec(n)).cast("double")
+      // top-token fraction via the token_topcount kernel (one hashmap
+      // pass per row — the O(u·n) distinct×filter HOF this replaced
+      // was already element-wise, but the kernel keeps long docs
+      // linear; same value, text_repetition's discipline)
+      val topFrac = (dec(graft.functions.VectorFunctions.tokenTopCount(tk)) /
+        dec(n)).cast("double")
       val rLen = n >= 15 && n <= 90
       val rWlen = meanWlen >= 3.8 && meanWlen <= 4.4
       val rStop = nStop >= 2
