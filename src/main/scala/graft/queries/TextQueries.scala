@@ -140,11 +140,14 @@ object TextQueries extends GroupBase {
             log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
               (col("t") + col("v")).cast("double"))).as("term"),
           col("nd"), col("ndall"))
+      // fsum, not a collect_list fold: |m·ln p| ≤ ~1100 worst-case, so
+      // the exact 2^53-grid sum applies after an exact /4 prescale
+      // (the agg_bootstrap discipline) — O(1) group state with
+      // map-side partials instead of buffering every doc's terms
       val pl = terms
         .groupBy(col("doc_id"), col("lang"), col("l"), col("nd"), col("ndall"))
         .agg(round(
-          aggregate(sort_array(collect_list(col("term"))), lit(0.0),
-            (a, v) => a + v) +
+          graft.core.Exact.fsum(col("term") / lit(4.0)) * lit(4.0) +
             log(col("nd").cast("double") / col("ndall").cast("double")), 6)
           .as("w8"))
       pl.groupBy("doc_id", "lang")
@@ -1273,8 +1276,9 @@ object TextQueries extends GroupBase {
                     FROM dtm CROSS JOIN langs lg
                     LEFT JOIN lt ON lt.l = lg.l AND lt.w = dtm.w),
           pl AS (SELECT doc_id, lang, l,
-                        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                          list_sort(array_agg(term))), (a, v) -> a + v)
+                        round(${graft.core.ExactSql.fsum(
+                          "term / CAST(4.0 AS DOUBLE)")}
+                          * CAST(4.0 AS DOUBLE)
                         + ln(CAST(nd AS DOUBLE) / CAST(ndall AS DOUBLE)), 6)
                           AS w8
                  FROM terms GROUP BY doc_id, lang, l, nd, ndall),

@@ -72,8 +72,7 @@ object PlanAudit {
     "text_entropy",   // per-doc m·ln(m) fold, state = one doc's vocab
     "text_chi2",      // cell-term fold, state = the R x C contingency cells
     "text_kneser",    // per-doc sorted NLL fold, state = one doc's vocab
-    "pipe_dsir",      // per-doc weight fold, state <= 64 bucket terms
-    "text_langid_nb") // per-(doc,lang) fold, state = one doc's vocab
+    "pipe_dsir")      // per-doc weight fold, state <= 64 bucket terms
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions
