@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
+import graft.core.{Exact, ExactSql}
 
 /** Text-analysis operators over `documents` — the training-data
   * pipeline surface (driver north star): token stats, quality scoring,
@@ -155,6 +156,39 @@ object TextQueries extends GroupBase {
         .select(col("lang"), col("mm.g").as("guess"))
         .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
         .orderBy("lang", "guess")
+    }),
+
+    // ZIPF-FIT corpus diagnostic: least-squares slope of ln(freq) on
+    // ln(rank) over the top-30 token ranks — natural language sits
+    // near −1; a synthetic, templated, or spam-heavy corpus drifts
+    // flat (toward 0) or cliff-steep, which makes the slope a one-row
+    // health check a curation pipeline trends per ingest batch. One
+    // tokenize pass collapses to the vocab; the rank window orders a
+    // VOCAB-sized post-aggregate table (bounded, the §2.6 global-rank
+    // idiom), and the regression sums run over 30 rows via the exact
+    // fsum. Slope/intercept round to 6 (ln is transcendental).
+    "text_zipf" -> ((s, d) => {
+      val K = 30
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))
+      val ranked = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      val kD = lit(K.toDouble)
+      ranked.agg(
+          Exact.fsum(col("x")).as("sx"), Exact.fsum(col("y")).as("sy"),
+          Exact.fsum(col("x") * col("x")).as("sxx"),
+          Exact.fsum(col("x") * col("y")).as("sxy"))
+        .select(lit(K).as("k"),
+          round((kD * col("sxy") - col("sx") * col("sy")) /
+            (kD * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - ((kD * col("sxy") - col("sx") * col("sy")) /
+            (kD * col("sxx") - col("sx") * col("sx"))) * col("sx")) / kD, 6)
+            .as("intercept"))
     }),
 
     // corpus token frequencies, top 20 (flatMap/explode + agg;
@@ -1255,6 +1289,27 @@ object TextQueries extends GroupBase {
           (lang = CASE WHEN len(list_filter($toksSql, t -> list_contains($stopSql, t))) > 0
                        THEN 'en' ELSE 'unk' END) AS agree
           FROM documents ORDER BY doc_id""",
+    "text_zipf" ->
+      s"""WITH vocab AS (SELECT w, count(*) AS c
+                         FROM (SELECT unnest($toksSql) AS w FROM documents)
+                         GROUP BY 1),
+          ranked AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                            ln(CAST(c AS DOUBLE)) AS y FROM (
+                       SELECT c, row_number() OVER (ORDER BY c DESC, w)
+                         AS rank
+                       FROM vocab) r WHERE rank <= 30),
+          sums AS (SELECT ${ExactSql.fsum("x")} AS sx,
+                          ${ExactSql.fsum("y")} AS sy,
+                          ${ExactSql.fsum("x * x")} AS sxx,
+                          ${ExactSql.fsum("x * y")} AS sxy
+                   FROM ranked)
+          SELECT CAST(30 AS INT) AS k,
+                 round((CAST(30.0 AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(30.0 AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+                 round((sy - ((CAST(30.0 AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(30.0 AS DOUBLE) * sxx - sx * sx)) * sx)
+                   / CAST(30.0 AS DOUBLE), 6) AS intercept
+          FROM sums""",
     "text_langid_nb" ->
       s"""WITH d AS (SELECT doc_id, lang, $toksSql AS tk FROM documents
                      WHERE len($toksSql) > 0),

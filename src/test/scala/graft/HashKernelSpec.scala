@@ -130,4 +130,31 @@ class HashKernelSpec extends SparkSpec {
       .head.getInt(0)
     assert(short == 0)
   }
+
+  test("winnow kernel == brute global-distinct model on ties-dense arrays") {
+    // the kernel collapses CONSECUTIVE duplicate picks; the claim that
+    // this equals a global distinct (a position's pick range is
+    // contiguous) is exactly what random tie-dense arrays stress
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val n = rnd.nextInt(12)
+      val hs = Array.fill(n)(rnd.nextInt(6).toLong)
+      val w = 1 + rnd.nextInt(4)
+      val brute: Seq[(Long, Int)] =
+        if (n < w) Seq.empty
+        else (0 to n - w).map { i =>
+          var mh = Long.MaxValue; var mp = -1
+          for (j <- 0 until w) {
+            val h = hs(i + j); if (h <= mh) { mh = h; mp = i + j }
+          }
+          (mh, mp)
+        }.distinct
+      val got = graft.functions.HashKernels.winnow(new GenericArrayData(hs), w)
+      val gotSeq = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getLong(0), r.getInt(1))
+      }
+      assert(gotSeq == brute, s"n=$n w=$w hs=${hs.toList}")
+    }
+  }
 }
