@@ -1015,6 +1015,46 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // T5/UL2-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): the
+    // denoising-objective data prep that masks contiguous token spans
+    // (not i.i.d. tokens) and emits (masked input, span targets)
+    // pairs. Span starts fire at ~5% of positions from the
+    // deterministic h32(doc:pos) draw, each span runs 2-4 tokens
+    // (2 + h%3), and overlapping spans merge into runs — doc-level
+    // corruption stats (span count, corrupted fraction) ride along.
+    // Everything is per-row array arithmetic: the span-extension flag
+    // is a bounded 4-position lookback (exists over [i-3, i]), so the
+    // whole operator is one embarrassingly-parallel projection scan —
+    // the 100 TB shape of every real pretraining tokenizer pass.
+    "pipe_spancorrupt" -> ((s, d) => {
+      def h(j: Column) = TextOps.hash32(concat(
+        col("doc_id").cast("string"), lit(":"), j.cast("string")))
+      val base = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+        .withColumn("n", size(col("tk")))
+        .withColumn("sl", transform(sequence(lit(0), col("n") - 1),
+          j => when(h(j) % 20 === 0, lit(2) + h(j) % 3).otherwise(lit(0L))))
+        .withColumn("fl", transform(sequence(lit(0), col("n") - 1),
+          i => exists(sequence(greatest(i - 3, lit(0)), i),
+            j => element_at(col("sl"), j + 1) > 0 &&
+              (i - j) < element_at(col("sl"), j + 1))))
+      base.select(col("doc_id"), col("n").cast("int").as("n_tok"),
+          size(filter(col("fl"), x => x)).cast("long").as("n_corr"),
+          size(filter(sequence(lit(0), col("n") - 1),
+            i => element_at(col("fl"), i + 1) &&
+              when(i === 0, lit(true)).otherwise(!element_at(col("fl"), i))))
+            .cast("long").as("n_spans"),
+          round(size(filter(col("fl"), x => x)).cast("double") /
+            col("n").cast("double"), 6).as("corrupt_ratio"),
+          concat_ws(" ", transform(sequence(lit(0), col("n") - 1),
+            i => when(element_at(col("fl"), i + 1), lit("_"))
+              .otherwise(element_at(col("tk"), i + 1)))).as("masked"),
+          concat_ws(" ", filter(col("tk"),
+            (x, i) => element_at(col("fl"), i + 1))).as("targets"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score every raw doc
     // by its importance weight under hashed-bigram bag models of the
@@ -1702,6 +1742,37 @@ object TextQueries extends GroupBase {
                         t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4) AS BIGINT)))
                       AS BIGINT) AS n_bpe
           FROM documents ORDER BY doc_id""",
+    "pipe_spancorrupt" -> {
+      val h = TextOps.hash32Sql("doc_id || ':' || j")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
+                     WHERE len($toksSql) > 0),
+          base AS (SELECT doc_id, tk, len(tk) AS n,
+                     list_transform(range(0, len(tk)),
+                       j -> CASE WHEN $h % 20 = 0 THEN 2 + $h % 3
+                                 ELSE 0 END) AS sl
+                   FROM d),
+          flg AS (SELECT doc_id, tk, n,
+                    list_transform(range(0, n),
+                      i -> len(list_filter(
+                             range(CASE WHEN i >= 3 THEN i - 3 ELSE 0 END,
+                                   i + 1),
+                             j -> sl[j + 1] > 0 AND i - j < sl[j + 1])) > 0)
+                      AS fl
+                  FROM base)
+          SELECT doc_id, CAST(n AS INT) AS n_tok,
+                 CAST(len(list_filter(fl, x -> x)) AS BIGINT) AS n_corr,
+                 CAST(len(list_filter(range(0, n),
+                   i -> fl[i + 1] AND (i = 0 OR NOT fl[i]))) AS BIGINT)
+                   AS n_spans,
+                 round(CAST(len(list_filter(fl, x -> x)) AS DOUBLE)
+                   / CAST(n AS DOUBLE), 6) AS corrupt_ratio,
+                 array_to_string(list_transform(range(0, n),
+                   i -> CASE WHEN fl[i + 1] THEN '_' ELSE tk[i + 1] END), ' ')
+                   AS masked,
+                 coalesce(array_to_string(list_filter(tk, (x, i) -> fl[i]),
+                   ' '), '') AS targets
+          FROM flg ORDER BY doc_id"""
+    },
     "pipe_dsir" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
           feats AS (SELECT doc_id, source,
