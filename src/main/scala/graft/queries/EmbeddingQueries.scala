@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.core.Exact
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exact baseline, plus a
@@ -480,6 +481,59 @@ object EmbeddingQueries extends GroupBase {
         .select(col("vec_id"), col("c1id").as("c1"), col("m.c2id").as("c2"),
           col("err1"), col("m.err2").as("err2"))
         .orderBy("vec_id")
+    }),
+
+    // CLUSTERING-QUALITY EVAL (purity + NMI): score the IVF cell
+    // assignment against the documents' language labels — the
+    // label-agreement readout that decides whether an embedding
+    // space's clusters track a known partition before trusting them
+    // for semantic dedup or stratified sampling. Purity = Σ_cell
+    // majority-label count / N; NMI = 2·I(C;L)/(H(C)+H(L)). The
+    // contingency table is (cells × labels)-bounded, every marginal
+    // re-aggregates it, and the entropy/MI sums run through the exact
+    // fsum on |term| ≤ 1 values — one corpus-scale pass (the
+    // assignment), then bounded-table arithmetic, nothing on the
+    // driver. NMI rounds to 6 (ln); purity is an exact rational.
+    "emb_purity" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (dot(col("embedding"), col("cv")) /
+            (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
+          .as("cell"))
+      val lab = assign.join(
+        t(s, d, "documents").select(col("doc_id").as("vec_id"), col("lang")),
+        "vec_id")
+      val cl = lab.groupBy("cell", "lang").agg(count(lit(1)).as("m"))
+      val nTot = lab.agg(count(lit(1)).as("nn"))
+      val perCell = cl.groupBy("cell")
+        .agg(max(col("m")).as("mx"), sum(col("m")).as("nc"))
+      val perLang = cl.groupBy("lang").agg(sum(col("m")).as("nl"))
+      def dD(c: Column) = c.cast("double")
+      val mi = cl.join(broadcast(perCell), "cell")
+        .join(broadcast(perLang), "lang").crossJoin(broadcast(nTot))
+        .agg(Exact.fsum((dD(col("m")) / dD(col("nn"))) *
+          log((dD(col("m")) * dD(col("nn"))) /
+            (dD(col("nc")) * dD(col("nl"))))).as("mi"))
+      val hc = perCell.crossJoin(broadcast(nTot))
+        .agg(Exact.fsum(negate((dD(col("nc")) / dD(col("nn"))) *
+          log(dD(col("nc")) / dD(col("nn"))))).as("hc"))
+      val hl = perLang.crossJoin(broadcast(nTot))
+        .agg(Exact.fsum(negate((dD(col("nl")) / dD(col("nn"))) *
+          log(dD(col("nl")) / dD(col("nn"))))).as("hl"))
+      val pur = perCell.crossJoin(broadcast(nTot))
+        .agg((sum(col("mx")).cast("double") /
+          first(col("nn")).cast("double")).as("purity"),
+          count(lit(1)).as("n_cells"), first(col("nn")).as("nn"))
+      pur.crossJoin(broadcast(mi)).crossJoin(broadcast(hc))
+        .crossJoin(broadcast(hl))
+        .select(col("nn").as("n"), col("n_cells"),
+          round(col("purity"), 6).as("purity"),
+          round(lit(2.0) * col("mi") / (col("hc") + col("hl")), 6).as("nmi"))
     }),
 
     // k-NN GRAPH construction (the substrate for graph-based dedup,
@@ -1076,6 +1130,45 @@ object EmbeddingQueries extends GroupBase {
           SELECT vec_id, CAST(c1id AS BIGINT) AS c1, CAST(c2id AS BIGINT) AS c2,
                  err1, err2
           FROM a2 ORDER BY vec_id"""
+    },
+    "emb_purity" -> {
+      def fs(e: String) = graft.core.ExactSql.fsum(e)
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                         FROM embeddings WHERE vec_id < 8),
+          scored AS (SELECT e.vec_id, cid,
+                            ${dotSql("e.embedding", "cv")} /
+                              (${normSql("e.embedding")} * ${normSql("cv")})
+                              AS ccos
+                     FROM embeddings e CROSS JOIN cents),
+          assign AS (SELECT vec_id, cid AS cell FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ccos DESC, cid) AS rn
+                       FROM scored) x WHERE rn = 1),
+          lab AS (SELECT a.vec_id, cell, lang
+                  FROM assign a JOIN documents d ON d.doc_id = a.vec_id),
+          cl AS (SELECT cell, lang, count(*) AS m FROM lab GROUP BY 1, 2),
+          nt AS (SELECT count(*) AS nn FROM lab),
+          pc AS (SELECT cell, max(m) AS mx, sum(m) AS nc FROM cl GROUP BY 1),
+          pl AS (SELECT lang, sum(m) AS nl FROM cl GROUP BY 1),
+          mi AS (SELECT ${fs("""(CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+                   * ln((CAST(m AS DOUBLE) * CAST(nn AS DOUBLE))
+                        / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE)))""")}
+                   AS mi
+                 FROM cl JOIN pc USING (cell) JOIN pl USING (lang)
+                 CROSS JOIN nt),
+          hcv AS (SELECT ${fs("""-((CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE)))""")} AS hc
+                  FROM pc CROSS JOIN nt),
+          hlv AS (SELECT ${fs("""-((CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)))""")} AS hl
+                  FROM pl CROSS JOIN nt),
+          pur AS (SELECT CAST(sum(mx) AS DOUBLE) / CAST(max(nn) AS DOUBLE)
+                    AS purity, count(*) AS n_cells, max(nn) AS nn
+                  FROM pc CROSS JOIN nt)
+          SELECT nn AS n, n_cells, round(purity, 6) AS purity,
+                 round(CAST(2.0 AS DOUBLE) * mi / (hc + hl), 6) AS nmi
+          FROM pur CROSS JOIN mi CROSS JOIN hcv CROSS JOIN hlv"""
     },
     "emb_knn_graph" -> {
       val terms = (0 until 4).map(i =>

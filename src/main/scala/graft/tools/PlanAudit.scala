@@ -52,7 +52,8 @@ object PlanAudit {
     "pipe_dsir",       // 1-row feature-total broadcast onto the 64-bucket table
     "text_langid_nb",  // L-row model crossJoin (bounded candidate fan-out)
     "agg_bootstrap",   // 1-row replica-spread/mean broadcasts onto the readout
-    "agg_cuped")       // 1-row pooled-stat broadcasts onto the per-user pass
+    "agg_cuped",       // 1-row pooled-stat broadcasts onto the per-user pass
+    "emb_purity")      // centroid broadcast + bounded contingency scalars
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
