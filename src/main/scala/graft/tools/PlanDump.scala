@@ -65,6 +65,13 @@ object PlanDump {
     "join_fuzzy" -> "fuzzy join: deletion-variant blocking keys -> hash join, levenshtein verify as join residual",
     "emb_rq" -> "residual quantization: broadcast codebooks, argmin hash-aggs, level-2 branch scan pruned to sample vectors",
     "text_kneser" -> "Kneser-Ney scoring: all KN statistics fold out of the vocab-sized bigram table, probability table broadcast back",
+    "agg_bootstrap" -> "Poisson bootstrap: bounded x16 explode into one fsum hash-agg, replica table is 16 rows",
+    "tw_anomaly" -> "EWMA anomaly flag: one (type,hour) agg, 8-lag bounded-frame window per key",
+    "pipe_dsir" -> "DSIR selection: 64-bucket feature models broadcast, per-doc weight fold, top-k heap",
+    "graph_ppr" -> "personalized PageRank: per-round edge join + agg, seed-restart vector, 1-row scalar broadcasts",
+    "agg_cuped" -> "CUPED: one user-keyed agg, 1-row pooled-stat broadcasts, bounded second pass",
+    "emb_purity" -> "purity/NMI eval: one assignment pass, bounded contingency arithmetic",
+    "pipe_spancorrupt" -> "span corruption: single projection scan, bounded 4-position lookback",
     "emb_mmr" -> "MMR selection: K greedy rounds, <=K-row selected-set broadcasts, max_by argmax (no sort)",
     "emb_kcenter" -> "k-center coreset: same bounded-round shape, codegen vec_d2 scoring",
     "tw_rollup" -> "cascading rollup: hour level re-aggregates minute partials, raw table scanned once",
