@@ -186,6 +186,33 @@ object TimeWindowQueries extends GroupBase {
         .orderBy("event_type", "hb")
     }),
 
+    // HOUR-OF-DAY SEASONALITY profile — the decomposition signal next
+    // to tw_anomaly's EWMA trend: per (event_type, hour-of-day), the
+    // mean hourly count and the seasonal index (hod mean / overall
+    // hourly mean), flagged when the hour runs ±50% off the type's
+    // norm. A monitoring deployment divides tw_anomaly's residuals by
+    // this profile before alerting, so daily rhythm doesn't read as
+    // anomaly. All ratios are divisions of exact integer aggregates
+    // (single IEEE ops, no rounding needed); shape is two bounded
+    // hash-aggs over the (type, hour) table plus a 24×types join.
+    "tw_seasonal" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ws"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("hod", hour(col("ws")))
+      val prof = hourly.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("sc"))
+      val tot = hourly.groupBy(col("event_type").as("et"))
+        .agg(sum(col("c")).as("st"), count(lit(1)).as("nt"))
+      val meanC = col("sc").cast("double") / col("n_buckets").cast("double")
+      val idx = meanC / (col("st").cast("double") / col("nt").cast("double"))
+      prof.join(broadcast(tot), col("event_type") === col("et"))
+        .select(col("event_type"), col("hod"), col("n_buckets"),
+          meanC.as("mean_c"), idx.as("seasonal_idx"),
+          (idx > 1.5 || idx < 0.5).as("off_rhythm"))
+        .orderBy("event_type", "hod")
+    }),
+
     // EWMA FORECAST + ANOMALY FLAG over the hourly count series — the
     // monitoring readout a streaming-analytics deployment hangs off
     // every windowed aggregate: forecast_t = exponentially-weighted
@@ -231,6 +258,31 @@ object TimeWindowQueries extends GroupBase {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "tw_seasonal" ->
+      s"""WITH hourly AS (SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+                 count(*) AS c
+               FROM events GROUP BY 1, 2),
+          h2 AS (SELECT event_type, CAST(hour(ws) AS INT) AS hod, c
+                 FROM hourly),
+          prof AS (SELECT event_type, hod, count(*) AS n_buckets,
+                          sum(c) AS sc
+                   FROM h2 GROUP BY 1, 2),
+          tot AS (SELECT event_type, sum(c) AS st, count(*) AS nt
+                  FROM h2 GROUP BY 1)
+          SELECT p.event_type, p.hod, p.n_buckets,
+                 CAST(sc AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean_c,
+                 (CAST(sc AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                   / (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                   AS seasonal_idx,
+                 ((CAST(sc AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                   / (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                   > CAST(1.5 AS DOUBLE)
+                  OR (CAST(sc AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                   / (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                   < CAST(0.5 AS DOUBLE)) AS off_rhythm
+          FROM prof p JOIN tot t ON p.event_type = t.event_type
+          ORDER BY p.event_type, p.hod""",
     "tw_anomaly" -> {
       val lags = (1 to 8).map(k =>
         s"""CAST(lag(c, $k) OVER (PARTITION BY event_type ORDER BY ws)
