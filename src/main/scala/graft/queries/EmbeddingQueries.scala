@@ -483,6 +483,37 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("vec_id")
     }),
 
+    // EMBEDDING-DISTRIBUTION DRIFT across sources — the model-health
+    // monitor for a pipeline whose upstream encoder or corpus mix can
+    // silently shift: per-source mean vectors (one corpus scan,
+    // per-(source, dim) exact-fsum partials), then pairwise cosine and
+    // L2 distance between the source centroids. A drifting source
+    // shows up as a falling cosine long before downstream metrics
+    // move. Mean re-assembly is the emb_pca convention (collect sorted
+    // by dim, bounded by dimensionality); the pairwise stage runs on a
+    // sources-count-sized table.
+    "emb_drift" -> ((s, d) => {
+      val src = t(s, d, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val ex = t(s, d, "embeddings").join(src, "vec_id")
+        .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      val means = ex.groupBy("source", "pos")
+        .agg((Exact.fsum(col("xf")) / count(lit(1))).as("m"))
+      val vecs = means.groupBy("source")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("v"))
+      def fold(c: Column) = aggregate(c, lit(0.0), (a, x) => a + x)
+      def dotd(a: Column, b: Column) = fold(zip_with(a, b, (x, y) => x * y))
+      vecs.as("a").join(vecs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          (dotd(col("a.v"), col("b.v")) /
+            (sqrt(dotd(col("a.v"), col("a.v"))) *
+              sqrt(dotd(col("b.v"), col("b.v"))))).as("cos"),
+          sqrt(fold(zip_with(col("a.v"), col("b.v"),
+            (x, y) => (x - y) * (x - y)))).as("l2"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // CLUSTERING-QUALITY EVAL (purity + NMI): score the IVF cell
     // assignment against the documents' language labels — the
     // label-agreement readout that decides whether an embedding
@@ -1130,6 +1161,32 @@ object EmbeddingQueries extends GroupBase {
           SELECT vec_id, CAST(c1id AS BIGINT) AS c1, CAST(c2id AS BIGINT) AS c2,
                  err1, err2
           FROM a2 ORDER BY vec_id"""
+    },
+    "emb_drift" -> {
+      def fold(e: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $e), (a, v) -> a + v)"
+      def dotd(a: String, b: String) = fold(
+        s"""list_transform(list_zip($a, $b),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))""")
+      s"""WITH src AS (SELECT doc_id AS vec_id, source FROM documents),
+          ex AS (SELECT source, i - 1 AS pos,
+                        CAST(embedding[i] AS DOUBLE) AS xf
+                 FROM embeddings JOIN src USING (vec_id), range(1, 65) r(i)),
+          means AS (SELECT source, pos,
+                           ${graft.core.ExactSql.fsum("xf")} / count(*) AS m
+                    FROM ex GROUP BY 1, 2),
+          vecs AS (SELECT source, array_agg(m ORDER BY pos) AS v
+                   FROM means GROUP BY 1)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 ${dotd("a.v", "b.v")} /
+                   (sqrt(${dotd("a.v", "a.v")}) * sqrt(${dotd("b.v", "b.v")}))
+                   AS cos,
+                 sqrt(${fold("""list_transform(list_zip(a.v, b.v),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))""")})
+                   AS l2
+          FROM vecs a JOIN vecs b ON a.source < b.source
+          ORDER BY src_a, src_b"""
     },
     "emb_purity" -> {
       def fs(e: String) = graft.core.ExactSql.fsum(e)

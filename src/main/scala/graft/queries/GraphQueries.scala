@@ -122,6 +122,23 @@ object GraphQueries extends GroupBase {
         .orderBy(col("ppr").desc, col("doc_id")).limit(25)
     }),
 
+    // EDGE RECIPROCITY — the mutual-linking fraction |E ∩ Eᵀ| / |E|: a
+    // link-exchange/spam-ring signal (organic webs reciprocate a few
+    // percent of links; farms reciprocate most). One hash self-join of
+    // the edge table against its transpose plus two scalar counts — at
+    // 100 TB this is a single shuffle on the (src, dst) key pair.
+    "graph_reciprocity" -> ((s, d) => {
+      val (_, edges) = graph(s, d)
+      val e2 = edges.select("src", "dst")
+      val rec = e2.as("a").join(e2.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .agg(count(lit(1)).as("n_rec"))
+      e2.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(rec))
+        .select(col("n_edges"), col("n_rec"),
+          (col("n_rec").cast("double") / col("n_edges").cast("double"))
+            .as("reciprocity"))
+    }),
+
     // per-node triangle count: canonicalize to undirected id-ordered
     // edges (u < v), wedge-join e1(a,b) ⋈ e2(b,c) (a<b<c by
     // transitivity — each triangle is enumerated exactly once), close
@@ -305,6 +322,16 @@ object GraphQueries extends GroupBase {
           FROM r3 WHERE r > CAST(0.0 AS DOUBLE)
           ORDER BY ppr DESC, doc_id LIMIT 25"""
     },
+    "graph_reciprocity" ->
+      s"""WITH $graphSql,
+          e2 AS (SELECT src, dst FROM edges),
+          rec AS (SELECT count(*) AS n_rec
+                  FROM e2 a JOIN e2 b ON a.src = b.dst AND a.dst = b.src),
+          ne AS (SELECT count(*) AS n_edges FROM e2)
+          SELECT n_edges, n_rec,
+                 CAST(n_rec AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                   AS reciprocity
+          FROM ne CROSS JOIN rec""",
     "graph_triangles" ->
       s"""WITH $graphSql,
           und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

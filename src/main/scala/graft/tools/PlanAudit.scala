@@ -53,7 +53,9 @@ object PlanAudit {
     "text_langid_nb",  // L-row model crossJoin (bounded candidate fan-out)
     "agg_bootstrap",   // 1-row replica-spread/mean broadcasts onto the readout
     "agg_cuped",       // 1-row pooled-stat broadcasts onto the per-user pass
-    "emb_purity")      // centroid broadcast + bounded contingency scalars
+    "emb_purity",      // centroid broadcast + bounded contingency scalars
+    "emb_drift",       // sources-count-sized centroid table pairwise join
+    "graph_reciprocity") // 1-row scalar-count broadcasts onto the readout
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
