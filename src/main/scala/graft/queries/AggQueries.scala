@@ -452,6 +452,30 @@ object AggQueries extends GroupBase {
         .orderBy("stage")
     }),
 
+    // USER-JOURNEY TRANSITION MATRIX (first-order Markov chain over
+    // event types) — agg_paths surfaces the top literal paths; this
+    // gives the generative view a product team actually models with:
+    // P(next type | current type), row-normalized from per-user
+    // consecutive event pairs. One lead() window per user (time order
+    // with the unique event_id tiebreak — bounded keyed history, the
+    // agg_paths discipline), one (from, to) hash-agg, and the matrix
+    // itself is types²-bounded with its row totals broadcast back.
+    "agg_markov" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_t"))
+        .withColumn("to_t", lead(col("from_t"), 1).over(w))
+        .filter(col("to_t").isNotNull)
+      val cnt = pairs.groupBy("from_t", "to_t").agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("from_t").as("f")).agg(sum(col("n")).as("nt"))
+      cnt.join(broadcast(tot), col("from_t") === col("f"))
+        .select(col("from_t"), col("to_t"), col("n"),
+          (col("n").cast("double") / col("nt").cast("double")).as("p"))
+        .orderBy("from_t", "to_t")
+    }),
+
     // DETERMINISTIC Poisson bootstrap (Chamandy et al., Google 2012 —
     // "Estimating uncertainty for massive data streams"): the
     // production way to attach a confidence interval to a statistic
@@ -938,6 +962,17 @@ object AggQueries extends GroupBase {
                    AS conv_from_prev
           FROM st s LEFT JOIN st p ON s.stage = p.stage + 1
           ORDER BY s.stage""",
+    "agg_markov" ->
+      """WITH p AS (SELECT user_id, event_type AS from_t,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_t
+           FROM events),
+         cnt AS (SELECT from_t, to_t, count(*) AS n FROM p
+                 WHERE to_t IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_t, sum(n) AS nt FROM cnt GROUP BY 1)
+         SELECT c.from_t, c.to_t, CAST(n AS BIGINT) AS n,
+                CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS p
+         FROM cnt c JOIN tot USING (from_t) ORDER BY 1, 2""",
     "agg_bootstrap" -> {
       val h = graft.functions.TextOps.hash32Sql("event_id || ':' || b")
       s"""WITH ev AS (SELECT event_id, value FROM events),

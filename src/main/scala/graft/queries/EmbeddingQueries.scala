@@ -504,7 +504,11 @@ object EmbeddingQueries extends GroupBase {
           s => s.getField("m")).as("v"))
       def fold(c: Column) = aggregate(c, lit(0.0), (a, x) => a + x)
       def dotd(a: Column, b: Column) = fold(zip_with(a, b, (x, y) => x * y))
-      vecs.as("a").join(vecs.as("b"), col("a.source") < col("b.source"))
+      // broadcast the (bounded) right side: the a<b pairing has no
+      // equi key, and a broadcast loop join over the sources-count
+      // table is the deliberate shape — never a CartesianProduct
+      vecs.as("a").join(broadcast(vecs.as("b")),
+          col("a.source") < col("b.source"))
         .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
           (dotd(col("a.v"), col("b.v")) /
             (sqrt(dotd(col("a.v"), col("a.v"))) *

@@ -158,6 +158,35 @@ object TextQueries extends GroupBase {
         .orderBy("lang", "guess")
     }),
 
+    // READABILITY proxy (SMOG/Flesch family, sentence-free): mean
+    // syllables per word and the polysyllable fraction, from a
+    // vowel-group syllable estimate (`[aeiou]+` runs per token — the
+    // standard heuristic when no dictionary is available). The corpus
+    // has no sentence punctuation, so the sentence-length term of the
+    // classic formulas is omitted and the flag thresholds on the two
+    // word-level signals. Pure per-row array/regex expressions — one
+    // embarrassingly-parallel projection scan; ratios take the
+    // DECIMAL(18,8) route (exact cross-engine).
+    "text_readability" -> ((s, d) => {
+      def syl(t: Column) =
+        size(regexp_extract_all(t, lit("[aeiou]+"), lit(0)))
+      def dec(c: Column) = c.cast("decimal(18,8)")
+      val tk = col("tk")
+      val n = size(tk)
+      val nSyl = aggregate(transform(tk, t => syl(t)), lit(0), (a, x) => a + x)
+      val nPoly = size(filter(tk, t => syl(t) >= 3))
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), n.as("n_tok"), nSyl.as("n_syl"),
+          nPoly.as("n_poly"),
+          (dec(nSyl) / dec(n)).cast("double").as("syl_per_word"),
+          (dec(nPoly) / dec(n)).cast("double").as("poly_frac"),
+          ((dec(nSyl) / dec(n)).cast("double") > 1.8 ||
+            (dec(nPoly) / dec(n)).cast("double") > 0.1).as("hard"))
+        .orderBy("doc_id")
+    }),
+
     // ZIPF-FIT corpus diagnostic: least-squares slope of ln(freq) on
     // ln(rank) over the top-30 token ranks — natural language sits
     // near −1; a synthetic, templated, or spam-heavy corpus drifts
@@ -1329,6 +1358,30 @@ object TextQueries extends GroupBase {
           (lang = CASE WHEN len(list_filter($toksSql, t -> list_contains($stopSql, t))) > 0
                        THEN 'en' ELSE 'unk' END) AS agree
           FROM documents ORDER BY doc_id""",
+    "text_readability" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
+                     WHERE len($toksSql) > 0),
+          m AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tok,
+                  CAST(list_sum(list_transform(tk,
+                    t -> len(regexp_extract_all(t, '[aeiou]+')))) AS INT)
+                    AS n_syl,
+                  CAST(len(list_filter(tk,
+                    t -> len(regexp_extract_all(t, '[aeiou]+')) >= 3))
+                    AS INT) AS n_poly
+                FROM d)
+          SELECT doc_id, n_tok, n_syl, n_poly,
+                 CAST(CAST(n_syl AS DECIMAL(18,8)) /
+                      CAST(n_tok AS DECIMAL(18,8)) AS DOUBLE)
+                   AS syl_per_word,
+                 CAST(CAST(n_poly AS DECIMAL(18,8)) /
+                      CAST(n_tok AS DECIMAL(18,8)) AS DOUBLE) AS poly_frac,
+                 (CAST(CAST(n_syl AS DECIMAL(18,8)) /
+                       CAST(n_tok AS DECIMAL(18,8)) AS DOUBLE)
+                    > CAST(1.8 AS DOUBLE)
+                  OR CAST(CAST(n_poly AS DECIMAL(18,8)) /
+                          CAST(n_tok AS DECIMAL(18,8)) AS DOUBLE)
+                    > CAST(0.1 AS DOUBLE)) AS hard
+          FROM m ORDER BY doc_id""",
     "text_zipf" ->
       s"""WITH vocab AS (SELECT w, count(*) AS c
                          FROM (SELECT unnest($toksSql) AS w FROM documents)

@@ -75,7 +75,8 @@ object PlanAudit {
     "text_entropy",   // per-doc m·ln(m) fold, state = one doc's vocab
     "text_chi2",      // cell-term fold, state = the R x C contingency cells
     "text_kneser",    // per-doc sorted NLL fold, state = one doc's vocab
-    "pipe_dsir")      // per-doc weight fold, state <= 64 bucket terms
+    "pipe_dsir",      // per-doc weight fold, state <= 64 bucket terms
+    "emb_drift")      // 64-element mean-vector re-assembly, bounded by dim
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions
