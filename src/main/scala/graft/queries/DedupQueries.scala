@@ -334,6 +334,39 @@ object DedupQueries extends GroupBase {
     // (pigeonhole), so the blocking is recall-lossless. Hamming filter
     // runs BEFORE the distinct — the byte buckets are skewed and the
     // candidate set dwarfs the survivors.
+    // DEDUP-STACK CAPSTONE — the end-to-end KEEP LIST with per-stage
+    // attribution, the artifact a curation run actually ships: every
+    // doc labeled kept / removed-by-exact / removed-by-near-dup /
+    // removed-by-semantic, stages applied in cost order (cheap exact
+    // hash first, MinHash-LSH candidates second, embedding SemDeDup
+    // last) with first-stage-wins attribution. Near-dup removal drops
+    // the HIGHER doc_id of a candidate pair (est >= 0.75) whose lower
+    // side survived the exact stage — the same one-pass keep-lower
+    // convention as dd_minhash, not a transitive closure (dd_cluster
+    // is the transitive view). Pure composition: three already-audited
+    // catalog queries plus two hash joins on doc_id.
+    "pipe_keepset" -> ((s, d) => {
+      val exact = queries("dd_exact")(s, d)
+        .select(col("doc_id"), col("kept").as("ex_kept"))
+      val near = queries("dd_minhash")(s, d)
+        .filter(col("est") >= 0.75).select(col("da"), col("db"))
+      val nearRemoved = near
+        .join(exact.filter(col("ex_kept")).select(col("doc_id").as("da")), "da")
+        .select(col("db").as("doc_id")).distinct()
+        .withColumn("near_rm", lit(1))
+      val semLosers = EmbeddingQueries.queries("emb_semdedup")(s, d)
+        .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+        .withColumn("sem_rm", lit(1))
+      exact.join(nearRemoved, Seq("doc_id"), "left")
+        .join(semLosers, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("ex_kept"), "exact")
+            .when(col("near_rm").isNotNull, "near_dup")
+            .when(col("sem_rm").isNotNull, "semantic")
+            .otherwise("kept").as("removed_by"))
+        .orderBy("doc_id")
+    }),
+
     // MOSS-style near-dup PAIR DETECTION over winnowing fingerprints
     // (Schleimer et al. 2003 — the plagiarism-detection deployment of
     // the text_winnow primitive): each doc keeps its winnowed (h, pos)
@@ -573,6 +606,26 @@ object DedupQueries extends GroupBase {
                       / CAST(CAST(len(chs) AS BIGINT)
                              AS DECIMAL(18,8)) AS DOUBLE) AS keep_frac
           FROM chs c LEFT JOIN kept USING (doc_id) ORDER BY doc_id""",
+    "pipe_keepset" -> {
+      val semSql = EmbeddingQueries.oracleSql("emb_semdedup")
+      s"""WITH ex AS (SELECT doc_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                     AS ex_kept
+                 FROM documents),
+          near AS (SELECT da, db FROM ($minhashSql)
+                   WHERE est >= CAST(0.75 AS DOUBLE)),
+          nr AS (SELECT DISTINCT near.db AS doc_id
+                 FROM near JOIN ex ON ex.doc_id = near.da AND ex.ex_kept),
+          sem AS (SELECT vec_id AS doc_id FROM ($semSql) WHERE NOT kept)
+          SELECT e.doc_id,
+                 CASE WHEN NOT e.ex_kept THEN 'exact'
+                      WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                      WHEN sem.doc_id IS NOT NULL THEN 'semantic'
+                      ELSE 'kept' END AS removed_by
+          FROM ex e LEFT JOIN nr ON nr.doc_id = e.doc_id
+          LEFT JOIN sem ON sem.doc_id = e.doc_id
+          ORDER BY e.doc_id"""
+    },
     "dd_winnow" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
           kg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,

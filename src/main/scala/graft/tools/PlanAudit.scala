@@ -55,7 +55,8 @@ object PlanAudit {
     "agg_cuped",       // 1-row pooled-stat broadcasts onto the per-user pass
     "emb_purity",      // centroid broadcast + bounded contingency scalars
     "emb_drift",       // sources-count-sized centroid table pairwise join
-    "graph_reciprocity") // 1-row scalar-count broadcasts onto the readout
+    "graph_reciprocity", // 1-row scalar-count broadcasts onto the readout
+    "pipe_keepset")    // composes emb_semdedup -> inherits its broadcasts
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
