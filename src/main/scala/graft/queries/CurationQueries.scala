@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
+import graft.core.{Exact, ExactSql}
 
 /** Round-4 curation/retrieval surface over `documents`: PII redaction,
   * BM25 relevance scoring, token-budget selection, and deterministic
@@ -159,6 +160,34 @@ object CurationQueries extends GroupBase {
     // at 100 TB only a sampled slice is embedded). Each component is
     // the already-audited catalog query — this adds three hash joins
     // on doc_id over their outputs, nothing else.
+    // Quality-classifier TRAINING — the fastText-style gate fitting
+    // that `pipe_classify` (fixed weights) presupposes: 3 unrolled
+    // full-batch logistic-regression GD rounds on cheap per-doc
+    // features (chars, tokens, type-token ratio) against the lang=en
+    // label. Each round is ONE corpus scan producing a 4-number
+    // gradient (Exact.fsum partials — order-independent, map-side
+    // combined); the weight vector is a 1-row broadcast, so at 100 TB
+    // the cost is rounds × corpus scans and nothing shuffles but the
+    // gradient partials. Cross-engine determinism: features are exact
+    // (int casts / decimal ratio); the sigmoid is the one
+    // transcendental, so p is floor-quantized to 1e-6 before the
+    // gradient (a 1-ulp exp() divergence only matters if p straddles
+    // a quantization boundary); weights re-quantize every round so
+    // both engines iterate from identical bits. Round 1's p = 0.5
+    // exactly (w=0), making round 1 fully exact.
+    "pipe_classify_train" -> ((s, d) => {
+      val f = trainFeatures(t(s, d, "documents")).cache()
+      val w0 = s.range(1).select(
+        lit(0.0).as("w0"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"), lit(0.0).as("w3"))
+      val w3 = gdStep(f, gdStep(f, gdStep(f, w0)))
+      scoreSigmoid(f, w3)
+        .select(col("doc_id"), col("y").cast("int").as("y"),
+          col("w0"), col("w1"), col("w2"), col("w3"),
+          col("p"), (col("p") >= lit(0.5)).as("pred"))
+        .orderBy("doc_id")
+    }),
+
     "pipe_gate" -> ((s, d) => {
       val ex = DedupQueries.queries("dd_exact")(s, d)
         .select(col("doc_id"), col("kept").as("exact_kept"))
@@ -179,9 +208,101 @@ object CurationQueries extends GroupBase {
     }),
   )
 
+  // ---- pipe_classify_train helpers -------------------------------
+
+  /** floor-quantize to 1e-6: floor(x·1e6)/1e6 — three single IEEE ops
+    * on identical input bits, so (unlike round-half-up, whose Spark
+    * BigDecimal path and DuckDB multiply-round-divide path can differ
+    * 1 ulp) both engines quantize to identical bits by construction. */
+  private def q6(c: Column): Column =
+    floor(c * lit(1000000.0)) / lit(1000000.0)
+
+  /** Per-doc training features: exact ints/ratios only; zero-token
+    * docs dropped (their TTR is undefined — and a doc with no tokens
+    * has nothing to classify). */
+  private def trainFeatures(docs: DataFrame): DataFrame = {
+    val tk = col("tk")
+    docs.withColumn("tk", TextOps.tokens(col("text")))
+      .filter(size(tk) > 0)
+      .select(col("doc_id"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+        (col("n_chars").cast("double") / lit(1000.0)).as("x1"),
+        (size(tk).cast("double") / lit(100.0)).as("x2"),
+        (size(array_distinct(tk)).cast("decimal(18,8)") /
+          size(tk).cast("decimal(18,8)")).cast("double").as("x3"))
+  }
+
+  /** p = sigmoid(w·x), floor-quantized. The weight row broadcasts. */
+  private def scoreSigmoid(f: DataFrame, w: DataFrame): DataFrame =
+    f.crossJoin(broadcast(w)).withColumn("p",
+      q6(lit(1.0) / (lit(1.0) + exp(-(col("w0") + col("w1") * col("x1") +
+        col("w2") * col("x2") + col("w3") * col("x3"))))))
+
+  /** One full-batch GD round: w ← q6(w − lr·(Σ(p−y)·x_j)/n).
+    * Gradient sums via Exact.fsum (order-independent bounded-state
+    * partials); lr = 0.5 as an explicit literal mirrored in the
+    * oracle. */
+  private def gdStep(f: DataFrame, w: DataFrame): DataFrame = {
+    val e = col("p") - col("y")
+    val g = scoreSigmoid(f, w).agg(
+      Exact.fsum(e).as("g0"), Exact.fsum(e * col("x1")).as("g1"),
+      Exact.fsum(e * col("x2")).as("g2"), Exact.fsum(e * col("x3")).as("g3"),
+      count(lit(1)).cast("double").as("n"))
+    g.crossJoin(broadcast(w)).select(
+      q6(col("w0") - lit(0.5) * (col("g0") / col("n"))).as("w0"),
+      q6(col("w1") - lit(0.5) * (col("g1") / col("n"))).as("w1"),
+      q6(col("w2") - lit(0.5) * (col("g2") / col("n"))).as("w2"),
+      q6(col("w3") - lit(0.5) * (col("g3") / col("n"))).as("w3"))
+  }
+
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  // ---- pipe_classify_train oracle builders -----------------------
+  private def q6Sql(e: String): String =
+    s"(floor(($e) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
+  private val pExprSql: String =
+    q6Sql("CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))")
+  /** One GD round as two CTEs: p{r} scores under w{r-1}, w{r} updates. */
+  private def gdRoundSql(r: Int): String = {
+    val prev = if (r == 1) "winit" else s"w${r - 1}"
+    s"""p$r AS (SELECT f.*, w.w0, w.w1, w.w2, w.w3, $pExprSql AS p
+                FROM f CROSS JOIN $prev w),
+        g$r AS (SELECT ${ExactSql.fsum("p - y")} AS g0,
+                       ${ExactSql.fsum("(p - y) * x1")} AS g1,
+                       ${ExactSql.fsum("(p - y) * x2")} AS g2,
+                       ${ExactSql.fsum("(p - y) * x3")} AS g3,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       max(w0) AS ow0, max(w1) AS ow1,
+                       max(w2) AS ow2, max(w3) AS ow3
+                FROM p$r),
+        w$r AS (SELECT ${q6Sql("ow0 - CAST(0.5 AS DOUBLE) * (g0 / n)")} AS w0,
+                       ${q6Sql("ow1 - CAST(0.5 AS DOUBLE) * (g1 / n)")} AS w1,
+                       ${q6Sql("ow2 - CAST(0.5 AS DOUBLE) * (g2 / n)")} AS w2,
+                       ${q6Sql("ow3 - CAST(0.5 AS DOUBLE) * (g3 / n)")} AS w3
+                FROM g$r)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "pipe_classify_train" ->
+      s"""WITH f AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS y,
+                   CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS x1,
+                   CAST(len($toksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS x2,
+                   CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
+                        / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS x3
+            FROM documents WHERE len($toksSql) > 0),
+          winit AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                           CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+          ${gdRoundSql(1)},
+          ${gdRoundSql(2)},
+          ${gdRoundSql(3)}
+          SELECT doc_id, CAST(y AS INT) AS y, w0, w1, w2, w3, p,
+                 p >= CAST(0.5 AS DOUBLE) AS pred
+          FROM (SELECT f.doc_id, f.y, w.w0, w.w1, w.w2, w.w3, $pExprSql AS p
+                FROM f CROSS JOIN w3 w) z
+          ORDER BY doc_id""",
     "text_pii" ->
       s"""SELECT doc_id,
             CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_email,

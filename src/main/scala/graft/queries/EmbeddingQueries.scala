@@ -666,6 +666,72 @@ object EmbeddingQueries extends GroupBase {
     // bounded-round scan shape as emb_mmr; `mind2` is each pick's
     // distance to the set — the classic coreset radius curve.
     "emb_kcenter" -> ((s, d) => kcenterSelect(s, d, k = 4)),
+
+    // Hard-negative mining — the contrastive-training data op: for
+    // each probe (vec_id < 8), the top-3 most-similar vectors of a
+    // DIFFERENT label (similar-but-wrong = the gradient-rich
+    // negatives; same-label rows never leave the join). Same scale
+    // shape as emb_knn: 8-row probe side broadcasts, the corpus
+    // streams un-shuffled through the codegen float_dot kernel, and
+    // the per-probe top-3 plans as WindowGroupLimit (per-map-task
+    // heaps). Cosines are left-fold bit-exact cross-engine, so rank
+    // order needs no rounding.
+    "emb_hardneg" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val probes = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      e.join(broadcast(probes), col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id").as("nid"), col("label").as("nlabel"),
+          (dot(col("qv"), col("embedding")) /
+            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "nid", "nlabel", "rank", "cos")
+        .orderBy("qid", "rank")
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion — the
+    // lexical+semantic fusion every modern retrieval stack runs:
+    // a term-match ranker over `documents` and a cosine ranker over
+    // `embeddings` (doc_id ≡ vec_id) each produce a top-50 list
+    // (orderBy+limit → TakeOrderedAndProject: per-partition heaps, NO
+    // global sort of the corpus); RRF = Σ 1/(60+rank) over the lists
+    // containing the doc fuses them, top-20 out. The rank-assign
+    // windows run on the ≤50-row fused lists, so the only
+    // corpus-scale work is the two scoring scans. 1/(60+r) on integer
+    // ranks is single-op bit-exact — no rounding anywhere.
+    "text_rrf" -> ((s, d) => {
+      val K = 50
+      val tk = col("tk")
+      val lexTop = t(s, d, "documents")
+        .withColumn("tk", graft.functions.TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          size(filter(tk, x => x === "the" || x === "data")).as("lex"))
+        .filter(col("lex") > 0)
+        .orderBy(col("lex").desc, col("doc_id")).limit(K)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("lex").desc, col("doc_id"))))
+      val e = t(s, d, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val semTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          (dot(col("qv"), col("embedding")) /
+            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(K)
+        .withColumn("sem_rank",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      lexTop.select(col("doc_id"), col("lex_rank"))
+        .join(semTop.select(col("doc_id"), col("sem_rank")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("sem_rank")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }),
   )
 
   /** Greedy MMR loop shared shape: round 1 = pure-relevance argmax;
@@ -1395,5 +1461,52 @@ object EmbeddingQueries extends GroupBase {
           ${assignSql("c1", "a2")}
           SELECT vec_id, cell, d2 FROM a2 ORDER BY vec_id"""
     },
+
+    "emb_hardneg" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+                     FROM embeddings WHERE vec_id < 8),
+          scored AS (
+            SELECT qid, e.vec_id AS nid, e.label AS nlabel,
+                   ${dotSql("qv", "e.embedding")} /
+                     (${normSql("qv")} * ${normSql("e.embedding")}) AS cos
+            FROM embeddings e CROSS JOIN q WHERE e.label <> qlabel)
+          SELECT qid, nid, nlabel, CAST(rank AS INT) AS rank, cos FROM (
+            SELECT qid, nid, nlabel, cos,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, nid) AS rank
+            FROM scored) r
+          WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "text_rrf" ->
+      s"""WITH lexs AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                     list_filter(string_split(text, ' '), t -> t <> ''),
+                     t -> t = 'the' OR t = 'data')) AS INT) AS lex
+            FROM documents),
+          lext AS (SELECT * FROM lexs WHERE lex > 0
+                   ORDER BY lex DESC, doc_id LIMIT 50),
+          lexr AS (SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY lex DESC, doc_id)
+                               AS INT) AS lex_rank
+                   FROM lext),
+          probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          sems AS (
+            SELECT vec_id AS doc_id,
+                   ${dotSql("qv", "e.embedding")} /
+                     (${normSql("qv")} * ${normSql("e.embedding")}) AS cos
+            FROM embeddings e CROSS JOIN probe WHERE e.vec_id <> 0),
+          semt AS (SELECT * FROM sems ORDER BY cos DESC, doc_id LIMIT 50),
+          semr AS (SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                               AS INT) AS sem_rank
+                   FROM semt)
+          SELECT doc_id, lex_rank, sem_rank,
+                 (coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex_rank),
+                           CAST(0.0 AS DOUBLE)) +
+                  coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + sem_rank),
+                           CAST(0.0 AS DOUBLE))) AS rrf
+          FROM lexr FULL OUTER JOIN semr USING (doc_id)
+          ORDER BY rrf DESC, doc_id LIMIT 20""",
   )
 }

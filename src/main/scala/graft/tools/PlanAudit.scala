@@ -56,7 +56,10 @@ object PlanAudit {
     "emb_purity",      // centroid broadcast + bounded contingency scalars
     "emb_drift",       // sources-count-sized centroid table pairwise join
     "graph_reciprocity", // 1-row scalar-count broadcasts onto the readout
-    "pipe_keepset")    // composes emb_semdedup -> inherits its broadcasts
+    "pipe_keepset",    // composes emb_semdedup -> inherits its broadcasts
+    "emb_hardneg",     // 8-row probe broadcast (non-equi label guard), corpus streams
+    "text_rrf",        // 1-row probe-vector broadcast, corpus streams
+    "pipe_classify_train") // 1-row weight/gradient broadcasts per GD round
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
