@@ -122,16 +122,27 @@ object TextQueries extends GroupBase {
     // round to 6 (ln) BEFORE the argmax so both engines pick the same
     // winner; ties break to the alphabetically-first language.
     "text_langid_nb" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // every model table folds out of the ONE (doc,lang,token) count
+      // table (dtm): lt re-aggregates its counts, vocab and priors are
+      // its projections — no branch goes back to the raw text, so the
+      // tokenizer's split() cost is paid per consumer of dtm, not per
+      // model statistic. (Measured: persisting dtm is a LOSS at bench
+      // scale — columnar materialization breaks the codegen pipeline
+      // and costs more than the rescans; a 100 TB deployment would
+      // checkpoint dtm to parquet once and derive all model tables
+      // from the checkpoint, which this lineage shape makes a one-line
+      // change.)
+      val dtm = t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
         .filter(size(col("tk")) > 0)
-      val dt = docs.select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
-      val dtm = dt.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("m"))
-      val lt = dt.groupBy(col("lang").as("l"), col("w")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("m"))
+      val lt = dtm.groupBy(col("lang").as("l"), col("w")).agg(sum(col("m")).as("c"))
       val tl = lt.groupBy("l").agg(sum(col("c")).as("t"))
-      val vs = dt.agg(countDistinct(col("w")).as("v"))
-      val pri = docs.groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
-      val nda = docs.agg(count(lit(1)).as("ndall"))
+      val vs = lt.agg(countDistinct(col("w")).as("v"))
+      val docLang = dtm.select("doc_id", "lang").distinct()
+      val pri = docLang.groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+      val nda = pri.agg(sum(col("nd")).as("ndall"))
       val langs = tl.join(pri, "l").crossJoin(broadcast(nda))
         .crossJoin(broadcast(vs))
       val terms = dtm.crossJoin(broadcast(langs))

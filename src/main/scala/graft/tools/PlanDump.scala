@@ -75,6 +75,9 @@ object PlanDump {
     "emb_mmr" -> "MMR selection: K greedy rounds, <=K-row selected-set broadcasts, max_by argmax (no sort)",
     "emb_kcenter" -> "k-center coreset: same bounded-round shape, codegen vec_d2 scoring",
     "tw_rollup" -> "cascading rollup: hour level re-aggregates minute partials, raw table scanned once",
+    "pipe_classify_train" -> "logistic-GD training: one corpus scan per round into a 4-number fsum gradient agg, weight row broadcast",
+    "text_rrf" -> "RRF hybrid retrieval: both top-50 lists via TakeOrderedAndProject heaps, rank windows on bounded lists only",
+    "emb_hardneg" -> "hard-negative mining: probe broadcast with non-equi label guard, corpus streams, WindowGroupLimit top-3",
   )
 
   def main(args: Array[String]): Unit = {
