@@ -63,6 +63,17 @@ object Exact {
   def fsum(c: Column): Column =
     sum(floor(c.cast("double") * lit(F53)).cast("decimal(38,0)"))
       .cast("double") / lit(F53)
+
+  /** Floor-quantize to 1e-6: floor(x·1e6)/1e6 — three single IEEE ops
+    * on identical input bits, so (unlike round-half-up, whose Spark
+    * BigDecimal path and DuckDB multiply-round-divide path can differ
+    * by 1 ulp) both engines quantize to identical bits by
+    * construction. The quantizer of choice when a transcendental
+    * (ln/exp) output feeds FURTHER arithmetic: it pins the value to a
+    * grid where a last-ulp divergence only survives if the true value
+    * straddles a grid line. */
+  def q6(c: Column): Column =
+    floor(c * lit(1000000.0)) / lit(1000000.0)
 }
 
 /** SQL snippets mirroring Exact for the DuckDB oracle strings. */
@@ -84,4 +95,7 @@ object ExactSql {
   def fsum(e: String): String =
     s"""(CAST(CAST(SUM(CAST(floor(CAST(($e) AS DOUBLE) * 9007199254740992.0)
          AS BIGINT)) AS VARCHAR) AS DOUBLE) / 9007199254740992.0)"""
+  /** Mirror of Exact.q6. */
+  def q6(e: String): String =
+    s"(floor(($e) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
 }

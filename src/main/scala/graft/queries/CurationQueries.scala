@@ -210,12 +210,7 @@ object CurationQueries extends GroupBase {
 
   // ---- pipe_classify_train helpers -------------------------------
 
-  /** floor-quantize to 1e-6: floor(x·1e6)/1e6 — three single IEEE ops
-    * on identical input bits, so (unlike round-half-up, whose Spark
-    * BigDecimal path and DuckDB multiply-round-divide path can differ
-    * 1 ulp) both engines quantize to identical bits by construction. */
-  private def q6(c: Column): Column =
-    floor(c * lit(1000000.0)) / lit(1000000.0)
+  private def q6(c: Column): Column = Exact.q6(c)
 
   /** Per-doc training features: exact ints/ratios only; zero-token
     * docs dropped (their TTR is undefined — and a doc with no tokens
@@ -258,8 +253,7 @@ object CurationQueries extends GroupBase {
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   // ---- pipe_classify_train oracle builders -----------------------
-  private def q6Sql(e: String): String =
-    s"(floor(($e) * CAST(1000000.0 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE))"
+  private def q6Sql(e: String): String = ExactSql.q6(e)
   private val pExprSql: String =
     q6Sql("CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))")
   /** One GD round as two CTEs: p{r} scores under w{r-1}, w{r} updates. */

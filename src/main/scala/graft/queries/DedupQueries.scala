@@ -424,6 +424,63 @@ object DedupQueries extends GroupBase {
       }
       labels.orderBy("doc_id")
     }),
+
+    // TF-IDF-weighted sparse cosine near-dup — the bag-of-words twin
+    // of dd_jaccard: two docs sharing rare, high-idf vocabulary score
+    // high even when their shingle SETS barely overlap (paraphrase /
+    // reorder robustness the n-gram family lacks). Block on shingles,
+    // verify exact: candidates must share a rare (df<=1000,
+    // ShingleDf.capRare) 3-gram shingle hash — exactly dd_jaccard's
+    // skew-safe candidate generator — and the FULL tf-idf cosine is
+    // then computed for candidates only, from the complete postings
+    // of both sides. Output = the top-50 most-similar pairs (a
+    // threshold is corpus-dependent; the ranked head is what a dedup
+    // operator reviews to SET the threshold). 100 TB shape: postings
+    // carry (doc, token, tf) — one tokenize pass; idf attaches via a
+    // vocab-bounded broadcast; the pair dot is a per-(da,db) fsum
+    // hash-agg (order-independent, map-side partials), never a
+    // collect; norms are per-doc fsum aggs; top-50 is
+    // TakeOrderedAndProject (per-partition heaps). Determinism: the
+    // one transcendental (ln in idf) is floor-quantized to 1e-6
+    // BEFORE any products, so dot/norm/cosine are exact-grid
+    // arithmetic on both engines and the rank order is bit-stable.
+    "dd_tfidf_cos" -> ((s, d) => {
+      import graft.core.Exact
+      val docs = t(s, d, "documents")
+      val post = docs
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfr = post.groupBy("w").agg(count(lit(1)).as("df"))
+      val nd = docs.withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0).agg(count(lit(1)).as("nd"))
+      val wp = post.join(broadcast(dfr), "w").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("w"),
+          Exact.q6(col("tf").cast("double") *
+            log(col("nd").cast("double") / col("df").cast("double"))).as("w8"))
+      val nrm = wp.groupBy("doc_id")
+        .agg(sqrt(Exact.fsum(col("w8") * col("w8"))).as("nrm"))
+      val sh = graft.operators.ShingleDf.capRare(docs
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .withColumn("hs",
+          array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
+        .filter(col("hs").isNotNull)
+        .select(col("doc_id"), explode(col("hs")).as("sh")), "sh", 1000)
+      val cand = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val dots = cand
+        .join(wp.select(col("doc_id").as("da"), col("w"), col("w8").as("wa")), Seq("da"))
+        .join(wp.select(col("doc_id").as("db"), col("w"), col("w8").as("wb")), Seq("db", "w"))
+        .groupBy("da", "db").agg(Exact.fsum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("da"), col("nrm").as("na")), Seq("da"))
+        .join(nrm.select(col("doc_id").as("db"), col("nrm").as("nb")), Seq("db"))
+        .select(col("da"), col("db"), (col("dot") / (col("na") * col("nb"))).as("cos"))
+        .orderBy(col("cos").desc, col("da"), col("db")).limit(50)
+    }),
   )
 
   /** SimHash near-dup pairs (hamming <= 3), byte-blocked — the shared
@@ -668,6 +725,39 @@ object DedupQueries extends GroupBase {
           ${round("l1", "l2")},
           ${round("l2", "l3")}
           SELECT doc_id, rep FROM l3 ORDER BY doc_id"""
+    },
+
+    "dd_tfidf_cos" -> {
+      val toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+      import graft.core.ExactSql
+      s"""WITH dtok AS (SELECT doc_id, unnest($toks) AS w FROM documents
+                        WHERE len($toks) > 0),
+          post AS (SELECT doc_id, w, count(*) AS tf FROM dtok GROUP BY 1, 2),
+          dfr AS (SELECT w, count(*) AS df FROM post GROUP BY 1),
+          nd AS (SELECT count(*) AS nd FROM documents WHERE len($toks) > 0),
+          wp AS (SELECT doc_id, w,
+                        ${ExactSql.q6("CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))")} AS w8
+                 FROM post JOIN dfr USING (w) CROSS JOIN nd),
+          nrm AS (SELECT doc_id, sqrt(${ExactSql.fsum("w8 * w8")}) AS nrm
+                  FROM wp GROUP BY doc_id),
+          shh AS (SELECT DISTINCT doc_id, ${TextOps.hash32Sql("sh")} AS sh
+                  FROM ($shinglesSql)),
+          rare AS (SELECT sh FROM (SELECT sh, count(*) AS sdf FROM shh GROUP BY 1)
+                   WHERE sdf <= 1000),
+          shr AS (SELECT doc_id, x.sh FROM shh x JOIN rare USING (sh)),
+          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM shr a JOIN shr b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          dots AS (SELECT da, db, ${ExactSql.fsum("pa.w8 * pb.w8")} AS dot
+                   FROM cand
+                   JOIN wp pa ON pa.doc_id = cand.da
+                   JOIN wp pb ON pb.doc_id = cand.db AND pb.w = pa.w
+                   GROUP BY 1, 2)
+          SELECT da, db, dot / (na.nrm * nb.nrm) AS cos
+          FROM dots
+          JOIN nrm na ON na.doc_id = dots.da
+          JOIN nrm nb ON nb.doc_id = dots.db
+          ORDER BY cos DESC, da, db LIMIT 50"""
     },
   )
 

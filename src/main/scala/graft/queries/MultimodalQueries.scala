@@ -68,6 +68,39 @@ object MultimodalQueries extends GroupBase {
         .select(col("doc_id"), col("n_frames"),
           explode(sequence(lit(0), col("n_frames") - 1, lit(6))).as("frame_no"))
         .orderBy("doc_id", "frame_no")),
+
+    // WebDataset-style shard layout: media blobs packed into
+    // byte-budgeted shards per modality — the manifest a training
+    // loader reads to stream tar shards. Assignment is by START
+    // offset (shard = floor(cum_before / BUDGET)), so a blob never
+    // splits and each shard overshoots by at most one blob — the
+    // standard tar-packing rule. The running byte sum is per-modality
+    // (partition-parallel prefix scan, same discipline as pipe_pack's
+    // per-lang cumsum: each modality's window task handles only its
+    // own rows); integer arithmetic throughout, exact cross-engine.
+    // Output is the per-shard manifest: item count, payload bytes,
+    // doc_id span.
+    "mm_webdataset" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("mtype").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("mtype"),
+          length(col("payload")).cast("long").as("nbytes"))
+        .withColumn("shard",
+          // cum-bytes « 2^53, so the double floor-division is exact;
+          // BUDGET as a double literal keeps the op single-step on
+          // both engines (Spark long/long `/` would go double anyway)
+          floor(coalesce(sum(col("nbytes")).over(w), lit(0L)).cast("double")
+            / lit(4096.0)).cast("long"))
+        .groupBy("mtype", "shard")
+        .agg(count(lit(1)).as("n_items"), sum(col("nbytes")).as("total_bytes"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("mtype", "shard")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,5 +131,22 @@ object MultimodalQueries extends GroupBase {
            FROM documents) d,
            LATERAL (SELECT unnest(range(0, n_frames, 6)) AS frame_no) f
          ORDER BY doc_id, frame_no""",
+    "mm_webdataset" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS mtype,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+           FROM documents),
+         sh AS (
+           SELECT doc_id, mtype, nbytes,
+                  CAST(floor(CAST(coalesce(sum(nbytes) OVER (
+                         PARTITION BY mtype ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS DOUBLE) / CAST(4096.0 AS DOUBLE)) AS BIGINT) AS shard
+           FROM m)
+         SELECT mtype, shard, count(*) AS n_items,
+                CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM sh GROUP BY 1, 2 ORDER BY mtype, shard""",
   )
 }

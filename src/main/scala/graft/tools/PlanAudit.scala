@@ -59,7 +59,8 @@ object PlanAudit {
     "pipe_keepset",    // composes emb_semdedup -> inherits its broadcasts
     "emb_hardneg",     // 8-row probe broadcast (non-equi label guard), corpus streams
     "text_rrf",        // 1-row probe-vector broadcast, corpus streams
-    "pipe_classify_train") // 1-row weight/gradient broadcasts per GD round
+    "pipe_classify_train", // 1-row weight/gradient broadcasts per GD round
+    "dd_tfidf_cos")    // 1-row corpus-count broadcast onto the postings
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

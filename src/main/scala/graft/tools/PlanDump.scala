@@ -78,6 +78,7 @@ object PlanDump {
     "pipe_classify_train" -> "logistic-GD training: one corpus scan per round into a 4-number fsum gradient agg, weight row broadcast",
     "text_rrf" -> "RRF hybrid retrieval: both top-50 lists via TakeOrderedAndProject heaps, rank windows on bounded lists only",
     "emb_hardneg" -> "hard-negative mining: probe broadcast with non-equi label guard, corpus streams, WindowGroupLimit top-3",
+    "dd_tfidf_cos" -> "tf-idf cosine near-dup: rare-shingle-blocked candidates, fsum pair dots, top-50 via TakeOrderedAndProject",
   )
 
   def main(args: Array[String]): Unit = {
