@@ -229,6 +229,37 @@ object GraphQueries extends GroupBase {
       }
       labels.orderBy("doc_id")
     }),
+
+    // COMMUNITY detection by synchronous label propagation (LPA) —
+    // the mirror-site / topic-cluster partitioner one step richer
+    // than graph_cc: a node adopts its neighbors' MOST FREQUENT label
+    // (not the minimum), so dense clusters converge to one label
+    // while bridges between clusters stay unabsorbed. 3 unrolled
+    // rounds over the symmetrized edge set. 100 TB shape matches
+    // graph_cc: per round one dst-keyed join and two bounded
+    // hash-aggs ((node, label) counts collapse below the exchange;
+    // the argmax is a min(struct) agg, no window) — labels never on
+    // the driver. Determinism: counts are integers; ties break to the
+    // SMALLEST label via the lexicographic (−count, label) struct
+    // minimum, mirrored by the oracle's rank sort.
+    "graph_lpa" -> ((s, d) => {
+      val (nodes, edges) = graph(s, d)
+      val und = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      var labels = nodes.select(col("doc_id"), col("doc_id").as("lab"))
+      for (_ <- 1 to 3) {
+        val nbr = und.join(labels, und("dst") === labels("doc_id"))
+          .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min(struct(negate(col("c")).as("nc"), col("lab").as("l"))).as("mm"))
+          .select(col("src"), col("mm.l").as("nlab"))
+        labels = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+          .select(col("doc_id"), coalesce(col("nlab"), col("lab")).as("lab"))
+      }
+      labels.select(col("doc_id"), col("lab").as("community"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Shared oracle CTEs: node count + derived edge list (mirrors
@@ -362,6 +393,30 @@ object GraphQueries extends GroupBase {
           ${round("l1", "l2")},
           ${round("l2", "l3")}
           SELECT doc_id, comp FROM l3 ORDER BY doc_id"""
+    },
+    "graph_lpa" -> {
+      // one LPA round: pick the (max count, then min label) neighbor
+      // label — rank sort mirrors the Spark (−count, label) struct min
+      def round(prev: String, out: String): String =
+        s"""$out AS (
+            SELECT l.doc_id, coalesce(m.nlab, l.lab) AS lab
+            FROM $prev l
+            LEFT JOIN (
+              SELECT src, lab AS nlab FROM (
+                SELECT und.src, p.lab, count(*) AS c,
+                       row_number() OVER (PARTITION BY und.src
+                                          ORDER BY count(*) DESC, p.lab) AS rn
+                FROM und JOIN $prev p ON p.doc_id = und.dst
+                GROUP BY und.src, p.lab) x WHERE rn = 1) m
+              ON m.src = l.doc_id)"""
+      s"""WITH $graphSql,
+          und AS (SELECT src, dst FROM edges
+                  UNION SELECT dst, src FROM edges),
+          l0 AS (SELECT doc_id, doc_id AS lab FROM documents),
+          ${round("l0", "l1")},
+          ${round("l1", "l2")},
+          ${round("l2", "l3")}
+          SELECT doc_id, lab AS community FROM l3 ORDER BY doc_id"""
     },
   )
 }

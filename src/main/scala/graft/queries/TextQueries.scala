@@ -670,6 +670,49 @@ object TextQueries extends GroupBase {
             .as("drifted"))
     }),
 
+    // Mann–Whitney U rank-sum drift test (the nonparametric
+    // LOCATION-shift companion to text_ks's max-CDF-gap): are src1's
+    // token counts systematically larger/smaller than src2's? Same
+    // 100 TB discipline as text_ks: the corpus collapses to a bounded
+    // integer histogram in ONE pass, cumulative counts come from a
+    // broadcast triangular join over the histogram (never a global
+    // rank window over rows), and the midrank sum uses the 2·R1
+    // integer identity (c·(2F+t+1) is a BIGINT — the rank sum is
+    // exact integer arithmetic, order-independent, no fsum needed).
+    // Tie-corrected normal approximation; σ=0 (all values tied)
+    // nullifies z on both engines.
+    "text_mannwhitney" -> ((s, d) => {
+      val b = t(s, d, "documents")
+        .filter(col("source").isin("src1", "src2"))
+        .select(col("source"), size(TextOps.tokens(col("text"))).as("n_tok"))
+      val h = b.groupBy("n_tok").agg(
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src2", 1L).otherwise(0L)).as("c2"))
+      val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val cum = h.as("x").join(broadcast(h.as("y")),
+          col("y.n_tok") < col("x.n_tok"), "left")
+        .groupBy(col("x.n_tok"), col("x.c1"), col("x.c2"))
+        .agg(coalesce(sum(col("y.c1") + col("y.c2")), lit(0L)).as("fb"))
+      val terms = cum.select(
+        (col("c1") * (lit(2L) * col("fb") + col("c1") + col("c2") + lit(1L)))
+          .as("r2x"),
+        ((col("c1") + col("c2")) * (col("c1") + col("c2")) *
+          (col("c1") + col("c2")) - (col("c1") + col("c2"))).as("t3t"))
+        .agg(sum(col("r2x")).as("r2x"), sum(col("t3t")).as("tcorr"))
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val nd = n1d + n2d
+      val u1 = col("r2x").cast("double") / lit(2.0) -
+        n1d * (n1d + lit(1.0)) / lit(2.0)
+      val mu = n1d * n2d / lit(2.0)
+      val sig2 = n1d * n2d / lit(12.0) *
+        ((nd + lit(1.0)) - col("tcorr").cast("double") / (nd * (nd - lit(1.0))))
+      val z = (u1 - mu) / nullif(sqrt(sig2), lit(0.0))
+      terms.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"), u1.as("u1"), z.as("z"),
+          (abs(z) > lit(1.96)).as("shifted"))
+    }),
+
     // robust per-language outlier detection (median/MAD, the data-QC
     // gate that flags anomalous documents without assuming
     // normality): dev = |n_tok - median|, outlier when
@@ -749,6 +792,31 @@ object TextQueries extends GroupBase {
         .withColumn("pos", row_number().over(w))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("doc_id")
+    }),
+
+    // MULTI-EPOCH shuffle manifest — the trainer-side order pipe_shard
+    // feeds: every epoch re-shuffles the corpus under a DIFFERENT
+    // epoch-salted hash, so epoch 2 visits documents in an order
+    // decorrelated from epoch 1 (the "reshuffle each epoch" every
+    // data loader promises), yet any worker can recompute its slice
+    // from (epoch, doc_id) alone — no stored permutation, no driver
+    // state. Two-level order (shard by hash % 64, then position
+    // within shard) is exactly how shard-based loaders shuffle at
+    // 100 TB: the per-(epoch, shard) rank windows are 2·64
+    // independent partitions, never a global sort.
+    "pipe_epochs" -> ((s, d) => {
+      val h = TextOps.hash32(concat(
+        col("doc_id").cast("string"), lit(":"), col("epoch").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("epoch", "shard").orderBy("h", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0), lit(1))))
+        .withColumn("h", h)
+        .withColumn("shard", pmod(col("h"), lit(64)))
+        .withColumn("pos", row_number().over(w))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy("epoch", "shard", "pos")
     }),
 
     // CAPSTONE 2 (CCNet shape, Wenzek et al. 2020): the web-corpus
@@ -1606,6 +1674,51 @@ object TextQueries extends GroupBase {
                            (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
                    AS drifted
           FROM k""",
+    "text_mannwhitney" ->
+      s"""WITH b AS (SELECT source, CAST(len($toksSql) AS INT) AS n_tok
+                     FROM documents WHERE source IN ('src1', 'src2')),
+          h AS (SELECT n_tok,
+                  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c2
+                FROM b GROUP BY 1),
+          tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+          cum AS (SELECT x.n_tok, x.c1, x.c2,
+                         CAST(coalesce(sum(y.c1 + y.c2), 0) AS BIGINT) AS fb
+                  FROM h x LEFT JOIN h y ON y.n_tok < x.n_tok
+                  GROUP BY 1, 2, 3),
+          trm AS (SELECT
+                    CAST(sum(c1 * (2 * fb + c1 + c2 + 1)) AS BIGINT) AS r2x,
+                    CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                         AS BIGINT) AS tcorr
+                  FROM cum)
+          SELECT n1, n2,
+                 CAST(r2x AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       / CAST(2.0 AS DOUBLE) AS u1,
+                 (CAST(r2x AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                    - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                        / CAST(2.0 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2.0 AS DOUBLE))
+                 / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12.0 AS DOUBLE)
+                     * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                        - CAST(tcorr AS DOUBLE)
+                          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                             * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - CAST(1.0 AS DOUBLE))))),
+                   CAST(0.0 AS DOUBLE)) AS z,
+                 abs((CAST(r2x AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                    - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                        / CAST(2.0 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2.0 AS DOUBLE))
+                 / NULLIF(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12.0 AS DOUBLE)
+                     * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                        - CAST(tcorr AS DOUBLE)
+                          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                             * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - CAST(1.0 AS DOUBLE))))),
+                   CAST(0.0 AS DOUBLE))) > CAST(1.96 AS DOUBLE) AS shifted
+          FROM trm CROSS JOIN tot""",
     "text_outliers" ->
       s"""WITH b AS (SELECT doc_id, lang, CAST(len($toksSql) AS INT) AS n_tok
                      FROM documents),
@@ -1640,6 +1753,18 @@ object TextQueries extends GroupBase {
                  CAST(row_number() OVER (PARTITION BY h % 64
                                          ORDER BY h, doc_id) AS INT) AS pos
           FROM hs ORDER BY doc_id"""
+    },
+    "pipe_epochs" -> {
+      val h = TextOps.hash32Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")
+      s"""WITH b AS (SELECT doc_id, CAST(unnest(range(0, 2)) AS INT) AS epoch
+                     FROM documents),
+          hs AS (SELECT doc_id, epoch, ($h) AS h FROM b)
+          SELECT epoch, h % 64 AS shard,
+                 CAST(row_number() OVER (PARTITION BY epoch, h % 64
+                                         ORDER BY h, doc_id) AS INT) AS pos,
+                 doc_id
+          FROM hs ORDER BY epoch, shard, pos"""
     },
     "text_lm_nll" ->
       s"""WITH tf AS (SELECT doc_id, tok, count(*) AS m

@@ -39,6 +39,7 @@ object PlanAudit {
     "graph_hits",      // 1-row node-count + per-half-step L1-norm broadcasts
     "graph_triangles", // 1-row node-count broadcast builds the node spine
     "graph_cc",        // same node-count broadcast via the shared graph builder
+    "graph_lpa",       // same node-count broadcast via the shared graph builder
     "graph_ppr",       // same 1-row seed-count/dangling-mass broadcasts
     "text_ks",         // triangular <= join over the bounded length histogram
     "agg_auc",         // same triangular <= join, score histogram is bounded
@@ -60,7 +61,8 @@ object PlanAudit {
     "emb_hardneg",     // 8-row probe broadcast (non-equi label guard), corpus streams
     "text_rrf",        // 1-row probe-vector broadcast, corpus streams
     "pipe_classify_train", // 1-row weight/gradient broadcasts per GD round
-    "dd_tfidf_cos")    // 1-row corpus-count broadcast onto the postings
+    "dd_tfidf_cos",    // 1-row corpus-count broadcast onto the postings
+    "text_mannwhitney") // text_ks's bounded-histogram triangular join + 1-row totals
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -110,8 +112,13 @@ object PlanAudit {
     *  - tw_gapfill: the Generate is the explode(sequence(mn, mx, 1h))
     *    bucket spine — exactly ONE row per (event_type, hour), so each
     *    window partition holds hours-in-span rows, not data-dependent
-    *    occurrence counts. */
-  private val expectedExplodeWin: Set[String] = Set("tw_gapfill")
+    *    occurrence counts.
+    *  - pipe_epochs: the Generate is explode(sequence(0, 1)) — exactly
+    *    2 rows per document — and the window partitions by the
+    *    UNIFORM (epoch, hash-shard) key, so every partition holds
+    *    ~corpus/128 rows regardless of data values (no hot key can
+    *    exist: the key is a salted hash of the row id). */
+  private val expectedExplodeWin: Set[String] = Set("tw_gapfill", "pipe_epochs")
 
   /** Audit every registered query's plan at `d`; returns the flagged
     * (name, flags) pairs. Shared by the CLI main and the PlanSpec
