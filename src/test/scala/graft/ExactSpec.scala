@@ -52,4 +52,33 @@ class ExactSpec extends SparkSpec {
         java.lang.Double.doubleToRawLongBits(b(k)), s"group $k drifted")
     }
   }
+
+  test("Exact.q6 is exactly the three scalar IEEE ops (no fusion/reordering)") {
+    // The cross-engine contract is NOT "lands on a decimal grid" —
+    // x*1e6 and /1e6 each round, so round-trips can sit one ulp off an
+    // integer. The contract is: q6 performs exactly
+    // floor(x * 1e6) / 1e6 as three sequential IEEE ops, so any engine
+    // doing the same three ops on the same bits produces the same
+    // bits. Verify the codegen path against a scalar reference (a
+    // fused-multiply-add or constant-folding deviation would differ on
+    // some of these inputs).
+    val s = spark
+    import s.implicits._
+    def ref(x: Double): Double = math.floor(x * 1000000.0) / 1000000.0
+    val xs = doubles(11, 2000) ++
+      Seq(-1.0000005, 1.0000005, -1e-7, 1e-7, 0.0, 123.4567891234)
+    val rows = xs.toDF("x")
+      .select(col("x"), Exact.q6(col("x")).as("q")).collect()
+    rows.foreach { r =>
+      val (x, q) = (r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.doubleToRawLongBits(q) ==
+        java.lang.Double.doubleToRawLongBits(ref(x)),
+        s"q6($x)=$q != scalar reference ${ref(x)}")
+      // within one grid step of x (the multiply can round x·1e6 up to
+      // the next integer, so q may exceed x by an ulp — distance, not
+      // direction, is the stable claim)
+      assert(math.abs(x - q) < 1e-6 + 2 * math.ulp(math.abs(x).max(1.0)),
+        s"q6($x)=$q too far from x")
+    }
+  }
 }

@@ -138,6 +138,32 @@ class PlanSpec extends SparkSpec {
       flagged.map { case (n, fs) => s"$n: ${fs.mkString(",")}" }.mkString("; "))
   }
 
+  test("rrf top-k lists build as TakeOrderedAndProject (no global sort of the corpus)") {
+    val p = plan("text_rrf")
+    // both retriever lists + the fused top-20: three per-partition-heap
+    // top-k operators, zero full Sort of a corpus-sized relation
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 3,
+      "a retriever list lost its TakeOrderedAndProject (global sort returned)")
+  }
+
+  test("tfidf-cos verification is top-50 via TakeOrderedAndProject over SHJ-blocked candidates") {
+    val p = plan("dd_tfidf_cos")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 regressed to a global sort+limit")
+    assert(p.contains("ShuffledHashJoin"),
+      "candidate blocking lost the hinted shuffle-hash join")
+  }
+
+  test("classifier-training gradients aggregate partial+final (one scan per round)") {
+    val p = plan("pipe_classify_train")
+    // each GD round's 4-number gradient must partial-aggregate below
+    // its exchange — the corpus never shuffles raw rows for a gradient
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "gradient aggregation lost its map-side partial stage")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "weight row stopped broadcasting (a shuffled weight join cannot scale)")
+  }
+
   test("heavy-hitters sketch aggregates partial+final (O(k) per partition)") {
     val p = plan("agg_heavy_hitters")
     // typed Aggregator plans as ObjectHashAggregate with a partial
