@@ -425,6 +425,45 @@ object DedupQueries extends GroupBase {
       labels.orderBy("doc_id")
     }),
 
+    // EXACT shared-substring spans (the "deduplicating training data"
+    // exact-substring method, Lee et al. 2021): for each candidate
+    // pair, the LONGEST run of consecutive tokens both docs share —
+    // the span-level evidence behind span-removal dedup, where
+    // dd_substr only scores per-doc duplicated fractions. Seed &
+    // extend without per-row iteration: positional 8-gram hash
+    // matches land on (pair, diagonal = posA−posB) lines, and a run
+    // of k CONSECUTIVE matches on one diagonal == a shared span of
+    // k+7 tokens, detected by the gaps-and-islands idiom (pa −
+    // row_number per diagonal). 100 TB shape: seeds are hash-blocked
+    // (ShingleDf.capRare df<=1000 — boilerplate 8-grams seed
+    // nothing); the run window partitions by (pair, diagonal), whose
+    // row count is bounded by ONE document's length — never by corpus
+    // size or key frequency; all shuffles carry BIGINT hashes and
+    // integer positions. Pure integer arithmetic — exact everywhere.
+    "dd_spans" -> ((s, d) => {
+      val sh = graft.operators.ShingleDf.capRare(
+        t(s, d, "documents")
+          .withColumn("tk", TextOps.tokens(col("text")))
+          .withColumn("hs", VectorFunctions.shingleHashes(col("tk"), 8))
+          .filter(col("hs").isNotNull)
+          .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h"))),
+        "h", 1000)
+      val m = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("da", "db", "diag").orderBy("pa")
+      m.withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy("da", "db", "diag", "grp")
+        .agg(count(lit(1)).as("len8"))
+        .groupBy("da", "db")
+        .agg((max(col("len8")) + lit(7)).cast("int").as("max_span"),
+          count(lit(1)).as("n_runs"))
+        .filter(col("max_span") >= 12)
+        .orderBy("da", "db")
+    }),
+
     // TF-IDF-weighted sparse cosine near-dup — the bag-of-words twin
     // of dd_jaccard: two docs sharing rare, high-idf vocabulary score
     // high even when their shingle SETS barely overlap (paraphrase /
@@ -727,6 +766,30 @@ object DedupQueries extends GroupBase {
           SELECT doc_id, rep FROM l3 ORDER BY doc_id"""
     },
 
+    "dd_spans" -> {
+      val sh8pos =
+        s"""SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+                   ${TextOps.hash32Sql("array_to_string(tk[i : i + 7], ' ')")} AS h
+            FROM (SELECT doc_id, $toksSql AS tk FROM documents) t,
+                 LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+            WHERE i + 7 <= len(tk)"""
+      s"""WITH sh0 AS ($sh8pos),
+          ok AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 1000),
+          sh AS (SELECT sh0.doc_id, sh0.pos, sh0.h FROM sh0 JOIN ok USING (h)),
+          m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+                       a.pos - b.pos AS diag
+                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id),
+          g AS (SELECT da, db, diag,
+                       pa - row_number() OVER (PARTITION BY da, db, diag
+                                               ORDER BY pa) AS grp
+                FROM m),
+          runs AS (SELECT da, db, diag, grp, count(*) AS len8
+                   FROM g GROUP BY 1, 2, 3, 4)
+          SELECT da, db, CAST(max(len8) + 7 AS INT) AS max_span,
+                 count(*) AS n_runs
+          FROM runs GROUP BY 1, 2 HAVING max(len8) + 7 >= 12
+          ORDER BY da, db"""
+    },
     "dd_tfidf_cos" -> {
       val toks = "list_filter(string_split(text, ' '), t -> t <> '')"
       import graft.core.ExactSql

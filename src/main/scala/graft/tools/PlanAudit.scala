@@ -117,8 +117,14 @@ object PlanAudit {
     *    2 rows per document — and the window partitions by the
     *    UNIFORM (epoch, hash-shard) key, so every partition holds
     *    ~corpus/128 rows regardless of data values (no hot key can
-    *    exist: the key is a salted hash of the row id). */
-  private val expectedExplodeWin: Set[String] = Set("tw_gapfill", "pipe_epochs")
+    *    exist: the key is a salted hash of the row id).
+    *  - dd_spans: the run window partitions by (pair, diagonal), whose
+    *    row count is bounded by ONE document's position count (a
+    *    diagonal holds at most min(lenA, lenB) matches) — document
+    *    length, not corpus size or key frequency, and hot shingles
+    *    are removed by capRare before the join. */
+  private val expectedExplodeWin: Set[String] =
+    Set("tw_gapfill", "pipe_epochs", "dd_spans")
 
   /** Audit every registered query's plan at `d`; returns the flagged
     * (name, flags) pairs. Shared by the CLI main and the PlanSpec
