@@ -425,6 +425,49 @@ object DedupQueries extends GroupBase {
       labels.orderBy("doc_id")
     }),
 
+    // CROSS-SOURCE duplication matrix — which crawls overlap: for
+    // every source pair, the number of exact-duplicate DOC PAIRS
+    // whose two sides come from those sources (the contamination map
+    // that decides which source to drop when mixtures double-count).
+    // 100 TB-critical shape: NEVER the naive self-join on the content
+    // hash (a viral page with k copies explodes to k² pair rows) —
+    // instead per-(hash, source) counts first, then pair counts by
+    // the combinatorial identity k·(k−1)/2 within a source and
+    // ka·kb across sources. The per-hash join fan-out is bounded by
+    // #sources², and every aggregate is an integer hash-agg with
+    // map-side partials.
+    "dd_crossrc" -> ((s, d) => {
+      val ks = t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"), col("source"))
+        .agg(count(lit(1)).as("k"))
+      val exact = ks.as("a").join(ks.as("b").hint("shuffle_hash"),
+          col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          // k·(k−1) is even and « 2^53, so the double floor-halving is
+          // exact (Spark/DuckDB integer `/` both promote to double —
+          // make the route explicit instead of relying on it)
+          when(col("a.source") === col("b.source"),
+            floor((col("a.k") * (col("a.k") - 1)).cast("double") / lit(2.0))
+              .cast("long"))
+            .otherwise(col("a.k") * col("b.k")).as("np"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("np")).as("n_pairs"))
+        .filter(col("n_pairs") > 0)
+        .select(lit("exact").as("kind"), col("src_a"), col("src_b"),
+          col("n_pairs"))
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val near = simhashPairs(s, d)
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit("near").as("kind"), col("src_a"), col("src_b"),
+          col("n_pairs"))
+      exact.unionByName(near).orderBy("kind", "src_a", "src_b")
+    }),
+
     // EXACT shared-substring spans (the "deduplicating training data"
     // exact-substring method, Lee et al. 2021): for each candidate
     // pair, the LONGEST run of consecutive tokens both docs share —
@@ -766,6 +809,29 @@ object DedupQueries extends GroupBase {
           SELECT doc_id, rep FROM l3 ORDER BY doc_id"""
     },
 
+    "dd_crossrc" ->
+      s"""$simhashPairsSql,
+         ks AS (SELECT md5(text) AS h, source, count(*) AS k
+                FROM documents GROUP BY 1, 2),
+         ex AS (SELECT 'exact' AS kind, src_a, src_b, n_pairs FROM (
+                  SELECT a.source AS src_a, b.source AS src_b,
+                         CAST(sum(CASE WHEN a.source = b.source
+                              THEN CAST(floor(CAST(a.k * (a.k - 1) AS DOUBLE)
+                                              / CAST(2.0 AS DOUBLE)) AS BIGINT)
+                              ELSE a.k * b.k END) AS BIGINT) AS n_pairs
+                  FROM ks a JOIN ks b ON a.h = b.h AND a.source <= b.source
+                  GROUP BY 1, 2) x WHERE n_pairs > 0),
+         nr AS (SELECT 'near' AS kind,
+                       least(sa.source, sb.source) AS src_a,
+                       greatest(sa.source, sb.source) AS src_b,
+                       count(*) AS n_pairs
+                FROM pairs
+                JOIN documents sa ON sa.doc_id = pairs.da
+                JOIN documents sb ON sb.doc_id = pairs.db
+                GROUP BY 1, 2, 3)
+         SELECT kind, src_a, src_b, n_pairs FROM ex
+         UNION ALL SELECT kind, src_a, src_b, n_pairs FROM nr
+         ORDER BY kind, src_a, src_b""",
     "dd_spans" -> {
       val sh8pos =
         s"""SELECT doc_id, CAST(i AS INT) - 1 AS pos,

@@ -794,6 +794,35 @@ object TextQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // LENGTH-BUCKETED batching readout — the padding-efficiency
+    // accounting behind bucketed batch samplers: docs grouped into a
+    // fixed power-of-two token-length ladder (16/32/64/128/256), per
+    // (lang, bucket) the doc count, real tokens, padding waste, and
+    // fill efficiency a trainer would realize padding every sequence
+    // to its bucket. The ladder is an explicit CASE (never
+    // ceil(log2(n)) — IEEE log2 of an exact power of two can land a
+    // hair above the integer and misbucket the boundary). One
+    // projection scan + one bounded hash-agg; integer arithmetic
+    // until the final efficiency division.
+    "pipe_lenbucket" -> ((s, d) => {
+      val n = col("n_tok")
+      val bucket = when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+        .when(n <= 128, 128).otherwise(256)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).as("n_tok"))
+        .filter(n > 0)
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(n).as("sum_tok"),
+          sum(col("bucket") - n).as("waste"))
+        .select(col("lang"), col("bucket"), col("n_docs"), col("sum_tok"),
+          col("waste"),
+          (col("sum_tok").cast("double") / (col("bucket") * col("n_docs")))
+            .as("fill"))
+        .orderBy("lang", "bucket")
+    }),
+
     // MULTI-EPOCH shuffle manifest — the trainer-side order pipe_shard
     // feeds: every epoch re-shuffles the corpus under a DIFFERENT
     // epoch-salted hash, so epoch 2 visits documents in an order
@@ -1754,6 +1783,19 @@ object TextQueries extends GroupBase {
                                          ORDER BY h, doc_id) AS INT) AS pos
           FROM hs ORDER BY doc_id"""
     },
+    "pipe_lenbucket" ->
+      s"""WITH b AS (SELECT doc_id, lang, CAST(len($toksSql) AS INT) AS n_tok
+                     FROM documents),
+          f AS (SELECT doc_id, lang, n_tok,
+                       CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                            WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                            ELSE 256 END AS bucket
+                FROM b WHERE n_tok > 0)
+          SELECT lang, bucket, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                 CAST(sum(bucket - n_tok) AS BIGINT) AS waste,
+                 CAST(sum(n_tok) AS DOUBLE) / (bucket * count(*)) AS fill
+          FROM f GROUP BY 1, 2 ORDER BY lang, bucket""",
     "pipe_epochs" -> {
       val h = TextOps.hash32Sql(
         "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")
