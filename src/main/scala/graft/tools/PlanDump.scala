@@ -79,6 +79,8 @@ object PlanDump {
     "text_rrf" -> "RRF hybrid retrieval: both top-50 lists via TakeOrderedAndProject heaps, rank windows on bounded lists only",
     "emb_hardneg" -> "hard-negative mining: probe broadcast with non-equi label guard, corpus streams, WindowGroupLimit top-3",
     "dd_tfidf_cos" -> "tf-idf cosine near-dup: rare-shingle-blocked candidates, fsum pair dots, top-50 via TakeOrderedAndProject",
+    "dd_spans" -> "exact shared spans: capRare-blocked positional seeds, per-(pair,diagonal) gaps-and-islands runs (window bounded by doc length)",
+    "dd_crossrc" -> "cross-source dup matrix: combinatorial identity over (hash,source) counts, never the k^2 pair join",
   )
 
   def main(args: Array[String]): Unit = {
