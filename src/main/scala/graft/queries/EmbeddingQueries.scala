@@ -692,6 +692,39 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("qid", "rank")
     }),
 
+    // TRIPLET mining — the (anchor, positive, hard-negative) manifest
+    // a contrastive/metric-learning trainer consumes: per anchor
+    // (vec_id < 8), the most-similar SAME-label vector (positive) and
+    // the most-similar DIFFERENT-label vector (hard negative), plus
+    // the margin between them (margin <= 0 marks the triplets that
+    // actually produce gradient under a margin loss). One corpus
+    // stream against the broadcast anchor set scores both roles in a
+    // single pass (the label test is a projection, not a second
+    // join); per-role top-1 is a max_by struct aggregate — no window,
+    // no sort. Cosines are left-fold bit-exact, so the picks and the
+    // margin need no rounding.
+    "emb_triplets" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val scored = e.join(broadcast(anchors), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+          (col("label") === col("qlabel")).as("same"),
+          (dot(col("qv"), col("embedding")) /
+            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+      scored.groupBy("qid")
+        .agg(
+          max_by(struct(col("nid"), col("cos")),
+            when(col("same"), struct(col("cos"), negate(col("nid"))))).as("p"),
+          max_by(struct(col("nid"), col("cos")),
+            when(!col("same"), struct(col("cos"), negate(col("nid"))))).as("n"))
+        .select(col("qid"), col("p.nid").as("pos_id"), col("p.cos").as("pos_cos"),
+          col("n.nid").as("neg_id"), col("n.cos").as("neg_cos"),
+          (col("p.cos") - col("n.cos")).as("margin"))
+        .orderBy("qid")
+    }),
+
     // Hybrid retrieval with reciprocal-rank fusion — the
     // lexical+semantic fusion every modern retrieval stack runs:
     // a term-match ranker over `documents` and a cosine ranker over
@@ -1461,6 +1494,30 @@ object EmbeddingQueries extends GroupBase {
           ${assignSql("c1", "a2")}
           SELECT vec_id, cell, d2 FROM a2 ORDER BY vec_id"""
     },
+
+    "emb_triplets" ->
+      s"""WITH a AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+                     FROM embeddings WHERE vec_id < 8),
+          sc AS (
+            SELECT qid, e.vec_id AS nid, (e.label = qlabel) AS same,
+                   ${dotSql("qv", "e.embedding")} /
+                     (${normSql("qv")} * ${normSql("e.embedding")}) AS cos
+            FROM embeddings e CROSS JOIN a WHERE e.vec_id <> qid),
+          p AS (SELECT qid, nid, cos FROM (
+                  SELECT qid, nid, cos,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos DESC, nid) AS rn
+                  FROM sc WHERE same) x WHERE rn = 1),
+          n AS (SELECT qid, nid, cos FROM (
+                  SELECT qid, nid, cos,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos DESC, nid) AS rn
+                  FROM sc WHERE NOT same) x WHERE rn = 1)
+          SELECT a.qid, p.nid AS pos_id, p.cos AS pos_cos,
+                 n.nid AS neg_id, n.cos AS neg_cos,
+                 p.cos - n.cos AS margin
+          FROM a LEFT JOIN p ON p.qid = a.qid LEFT JOIN n ON n.qid = a.qid
+          ORDER BY a.qid""",
 
     "emb_hardneg" ->
       s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv

@@ -59,6 +59,7 @@ object PlanAudit {
     "graph_reciprocity", // 1-row scalar-count broadcasts onto the readout
     "pipe_keepset",    // composes emb_semdedup -> inherits its broadcasts
     "emb_hardneg",     // 8-row probe broadcast (non-equi label guard), corpus streams
+    "emb_triplets",    // same 8-row anchor broadcast, one scoring stream
     "text_rrf",        // 1-row probe-vector broadcast, corpus streams
     "pipe_classify_train", // 1-row weight/gradient broadcasts per GD round
     "dd_tfidf_cos",    // 1-row corpus-count broadcast onto the postings
