@@ -711,6 +711,31 @@ object AggQueries extends GroupBase {
           (col("np").cast("double") / col("n")).as("conv_rate"))
         .orderBy("bin")
     }),
+
+    // Sample-ratio-mismatch (SRM) check — the guardrail an experiment
+    // platform runs BEFORE reading agg_ab's z: under the intended
+    // 50/50 hash split, is the observed variant allocation plausible?
+    // chi2 = Σ (o - e)²/e over the two variants with e = n/2; SRM
+    // flagged at chi2 > 3.841 (df = 1, α = 0.05) — a triggered flag
+    // means the bucketing or logging is broken and the experiment
+    // readout is void. Shape: ONE user-keyed hash agg (dedup to
+    // first-seen users), then a 2-row conditional scalar agg;
+    // integer counts until the final divisions, chi2 rounded to 6 on
+    // both engines before the flag (agg_ab discipline).
+    "agg_srm" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+        .withColumn("v", pmod(graft.functions.TextOps.hash32(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)))
+      val c = users.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+      val e = (col("n_a") + col("n_b")).cast("double") / lit(2.0)
+      val da = col("n_a").cast("double") - e
+      val db = col("n_b").cast("double") - e
+      val chi2 = round((da * da + db * db) / e, 6)
+      c.select(col("n_a"), col("n_b"), chi2.as("chi2"),
+        (chi2 > lit(3.841)).as("srm"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1135,5 +1160,28 @@ object AggQueries extends GroupBase {
           SELECT bin, n, CAST(ss AS DOUBLE) / n AS avg_score,
                  CAST(np AS DOUBLE) / n AS conv_rate
           FROM b ORDER BY bin""",
+    "agg_srm" -> {
+      val h = graft.functions.TextOps.hash32Sql(
+        "'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT user_id, ($h) % 2 AS v
+                     FROM events GROUP BY user_id),
+          c AS (SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_a,
+                       CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_b
+                FROM u),
+          s AS (SELECT n_a, n_b,
+                       round(((CAST(n_a AS DOUBLE) -
+                               CAST(n_a + n_b AS DOUBLE) / 2.0) *
+                              (CAST(n_a AS DOUBLE) -
+                               CAST(n_a + n_b AS DOUBLE) / 2.0) +
+                              (CAST(n_b AS DOUBLE) -
+                               CAST(n_a + n_b AS DOUBLE) / 2.0) *
+                              (CAST(n_b AS DOUBLE) -
+                               CAST(n_a + n_b AS DOUBLE) / 2.0)) /
+                             (CAST(n_a + n_b AS DOUBLE) / 2.0), 6) AS chi2
+                FROM c)
+          SELECT n_a, n_b, chi2, chi2 > 3.841 AS srm FROM s"""
+    },
   )
 }

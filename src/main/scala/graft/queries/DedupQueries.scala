@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextOps, VectorFunctions}
 
@@ -563,6 +563,56 @@ object DedupQueries extends GroupBase {
         .select(col("da"), col("db"), (col("dot") / (col("na") * col("nb"))).as("cos"))
         .orderBy(col("cos").desc, col("da"), col("db")).limit(50)
     }),
+
+    // INCREMENTAL exact dedup: gate an incoming batch against an
+    // already-ingested corpus (the steady-state shape of a 100 TB
+    // pipeline — full-corpus re-dedup per crawl snapshot is the thing
+    // you must NOT do). Corpus = doc_id % 5 != 0 (the standing index),
+    // incoming = doc_id % 5 == 0 (today's batch). The corpus collapses
+    // ONCE to a Bloom filter of content hashes (a 16 KB bitset that
+    // persists across batches); each incoming doc probes the broadcast
+    // bitset — no corpus scan, no shuffle — and only the bloom-POSITIVE
+    // sliver pays the exact confirm join (no false negatives, so a
+    // bloom miss is proof-new). Same Kirsch-Mitzenmacher K=3/65536
+    // construction as agg_bloom, hash32-based so DuckDB replays the
+    // bitset bit-for-bit; output = per incoming doc the bloom verdict
+    // and the exact verdict (their disagreement rate IS the measured
+    // false-positive rate).
+    "dd_incremental" -> ((s, d) => {
+      val K = 3; val BITS = 65536
+      def hb(i: Int, c: Column) =
+        pmod(TextOps.hash32(concat(lit("inc:"), c)) * (2 * i + 1)
+          + lit(i * 7919), lit(BITS))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val bloom = corpus
+        .select(explode(array((0 until K).map(i => hb(i, col("h"))): _*)).as("b"))
+        .select((col("b") / 32).cast("int").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").as("bit"))
+        .groupBy("w").agg(expr("bit_or(bit)").as("word"))
+      val probed = incoming
+        .select(col("doc_id"), col("h"),
+          explode(array((0 until K).map(i => hb(i, col("h"))): _*)).as("b"))
+        .select(col("doc_id"), col("h"), (col("b") / 32).cast("int").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").as("bit"))
+        .join(broadcast(bloom), Seq("w"), "left")
+        .groupBy("doc_id", "h")
+        .agg((count(when(coalesce(col("word"), lit(0L))
+          .bitwiseAND(col("bit")) =!= 0, 1)) === K).as("bloom_hit"))
+      // Exact confirm with the bloom verdict as a RESIDUAL join
+      // condition: bloom-negative rows are proof-new and never match
+      // (at deployment, `filter(bloom_hit)` before this join is what
+      // keeps proof-new rows out of the confirm shuffle; here the
+      // residual form keeps one lineage so the bloom builds once).
+      val ch = corpus.select(col("h").as("ch")).distinct()
+      probed.join(ch,
+          probed("h") === col("ch") && col("bloom_hit"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          col("ch").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** SimHash near-dup pairs (hamming <= 3), byte-blocked — the shared
@@ -887,6 +937,33 @@ object DedupQueries extends GroupBase {
           JOIN nrm na ON na.doc_id = dots.da
           JOIN nrm nb ON nb.doc_id = dots.db
           ORDER BY cos DESC, da, db LIMIT 50"""
+    },
+    "dd_incremental" -> {
+      val h = (i: Int, e: String) => "(" + TextOps.hash32Sql(
+        s"'inc:' || $e") + s" * ${2 * i + 1} + ${i * 7919}) % 65536"
+      def hashRows(extra: String) =
+        (0 until 3).map(i =>
+          s"SELECT doc_id, h, ${h(i, "h")} AS hb FROM $extra")
+          .mkString(" UNION ALL ")
+      s"""WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+          corpus AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+          incoming AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+          bh AS (${hashRows("corpus")}),
+          bloom AS (SELECT hb // 32 AS w,
+                           bit_or(CAST(1 AS BIGINT) << CAST(hb % 32 AS INT)) AS word
+                    FROM bh GROUP BY 1),
+          ph AS (${hashRows("incoming")}),
+          probed AS (
+            SELECT doc_id, h,
+                   count(CASE WHEN (coalesce(word, 0) &
+                     (CAST(1 AS BIGINT) << CAST(hb % 32 AS INT))) <> 0
+                     THEN 1 END) = 3 AS bloom_hit
+            FROM ph LEFT JOIN bloom ON hb // 32 = w
+            GROUP BY 1, 2)
+          SELECT p.doc_id, p.bloom_hit,
+                 p.bloom_hit AND
+                   EXISTS (SELECT 1 FROM corpus c WHERE c.h = p.h) AS is_dup
+          FROM probed p ORDER BY doc_id"""
     },
   )
 

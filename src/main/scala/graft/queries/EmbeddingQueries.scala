@@ -765,6 +765,42 @@ object EmbeddingQueries extends GroupBase {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     }),
+
+    // BINARY hashing ANN (the SimHash-for-dense-vectors family — the
+    // cheapest quantization on the memory/recall curve, 64 dims ->
+    // 64 BITS): code = per-dimension sign bit packed into one BIGINT,
+    // search = Hamming top-3 via bit_count(xor) — two single-cycle
+    // codegen'd integer ops per comparison, no floats touched at query
+    // time. The zero threshold is exact for this corpus (values are
+    // zero-centered; a mean-centered variant just swaps the literal
+    // for a broadcast per-dim mean). 100 TB shape: at deployment the
+    // code column is the INDEX — materialized once at 8 bytes/vector
+    // (a 512× reduction over float32 that typically fits a shard's
+    // index in executor memory) and searched without touching floats;
+    // here the build stays inline (Catalyst evaluates the 64-step
+    // integer fold per candidate pair — still cheaper than one float
+    // dot), the 8-probe code set broadcasts, and the per-probe top-3
+    // runs as a WindowGroupLimit streaming top-k — no global sort.
+    // Integer codes and integer distances are bit-exact cross-engine
+    // by construction: no rounding anywhere.
+    "emb_binary" -> ((s, d) => {
+      val codes = t(s, d, "embeddings").select(col("vec_id"), expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+             acc + IF(element_at(embedding, CAST(i + 1 AS INT)) >
+                      CAST(0 AS FLOAT),
+                      shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+        ).as("code"))
+      val probes = codes.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("code").as("qcode"))
+      val w = Window.partitionBy("qid").orderBy(col("hamming"), col("nid"))
+      codes.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          expr("bit_count(code ^ qcode)").cast("int").as("hamming"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid", "hamming")
+        .orderBy("qid", "rank")
+    }),
   )
 
   /** Greedy MMR loop shared shape: round 1 = pure-relevance argmax;
@@ -1565,5 +1601,33 @@ object EmbeddingQueries extends GroupBase {
                            CAST(0.0 AS DOUBLE))) AS rrf
           FROM lexr FULL OUTER JOIN semr USING (doc_id)
           ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "emb_binary" ->
+      """WITH codes AS (
+            -- bit 63 is the BIGINT sign bit: DuckDB's << raises on
+            -- 1<<63 (Spark's shiftleft wraps), so it enters as the
+            -- min-long literal; the sum of distinct powers of two
+            -- (hugeint during list_sum) casts back to the identical
+            -- two's-complement BIGINT pattern.
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(0, 64), i ->
+                     CASE WHEN embedding[CAST(i + 1 AS INT)] > CAST(0 AS FLOAT)
+                          THEN (CASE WHEN i = 63
+                                THEN CAST(-9223372036854775808 AS BIGINT)
+                                ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END)
+                          ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code
+            FROM embeddings),
+          probes AS (SELECT vec_id AS qid, code AS qcode FROM codes
+                     WHERE vec_id < 8),
+          scored AS (
+            SELECT qid, c.vec_id AS nid,
+                   CAST(bit_count(xor(c.code, qcode)) AS INT) AS hamming
+            FROM codes c CROSS JOIN probes WHERE c.vec_id <> qid),
+          ranked AS (
+            SELECT qid, nid, hamming,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY hamming, nid) AS INT) AS rank
+            FROM scored)
+          SELECT qid, rank, nid, hamming FROM ranked
+          WHERE rank <= 3 ORDER BY qid, rank""",
   )
 }

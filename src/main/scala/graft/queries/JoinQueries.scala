@@ -214,6 +214,37 @@ object JoinQueries extends GroupBase {
         .filter(levenshtein(col("nm1"), col("nm2")) <= 1)
         .orderBy("ck1", "ck2")
     }),
+
+    // numeric-band range join (the value-proximity sibling of
+    // join_interval's time band, DataStreamFunc.scala:1640-1685):
+    // near-price order pairs (|Δprice| <= 25), per-order neighbor
+    // count + closest gap — the duplicate-charge / price-collision
+    // audit shape. A naive plan is the O(N²) cross join with a range
+    // residual; this is the BINNED range join (the strategy range-join
+    // hints install in warehouse engines): bucket width == the band,
+    // probe side explodes to its 3 covering buckets, build side keeps
+    // one — so candidates meet in an EQUI hash join on the bucket id
+    // and the exact predicate verifies only the ~3/N-th of pairs that
+    // share a bucket. Each qualifying pair meets exactly once (the
+    // build bucket is a function of the row, probe buckets are
+    // distinct), so no post-join dedup. Scale: shuffle keys are
+    // bucket ids (dense integers, ~uniform under any non-degenerate
+    // price distribution), candidate fan-out is bounded by band
+    // density, never N².
+    "join_range" -> ((s, d) => {
+      val W = 25.0
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val build = o.withColumn("bkt", floor(col("p") / W).cast("long"))
+      val probe = build.select(col("k").as("ak"), col("p").as("ap"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+      probe.join(build, Seq("bkt"))
+        .filter(col("ak") < col("k") && abs(col("ap") - col("p")) <= W)
+        .groupBy(col("ak").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_near"),
+          min(abs(col("ap") - col("p"))).as("min_gap"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   private val rev = "l_extendedprice * (1.0 - l_discount)"
@@ -324,5 +355,13 @@ object JoinQueries extends GroupBase {
                   FROM v a JOIN v b ON a.var = b.var AND a.nm < b.nm)
          SELECT ck1, ck2, nm1, nm2 FROM cand
          WHERE levenshtein(nm1, nm2) <= 1 ORDER BY ck1, ck2""",
+    "join_range" ->
+      """SELECT a.o_orderkey AS o_orderkey, count(*) AS n_near,
+                min(abs(a.o_totalprice - b.o_totalprice)) AS min_gap
+         FROM orders a JOIN orders b
+           ON b.o_totalprice >= a.o_totalprice - CAST(25.0 AS DOUBLE)
+          AND b.o_totalprice <= a.o_totalprice + CAST(25.0 AS DOUBLE)
+          AND a.o_orderkey < b.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
   )
 }

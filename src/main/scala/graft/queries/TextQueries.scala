@@ -1408,6 +1408,45 @@ object TextQueries extends GroupBase {
           max(col("v")).as("max_s"))
         .orderBy("col_name")
     }),
+
+    // Jensen-Shannon divergence between two crawl generations' unigram
+    // distributions (sources src0-9 = generation A, src10-19 = B) —
+    // the bounded, symmetric drift number ([0, 1] bit) a mixture
+    // builder tracks per snapshot, where KS (text_ks) sees only one
+    // numeric signal and chi2 (text_chi2) only categorical counts.
+    // JSD = (KL(P||M) + KL(Q||M))/2, M = (P+Q)/2; zero-count terms
+    // drop out exactly (lim p->0 of p ln(p/m) = 0). Scale shape: ONE
+    // corpus tokenize pass collapses to the vocab-sized (tok, c1, c2)
+    // table with map-side partials; totals re-aggregate that table,
+    // not the corpus. The term sum is ONE group spanning the whole
+    // vocabulary — at 100 TB that rules out the sorted-fold discipline
+    // (its collect state would be the full vocab on one task), so it
+    // runs as Exact.fsum: floor-quantized 2^-53-grid partials that
+    // are order-INDEPENDENT, distributed, and bit-identical in DuckDB
+    // (|term| < ln2/2 is far inside fsum's documented |x| bound);
+    // the result rounds to 6 after the /ln2 rescale.
+    "text_jsd" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(substring(col("source"), 4, 10).cast("int").as("gen"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+      val cnt = toks.groupBy("tok").agg(
+        sum(when(col("gen") < 10, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("gen") >= 10, 1L).otherwise(0L)).as("c2"))
+      val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val p = col("c1").cast("double") / col("n1").cast("double")
+      val q = col("c2").cast("double") / col("n2").cast("double")
+      val m = (p + q) / lit(2.0)
+      cnt.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          ((when(col("c1") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+            when(col("c2") > 0, q * log(q / m)).otherwise(lit(0.0))) /
+            lit(2.0)).as("term"))
+        .groupBy("n1", "n2")
+        .agg(count(lit(1)).as("vocab"),
+          round(graft.core.Exact.fsum(col("term")) / log(lit(2.0)), 6)
+            .as("jsd_bits"))
+        .select(col("n1"), col("n2"), col("vocab"), col("jsd_bits"))
+    }),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -2221,5 +2260,37 @@ object TextQueries extends GroupBase {
                 count(DISTINCT v) AS n_distinct,
                 min(v) AS min_s, max(v) AS max_s
          FROM m GROUP BY 1 ORDER BY 1""",
+    "text_jsd" ->
+      s"""WITH toks AS (
+            SELECT CAST(substr(source, 4, 10) AS INT) AS gen, unnest($toksSql) AS tok
+            FROM documents),
+          cnt AS (SELECT tok,
+                         sum(CASE WHEN gen < 10 THEN 1 ELSE 0 END) AS c1,
+                         sum(CASE WHEN gen >= 10 THEN 1 ELSE 0 END) AS c2
+                  FROM toks GROUP BY 1),
+          tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM cnt),
+          terms AS (
+            SELECT n1, n2,
+                   ((CASE WHEN c1 > 0 THEN
+                       (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+                       ln((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+                          ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) +
+                            CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                           / CAST(2.0 AS DOUBLE)))
+                     ELSE CAST(0.0 AS DOUBLE) END +
+                     CASE WHEN c2 > 0 THEN
+                       (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+                       ln((CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+                          ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) +
+                            CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                           / CAST(2.0 AS DOUBLE)))
+                     ELSE CAST(0.0 AS DOUBLE) END)
+                    / CAST(2.0 AS DOUBLE)) AS term
+            FROM cnt CROSS JOIN tot)
+          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                 count(*) AS vocab,
+                 round(${ExactSql.fsum("term")}
+                   / ln(CAST(2.0 AS DOUBLE)), 6) AS jsd_bits
+          FROM terms GROUP BY 1, 2""",
   )
 }

@@ -63,7 +63,9 @@ object PlanAudit {
     "text_rrf",        // 1-row probe-vector broadcast, corpus streams
     "pipe_classify_train", // 1-row weight/gradient broadcasts per GD round
     "dd_tfidf_cos",    // 1-row corpus-count broadcast onto the postings
-    "text_mannwhitney") // text_ks's bounded-histogram triangular join + 1-row totals
+    "text_mannwhitney", // text_ks's bounded-histogram triangular join + 1-row totals
+    "emb_binary",      // 8-row probe-code broadcast (non-equi self guard), corpus streams
+    "text_jsd")        // 1-row totals broadcast onto the vocab-sized count table
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

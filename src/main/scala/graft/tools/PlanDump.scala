@@ -81,6 +81,10 @@ object PlanDump {
     "dd_tfidf_cos" -> "tf-idf cosine near-dup: rare-shingle-blocked candidates, fsum pair dots, top-50 via TakeOrderedAndProject",
     "dd_spans" -> "exact shared spans: capRare-blocked positional seeds, per-(pair,diagonal) gaps-and-islands runs (window bounded by doc length)",
     "dd_crossrc" -> "cross-source dup matrix: combinatorial identity over (hash,source) counts, never the k^2 pair join",
+    "join_range" -> "binned range join: probe exploded to 3 covering buckets -> bucket-id EQUI hash join + exact residual, never the O(N^2) cross join",
+    "dd_incremental" -> "incremental dedup: corpus collapses ONCE to a broadcast bloom bitset, bloom verdict gates the exact-confirm join as a residual",
+    "emb_binary" -> "binary-hash ANN: one-BIGINT sign codes, Hamming = bit_count(xor) integer ops, 8-probe broadcast, WindowGroupLimit top-3",
+    "text_jsd" -> "JSD drift: one tokenize pass collapses to the vocab-sized count table, totals re-aggregate the table, sorted-fold sum",
   )
 
   def main(args: Array[String]): Unit = {
