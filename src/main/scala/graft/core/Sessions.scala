@@ -34,6 +34,13 @@ object Sessions {
       // back to a full per-key window sort. A 100k-row heap per key
       // per task is far cheaper than that sort at any scale.
       .config("spark.sql.optimizer.windowGroupLimitThreshold", "100000")
+      // the generated-class cache defaults to 100 entries — an engine
+      // serving a 200+-query catalog thrashes it and silently re-pays
+      // whole-stage codegen + JIT per query (measured: ~1.3 s/query at
+      // the catalog's size, surfacing as 3-9x "regressions" on
+      // whichever queries lost the LRU race). Static conf, so it must
+      // be set before the first session builds.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -101,6 +101,35 @@ object MultimodalQueries extends GroupBase {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("mtype", "shard")
     }),
+
+    // media dedup readout: per-modality duplicate detection by content
+    // checksum — the storage/curation audit a crawl pipeline runs
+    // before re-encoding anything (exact byte-dup images/audio are the
+    // single cheapest win at 100 TB: dedup BEFORE decode). Two
+    // hash-aggs, both map-side-combining: (mtype, checksum) groups
+    // carry the keeper (min doc_id) and the per-blob byte size, then
+    // the modality rollup reports item/distinct counts and the bytes
+    // a keep-one-copy policy reclaims. No window, no pair join — the
+    // dd_exact discipline applied to blobs.
+    "mm_dedup" -> ((s, d) => {
+      val m = t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("mtype"),
+          length(col("payload")).cast("long").as("nbytes"),
+          md5(col("payload")).as("checksum"))
+      m.groupBy("mtype", "checksum")
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"),
+          max(col("nbytes")).as("nb"))
+        .groupBy("mtype")
+        .agg(sum(col("cnt")).as("n_items"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("cnt") - 1).as("n_dup_items"),
+          sum((col("cnt") - 1) * col("nb")).as("reclaimable_bytes"))
+        .orderBy("mtype")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -148,5 +177,21 @@ object MultimodalQueries extends GroupBase {
                 CAST(sum(nbytes) AS BIGINT) AS total_bytes,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM sh GROUP BY 1, 2 ORDER BY mtype, shard""",
+    "mm_dedup" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS mtype,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+                  md5(text) AS checksum
+           FROM documents),
+         g AS (SELECT mtype, checksum, count(*) AS cnt,
+                      min(doc_id) AS keeper, max(nbytes) AS nb
+               FROM m GROUP BY 1, 2)
+         SELECT mtype,
+                CAST(sum(cnt) AS BIGINT) AS n_items,
+                count(*) AS n_distinct,
+                CAST(sum(cnt - 1) AS BIGINT) AS n_dup_items,
+                CAST(sum((cnt - 1) * nb) AS BIGINT) AS reclaimable_bytes
+         FROM g GROUP BY 1 ORDER BY mtype""",
   )
 }

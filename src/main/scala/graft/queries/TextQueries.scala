@@ -848,6 +848,36 @@ object TextQueries extends GroupBase {
         .orderBy("epoch", "shard", "pos")
     }),
 
+    // CURRICULUM schedule: easy-to-hard training order (Bengio et al.
+    // 2009's curriculum learning, as data engineering). Difficulty =
+    // token count, staged by a fixed power-of-two ladder (<32 / <64 /
+    // <128 / rest — explicit thresholds, the pipe_lenbucket lesson:
+    // never IEEE log2 at bucket edges); the reading order is
+    // (stage, shard, pos) where shard = salted hash % 64 and pos is
+    // the within-(stage, shard) hash rank — a trainer streams stages
+    // in order, shards within a stage in parallel, and any worker
+    // recomputes its slice from doc_id alone (pipe_epochs
+    // discipline). The rank windows partition by the UNIFORM
+    // (stage, shard) key — 4·64 independent partitions, never a
+    // per-stage (corpus/4-sized) window and never a global sort.
+    "pipe_curriculum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("stage", "shard").orderBy("h", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tok"))
+        .withColumn("stage",
+          when(col("n_tok") < 32, 0).when(col("n_tok") < 64, 1)
+            .when(col("n_tok") < 128, 2).otherwise(3))
+        .withColumn("h", TextOps.hash32(
+          concat(lit("cur:"), col("doc_id").cast("string"))))
+        .withColumn("shard", pmod(col("h"), lit(64)))
+        .withColumn("pos", row_number().over(w))
+        .select(col("stage"), col("shard"), col("pos"),
+          col("doc_id"), col("n_tok"))
+        .orderBy("stage", "shard", "pos")
+    }),
+
     // CAPSTONE 2 (CCNet shape, Wenzek et al. 2020): the web-corpus
     // curation recipe as ONE composed flow — corpus-wide chunk-level
     // dedup gate (the paragraph-dedup analogue; a doc survives only if
@@ -1846,6 +1876,25 @@ object TextQueries extends GroupBase {
                                          ORDER BY h, doc_id) AS INT) AS pos,
                  doc_id
           FROM hs ORDER BY epoch, shard, pos"""
+    },
+    "pipe_curriculum" -> {
+      val h = TextOps.hash32Sql("'cur:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH b AS (SELECT doc_id,
+                            CAST(len($toksSql) AS INT) AS n_tok,
+                            ($h) AS h
+                     FROM documents),
+          st AS (SELECT doc_id, n_tok, h,
+                        CASE WHEN n_tok < 32 THEN 0
+                             WHEN n_tok < 64 THEN 1
+                             WHEN n_tok < 128 THEN 2
+                             ELSE 3 END AS stage,
+                        h % 64 AS shard
+                 FROM b)
+          SELECT stage, shard,
+                 CAST(row_number() OVER (PARTITION BY stage, shard
+                                         ORDER BY h, doc_id) AS INT) AS pos,
+                 doc_id, n_tok
+          FROM st ORDER BY stage, shard, pos"""
     },
     "text_lm_nll" ->
       s"""WITH tf AS (SELECT doc_id, tok, count(*) AS m

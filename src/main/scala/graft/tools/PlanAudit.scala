@@ -41,6 +41,7 @@ object PlanAudit {
     "graph_cc",        // same node-count broadcast via the shared graph builder
     "graph_lpa",       // same node-count broadcast via the shared graph builder
     "graph_ppr",       // same 1-row seed-count/dangling-mass broadcasts
+    "graph_domainrank", // same node-count/dangling-mass broadcasts on the condensed graph
     "text_ks",         // triangular <= join over the bounded length histogram
     "agg_auc",         // same triangular <= join, score histogram is bounded
     "text_chi2",       // 1-row grand-total broadcast onto the R x C cells

@@ -85,6 +85,8 @@ object PlanDump {
     "dd_incremental" -> "incremental dedup: corpus collapses ONCE to a broadcast bloom bitset, bloom verdict gates the exact-confirm join as a residual",
     "emb_binary" -> "binary-hash ANN: one-BIGINT sign codes, Hamming = bit_count(xor) integer ops, 8-probe broadcast, WindowGroupLimit top-3",
     "text_jsd" -> "JSD drift: one tokenize pass collapses to the vocab-sized count table, totals re-aggregate the table, sorted-fold sum",
+    "graph_domainrank" -> "domain PageRank: corpus-scale condense (two endpoint joins + one hash-agg), then domains^2-bounded weighted rounds",
+    "pipe_curriculum" -> "curriculum schedule: (stage, shard) uniform-key rank windows — 4*64 partitions, no per-stage window, no global sort",
   )
 
   def main(args: Array[String]): Unit = {

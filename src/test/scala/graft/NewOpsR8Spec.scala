@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Invariant + differential tests for the round-8 operators — the
+  * third leg next to the DuckDB oracle and the plan audit (a brute
+  * Scala model can't share a SQL-level bug with either engine).
+  * Random inputs use deterministic seeds and are written in the
+  * driver's parquet shape so queries run through the production
+  * loader (`Tables.load`). */
+class NewOpsR8Spec extends SparkSpec {
+
+  private val d = TestSpark.sf0001
+
+  test("join_range matches the brute-force O(N^2) band join on random orders") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11L, 12L)) {
+      val rnd = new scala.util.Random(seed)
+      // cluster prices so bands are actually populated
+      val rows = Vector.tabulate(200)(i =>
+        (i.toLong, 1000.0 + rnd.nextInt(40) * 10 + rnd.nextDouble()))
+      val dir = Files.createTempDirectory(s"graft-r8j$seed").toString
+      rows.toDF("o_orderkey", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      val want = rows.flatMap { case (k1, p1) =>
+        val ns = rows.filter { case (k2, p2) =>
+          k1 < k2 && math.abs(p1 - p2) <= 25.0 }
+        if (ns.isEmpty) Nil
+        else Seq((k1, ns.size.toLong,
+          ns.map { case (_, p2) => math.abs(p1 - p2) }.min))
+      }.toSet
+      val got = SparkEntry.queries("join_range")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("emb_binary matches a brute-force sign-code Hamming model") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(21L)
+    val vecs = Vector.tabulate(30)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), i % 3))
+    val dir = Files.createTempDirectory("graft-r8e").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    def code(v: Array[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (a, (x, i)) =>
+        if (x > 0f) a | (1L << i) else a }
+    val codes = vecs.map { case (id, v, _) => id -> code(v) }.toMap
+    val want = (for {
+      q <- 0L until 8L
+      ranked = codes.toSeq.filter(_._1 != q)
+        .map { case (id, c) =>
+          (id, java.lang.Long.bitCount(codes(q) ^ c)) }
+        .sortBy { case (id, h) => (h, id) }.take(3)
+      ((nid, h), r) <- ranked.zipWithIndex
+    } yield (q, r + 1, nid, h)).toSet
+    val got = SparkEntry.queries("emb_binary")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
+  test("dd_incremental: bloom has no false negatives; exact verdict matches a set model") {
+    val s = spark
+    import s.implicits._
+    val vocab = Vector("a", "b", "c")
+    for (seed <- Seq(31L, 32L)) {
+      val rnd = new scala.util.Random(seed)
+      // 2-4 token docs over a 3-word vocab -> many exact duplicates
+      val docs = Vector.tabulate(60)(i =>
+        (i.toLong,
+          Vector.fill(2 + rnd.nextInt(3))(vocab(rnd.nextInt(3))).mkString(" ")))
+      val dir = Files.createTempDirectory(s"graft-r8d$seed").toString
+      docs.map { case (i, t) => (i, t, "en", "srcP", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val corpusTexts = docs.filter(_._1 % 5 != 0).map(_._2).toSet
+      val got = SparkEntry.queries("dd_incremental")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+      assert(got.map(_._1).toSet == docs.map(_._1).filter(_ % 5 == 0).toSet)
+      got.foreach { case (id, bloomHit, isDup) =>
+        val truth = corpusTexts(docs(id.toInt)._2)
+        assert(isDup == truth, s"seed $seed doc $id exact verdict")
+        // Bloom false negatives are impossible by construction
+        if (truth) assert(bloomHit, s"seed $seed doc $id: bloom missed a real dup")
+      }
+    }
+  }
+
+  test("graph_domainrank conserves rank mass and covers every domain") {
+    val rows = SparkEntry.queries("graph_domainrank")(spark, d).collect()
+    assert(rows.length == 20)
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-9,
+      s"rank mass $total drifted from 1.0 (teleport + dangling should conserve)")
+    // condensed graph: out_links are inter-domain only, so no domain
+    // may point at itself (guard on the sdom<>ddom filter)
+    assert(rows.forall(_.getLong(2) >= 0))
+  }
+
+  test("pipe_curriculum: stage ladder respected, positions contiguous per (stage, shard)") {
+    val rows = SparkEntry.queries("pipe_curriculum")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    rows.foreach { case (stage, _, _, id, nTok) =>
+      val want =
+        if (nTok < 32) 0 else if (nTok < 64) 1 else if (nTok < 128) 2 else 3
+      assert(stage == want, s"doc $id: n_tok $nTok in stage $stage")
+    }
+    rows.groupBy { case (st, sh, _, _, _) => (st, sh) }.foreach {
+      case ((st, sh), grp) =>
+        assert(grp.map(_._3).sorted.toSeq == (1 to grp.size),
+          s"($st,$sh): positions not contiguous")
+    }
+  }
+
+  test("mm_dedup accounting: items = distinct + dups per modality") {
+    val rows = SparkEntry.queries("mm_dedup")(spark, d).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"${r.getString(0)}: n_items != n_distinct + n_dup_items")
+      if (r.getLong(3) == 0) assert(r.getLong(4) == 0)
+    }
+  }
+
+  test("text_jsd is a valid divergence: 0 <= jsd_bits <= 1") {
+    val r = SparkEntry.queries("text_jsd")(spark, d).collect().head
+    val jsd = r.getDouble(3)
+    assert(jsd >= 0.0 && jsd <= 1.0, s"jsd_bits $jsd outside [0,1]")
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("agg_srm: hash split is balanced on real data (no SRM alarm)") {
+    val r = SparkEntry.queries("agg_srm")(spark, d).collect().head
+    assert(r.getLong(0) + r.getLong(1) > 0)
+    assert(r.getDouble(2) >= 0.0)
+    // the 50/50 md5 split must not trip its own alarm on clean data
+    assert(!r.getBoolean(3), s"SRM flagged on an honest hash split: ${r.getDouble(2)}")
+  }
+}
