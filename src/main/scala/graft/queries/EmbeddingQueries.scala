@@ -801,6 +801,38 @@ object EmbeddingQueries extends GroupBase {
         .select("qid", "rank", "nid", "hamming")
         .orderBy("qid", "rank")
     }),
+
+    // EMBEDDING-space benchmark decontamination — the semantic twin of
+    // `pipe_decontam`: an n-gram scan misses a paraphrased or
+    // translated eval item, a cosine gate against the benchmark's
+    // embeddings does not (the FineWeb/GPT-3-appendix protocol is to
+    // run BOTH). Benchmark set = vec_id % 97 == 0 (the held-out eval
+    // embeddings); every training vector reports its nearest benchmark
+    // item + max cosine, flagged at 0.3. 100 TB shape: the benchmark
+    // side is eval-benchmark-sized (thousands, not billions) →
+    // broadcast; the corpus streams through the codegen float_dot
+    // kernel unshuffled, and the per-vector argmax is a max_by struct
+    // aggregate with map-side partials — no window, no candidate
+    // materialization. Cosines are left-fold bit-exact, so the flag
+    // and the nearest-id pick need no rounding.
+    "emb_decontam" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val bench = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      e.filter(col("vec_id") % 97 =!= 0)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"), col("bid"),
+          (dot(col("embedding"), col("bv")) /
+            (norm(col("embedding")) * norm(col("bv")))).as("cos"))
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("bid"), struct(col("cos"), negate(col("bid"))))
+            .as("bench_id"),
+          max(col("cos")).as("max_cos"))
+        .select(col("vec_id"), col("bench_id"), col("max_cos"),
+          (col("max_cos") >= 0.3).as("contaminated"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** Greedy MMR loop shared shape: round 1 = pure-relevance argmax;
@@ -1629,5 +1661,21 @@ object EmbeddingQueries extends GroupBase {
             FROM scored)
           SELECT qid, rank, nid, hamming FROM ranked
           WHERE rank <= 3 ORDER BY qid, rank""",
+    "emb_decontam" ->
+      s"""WITH bench AS (SELECT vec_id AS bid, embedding AS bv
+                         FROM embeddings WHERE vec_id % 97 = 0),
+          scored AS (
+            SELECT e.vec_id, bid,
+                   ${dotSql("e.embedding", "bv")} /
+                     (${normSql("e.embedding")} * ${normSql("bv")}) AS cos
+            FROM embeddings e CROSS JOIN bench WHERE e.vec_id % 97 <> 0),
+          ranked AS (
+            SELECT vec_id, bid, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, bid) AS rn
+            FROM scored)
+          SELECT vec_id, bid AS bench_id, cos AS max_cos,
+                 cos >= CAST(0.3 AS DOUBLE) AS contaminated
+          FROM ranked WHERE rn = 1 ORDER BY vec_id""",
   )
 }

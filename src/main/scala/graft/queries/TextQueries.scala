@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.core.{Exact, ExactSql}
@@ -1477,6 +1478,93 @@ object TextQueries extends GroupBase {
             .as("jsd_bits"))
         .select(col("n1"), col("n2"), col("vocab"), col("jsd_bits"))
     }),
+
+    // C4-style rule battery (Raffel et al. 2020 §2.2) — the OTHER
+    // canonical heuristic filter next to text_gopher's: where Gopher
+    // thresholds corpus statistics (mean word length, TTR, stopword
+    // density), C4 drops documents by hard structural markers — too
+    // short, absurdly long words, code/markup braces, boilerplate
+    // phrases ("lorem ipsum", "javascript", policy pages). Every rule
+    // here is element-wise on the token array: ONE projection scan, no
+    // shuffle, no corpus statistics — the 100 TB shape is
+    // embarrassingly parallel and the filter composes in front of any
+    // downstream stage. (C4's remaining rule — the corpus-level
+    // three-sentence dedup — is the span family: dd_chunk/dd_spans.)
+    "text_c4" -> ((s, d) => {
+      val tk = col("tk")
+      val n = size(tk)
+      val maxWlen = array_max(transform(tk, t => length(t)))
+      val rMinlen = n >= 5
+      val rWordcap = maxWlen <= 15
+      val rBrace = !exists(tk, t => t.contains("{") || t.contains("}"))
+      val rJs = !array_contains(tk, "javascript")
+      val rLorem = !(array_contains(tk, "lorem") &&
+        array_contains(tk, "ipsum"))
+      val rPolicy = size(filter(tk, t =>
+        t === "cookie" || t === "privacy" || t === "terms")) === 0
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(n > 0)
+        .select(col("doc_id"), n.cast("int").as("n_tok"),
+          maxWlen.cast("int").as("max_wlen"),
+          rMinlen.as("r_minlen"), rWordcap.as("r_wordcap"),
+          rBrace.as("r_brace"), rJs.as("r_js"),
+          rLorem.as("r_lorem"), rPolicy.as("r_policy"),
+          (rMinlen && rWordcap && rBrace && rJs && rLorem && rPolicy)
+            .as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // UniMax source allocation (Chung et al. 2023) — the fair
+    // water-filling alternative to pipe_mix's fixed weights: spread
+    // the token budget B UNIFORMLY over sources, but never take more
+    // than E_s epochs of any source (per-source caps — the
+    // licensing/quality-tier generalization of the paper's uniform
+    // cap; E_s = 1 + src_index % 4 here); budget freed by small or
+    // tightly-capped sources redistributes to the rest. Closed form,
+    // no iteration: sort sources by capacity c_s = E_s·n_s ascending;
+    // source i is capped iff c_i·(L−i+1) ≤ B − Σ_{j<i} c_j (once one
+    // source is uncapped every larger one is too — the test is
+    // monotone), and every uncapped source gets the common water
+    // level (B − Σ_capped c_j) / #uncapped. 100 TB shape: the corpus
+    // collapses to an L-row (source, n_tokens) hash-agg — the sort /
+    // prefix-sum / level windows all run on the L-row table
+    // (L = #sources, dozens), never on the corpus. Integer token
+    // counts keep capacities and the capped test exact; the one
+    // division (water level) rounds to 6 at the edge.
+    "pipe_unimax" -> ((s, d) => {
+      val B = 2L   // budget = B·(total corpus tokens)
+      val src = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .groupBy("source").agg(sum(size(col("tk"))).as("n_tok"))
+        .withColumn("e_cap", lit(1) +
+          pmod(substring(col("source"), 4, 10).cast("int"), lit(4)))
+      val tot = src.agg(
+        (sum(col("n_tok")) * lit(B)).as("b"), count(lit(1)).as("l"))
+      val ord = Window.orderBy(col("cap"), col("source"))
+      val all = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val lvl = src.crossJoin(broadcast(tot))
+        .withColumn("cap", col("n_tok") * col("e_cap"))
+        .withColumn("i", row_number().over(ord))
+        // integer capped test: all quantities are exact token counts
+        .withColumn("capped", col("cap") * (col("l") - col("i") + 1) <=
+          col("b") - coalesce(sum(col("cap")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("level",
+          (col("b") - coalesce(sum(when(col("capped"), col("cap")))
+            .over(all), lit(0L))).cast("double") /
+          sum(when(!col("capped"), 1).otherwise(0)).over(all)
+            .cast("double"))
+      lvl.select(col("source"), col("n_tok"), col("e_cap"),
+          col("cap").as("cap_tokens"),
+          when(col("capped"), col("cap").cast("double"))
+            .otherwise(round(col("level"), 6)).as("alloc_tokens"),
+          round(when(col("capped"), col("cap").cast("double"))
+            .otherwise(round(col("level"), 6)) /
+            col("n_tok").cast("double"), 6).as("epochs"))
+        .orderBy("source")
+    }),
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -2341,5 +2429,54 @@ object TextQueries extends GroupBase {
                  round(${ExactSql.fsum("term")}
                    / ln(CAST(2.0 AS DOUBLE)), 6) AS jsd_bits
           FROM terms GROUP BY 1, 2""",
+    "text_c4" ->
+      s"""WITH f AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          g AS (SELECT doc_id, len(tk) AS n_tok,
+                  list_max(list_transform(tk, t -> length(t))) AS max_wlen,
+                  len(tk) >= 5 AS r_minlen,
+                  list_max(list_transform(tk, t -> length(t))) <= 15
+                    AS r_wordcap,
+                  NOT len(list_filter(tk, t ->
+                    contains(t, '{') OR contains(t, '}'))) > 0 AS r_brace,
+                  NOT list_contains(tk, 'javascript') AS r_js,
+                  NOT (list_contains(tk, 'lorem')
+                       AND list_contains(tk, 'ipsum')) AS r_lorem,
+                  len(list_filter(tk, t -> t = 'cookie' OR t = 'privacy'
+                                        OR t = 'terms')) = 0 AS r_policy
+                FROM f WHERE len(tk) > 0)
+          SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+                 CAST(max_wlen AS INT) AS max_wlen,
+                 r_minlen, r_wordcap, r_brace, r_js, r_lorem, r_policy,
+                 (r_minlen AND r_wordcap AND r_brace AND r_js
+                  AND r_lorem AND r_policy) AS keep
+          FROM g ORDER BY doc_id""",
+    "pipe_unimax" ->
+      s"""WITH src AS (SELECT source,
+                       CAST(sum(len($toksSql)) AS BIGINT) AS n_tok,
+                       1 + (CAST(substr(source, 4, 10) AS INT) % 4) AS e_cap
+                       FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_tok) * 2 AS BIGINT) AS b, count(*) AS l FROM src),
+          r AS (SELECT source, n_tok, e_cap, n_tok * e_cap AS cap, b, l,
+                       CAST(row_number() OVER
+                         (ORDER BY n_tok * e_cap, source) AS BIGINT) AS i,
+                       coalesce(sum(n_tok * e_cap) OVER
+                         (ORDER BY n_tok * e_cap, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS pfx
+                FROM src CROSS JOIN tot),
+          c AS (SELECT *, cap * (l - i + 1) <= b - pfx AS capped FROM r),
+          lv AS (SELECT *,
+                   CAST(b - coalesce(sum(CASE WHEN capped THEN cap END)
+                     OVER (), 0) AS DOUBLE) /
+                   CAST(sum(CASE WHEN NOT capped THEN 1 ELSE 0 END)
+                     OVER () AS DOUBLE) AS level
+                 FROM c)
+          SELECT source, n_tok, e_cap, cap AS cap_tokens,
+                 CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                      ELSE round(level, 6) END AS alloc_tokens,
+                 round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                            ELSE round(level, 6) END
+                       / CAST(n_tok AS DOUBLE), 6) AS epochs
+          FROM lv ORDER BY source""",
   )
 }

@@ -140,4 +140,56 @@ class NewOpsR8Spec extends SparkSpec {
     // the 50/50 md5 split must not trip its own alarm on clean data
     assert(!r.getBoolean(3), s"SRM flagged on an honest hash split: ${r.getDouble(2)}")
   }
+
+  test("pipe_unimax water-filling: budget exhausted, caps respected, common level") {
+    // (source, n_tok, e_cap, cap_tokens, alloc_tokens, epochs)
+    val rows = SparkEntry.queries("pipe_unimax")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val budget = 2.0 * rows.map(_._2).sum
+    rows.foreach { case (src, nTok, eCap, cap, alloc, epochs) =>
+      assert(cap == nTok * eCap, s"$src: cap != e_cap * n_tok")
+      assert(alloc <= cap + 1e-6, s"$src: allocation exceeds the epoch cap")
+      assert(math.abs(epochs - BigDecimal(alloc / nTok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"$src: epochs != alloc / n_tok")
+    }
+    // if the budget is under total capacity it must be exhausted
+    // (up to the 6-dp rounding of each uncapped allocation)
+    if (budget <= rows.map(_._4.toDouble).sum)
+      assert(math.abs(rows.map(_._5).sum - budget) < 1e-4 * rows.length,
+        s"allocations ${rows.map(_._5).sum} do not exhaust budget $budget")
+    // every uncapped source sits at one common water level
+    val uncapped = rows.filter(r => r._5 < r._4.toDouble - 1e-9).map(_._5)
+    assert(uncapped.distinct.length <= 1,
+      s"uncapped sources not at a common level: ${uncapped.distinct.toSeq}")
+    // with per-source caps 1..4 epochs on this corpus both branches fire
+    assert(uncapped.nonEmpty && uncapped.length < rows.length,
+      "expected BOTH capped and uncapped sources on the test corpus")
+  }
+
+  test("text_c4: keep is the conjunction of its rules; max_wlen is honest") {
+    val rows = SparkEntry.queries("text_c4")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rules = (3 to 8).map(r.getBoolean)
+      assert(r.getBoolean(9) == rules.forall(identity),
+        s"doc ${r.getLong(0)}: keep != AND(rules)")
+      assert(r.getInt(2) >= 1, "max word length must be >= 1")
+      assert(r.getBoolean(4) == (r.getInt(2) <= 15),
+        s"doc ${r.getLong(0)}: r_wordcap inconsistent with max_wlen")
+    }
+  }
+
+  test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
+    val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, "benchmark vectors must not be scored")
+      assert(r.getLong(1) % 97 == 0, "nearest neighbor must be a bench vector")
+      val cos = r.getDouble(2)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"cos $cos out of range")
+      assert(r.getBoolean(3) == (cos >= 0.3))
+    }
+  }
 }
