@@ -181,6 +181,32 @@ class NewOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("sparse_dot_q20 kernel matches a brute-force grid model on random postings") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77L)
+    val vocab = Vector.tabulate(40)(i => f"w$i%02d")
+    def doc(): Map[String, Double] =
+      rnd.shuffle(vocab).take(5 + rnd.nextInt(20))
+        .map(w => w -> (rnd.nextDouble() * 30.0)).toMap
+    val docs = Vector.tabulate(50)(i => (i.toLong, doc()))
+    val df = docs.map { case (id, m) =>
+      (id, m.toSeq.sortBy(_._1)) }.toDF("id", "terms")
+    val pairs = df.as("a").join(df.as("b"),
+        col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        graft.functions.VectorFunctions.sparseDot(
+          col("a.terms"), col("b.terms")).as("dot"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val G = 1048576.0
+    docs.combinations(2).foreach { case Vector((ia, ma), (ib, mb)) =>
+      val want = ma.keysIterator
+        .map(w => math.floor(ma(w) * mb.getOrElse(w, 0.0) * G).toLong)
+        .sum.toDouble / G
+      assert(pairs((ia, ib)) == want, s"pair ($ia,$ib)")
+    }
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
