@@ -66,7 +66,9 @@ object PlanAudit {
     "dd_tfidf_cos",    // 1-row corpus-count broadcast onto the postings
     "text_mannwhitney", // text_ks's bounded-histogram triangular join + 1-row totals
     "emb_binary",      // 8-row probe-code broadcast (non-equi self guard), corpus streams
-    "text_jsd")        // 1-row totals broadcast onto the vocab-sized count table
+    "text_jsd",        // 1-row totals broadcast onto the vocab-sized count table
+    "emb_decontam",    // benchmark-set broadcast (eval-sized), corpus streams
+    "pipe_unimax")     // 1-row budget/source-count broadcast onto the L-row table
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -87,7 +89,8 @@ object PlanAudit {
     "text_chi2",      // cell-term fold, state = the R x C contingency cells
     "text_kneser",    // per-doc sorted NLL fold, state = one doc's vocab
     "pipe_dsir",      // per-doc weight fold, state <= 64 bucket terms
-    "emb_drift")      // 64-element mean-vector re-assembly, bounded by dim
+    "emb_drift",      // 64-element mean-vector re-assembly, bounded by dim
+    "dd_tfidf_cos")   // per-doc sorted postings vector, state = one doc's vocab
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions

@@ -78,7 +78,7 @@ object PlanDump {
     "pipe_classify_train" -> "logistic-GD training: one corpus scan per round into a 4-number fsum gradient agg, weight row broadcast",
     "text_rrf" -> "RRF hybrid retrieval: both top-50 lists via TakeOrderedAndProject heaps, rank windows on bounded lists only",
     "emb_hardneg" -> "hard-negative mining: probe broadcast with non-equi label guard, corpus streams, WindowGroupLimit top-3",
-    "dd_tfidf_cos" -> "tf-idf cosine near-dup: rare-shingle-blocked candidates, fsum pair dots, top-50 via TakeOrderedAndProject",
+    "dd_tfidf_cos" -> "tf-idf cosine near-dup: rare-shingle-blocked candidates, sorted doc-vector joins + codegen sparse_dot_q20 merge kernel (no postings explosion), top-50 via TakeOrderedAndProject",
     "dd_spans" -> "exact shared spans: capRare-blocked positional seeds, per-(pair,diagonal) gaps-and-islands runs (window bounded by doc length)",
     "dd_crossrc" -> "cross-source dup matrix: combinatorial identity over (hash,source) counts, never the k^2 pair join",
     "join_range" -> "binned range join: probe exploded to 3 covering buckets -> bucket-id EQUI hash join + exact residual, never the O(N^2) cross join",
@@ -87,6 +87,9 @@ object PlanDump {
     "text_jsd" -> "JSD drift: one tokenize pass collapses to the vocab-sized count table, totals re-aggregate the table, sorted-fold sum",
     "graph_domainrank" -> "domain PageRank: corpus-scale condense (two endpoint joins + one hash-agg), then domains^2-bounded weighted rounds",
     "pipe_curriculum" -> "curriculum schedule: (stage, shard) uniform-key rank windows — 4*64 partitions, no per-stage window, no global sort",
+    "text_c4" -> "C4 rule battery: one element-wise projection scan, no shuffle, no corpus statistics",
+    "pipe_unimax" -> "UniMax water-filling: corpus collapses to the L-row source hash-agg; sort/prefix/level windows all on the L-row table",
+    "emb_decontam" -> "embedding decontamination: benchmark side broadcasts, corpus streams through float_dot, max_by argmax (no window)",
   )
 
   def main(args: Array[String]): Unit = {
