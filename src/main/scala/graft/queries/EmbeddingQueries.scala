@@ -802,6 +802,62 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("qid", "rank")
     }),
 
+    // LINEAR PROBE — the standard embedding-quality eval (Alain &
+    // Bengio 2016; every SSL paper's table 1): freeze the embeddings,
+    // fit a linear model on a label, and read how much signal the
+    // representation exposes. Least-squares probe (label==2
+    // one-vs-rest) by 3 full-batch gradient steps from w=0; output =
+    // the training curve (step, mse, ||w||) — the monotone-loss
+    // readout that certifies the probe actually learns. 100 TB shape
+    // matches pipe_classify_train/emb_pca: each step is ONE corpus
+    // scan — the residual fold runs per row against the broadcast
+    // 64-dim weight row, the gradient collapses to 64 per-dimension
+    // Exact.fsum partials, and the weight update is a dim-bounded
+    // re-assembly — weights never touch the driver. Determinism:
+    // folds are left-to-right (list_reduce mirror), gradients are
+    // 2^53-grid fsums, and the updated weights floor-quantize to 1e-6
+    // each step so both engines iterate from identical bits; mse and
+    // ||w|| round to 6 at the edge.
+    "emb_probe" -> ((s, d) => {
+      val Lr = 30.0
+      val emb = t(s, d, "embeddings").select(col("embedding"),
+        (col("label") === 2).cast("double").as("y"))
+      val nr = emb.agg(count(lit(1)).as("n"))
+      def assemble(df: DataFrame, value: String): DataFrame =
+        df.groupBy().agg(transform(
+          array_sort(collect_list(struct(col("pos"), col(value)))),
+          x => x.getField(value)).as("w"))
+      def scored(w: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(w))
+          .select(col("embedding"), col("y"),
+            (aggregate(zip_with(col("embedding"), col("w"),
+              (a, b) => a.cast("double") * b),
+              lit(0.0), (acc, p) => acc + p) - col("y")).as("err"))
+      def lossRow(step: Int, w: DataFrame): DataFrame =
+        scored(w).crossJoin(broadcast(nr))
+          .agg(round(Exact.fsum(col("err") * col("err")) /
+            max(col("n")).cast("double"), 6).as("mse"))
+          .crossJoin(broadcast(w.select(round(sqrt(
+            aggregate(transform(col("w"), x => x * x),
+              lit(0.0), (a, b) => a + b)), 6).as("wnorm"))))
+          .select(lit(step).as("step"), col("mse"), col("wnorm"))
+      var w = s.range(1).select(
+        transform(sequence(lit(0), lit(63)), _ => lit(0.0)).as("w"))
+      val rows = scala.collection.mutable.ListBuffer(lossRow(0, w))
+      for (step <- 1 to 3) {
+        val g = scored(w)
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("err"))
+          .groupBy("pos")
+          .agg(Exact.fsum(col("err") * col("x").cast("double")).as("gs"))
+        w = assemble(g.crossJoin(broadcast(nr)).crossJoin(broadcast(w))
+          .select(col("pos"),
+            Exact.q6(element_at(col("w"), col("pos") + 1) -
+              lit(Lr) * col("gs") / col("n").cast("double")).as("nw")), "nw")
+        rows += lossRow(step, w)
+      }
+      rows.reduce(_.unionByName(_)).orderBy("step")
+    }),
+
     // EMBEDDING-space benchmark decontamination — the semantic twin of
     // `pipe_decontam`: an n-gram scan misses a paraphrased or
     // translated eval item, a cosine gate against the benchmark's
@@ -1661,6 +1717,49 @@ object EmbeddingQueries extends GroupBase {
             FROM scored)
           SELECT qid, rank, nid, hamming FROM ranked
           WHERE rank <= 3 ORDER BY qid, rank""",
+    "emb_probe" -> {
+      import graft.core.ExactSql
+      val foldW = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_zip(embedding, w),
+          p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"""
+      def wnorm(wk: String) =
+        s"""(SELECT round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(w, x -> x * x)), (a, b) -> a + b)), 6) FROM $wk)"""
+      def stepCte(k: Int) =
+        s"""s$k AS (SELECT embedding, y, ($foldW) - y AS err
+                    FROM e CROSS JOIN w$k),
+            l$k AS (SELECT $k AS step,
+                      round(${ExactSql.fsum("err * err")}
+                        / CAST(max(n) AS DOUBLE), 6) AS mse,
+                      ${wnorm(s"w$k")} AS wnorm
+                    FROM s$k CROSS JOIN nr),
+            g$k AS (SELECT i,
+                      ${ExactSql.fsum("err * CAST(embedding[i] AS DOUBLE)")}
+                        AS gs
+                    FROM s$k, range(1, 65) r(i) GROUP BY i),
+            w${k + 1} AS (SELECT list(${ExactSql.q6(
+                        "w[i] - 30.0 * gs / CAST(n AS DOUBLE)")}
+                        ORDER BY i) AS w
+                      FROM g$k CROSS JOIN w$k CROSS JOIN nr)"""
+      s"""WITH e AS (SELECT embedding,
+                    CASE WHEN label = 2 THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END AS y
+                    FROM embeddings),
+          nr AS (SELECT count(*) AS n FROM e),
+          w0 AS (SELECT list_transform(range(0, 64),
+                   x -> CAST(0.0 AS DOUBLE)) AS w),
+          ${stepCte(0)}, ${stepCte(1)}, ${stepCte(2)},
+          s3 AS (SELECT embedding, y, ($foldW) - y AS err
+                 FROM e CROSS JOIN w3),
+          l3 AS (SELECT 3 AS step,
+                   round(${ExactSql.fsum("err * err")}
+                     / CAST(max(n) AS DOUBLE), 6) AS mse,
+                   ${wnorm("w3")} AS wnorm
+                 FROM s3 CROSS JOIN nr)
+          SELECT * FROM l0 UNION ALL SELECT * FROM l1
+          UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+          ORDER BY step"""
+    },
     "emb_decontam" ->
       s"""WITH bench AS (SELECT vec_id AS bid, embedding AS bv
                          FROM embeddings WHERE vec_id % 97 = 0),

@@ -214,6 +214,39 @@ object GraphQueries extends GroupBase {
     // checkpoint between rounds. Per round: one join hash-partitioned
     // on the edge dst + one min agg with map-side partials — no
     // driver-side union-find, labels never collected.
+    // Multi-source BFS distance from the hub pages (doc_id < 10) —
+    // the crawl-depth prior: distance from trusted seeds is the
+    // classic spam/quality signal (TrustRank's discrete cousin), and
+    // "pages within k hops of the seed list" is a standard crawl
+    // frontier readout. 3 unrolled min-plus relaxation rounds over
+    // the DIRECTED edge set: dist'(v) = min(dist(v),
+    // min_{u->v} dist(u) + 1). 100 TB shape matches graph_cc: per
+    // round one src-keyed join of the edge table against the current
+    // distance vector (the frontier filter `dist IS NOT NULL` prunes
+    // the join input to reached nodes) + one dst-keyed min hash-agg
+    // with map-side partials — distances never on the driver;
+    // unreached nodes stay NULL (identically in both engines).
+    // Integer distances: no rounding anywhere.
+    "graph_bfs" -> ((s, d) => {
+      val (nodes, edges) = graph(s, d)
+      var dist = nodes.select(col("doc_id"),
+        when(col("doc_id") < 10, 0).otherwise(lit(null).cast("int"))
+          .as("dist"))
+      for (_ <- 1 to 3) {
+        val push = edges.join(dist.filter(col("dist").isNotNull),
+            edges("src") === dist("doc_id"))
+          .groupBy(col("dst")).agg((min(col("dist")) + 1).as("nd"))
+        dist = dist.join(push, dist("doc_id") === push("dst"), "left")
+          .select(dist("doc_id"),
+            when(col("nd").isNull, col("dist"))
+              .when(col("dist").isNull, col("nd"))
+              .otherwise(least(col("dist"), col("nd"))).as("dist"))
+      }
+      dist.select(col("doc_id"), col("dist"),
+          col("dist").isNotNull.as("reached"))
+        .orderBy("doc_id")
+    }),
+
     "graph_cc" -> ((s, d) => {
       val (nodes, edges) = graph(s, d)
       val und = edges.select(col("src"), col("dst"))
@@ -435,6 +468,29 @@ object GraphQueries extends GroupBase {
           SELECT d.doc_id, coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri
           FROM documents d LEFT JOIN per USING (doc_id)
           ORDER BY doc_id""",
+    "graph_bfs" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (
+            SELECT l.doc_id,
+                   CASE WHEN m.nd IS NULL THEN l.dist
+                        WHEN l.dist IS NULL THEN m.nd
+                        ELSE least(l.dist, m.nd) END AS dist
+            FROM $prev l
+            LEFT JOIN (SELECT e.dst, min(p.dist) + 1 AS nd
+                       FROM edges e JOIN $prev p ON p.doc_id = e.src
+                       WHERE p.dist IS NOT NULL GROUP BY 1) m
+              ON m.dst = l.doc_id)"""
+      s"""WITH $graphSql,
+          d0 AS (SELECT doc_id,
+                   CASE WHEN doc_id < 10 THEN 0 END AS dist
+                 FROM documents),
+          ${round("d0", "d1")},
+          ${round("d1", "d2")},
+          ${round("d2", "d3")}
+          SELECT doc_id, CAST(dist AS INT) AS dist,
+                 dist IS NOT NULL AS reached
+          FROM d3 ORDER BY doc_id"""
+    },
     "graph_cc" -> {
       def round(prev: String, out: String): String =
         s"""$out AS (

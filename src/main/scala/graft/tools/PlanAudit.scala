@@ -68,7 +68,9 @@ object PlanAudit {
     "emb_binary",      // 8-row probe-code broadcast (non-equi self guard), corpus streams
     "text_jsd",        // 1-row totals broadcast onto the vocab-sized count table
     "emb_decontam",    // benchmark-set broadcast (eval-sized), corpus streams
-    "pipe_unimax")     // 1-row budget/source-count broadcast onto the L-row table
+    "pipe_unimax",     // 1-row budget/source-count broadcast onto the L-row table
+    "emb_probe",       // 1-row weight/count broadcasts per GD step, corpus streams
+    "graph_bfs")       // same node-count broadcast via the shared graph builder
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -90,7 +92,8 @@ object PlanAudit {
     "text_kneser",    // per-doc sorted NLL fold, state = one doc's vocab
     "pipe_dsir",      // per-doc weight fold, state <= 64 bucket terms
     "emb_drift",      // 64-element mean-vector re-assembly, bounded by dim
-    "dd_tfidf_cos")   // per-doc sorted postings vector, state = one doc's vocab
+    "dd_tfidf_cos",   // per-doc sorted postings vector, state = one doc's vocab
+    "emb_probe")      // 64-element weight re-assembly per step, bounded by dim
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions

@@ -90,6 +90,8 @@ object PlanDump {
     "text_c4" -> "C4 rule battery: one element-wise projection scan, no shuffle, no corpus statistics",
     "pipe_unimax" -> "UniMax water-filling: corpus collapses to the L-row source hash-agg; sort/prefix/level windows all on the L-row table",
     "emb_decontam" -> "embedding decontamination: benchmark side broadcasts, corpus streams through float_dot, max_by argmax (no window)",
+    "emb_probe" -> "linear probe: one corpus scan per GD step, 64 fsum gradient partials, dim-bounded weight re-assembly broadcasts",
+    "graph_bfs" -> "multi-source BFS: per round one src-keyed frontier join + dst-keyed min hash-agg, distances never on the driver",
   )
 
   def main(args: Array[String]): Unit = {

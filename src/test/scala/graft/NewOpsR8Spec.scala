@@ -207,6 +207,40 @@ class NewOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("graph_bfs: seeds at 0, triangle inequality on edges, monotone frontier") {
+    val rows = SparkEntry.queries("graph_bfs")(spark, d).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(rows.size == 500)
+    (0L until 10L).foreach(s => assert(rows(s).contains(0), s"seed $s"))
+    rows.foreach { case (id, dO) =>
+      dO.foreach { dist =>
+        assert(dist >= 0 && dist <= 3, s"node $id dist $dist outside rounds")
+        if (dist > 0 && id >= 10) {
+          // some in-neighbor must sit exactly one hop closer
+          val n = rows.size
+          val inNbrs = rows.keys.filter { u =>
+            u % 7 != 0 && u != id &&
+              (u % 10 == id || (1 to 3).exists(j => (u * 31 + j * 17) % n == id))
+          }
+          assert(inNbrs.exists(u => rows(u).contains(dist - 1)),
+            s"node $id at dist $dist has no predecessor at ${dist - 1}")
+        }
+      }
+    }
+  }
+
+  test("emb_probe: training loss strictly decreases over the GD steps") {
+    val rows = SparkEntry.queries("emb_probe")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.head._3 == 0.0, "step 0 must start from w = 0")
+    rows.sliding(2).foreach { case Array((_, m0, _), (st, m1, w1)) =>
+      assert(m1 < m0, s"mse did not decrease at step $st: $m0 -> $m1")
+      assert(w1 > 0.0, s"weights did not move by step $st")
+    }
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
