@@ -168,6 +168,59 @@ class NewOpsR8Spec extends SparkSpec {
       "expected BOTH capped and uncapped sources on the test corpus")
   }
 
+  test("pipe_unimax closed form equals the iterative water-filling fixpoint on random skew") {
+    val s = spark
+    import s.implicits._
+    // reference: the DEFINITION — repeatedly cap any source whose
+    // capacity is under the current fair share, redistribute, repeat
+    def waterfill(caps: Map[String, Long], budget: Double): Map[String, Double] = {
+      var active = caps.keySet
+      var remaining = budget
+      val alloc = scala.collection.mutable.Map[String, Double]()
+      var done = false
+      while (!done && active.nonEmpty) {
+        val fair = remaining / active.size
+        val newlyCapped = active.filter(src => caps(src) <= fair)
+        if (newlyCapped.isEmpty) {
+          active.foreach(src => alloc(src) = fair)
+          done = true
+        } else {
+          newlyCapped.foreach { src =>
+            alloc(src) = caps(src).toDouble; remaining -= caps(src) }
+          active = active -- newlyCapped
+        }
+      }
+      alloc.toMap
+    }
+    for (seed <- Seq(41L, 42L, 43L)) {
+      val rnd = new scala.util.Random(seed)
+      // heavy skew: doc counts 1..80, token counts 1..40 per doc
+      val rows = (0 until 8).flatMap { si =>
+        val nDocs = 1 + rnd.nextInt(80)
+        (0 until nDocs).map { di =>
+          val nTok = 1 + rnd.nextInt(40)
+          ((si.toLong * 1000) + di, Seq.fill(nTok)("w").mkString(" "),
+            "en", s"src$si", nTok.toLong)
+        }
+      }
+      val dir = Files.createTempDirectory(s"graft-r8u$seed").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val nTokBySrc = rows.groupBy(_._4)
+        .map { case (src, rs) => src -> rs.map(_._5).sum }
+      val caps = nTokBySrc.map { case (src, n) =>
+        src -> n * (1 + src.drop(3).toInt % 4) }
+      val want = waterfill(caps, 2.0 * nTokBySrc.values.sum)
+      val got = SparkEntry.queries("pipe_unimax")(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(4)).toMap
+      assert(got.keySet == want.keySet, s"seed $seed sources")
+      got.foreach { case (src, alloc) =>
+        assert(math.abs(alloc - want(src)) < 1e-5,
+          s"seed $seed $src: closed-form $alloc vs iterative ${want(src)}")
+      }
+    }
+  }
+
   test("text_c4: keep is the conjunction of its rules; max_wlen is honest") {
     val rows = SparkEntry.queries("text_c4")(spark, d).collect()
     assert(rows.nonEmpty)
