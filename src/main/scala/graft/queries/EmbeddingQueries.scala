@@ -849,6 +849,10 @@ object EmbeddingQueries extends GroupBase {
           .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("err"))
           .groupBy("pos")
           .agg(Exact.fsum(col("err") * col("x").cast("double")).as("gs"))
+        // NOTE: a per-step localCheckpoint on the weight row was
+        // measured 1.1 -> 1.3 s WORSE (3 eager jobs vs the cheap
+        // re-execution of 1-row assemblies); unlike emb_mmr, the
+        // geometric lineage here is all K-row/1-row stages.
         w = assemble(g.crossJoin(broadcast(nr)).crossJoin(broadcast(w))
           .select(col("pos"),
             Exact.q6(element_at(col("w"), col("pos") + 1) -
@@ -926,7 +930,12 @@ object EmbeddingQueries extends GroupBase {
           max(col("sim")).as("msim"))
         .withColumn("score",
           lit(0.7) * col("rel") - lit(0.3) * col("msim"))
-      sel = sel.unionByName(pick(scored, r))
+      // sel feeds THREE consumers next round (broadcast selected set,
+      // anti-join filter, union) and its lineage contains every prior
+      // round's corpus scan — localCheckpoint truncates the <=K-row
+      // table so each round scans the corpus exactly once (the
+      // graph_domainrank lesson).
+      sel = sel.unionByName(pick(scored, r)).localCheckpoint()
     }
     sel.select("round", "vec_id", "rel", "score").orderBy("round")
   }
@@ -949,11 +958,13 @@ object EmbeddingQueries extends GroupBase {
         .groupBy(col("vec_id"))
         .agg(first(col("embedding")).as("embedding"),
           min(col("d2")).as("mind2"))
+      // same 3-consumer lineage truncation as mmrSelect
       sel = sel.unionByName(scored.agg(max_by(
         struct(col("vec_id"), col("embedding"), col("mind2")),
         struct(col("mind2"), negate(col("vec_id")))).as("p"))
         .select(lit(r).as("round"), col("p.vec_id").as("vec_id"),
           col("p.embedding").as("embedding"), col("p.mind2").as("mind2")))
+        .localCheckpoint()
     }
     sel.select("round", "vec_id", "mind2").orderBy("round")
   }

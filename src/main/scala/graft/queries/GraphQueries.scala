@@ -110,11 +110,18 @@ object GraphQueries extends GroupBase {
           .groupBy(col("dst")).agg(Exact.fsum(col("r") / col("deg")).as("s"))
         val dm = ranks.filter(col("doc_id") % 7 === 0)
           .agg(Exact.fsum(col("r")).as("dm"))
+        // each round's rank vector feeds TWO consumers next round
+        // (edge contributions + dangling mass), so without a lineage
+        // barrier round k's plan re-executes round k-1 twice — 2^k
+        // growth (the graph_domainrank lesson). localCheckpoint
+        // truncates to a node-count-sized LogicalRDD; .cache() is
+        // deliberately avoided (InMemoryRelation blocks AQE).
         ranks = base.join(contrib, base("doc_id") === contrib("dst"), "left")
           .crossJoin(broadcast(dm))
           .select(base("doc_id"), col("p"),
             (lit(0.15) * col("p") + lit(0.85) *
               (coalesce(col("s"), lit(0.0)) + col("dm") * col("p"))).as("r"))
+          .localCheckpoint()
       }
       ranks.filter(col("r") > lit(0.0))
         .select(col("doc_id"), col("r").as("ppr"),
@@ -187,6 +194,10 @@ object GraphQueries extends GroupBase {
         val a0 = edges.join(hub, edges("src") === hub("doc_id"))
           .groupBy(col("dst")).agg(Exact.fsum(col("h")).as("a0"))
         val an = a0.agg(Exact.fsum(col("a0")).as("na"))
+        // NOTE: a localCheckpoint barrier per half-step was measured
+        // 1.4 -> 1.9 s WORSE here (4 eager materializations at only
+        // 2 unrolled rounds cost more than the lineage re-execution
+        // they save) — unlike graph_ppr/emb_mmr where it wins.
         auth = ids.join(a0, ids("doc_id") === a0("dst"), "left")
           .crossJoin(broadcast(an))
           .select(col("doc_id"),
