@@ -255,6 +255,106 @@ object TimeWindowQueries extends GroupBase {
           (abs(col("z")) > lit(3.0)).as("anomaly"))
         .orderBy("event_type", "ws")
     }),
+
+    // TIME-SERIES SIMILARITY between event types — Pearson
+    // correlation of the hourly count series over the dense hour
+    // spine (which streams move together is the seasonality/
+    // causality screen run before any cross-stream model; the
+    // streaming version of this screen is the EDBT'19 "time series
+    // similarity search for streaming data" problem). 100 TB shape:
+    // the corpus collapses to the (type, hour) count table — ONE
+    // hash-agg with map-side partials; the spine join, the pair
+    // self-join on the hour key, and the 5-number sufficient
+    // statistics all run on the types x hours grid (span-bounded,
+    // SF-INDEPENDENT — more events change the counts, not the grid).
+    // Exactness: counts are integers, so n, Σx, Σx², Σxy stay in
+    // BIGINT — numerator and both variance terms are exact integer
+    // arithmetic (span x count² magnitudes; flip to DECIMAL(38,0)
+    // past ~2e9 events/hour — the text_ks lesson) — and r pays ONE
+    // sqrt + ONE division, rounded to 6.
+    "tw_tsim" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hb"))
+      val counts = ev.groupBy("event_type", "hb").agg(count(lit(1)).as("c"))
+      val range = counts.agg(min(col("hb")).as("mn"), max(col("hb")).as("mx"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(range))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("hb"))
+      val dense = grid.join(counts, Seq("event_type", "hb"), "left")
+        .select(col("event_type"), col("hb"),
+          coalesce(col("c"), lit(0L)).as("x"))
+      val st = dense.as("a").join(dense.as("b"),
+          col("a.hb") === col("b.hb") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a.x")).as("sx"), sum(col("b.x")).as("sy"),
+          sum(col("a.x") * col("a.x")).as("sxx"),
+          sum(col("b.x") * col("b.x")).as("syy"),
+          sum(col("a.x") * col("b.x")).as("sxy"))
+      st.select(col("ta"), col("tb"), col("n"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")) /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))
+              .cast("double")), 6).as("r"))
+        .orderBy(col("r").desc, col("ta"), col("tb"))
+    }),
+
+    // MOTIF discovery in one series — the matrix-profile primitive
+    // (STAMP/STOMP family): the closest pair of non-overlapping
+    // day-long windows of the hourly purchase-count series under
+    // z-normalized squared Euclidean distance (a repeated daily
+    // pattern = operational seasonality; the same scan with max
+    // instead of min is the discord/anomaly). 100 TB shape: the
+    // corpus collapses to the span-sized hourly series (ONE hash-agg;
+    // the series length is set by the TIME SPAN, not the row count),
+    // the 720-element array is a bounded collect (tw_gapfill's spine
+    // discipline), and the window pair join is span²-bounded and
+    // SF-independent — a deliberate bounded self-join, never
+    // corpus-scale. Exactness: window sums are integer; mean/sigma
+    // pay exact IEEE division/sqrt on identical bits; the distance
+    // fold is ordered left-to-right (list_reduce mirror) and rounds
+    // to 6 at the edge. Constant (sigma = 0) windows are excluded —
+    // z-normalization is undefined there, identically in both
+    // engines.
+    "tw_motif" -> ((s, d) => {
+      val W = 24
+      val ev = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(date_trunc("hour", col("ts")).as("hb"))
+      val counts = ev.groupBy("hb").agg(count(lit(1)).as("c"))
+      val range = counts.agg(min(col("hb")).as("mn"), max(col("hb")).as("mx"))
+      val spine = range.select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("hb"))
+      val series = spine.join(counts, Seq("hb"), "left")
+        .select(col("hb"), coalesce(col("c"), lit(0L)).as("x"))
+        .groupBy().agg(transform(
+          array_sort(collect_list(struct(col("hb"), col("x")))),
+          e => e.getField("x")).as("s"))
+      val wins = series
+        .select(explode(sequence(lit(0), size(col("s")) - W)).as("st"),
+          col("s"))
+        .select(col("st"), slice(col("s"), col("st") + 1, lit(W)).as("w"))
+        .withColumn("sw", aggregate(col("w"), lit(0L), (a, v) => a + v))
+        .withColumn("sww", aggregate(col("w"), lit(0L), (a, v) => a + v * v))
+        .withColumn("mu", col("sw").cast("double") / lit(W.toDouble))
+        .withColumn("sg", sqrt(col("sww").cast("double") / lit(W.toDouble) -
+          col("mu") * col("mu")))
+        .filter(col("sg") > 0.0)
+        .select(col("st"), col("w"), col("mu"), col("sg"))
+      wins.as("a").join(wins.as("b"), col("b.st") >= col("a.st") + W)
+        .select(col("a.st").cast("long").as("st_a"),
+          col("b.st").cast("long").as("st_b"),
+          round(aggregate(
+            zip_with(col("a.w"), col("b.w"), (xa, xb) =>
+              ((xa.cast("double") - col("a.mu")) / col("a.sg") -
+                (xb.cast("double") - col("b.mu")) / col("b.sg")) *
+              ((xa.cast("double") - col("a.mu")) / col("a.sg") -
+                (xb.cast("double") - col("b.mu")) / col("b.sg"))),
+            lit(0.0), (acc, v) => acc + v), 6).as("d2"))
+        .orderBy(col("d2"), col("st_a"), col("st_b")).limit(5)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,5 +533,66 @@ object TimeWindowQueries extends GroupBase {
           FROM grid g LEFT JOIN b ON g.event_type = b.event_type
                                   AND g.hb = b.hb
           ORDER BY g.event_type, g.hb""",
+    "tw_tsim" ->
+      """WITH b AS (SELECT event_type,
+                           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+          r AS (SELECT min(hb) AS mn, max(hb) AS mx FROM b),
+          grid AS (SELECT event_type, hb
+                   FROM (SELECT DISTINCT event_type FROM events)
+                   CROSS JOIN (SELECT unnest(generate_series(mn, mx,
+                                 INTERVAL 1 HOUR)) AS hb FROM r)),
+          dense AS (SELECT g.event_type, g.hb,
+                           CAST(coalesce(c, 0) AS BIGINT) AS x
+                    FROM grid g LEFT JOIN b ON g.event_type = b.event_type
+                                            AND g.hb = b.hb),
+          st AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                        count(*) AS n,
+                        CAST(sum(a.x) AS BIGINT) AS sx,
+                        CAST(sum(b.x) AS BIGINT) AS sy,
+                        CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+                        CAST(sum(b.x * b.x) AS BIGINT) AS syy,
+                        CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+                 FROM dense a JOIN dense b
+                   ON a.hb = b.hb AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+          SELECT ta, tb, n,
+                 round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   sqrt(CAST((n * sxx - sx * sx) *
+                             (n * syy - sy * sy) AS DOUBLE)), 6) AS r
+          FROM st ORDER BY r DESC, ta, tb""",
+    "tw_motif" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb
+                    FROM events WHERE event_type = 'purchase'),
+          b AS (SELECT hb, count(*) AS c FROM e GROUP BY 1),
+          r AS (SELECT min(hb) AS mn, max(hb) AS mx FROM b),
+          spine AS (SELECT unnest(generate_series(mn, mx,
+                      INTERVAL 1 HOUR)) AS hb FROM r),
+          dense AS (SELECT s.hb, CAST(coalesce(c, 0) AS BIGINT) AS x
+                    FROM spine s LEFT JOIN b USING (hb)),
+          ser AS (SELECT list(x ORDER BY hb) AS s FROM dense),
+          wins0 AS (SELECT CAST(st AS BIGINT) AS st,
+                           list_slice(s, st + 1, st + 24) AS w
+                    FROM ser, LATERAL (SELECT unnest(range(0,
+                      len(s) - 24 + 1)) AS st) g),
+          wins AS (SELECT st, w,
+                          CAST(list_sum(w) AS DOUBLE) / 24.0 AS mu,
+                          sqrt(CAST(list_sum(list_transform(w, v -> v * v))
+                               AS DOUBLE) / 24.0 -
+                            (CAST(list_sum(w) AS DOUBLE) / 24.0) *
+                            (CAST(list_sum(w) AS DOUBLE) / 24.0)) AS sg
+                   FROM wins0),
+          good AS (SELECT * FROM wins WHERE sg > 0.0)
+          SELECT a.st AS st_a, b.st AS st_b,
+                 round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_zip(a.w, b.w), p ->
+                     ((CAST(p[1] AS DOUBLE) - a.mu) / a.sg -
+                      (CAST(p[2] AS DOUBLE) - b.mu) / b.sg) *
+                     ((CAST(p[1] AS DOUBLE) - a.mu) / a.sg -
+                      (CAST(p[2] AS DOUBLE) - b.mu) / b.sg))),
+                   (acc, v) -> acc + v), 6) AS d2
+          FROM good a JOIN good b ON b.st >= a.st + 24
+          ORDER BY d2, st_a, st_b LIMIT 5""",
   )
 }

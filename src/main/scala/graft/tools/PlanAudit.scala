@@ -70,7 +70,9 @@ object PlanAudit {
     "emb_decontam",    // benchmark-set broadcast (eval-sized), corpus streams
     "pipe_unimax",     // 1-row budget/source-count broadcast onto the L-row table
     "emb_probe",       // 1-row weight/count broadcasts per GD step, corpus streams
-    "graph_bfs")       // same node-count broadcast via the shared graph builder
+    "graph_bfs",       // same node-count broadcast via the shared graph builder
+    "tw_tsim",         // 1-row span broadcast builds the hour spine (gapfill shape)
+    "tw_motif")        // span-bounded window pair join + 1-row span broadcast
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -93,7 +95,8 @@ object PlanAudit {
     "pipe_dsir",      // per-doc weight fold, state <= 64 bucket terms
     "emb_drift",      // 64-element mean-vector re-assembly, bounded by dim
     "dd_tfidf_cos",   // per-doc sorted postings vector, state = one doc's vocab
-    "emb_probe")      // 64-element weight re-assembly per step, bounded by dim
+    "emb_probe",      // 64-element weight re-assembly per step, bounded by dim
+    "tw_motif")       // span-sized hourly series assembly (time-bounded, SF-free)
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions

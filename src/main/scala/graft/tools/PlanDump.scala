@@ -92,6 +92,8 @@ object PlanDump {
     "emb_decontam" -> "embedding decontamination: benchmark side broadcasts, corpus streams through float_dot, max_by argmax (no window)",
     "emb_probe" -> "linear probe: one corpus scan per GD step, 64 fsum gradient partials, dim-bounded weight re-assembly broadcasts",
     "graph_bfs" -> "multi-source BFS: per round one src-keyed frontier join + dst-keyed min hash-agg, distances never on the driver",
+    "tw_tsim" -> "time-series correlation: corpus collapses to the (type, hour) count grid; pair join + integer sufficient statistics on the span-bounded grid",
+    "tw_motif" -> "matrix-profile motif: span-sized series (one hash-agg), span^2-bounded window pair join — SF-independent after the first aggregate",
   )
 
   def main(args: Array[String]): Unit = {

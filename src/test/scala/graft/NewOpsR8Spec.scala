@@ -294,6 +294,50 @@ class NewOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("tw_tsim: correlations bounded, all type pairs present, symmetric formula") {
+    val rows = SparkEntry.queries("tw_tsim")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val types = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    assert(rows.length == types.length * (types.length - 1) / 2,
+      "one row per unordered type pair")
+    rows.foreach { case (ta, tb, n, r) =>
+      assert(ta < tb, "pairs must be canonically ordered")
+      assert(n > 0)
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"($ta,$tb) r=$r out of range")
+    }
+  }
+
+  test("tw_motif matches a brute-force z-normalized closest-pair model") {
+    val rows = SparkEntry.queries("tw_motif")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // brute force from the same hourly series
+    val ev = graft.core.Tables.load(spark, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hb"))
+      .groupBy("hb").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    val hours = (ev.keys.min to ev.keys.max by 3600000L).toVector
+    val series = hours.map(h => ev.getOrElse(h, 0L))
+    val wins = (0 to series.length - 24).map { st =>
+      val w = series.slice(st, st + 24)
+      val mu = w.sum.toDouble / 24.0
+      val sg = math.sqrt(w.map(v => v * v).sum.toDouble / 24.0 - mu * mu)
+      (st.toLong, w, mu, sg)
+    }.filter(_._4 > 0.0)
+    val best = (for {
+      (sa, wa, ma, ga) <- wins; (sb, wb, mb, gb) <- wins
+      if sb >= sa + 24
+    } yield {
+      val d2 = wa.zip(wb).map { case (xa, xb) =>
+        val z = (xa - ma) / ga - (xb - mb) / gb; z * z }.sum
+      (sa, sb, BigDecimal(d2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy(t => (t._3, t._1, t._2)).take(5)
+    assert(rows.toSeq == best,
+      s"motif pairs diverge: got ${rows.toSeq} want $best")
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
