@@ -355,6 +355,82 @@ object TimeWindowQueries extends GroupBase {
             lit(0.0), (acc, v) => acc + v), 6).as("d2"))
         .orderBy(col("d2"), col("st_a"), col("st_b")).limit(5)
     }),
+
+    // AUTOCORRELATION function of the hourly event series, lags
+    // 1..48 — the principled periodicity detector behind tw_seasonal's
+    // hour-of-day profile (a daily cycle shows as the r peak at
+    // lag 24; the lag-1 value is the burstiness/memory readout).
+    // r_k = c_k / c_0 with c_k = (1/n)·Σ_{t<=n-k}(x_t−μ)(x_{t+k}−μ),
+    // expanded to integer sufficient statistics:
+    //   Σ x_t·x_{t+k} − μ·(Σ_head x + Σ_tail x) + (n−k)·μ²
+    // so the only non-integer inputs are μ and c_0 (exact IEEE ops on
+    // identical bits). 100 TB shape: corpus → one (hour) hash-agg;
+    // the lag self-join runs on the span-bounded dense series × 48
+    // lags (SF-independent); output is 48 rows. Rounds to 6.
+    "tw_acf" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(date_trunc("hour", col("ts")).as("hb"))
+      val counts = ev.groupBy("hb").agg(count(lit(1)).as("c"))
+      val range = counts.agg(min(col("hb")).as("mn"), max(col("hb")).as("mx"))
+      val spine = range.select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("hb"))
+      val dense = spine.join(counts, Seq("hb"), "left")
+        .select(col("hb"), coalesce(col("c"), lit(0L)).as("x"))
+      val glob = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val lagged = dense.as("a")
+        .crossJoin(broadcast(
+          spine.sparkSession.range(1, 49).select(col("id").as("k"))))
+        .withColumn("hb2",
+          col("a.hb") + expr("make_interval(0, 0, 0, 0, CAST(k AS INT), 0, 0)"))
+        .join(dense.as("b"), col("b.hb") === col("hb2"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("m"), sum(col("a.x") * col("b.x")).as("sxy"),
+          sum(col("a.x")).as("sh"), sum(col("b.x")).as("st"))
+      val mu = col("sx").cast("double") / col("n").cast("double")
+      val c0 = col("sxx").cast("double") / col("n").cast("double") - mu * mu
+      lagged.crossJoin(broadcast(glob))
+        .select(col("k").as("lag"),
+          round(((col("sxy").cast("double") -
+            mu * (col("sh") + col("st")).cast("double") +
+            col("m").cast("double") * mu * mu) /
+            col("n").cast("double")) / c0, 6).as("r"))
+        .orderBy("lag")
+    }),
+
+    // CUSUM change-point scan on the hourly event series — the
+    // level-shift detector (Page 1954; the monitoring twin of
+    // tw_anomaly's point-outlier EWMA): s_t = Σ_{i<=t}(x_i − μ) peaks
+    // in magnitude AT the change point when the series shifts mean.
+    // Computed as (integer prefix sum) − t·μ — the prefix sum is an
+    // integer rows-unbounded window over the SPAN-BOUNDED dense
+    // series (text_zipf's bounded-global-window class, never
+    // corpus-scale), μ the only double. Output: the top-5 |s_t| hours
+    // — the candidate change points a monitoring pipeline would
+    // alert on. Rounds to 6.
+    "tw_cpd" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("event_type") === "error")
+        .select(date_trunc("hour", col("ts")).as("hb"))
+      val counts = ev.groupBy("hb").agg(count(lit(1)).as("c"))
+      val range = counts.agg(min(col("hb")).as("mn"), max(col("hb")).as("mx"))
+      val spine = range.select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("hb"))
+      val dense = spine.join(counts, Seq("hb"), "left")
+        .select(col("hb"), coalesce(col("c"), lit(0L)).as("x"))
+      val glob = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("hb")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val mu = col("sx").cast("double") / col("n").cast("double")
+      dense
+        .withColumn("ps", sum(col("x")).over(w))
+        .withColumn("t", count(lit(1)).over(w))
+        .crossJoin(broadcast(glob))
+        .select(col("hb"), col("x"),
+          round(col("ps").cast("double") -
+            col("t").cast("double") * mu, 6).as("cusum"))
+        .orderBy(abs(col("cusum")).desc, col("hb")).limit(5)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -594,5 +670,59 @@ object TimeWindowQueries extends GroupBase {
                    (acc, v) -> acc + v), 6) AS d2
           FROM good a JOIN good b ON b.st >= a.st + 24
           ORDER BY d2, st_a, st_b LIMIT 5""",
+    "tw_acf" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb
+                    FROM events WHERE event_type = 'purchase'),
+          b AS (SELECT hb, count(*) AS c FROM e GROUP BY 1),
+          r AS (SELECT min(hb) AS mn, max(hb) AS mx FROM b),
+          spine AS (SELECT unnest(generate_series(mn, mx,
+                      INTERVAL 1 HOUR)) AS hb FROM r),
+          dense AS (SELECT s.hb, CAST(coalesce(c, 0) AS BIGINT) AS x
+                    FROM spine s LEFT JOIN b USING (hb)),
+          gstat AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(x * x) AS BIGINT) AS sxx
+                    FROM dense),
+          lg AS (SELECT CAST(k AS BIGINT) AS lag, count(*) AS m,
+                        CAST(sum(a.x * bb.x) AS BIGINT) AS sxy,
+                        CAST(sum(a.x) AS BIGINT) AS sh,
+                        CAST(sum(bb.x) AS BIGINT) AS st
+                 FROM dense a
+                 CROSS JOIN (SELECT unnest(range(1, 49)) AS k) ks
+                 JOIN dense bb
+                   ON bb.hb = a.hb + to_hours(CAST(k AS BIGINT))
+                 GROUP BY 1)
+          SELECT lag,
+                 round(((CAST(sxy AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / n) * CAST(sh + st AS DOUBLE)
+                         + CAST(m AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+                           * (CAST(sx AS DOUBLE) / n)) / n)
+                       / (CAST(sxx AS DOUBLE) / n
+                          - (CAST(sx AS DOUBLE) / n)
+                            * (CAST(sx AS DOUBLE) / n)), 6) AS r
+          FROM lg CROSS JOIN gstat ORDER BY lag""",
+    "tw_cpd" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb
+                    FROM events WHERE event_type = 'error'),
+          b AS (SELECT hb, count(*) AS c FROM e GROUP BY 1),
+          r AS (SELECT min(hb) AS mn, max(hb) AS mx FROM b),
+          spine AS (SELECT unnest(generate_series(mn, mx,
+                      INTERVAL 1 HOUR)) AS hb FROM r),
+          dense AS (SELECT s.hb, CAST(coalesce(c, 0) AS BIGINT) AS x
+                    FROM spine s LEFT JOIN b USING (hb)),
+          gstat AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
+                    FROM dense),
+          cs AS (SELECT hb, x,
+                        CAST(sum(x) OVER (ORDER BY hb
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps,
+                        CAST(count(*) OVER (ORDER BY hb
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t
+                 FROM dense)
+          SELECT hb, x,
+                 round(CAST(ps AS DOUBLE)
+                   - CAST(t AS DOUBLE) * (CAST(sx AS DOUBLE) / n), 6) AS cusum
+          FROM cs CROSS JOIN gstat
+          ORDER BY abs(CAST(ps AS DOUBLE)
+            - CAST(t AS DOUBLE) * (CAST(sx AS DOUBLE) / n)) DESC, hb
+          LIMIT 5""",
   )
 }

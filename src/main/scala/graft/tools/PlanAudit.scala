@@ -72,7 +72,9 @@ object PlanAudit {
     "emb_probe",       // 1-row weight/count broadcasts per GD step, corpus streams
     "graph_bfs",       // same node-count broadcast via the shared graph builder
     "tw_tsim",         // 1-row span broadcast builds the hour spine (gapfill shape)
-    "tw_motif")        // span-bounded window pair join + 1-row span broadcast
+    "tw_motif",        // span-bounded window pair join + 1-row span broadcast
+    "tw_acf",          // 48-row lag table + 1-row global stats onto the span grid
+    "tw_cpd")          // 1-row span/global-stat broadcasts onto the span grid
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -97,6 +99,8 @@ object PlanAudit {
     "dd_tfidf_cos",   // per-doc sorted postings vector, state = one doc's vocab
     "emb_probe",      // 64-element weight re-assembly per step, bounded by dim
     "tw_motif")       // span-sized hourly series assembly (time-bounded, SF-free)
+  // (tw_cpd's global window runs on the span-bounded dense series —
+  // the text_zipf bounded-GLOBALWIN class)
 
   /** EXPLODEWIN detector: a window function computed directly over the
     * output of an explode/Generate (no aggregate in between) partitions
@@ -135,9 +139,12 @@ object PlanAudit {
     *    row count is bounded by ONE document's position count (a
     *    diagonal holds at most min(lenA, lenB) matches) — document
     *    length, not corpus size or key frequency, and hot shingles
-    *    are removed by capRare before the join. */
+    *    are removed by capRare before the join.
+    *  - tw_cpd: the Generate is the hour-spine explode — exactly ONE
+    *    row per hour of the global span, so the prefix-sum window is
+    *    span-bounded (the tw_gapfill spine class). */
   private val expectedExplodeWin: Set[String] =
-    Set("tw_gapfill", "pipe_epochs", "dd_spans")
+    Set("tw_gapfill", "pipe_epochs", "dd_spans", "tw_cpd")
 
   /** Audit every registered query's plan at `d`; returns the flagged
     * (name, flags) pairs. Shared by the CLI main and the PlanSpec

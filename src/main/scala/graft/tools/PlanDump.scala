@@ -94,6 +94,8 @@ object PlanDump {
     "graph_bfs" -> "multi-source BFS: per round one src-keyed frontier join + dst-keyed min hash-agg, distances never on the driver",
     "tw_tsim" -> "time-series correlation: corpus collapses to the (type, hour) count grid; pair join + integer sufficient statistics on the span-bounded grid",
     "tw_motif" -> "matrix-profile motif: span-sized series (one hash-agg), span^2-bounded window pair join — SF-independent after the first aggregate",
+    "tw_acf" -> "autocorrelation: one (hour) hash-agg, 48-lag self-join on the span grid, integer sufficient statistics",
+    "tw_cpd" -> "CUSUM change-point: integer prefix window over the span-bounded series, 1-row global-mean broadcast",
   )
 
   def main(args: Array[String]): Unit = {

@@ -338,6 +338,52 @@ class NewOpsR8Spec extends SparkSpec {
       s"motif pairs diverge: got ${rows.toSeq} want $best")
   }
 
+  private def hourlySeries(eventType: String): Vector[Long] = {
+    val ev = graft.core.Tables.load(spark, d, "events")
+      .filter(col("event_type") === eventType)
+      .select(date_trunc("hour", col("ts")).as("hb"))
+      .groupBy("hb").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    (ev.keys.min to ev.keys.max by 3600000L).toVector
+      .map(h => ev.getOrElse(h, 0L))
+  }
+
+  test("tw_acf matches a brute-force autocorrelation model; r(0) would be 1") {
+    val series = hourlySeries("purchase")
+    val n = series.length
+    val mu = series.sum.toDouble / n
+    val c0 = series.map(x => x * x).sum.toDouble / n - mu * mu
+    val want = (1 to 48).map { k =>
+      val m = n - k
+      val sxy = (0 until m).map(t => series(t) * series(t + k)).sum
+      val sh = series.take(m).sum; val st = series.drop(k).sum
+      k.toLong -> BigDecimal(
+        ((sxy - mu * (sh + st) + m * mu * mu) / n) / c0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = SparkEntry.queries("tw_acf")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, r) =>
+      assert(math.abs(r - want(k)) < 1e-9, s"lag $k: $r vs ${want(k)}")
+      assert(r >= -1.0 - 1e-6 && r <= 1.0 + 1e-6, s"lag $k out of range")
+    }
+  }
+
+  test("tw_cpd: reported points are the global top-|CUSUM| hours") {
+    val series = hourlySeries("error")
+    val n = series.length
+    val mu = series.sum.toDouble / n
+    val cusums = series.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+      .map { case (ps, i) => (i, ps - (i + 1) * mu) }
+    val want = cusums.sortBy { case (i, c) => (-math.abs(c), i) }.take(5)
+      .map { case (_, c) => BigDecimal(c)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val got = SparkEntry.queries("tw_cpd")(spark, d).collect()
+      .map(_.getDouble(2))
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq} want ${want.toSeq}")
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
