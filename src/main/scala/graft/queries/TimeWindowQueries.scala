@@ -342,17 +342,20 @@ object TimeWindowQueries extends GroupBase {
         .withColumn("sg", sqrt(col("sww").cast("double") / lit(W.toDouble) -
           col("mu") * col("mu")))
         .filter(col("sg") > 0.0)
-        .select(col("st"), col("w"), col("mu"), col("sg"))
+        // z-normalize ONCE per window (697 rows), so each of the
+        // span²/2 pairs pays only the codegen vec_d2 kernel —
+        // bit-identical to the inline (za − zb)² HOF fold it replaced
+        // (same per-element (x−μ)/σ bits, same left-to-right
+        // accumulation; the oracle's list_reduce needed no change)
+        // but a primitive loop instead of 24 interpreted lambdas.
+        .select(col("st"),
+          transform(col("w"), x =>
+            (x.cast("double") - col("mu")) / col("sg")).as("zw"))
       wins.as("a").join(wins.as("b"), col("b.st") >= col("a.st") + W)
         .select(col("a.st").cast("long").as("st_a"),
           col("b.st").cast("long").as("st_b"),
-          round(aggregate(
-            zip_with(col("a.w"), col("b.w"), (xa, xb) =>
-              ((xa.cast("double") - col("a.mu")) / col("a.sg") -
-                (xb.cast("double") - col("b.mu")) / col("b.sg")) *
-              ((xa.cast("double") - col("a.mu")) / col("a.sg") -
-                (xb.cast("double") - col("b.mu")) / col("b.sg"))),
-            lit(0.0), (acc, v) => acc + v), 6).as("d2"))
+          round(graft.functions.VectorFunctions.vd2(
+            col("a.zw"), col("b.zw")), 6).as("d2"))
         .orderBy(col("d2"), col("st_a"), col("st_b")).limit(5)
     }),
 

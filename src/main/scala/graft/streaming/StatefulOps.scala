@@ -29,6 +29,9 @@ case class BandHit(docId: Long, band: Int, firstDocId: Long)
   * (epoch ms, -1 = not reached). Permanent part is O(1) per user. */
 case class FunnelState(pending: List[KeyedEvent], t1: Long, t2: Long, t3: Long)
 
+/** Running one-sided CUSUM statistic + sample count (O(1) per key). */
+case class CusumState(s: Double, n: Long)
+
 /** First completion of funnel `stage` (1-based) for user `key`. */
 case class FunnelOut(key: Long, stage: Int, ts: Timestamp)
 
@@ -250,6 +253,39 @@ object StatefulOps {
             state.update(true)
             events.toSeq.sortBy(e => (e.ts.getTime, e.value)).headOption.iterator
           }
+      }
+  }
+
+  /** Streaming one-sided CUSUM alarm (Page's test, the streaming twin
+    * of the batch `tw_cpd` scan): per key,
+    *   S_t = max(0, S_{t-1} + (x_t − μ − slack))
+    * and an alert fires when S_t crosses `h`, after which the
+    * statistic resets (the standard restart-after-alarm protocol).
+    * Detects a sustained mean SHIFT that no single-point threshold
+    * sees — each sample may be individually unremarkable. State per
+    * key is two scalars (the running statistic + sample count), so
+    * the store scales with #keys, never stream length. Events within
+    * a micro-batch process in (event-time, value) order, making
+    * replays deterministic; cross-batch ordering relies on the
+    * upstream watermark as with the other stateful ops. */
+  def cusumAlerts(ds: Dataset[KeyedEvent], mu: Double, slack: Double,
+                  h: Double): Dataset[AlertOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, AlertOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, events, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0.0, 0L))
+          val out = scala.collection.mutable.ListBuffer[AlertOut]()
+          events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            val s1 = math.max(0.0, st.s + (e.value - mu - slack))
+            if (s1 > h) {
+              out += AlertOut(key, "cusum", e.ts, e.ts, s1)
+              st = CusumState(0.0, st.n + 1)
+            } else st = CusumState(s1, st.n + 1)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -294,4 +294,34 @@ class StatefulOpsSpec extends SparkSpec {
     val g = run("tq_greedy", greedy = true)
     assert(g.length == 1 && g.head.getSeq[Double](3) == Seq(1.0, 2.0, 3.0))
   }
+
+  test("cusumAlerts: sustained shift alarms, individually unremarkable samples do not") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[KeyedEvent]
+    // mu=10, slack=1, h=6: samples of 12 add +1 each — no single point
+    // is an outlier, but six in a row cross the threshold
+    input.addData((1 to 5).map(i =>
+      KeyedEvent(1L, ts(i * 1000L), "m", 12.0)))       // S reaches 5 — silent
+    input.addData((6 to 8).map(i =>
+      KeyedEvent(1L, ts(i * 1000L), "m", 12.0)))       // crosses 6 at i=6; resets
+    // key 2: alternating around the mean — never accumulates
+    input.addData((1 to 8).map(i =>
+      KeyedEvent(2L, ts(i * 1000L), "m", if (i % 2 == 0) 8.0 else 12.0)))
+    val q = StatefulOps.cusumAlerts(input.toDS(), mu = 10.0,
+        slack = 1.0, h = 6.0)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cusum").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).getTime, r.getDouble(4)))
+      // key 1: S = 1,2,3,4,5 (silent), 6 (= h, still silent — the alarm
+      // needs S > h), 7 -> ONE alarm at t=7s with S=7, then reset; the
+      // 8th sample restarts at 1. Key 2 never accumulates.
+      assert(rows.toSeq == Seq((1L, 7000L, 7.0)),
+        s"want exactly the t=7s alarm, got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
