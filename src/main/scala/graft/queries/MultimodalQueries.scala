@@ -130,6 +130,59 @@ object MultimodalQueries extends GroupBase {
           sum((col("cnt") - 1) * col("nb")).as("reclaimable_bytes"))
         .orderBy("mtype")
     }),
+
+    // PERCEPTUAL-hash media near-dup — the fuzzy complement of
+    // mm_dedup's exact checksum (a re-encoded / padded blob changes
+    // its md5 but not its content statistics). Block-mean hash (the
+    // aHash family): the payload byte stream splits into 64 equal
+    // blocks, bit j = "block j's mean byte exceeds the global mean",
+    // packed into one BIGINT code; near-dup = Hamming <= 12 on
+    // candidates sharing any of the 4 16-bit sub-codes (emb_binary's
+    // banding — LSH recall, not exhaustive: a pair differing in all
+    // four bands is missed, the dd_minhash tradeoff). A deployment
+    // points the SAME plan at decoded grayscale via the MultimodalOps
+    // mapPartitions hook; payload bytes are the container's stand-in.
+    // 100 TB shape: one byte-explode into a (doc, block) hash-agg
+    // (map-side combine), integer-only bit math (block_sum·64 >
+    // total — no division), band join with bounded buckets, codes
+    // carried on band rows so candidates never re-join the code
+    // table. Everything integer -> bit-exact cross-engine.
+    "mm_phash" -> ((s, d) => {
+      val W = 64
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          floor(length(col("text")) / W).cast("long").as("b"))
+        .filter(col("b") >= 1)
+      val blocks = base
+        .select(col("doc_id"), col("b"),
+          posexplode(filter(split(col("text"), ""), c => c =!= ""))
+            .as(Seq("pos", "ch")))
+        .filter(col("pos") < col("b") * W)
+        .groupBy(col("doc_id"),
+          floor(col("pos") / col("b")).cast("int").as("blk"))
+        .agg(sum(ascii(col("ch"))).as("bs"))
+      val tot = blocks.groupBy("doc_id").agg(sum(col("bs")).as("ts"))
+      val codes = blocks.join(tot, "doc_id")
+        .select(col("doc_id"),
+          when(col("bs") * W > col("ts"),
+            expr("shiftleft(CAST(1 AS BIGINT), blk)")).otherwise(0L)
+            .as("bit"))
+        .groupBy("doc_id").agg(expr("bit_or(bit)").as("code"))
+      val bands = codes
+        .select(col("doc_id"), col("code"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("bkey",
+          expr("shiftright(code, CAST(k * 16 AS INT))")
+            .bitwiseAND(lit(65535L)))
+      bands.as("a").join(bands.as("b").hint("shuffle_hash"),
+          col("a.k") === col("b.k") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("CAST(bit_count(a.code ^ b.code) AS INT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+        .orderBy("da", "db")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -193,5 +246,32 @@ object MultimodalQueries extends GroupBase {
                 CAST(sum(cnt - 1) AS BIGINT) AS n_dup_items,
                 CAST(sum((cnt - 1) * nb) AS BIGINT) AS reclaimable_bytes
          FROM g GROUP BY 1 ORDER BY mtype""",
+    "mm_phash" ->
+      """WITH base AS (SELECT doc_id, text, length(text) // 64 AS b
+                       FROM documents WHERE length(text) // 64 >= 1),
+         blocks AS (
+           SELECT doc_id, CAST((i - 1) // b AS INT) AS blk,
+                  sum(ascii(substr(text, CAST(i AS INT), 1))) AS bs
+           FROM base, LATERAL (SELECT unnest(range(1,
+                  CAST(b * 64 AS INT) + 1)) AS i) r
+           GROUP BY doc_id, (i - 1) // b),
+         tot AS (SELECT doc_id, sum(bs) AS ts FROM blocks GROUP BY 1),
+         codes AS (
+           SELECT c.doc_id,
+                  bit_or(CASE WHEN bs * 64 > ts THEN
+                    (CASE WHEN blk = 63
+                          THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << blk) END)
+                    ELSE 0 END) AS code
+           FROM blocks c JOIN tot USING (doc_id) GROUP BY 1),
+         bands AS (SELECT doc_id, code, k,
+                          (code >> CAST(k * 16 AS INT)) & 65535 AS bkey
+                   FROM codes, (SELECT unnest(range(0, 4)) AS k) ks)
+         SELECT da, db, hamming FROM (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                  CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+           FROM bands a JOIN bands b
+             ON a.k = b.k AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         WHERE hamming <= 12 ORDER BY da, db""",
   )
 }

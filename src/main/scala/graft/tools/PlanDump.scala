@@ -96,6 +96,7 @@ object PlanDump {
     "tw_motif" -> "matrix-profile motif: span-sized series (one hash-agg), span^2-bounded window pair join — SF-independent after the first aggregate",
     "tw_acf" -> "autocorrelation: one (hour) hash-agg, 48-lag self-join on the span grid, integer sufficient statistics",
     "tw_cpd" -> "CUSUM change-point: integer prefix window over the span-bounded series, 1-row global-mean broadcast",
+    "mm_phash" -> "perceptual media near-dup: byte-explode into (doc, block) hash-agg, integer bit math, banded Hamming candidates (no all-pairs)",
   )
 
   def main(args: Array[String]): Unit = {

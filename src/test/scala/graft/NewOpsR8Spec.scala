@@ -384,6 +384,34 @@ class NewOpsR8Spec extends SparkSpec {
     assert(got.toSeq == want.toSeq, s"got ${got.toSeq} want ${want.toSeq}")
   }
 
+  test("mm_phash matches a brute-force block-mean-hash model") {
+    val texts = graft.core.Tables.load(spark, d, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def code(text: String): Option[Long] = {
+      val b = text.length / 64
+      if (b < 1) None else {
+        val used = text.take(b * 64).map(_.toLong)
+        val total = used.sum
+        Some((0 until 64).foldLeft(0L) { (acc, j) =>
+          val bs = used.slice(j * b, (j + 1) * b).sum
+          if (bs * 64 > total) acc | (1L << j) else acc
+        })
+      }
+    }
+    val codes = texts.flatMap { case (id, t) => code(t).map(id -> _) }
+    def bandsOf(c: Long) = (0 until 4).map(k => (k, (c >> (k * 16)) & 0xFFFFL))
+    val want = (for {
+      (ia, ca) <- codes; (ib, cb) <- codes
+      if ia < ib && bandsOf(ca).intersect(bandsOf(cb)).nonEmpty
+      h = java.lang.Long.bitCount(ca ^ cb)
+      if h <= 12
+    } yield (ia, ib, h)).toSet
+    val got = SparkEntry.queries("mm_phash")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
