@@ -404,6 +404,61 @@ object AggQueries extends GroupBase {
         .orderBy("cohort", "day_offset")
     }),
 
+    // KAPLAN-MEIER survival estimator — the censoring-aware lifetime
+    // curve agg_retention's cohort grid cannot give (a user still
+    // active at the observation edge is CENSORED, not churned;
+    // counting them as churned biases every retention number down).
+    // Lifetime = hours between a user's first and last event; a user
+    // whose last event falls in the final 24h of the span is censored.
+    // S(t) = Π_{t_i <= t} (1 − d_i / n_i) over the churn times, with
+    // n_i = #{lifetime >= t_i} (censored users leave the risk set at
+    // their censor time — the estimator's whole point). 100 TB shape:
+    // one user-keyed hash-agg, then the lifetime HISTOGRAM
+    // (span-bounded) carries the survival arithmetic — risk sets by
+    // prefix sums over the histogram, never a per-user window. The
+    // product runs as exp(Σ ln(1 − d/n)) with each ln term
+    // q6-quantized before the ordered cumsum (both engines sum
+    // identical bits in identical order); a d = n final time point
+    // pins S to exactly 0 via an integer flag (Spark ln(0) = NULL vs
+    // DuckDB -inf — the emb_sq8 divergence class, sidestepped).
+    "agg_survival" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val users = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("first"), max(col("ts")).as("last"))
+      val gmax = users.agg(max(col("last")).as("gmax"))
+      val lt = users.crossJoin(broadcast(gmax))
+        .select(
+          floor((unix_timestamp(col("last")) -
+            unix_timestamp(col("first"))) / 3600L).cast("long").as("t"),
+          (col("last") >= col("gmax") - expr("INTERVAL 24 HOURS"))
+            .as("censored"))
+      val hist = lt.groupBy("t").agg(
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+      val n = lt.agg(count(lit(1)).as("ntot"))
+      val risk = hist.crossJoin(broadcast(n))
+        .withColumn("nrisk", col("ntot") -
+          coalesce(sum(col("d") + col("c")).over(
+            org.apache.spark.sql.expressions.Window.orderBy("t")
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)), lit(0L)))
+      risk
+        .withColumn("term", when(col("d") < col("nrisk"),
+          Exact.q6(log(lit(1.0) - col("d").cast("double") /
+            col("nrisk").cast("double")))).otherwise(lit(0.0)))
+        .withColumn("dead",
+          max((col("d") === col("nrisk")).cast("int")).over(w))
+        .select(col("t"), col("nrisk"), col("d").as("n_churn"),
+          col("c").as("n_censored"),
+          when(col("dead") === 1, 0.0)
+            .otherwise(round(exp(sum(col("term")).over(w)), 6)).as("surv"))
+        .filter(col("n_churn") > 0)
+        .orderBy("t")
+    }),
+
     // funnel analysis (the batch twin of the CEP sequence queries in
     // PatternQueries): per-user earliest signup -> earliest click at
     // or after it -> earliest purchase at or after that, then one
@@ -968,6 +1023,43 @@ object AggQueries extends GroupBase {
                    AS retention
           FROM act a JOIN sz USING (cohort)
           ORDER BY cohort, day_offset""",
+    "agg_survival" ->
+      s"""WITH u AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS f,
+                            max(CAST(ts AS TIMESTAMP)) AS l
+                     FROM events GROUP BY 1),
+          gm AS (SELECT max(l) AS gmax FROM u),
+          lt AS (SELECT (CAST(floor(epoch(l)) AS BIGINT)
+                         - CAST(floor(epoch(f)) AS BIGINT)) // 3600 AS t,
+                        l >= gmax - INTERVAL 24 HOURS AS censored
+                 FROM u CROSS JOIN gm),
+          hist AS (SELECT t,
+                          CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                            AS BIGINT) AS d,
+                          CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c
+                   FROM lt GROUP BY 1),
+          nt AS (SELECT count(*) AS ntot FROM lt),
+          risk AS (SELECT t, d, c,
+                          ntot - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS nrisk
+                   FROM hist CROSS JOIN nt),
+          terms AS (SELECT t, d, c, nrisk,
+                           CASE WHEN d < nrisk THEN
+                             ${graft.core.ExactSql.q6(
+                               """ln(CAST(1.0 AS DOUBLE)
+                                  - CAST(d AS DOUBLE)
+                                    / CAST(nrisk AS DOUBLE))""")}
+                           ELSE CAST(0.0 AS DOUBLE) END AS term,
+                           max(CASE WHEN d = nrisk THEN 1 ELSE 0 END)
+                             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                             AS dead
+                    FROM risk)
+          SELECT t, nrisk, d AS n_churn, c AS n_censored,
+                 CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
+                      ELSE round(exp(sum(term) OVER (ORDER BY t
+                        ROWS UNBOUNDED PRECEDING)), 6) END AS surv
+          FROM terms WHERE d > 0 ORDER BY t""",
     "agg_funnel" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type
                     FROM events),

@@ -74,7 +74,8 @@ object PlanAudit {
     "tw_tsim",         // 1-row span broadcast builds the hour spine (gapfill shape)
     "tw_motif",        // span-bounded window pair join + 1-row span broadcast
     "tw_acf",          // 48-row lag table + 1-row global stats onto the span grid
-    "tw_cpd")          // 1-row span/global-stat broadcasts onto the span grid
+    "tw_cpd",          // 1-row span/global-stat broadcasts onto the span grid
+    "agg_survival")    // 1-row span-end/total broadcasts onto the lifetime histogram
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

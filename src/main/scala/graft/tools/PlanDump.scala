@@ -97,6 +97,7 @@ object PlanDump {
     "tw_acf" -> "autocorrelation: one (hour) hash-agg, 48-lag self-join on the span grid, integer sufficient statistics",
     "tw_cpd" -> "CUSUM change-point: integer prefix window over the span-bounded series, 1-row global-mean broadcast",
     "mm_phash" -> "perceptual media near-dup: byte-explode into (doc, block) hash-agg, integer bit math, banded Hamming candidates (no all-pairs)",
+    "agg_survival" -> "Kaplan-Meier: one user-keyed hash-agg, survival arithmetic on the span-bounded lifetime histogram (prefix sums, no per-user window)",
   )
 
   def main(args: Array[String]): Unit = {

@@ -412,6 +412,47 @@ class NewOpsR8Spec extends SparkSpec {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("agg_survival matches a brute-force Kaplan-Meier model") {
+    val users = graft.core.Tables.load(spark, d, "events")
+      .groupBy("user_id").agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+      .collect().map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+    val gmax = users.map(_._2).max
+    val lts = users.map { case (f, l) =>
+      ((l / 1000 - f / 1000) / 3600, l >= gmax - 24L * 3600 * 1000) }
+    val times = lts.map(_._1).distinct.sorted
+    var surv = 1.0; var atRisk = lts.length.toLong; var dead = false
+    val want = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long, Double)]()
+    times.foreach { tt =>
+      val d0 = lts.count { case (t, c) => t == tt && !c }.toLong
+      val c0 = lts.count { case (t, c) => t == tt && c }.toLong
+      if (d0 == atRisk) dead = true
+      else if (d0 > 0) surv = surv * math.exp(
+        math.floor(math.log(1.0 - d0.toDouble / atRisk) * 1e6) / 1e6)
+      if (d0 > 0)
+        want += ((tt, atRisk, d0, c0,
+          if (dead) 0.0 else BigDecimal(surv)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      atRisk -= (d0 + c0)
+    }
+    val got = SparkEntry.queries("agg_survival")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // the model multiplies per-step (engine exps ONE summed total), so
+    // compare survival to 1e-5; counts must be exact
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4,
+        s"counts diverge at t=${g._1}: $g vs $w")
+      assert(math.abs(g._5 - w._5) < 1e-5, s"surv at t=${g._1}: $g vs $w")
+    }
+    // KM invariants: S non-increasing, within (0, 1]
+    got.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9)
+      case _           => ()
+    }
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
