@@ -258,6 +258,45 @@ object GraphQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // K-CORE membership by bounded peeling (K = 3, 3 rounds) — the
+    // density signal the link-farm screen uses where triangles count
+    // local closure: a node is in the 3-core only if it keeps >= 3
+    // neighbors AFTER low-degree nodes are recursively removed, so
+    // sparse tendrils and isolated pairs peel away while dense link
+    // blocks survive. Each round recomputes degrees WITHIN the
+    // surviving subgraph (two semi-join-shaped endpoint filters + one
+    // hash-agg with map-side partials) and drops deg < K; 3 rounds
+    // approximate the fixpoint from above — peeling is monotone, so
+    // survivors here are a superset of the true 3-core (a production
+    // run iterates until no node drops, the graph_cc convention). The
+    // carried active set feeds both endpoint filters next round, so
+    // its lineage is barriered per round (the graph_ppr lesson —
+    // corpus-derived joins in the replayed lineage).
+    "graph_kcore" -> ((s, d) => {
+      val K = 3
+      val (nodes, edges) = graph(s, d)
+      val und = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      def coreDeg(active: DataFrame): DataFrame = und
+        .join(active.select(col("doc_id").as("src")), Seq("src"))
+        .join(active.select(col("doc_id").as("dst")), Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      var active = nodes.select(col("doc_id"))
+      for (_ <- 1 to 3) {
+        active = coreDeg(active).filter(col("deg") >= K)
+          .select(col("src").as("doc_id"))
+          .localCheckpoint()
+      }
+      val fdeg = coreDeg(active)
+      nodes.select(col("doc_id"))
+        .join(fdeg.select(col("src").as("doc_id"), col("deg").as("deg_core")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("deg_core").isNotNull.as("in_core3"),
+          coalesce(col("deg_core"), lit(0L)).as("deg_core"))
+        .orderBy("doc_id")
+    }),
+
     "graph_cc" -> ((s, d) => {
       val (nodes, edges) = graph(s, d)
       val und = edges.select(col("src"), col("dst"))
@@ -479,6 +518,30 @@ object GraphQueries extends GroupBase {
           SELECT d.doc_id, coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri
           FROM documents d LEFT JOIN per USING (doc_id)
           ORDER BY doc_id""",
+    "graph_kcore" -> {
+      def peel(prev: String, out: String): String =
+        s"""$out AS (SELECT src AS doc_id FROM (
+              SELECT und.src, count(*) AS deg FROM und
+              JOIN $prev p1 ON p1.doc_id = und.src
+              JOIN $prev p2 ON p2.doc_id = und.dst
+              GROUP BY 1) x WHERE deg >= 3)"""
+      s"""WITH $graphSql,
+          und AS (SELECT src, dst FROM edges
+                  UNION SELECT dst, src FROM edges),
+          a0 AS (SELECT doc_id FROM documents),
+          ${peel("a0", "a1")},
+          ${peel("a1", "a2")},
+          ${peel("a2", "a3")},
+          fdeg AS (SELECT und.src AS doc_id, count(*) AS deg_core
+                   FROM und
+                   JOIN a3 p1 ON p1.doc_id = und.src
+                   JOIN a3 p2 ON p2.doc_id = und.dst
+                   GROUP BY 1)
+          SELECT d.doc_id, deg_core IS NOT NULL AS in_core3,
+                 CAST(coalesce(deg_core, 0) AS BIGINT) AS deg_core
+          FROM documents d LEFT JOIN fdeg USING (doc_id)
+          ORDER BY doc_id"""
+    },
     "graph_bfs" -> {
       def round(prev: String, out: String): String =
         s"""$out AS (

@@ -1479,6 +1479,64 @@ object TextQueries extends GroupBase {
         .select(col("n1"), col("n2"), col("vocab"), col("jsd_bits"))
     }),
 
+    // RAKE keyphrase extraction (Rose et al. 2010) — the multi-word
+    // complement of text_tfidf's single-term keywords and text_pmi's
+    // adjacent bigrams: candidate phrases are the maximal runs of
+    // non-stopword tokens (stopwords delimit), each scored by
+    // Σ_w deg(w)/freq(w) where freq counts w's occurrences in
+    // candidates and deg additionally credits the length of every
+    // phrase containing w (so words that travel in long phrases
+    // outrank loners). Run segmentation is ELEMENT-WISE — runid =
+    // (token position) − (index among the doc's non-stop tokens),
+    // the gaps-and-islands identity computed inside array HOFs, so
+    // no per-token window ever forms. 100 TB shape: one tokenize
+    // scan → (doc, run) hash-agg (state = one phrase) → vocab-sized
+    // word-stat table joined back by hash; the per-phrase score is
+    // an fsum of q6-quantized per-word ratios (order-independent),
+    // top-20 via TakeOrderedAndProject. Integer deg/freq keep
+    // everything exact up to the one division per word.
+    "text_rake" -> ((s, d) => {
+      val runs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+        .withColumn("ns", filter(
+          zip_with(col("tk"), sequence(lit(0), size(col("tk")) - 1),
+            (t0, i) => struct(t0.as("tok"), i.as("pos"))),
+          x => !x.getField("tok").isInCollection(stopwords)))
+        .select(col("doc_id"), explode(zip_with(col("ns"),
+          sequence(lit(0), size(col("ns")) - 1),
+          (x, j) => struct(x.getField("tok").as("tok"),
+            x.getField("pos").as("pos"),
+            (x.getField("pos") - j).as("rid")))).as("e"))
+        .select(col("doc_id"), col("e.tok"), col("e.pos"), col("e.rid"))
+      // the standard RAKE max-phrase-length parameter (4): without it
+      // a stopword-free document becomes one giant pseudo-phrase
+      val phrases = runs.groupBy("doc_id", "rid")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter(col("plen") <= 4)
+      // collapse repeated phrase TEXT first (multiplicity rides as
+      // n_occ), so word statistics weight by occurrence count while
+      // each phrase's score sums its own words exactly once per slot
+      val pdist = phrases.groupBy("phrase", "plen")
+        .agg(count(lit(1)).as("n_occ"))
+      val pwords = pdist.select(col("phrase"), col("plen"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      val stats = pwords.groupBy("w").agg(
+        sum(col("n_occ")).as("freq"),
+        sum(col("n_occ") * col("plen")).as("deg"))
+      pwords.join(stats, "w")
+        .groupBy("phrase", "plen", "n_occ")
+        .agg(round(Exact.fsum(Exact.q6(
+          col("deg").cast("double") / col("freq").cast("double"))), 6)
+          .as("score"))
+        .select(col("phrase"), col("n_occ"),
+          col("plen").as("n_words"), col("score"))
+        .orderBy(col("score").desc, col("phrase")).limit(20)
+    }),
+
     // C4-style rule battery (Raffel et al. 2020 §2.2) — the OTHER
     // canonical heuristic filter next to text_gopher's: where Gopher
     // thresholds corpus statistics (mean word length, TTR, stopword
@@ -2429,6 +2487,39 @@ object TextQueries extends GroupBase {
                  round(${ExactSql.fsum("term")}
                    / ln(CAST(2.0 AS DOUBLE)), 6) AS jsd_bits
           FROM terms GROUP BY 1, 2""",
+    "text_rake" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
+                     WHERE len($toksSql) > 0),
+          nsx AS (SELECT doc_id,
+                   list_filter(list_zip(tk, range(1, len(tk) + 1)),
+                     p -> NOT list_contains($stopSql, p[1])) AS ns
+                  FROM d),
+          e AS (SELECT doc_id,
+                  unnest(list_transform(ns, q -> q[1])) AS tok,
+                  unnest(list_transform(ns, q -> q[2])) AS pos,
+                  unnest(list_transform(list_zip(ns, range(1, len(ns) + 1)),
+                    q -> q[1][2] - q[2])) AS rid
+                FROM nsx),
+          phrases AS (SELECT doc_id, rid,
+                             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                             count(*) AS plen
+                      FROM e GROUP BY 1, 2 HAVING count(*) <= 4),
+          pdist AS (SELECT phrase, plen, count(*) AS n_occ
+                    FROM phrases GROUP BY 1, 2),
+          pwords AS (SELECT phrase, plen, n_occ,
+                            unnest(string_split(phrase, ' ')) AS w
+                     FROM pdist),
+          stats AS (SELECT w, CAST(sum(n_occ) AS BIGINT) AS freq,
+                           CAST(sum(n_occ * plen) AS BIGINT) AS deg
+                    FROM pwords GROUP BY 1)
+          SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ,
+                 CAST(plen AS BIGINT) AS n_words,
+                 round(${ExactSql.fsum(ExactSql.q6(
+                   "CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)"))}, 6)
+                   AS score
+          FROM pwords JOIN stats USING (w)
+          GROUP BY phrase, plen, n_occ
+          ORDER BY score DESC, phrase LIMIT 20""",
     "text_c4" ->
       s"""WITH f AS (SELECT doc_id, $toksSql AS tk FROM documents),
           g AS (SELECT doc_id, len(tk) AS n_tok,

@@ -75,7 +75,8 @@ object PlanAudit {
     "tw_motif",        // span-bounded window pair join + 1-row span broadcast
     "tw_acf",          // 48-row lag table + 1-row global stats onto the span grid
     "tw_cpd",          // 1-row span/global-stat broadcasts onto the span grid
-    "agg_survival")    // 1-row span-end/total broadcasts onto the lifetime histogram
+    "agg_survival",    // 1-row span-end/total broadcasts onto the lifetime histogram
+    "graph_kcore")     // same node-count broadcast via the shared graph builder
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -99,7 +100,8 @@ object PlanAudit {
     "emb_drift",      // 64-element mean-vector re-assembly, bounded by dim
     "dd_tfidf_cos",   // per-doc sorted postings vector, state = one doc's vocab
     "emb_probe",      // 64-element weight re-assembly per step, bounded by dim
-    "tw_motif")       // span-sized hourly series assembly (time-bounded, SF-free)
+    "tw_motif",       // span-sized hourly series assembly (time-bounded, SF-free)
+    "text_rake")      // per-run phrase re-assembly, state = one phrase (<= 4 tokens)
   // (tw_cpd's global window runs on the span-bounded dense series —
   // the text_zipf bounded-GLOBALWIN class)
 

@@ -453,6 +453,50 @@ class NewOpsR8Spec extends SparkSpec {
     assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
   }
 
+  test("text_rake: phrases are stopword-free runs, scores positive, cap respected") {
+    val stop = Set("the", "a", "and", "of")
+    val rows = SparkEntry.queries("text_rake")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (phrase, nOcc, nWords, score) =>
+      val ws = phrase.split(" ")
+      assert(ws.length == nWords && nWords <= 4)
+      assert(ws.forall(w => !stop.contains(w)), s"stopword inside '$phrase'")
+      assert(nOcc >= 1 && score > 0.0)
+    }
+    // scores arrive sorted descending
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9); case _ => ()
+    }
+  }
+
+  test("graph_kcore: peeling is sound — core members keep >= 3 in-core neighbors") {
+    val rows = SparkEntry.queries("graph_kcore")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(rows.length == 500)
+    val core = rows.filter(_._2).map(_._1).toSet
+    val n = rows.length
+    def nbrs(u: Long): Set[Long] = {
+      val out = if (u % 7 != 0)
+        (Seq(u % 10) ++ (1 to 3).map(j => (u * 31 + j * 17) % n))
+          .filter(_ != u).toSet
+      else Set.empty[Long]
+      val in = rows.map(_._1).filter { v =>
+        v % 7 != 0 && v != u &&
+          (v % 10 == u || (1 to 3).exists(j => (v * 31 + j * 17) % n == u))
+      }.toSet
+      out ++ in
+    }
+    rows.filter(_._2).foreach { case (u, _, degCore) =>
+      val inCoreNbrs = nbrs(u).count(core)
+      assert(inCoreNbrs.toLong == degCore,
+        s"node $u: reported deg_core $degCore vs recomputed $inCoreNbrs")
+      assert(degCore >= 3, s"core node $u has only $degCore in-core neighbors")
+    }
+    assert(core.nonEmpty && core.size < n,
+      "peeling should drop some nodes and keep some on this graph")
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
