@@ -32,6 +32,12 @@ case class FunnelState(pending: List[KeyedEvent], t1: Long, t2: Long, t3: Long)
 /** Running one-sided CUSUM statistic + sample count (O(1) per key). */
 case class CusumState(s: Double, n: Long)
 
+/** Streaming stratified-sample state: emission version + the kept
+  * (priority, key) pairs, bounded at k per stratum. */
+case class KSampleState(ver: Long, kept: List[(Long, Long)])
+case class KSampleOut(kind: String, ver: Long, rank: Int, key: Long,
+                      priority: Long)
+
 /** First completion of funnel `stage` (1-based) for user `key`. */
 case class FunnelOut(key: Long, stage: Int, ts: Timestamp)
 
@@ -252,6 +258,39 @@ object StatefulOps {
           else {
             state.update(true)
             events.toSeq.sortBy(e => (e.ts.getTime, e.value)).headOption.iterator
+          }
+      }
+  }
+
+  /** Streaming STRATIFIED exactly-k sample — the incremental twin of
+    * batch `pipe_ksample`: per stratum (the event kind), keep the k
+    * keys with the LOWEST salted-hash priority
+    * h32("ksample:" + key). Because min-k under a content-derived
+    * priority is a semilattice (commutative, associative,
+    * idempotent), the final kept set is ARRIVAL-ORDER-INDEPENDENT and
+    * equals what the batch window computes over the same rows — the
+    * property that makes the sample reproducible across replays,
+    * repartitions, and late data. State is the <= k-pair list per
+    * stratum (bounded); each micro-batch that changes a stratum's
+    * set re-emits it under a bumped version (consumers keep the max
+    * version per stratum). */
+  def stratifiedKSample(ds: Dataset[KeyedEvent], k: Int): Dataset[KSampleOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.kind)
+      .flatMapGroupsWithState[KSampleState, KSampleOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (kind, events, state: GroupState[KSampleState]) =>
+          val st = state.getOption.getOrElse(KSampleState(0L, Nil))
+          val merged = (st.kept ++ events.map(e =>
+              (graft.functions.HashKernels.h32("ksample:" + e.key), e.key)))
+            .distinct.sorted.take(k)
+          if (merged == st.kept) Iterator.empty
+          else {
+            val next = KSampleState(st.ver + 1, merged)
+            state.update(next)
+            merged.zipWithIndex.iterator.map { case ((p, key), i) =>
+              KSampleOut(kind, next.ver, i + 1, key, p)
+            }
           }
       }
   }

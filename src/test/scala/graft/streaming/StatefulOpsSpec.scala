@@ -295,6 +295,42 @@ class StatefulOpsSpec extends SparkSpec {
     assert(g.length == 1 && g.head.getSeq[Double](3) == Seq(1.0, 2.0, 3.0))
   }
 
+  test("stratifiedKSample: final state is arrival-order-independent and matches the batch min-k") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rnd = new scala.util.Random(5L)
+    val all = (1 to 60).map(i =>
+      KeyedEvent(rnd.nextInt(30).toLong, ts(i * 1000L), s"s${i % 3}", 0.0))
+    def runOrder(name: String, evs: Seq[Seq[KeyedEvent]]): Map[(String, Int), Long] = {
+      val input = MemoryStream[KeyedEvent]
+      val q = StatefulOps.stratifiedKSample(input.toDS(), 4)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        evs.foreach { batch => input.addData(batch); q.processAllAvailable() }
+        val rows = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        // take each stratum's final (max-version) emission
+        val lastVer = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        rows.filter { case (k, v, _, _) => v == lastVer(k) }
+          .map { case (k, _, rk, key) => (k, rk) -> key }.toMap
+      } finally q.stop()
+    }
+    val a = runOrder("ks_a", Seq(all.take(20), all.slice(20, 40), all.drop(40)))
+    val b = runOrder("ks_b", Seq(rnd.shuffle(all)))
+    assert(a == b, "kept sets diverge across arrival orders/batchings")
+    // batch model: lowest-4 priorities per stratum
+    val want = all.map(e => (e.kind, e.key)).distinct
+      .map { case (k, key) =>
+        (k, graft.functions.HashKernels.h32("ksample:" + key), key) }
+      .groupBy(_._1).flatMap { case (k, g) =>
+        g.sortBy(x => (x._2, x._3)).take(4).zipWithIndex
+          .map { case ((_, _, key), i) => (k, i + 1) -> key }
+      }
+    assert(a == want, "streaming kept set diverges from the batch min-k")
+  }
+
   test("cusumAlerts: sustained shift alarms, individually unremarkable samples do not") {
     val s = spark
     import s.implicits._
