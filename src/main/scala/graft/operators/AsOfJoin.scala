@@ -63,7 +63,8 @@ object AsOfJoin {
     * row of state. Requires a session built with GraftExtensions. */
   def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTs: String, rightTs: String,
-                 valueCols: Seq[String]): DataFrame = {
+                 valueCols: Seq[String],
+                 toleranceMs: Long = -1L): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     // Re-alias the right side so its attribute ids are fresh: when both
     // inputs derive from the same scan they share exprIds, and the
@@ -79,6 +80,7 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
         attr(lPlan, leftTs), attr(rPlan, rightTs),
-        valueCols.map(attr(rPlan, _))))
+        valueCols.map(attr(rPlan, _)),
+        if (toleranceMs < 0) -1L else toleranceMs * 1000L))
   }
 }

@@ -29,7 +29,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryExecNode {
+    rightValues: Seq[Attribute],
+    toleranceUs: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -85,6 +86,8 @@ case class AsOfJoinExec(
 
       var curKey: InternalRow = null   // key of the in-force value
       var curVal: InternalRow = null   // value in force for curKey
+      var curTs: Long = 0L             // its event time (tolerance check)
+      val tolB = toleranceUs
 
       lIter.map { l =>
         val lKey = lKeyProj(l)
@@ -99,9 +102,16 @@ case class AsOfJoinExec(
         while (rKey != null && keyOrd.compare(rKey, lKey) == 0 &&
                rTsVal <= lTsVal) {
           curVal = rVal
+          curTs = rTsVal
           advanceRight()
         }
-        outProj(joiner(l, if (curVal != null) curVal else nullVals))
+        // tolerance: an in-force value staler than the window yields
+        // the left-outer NULLs (it can only age further for later
+        // left rows of this key, but a NEWER right row may still
+        // arrive, so the state itself is kept)
+        val inTol = curVal != null &&
+          (tolB < 0L || lTsVal - curTs <= tolB)
+        outProj(joiner(l, if (inTol) curVal else nullVals))
       }
     }
   }
@@ -117,7 +127,8 @@ class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.rightValues) :: Nil
+        p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.rightValues,
+        p.toleranceUs) :: Nil
     case _ => Nil
   }
 }

@@ -5,7 +5,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 
 /** Logical as-of join (SURVEY §7.3 tier c: custom LogicalPlan +
   * SparkStrategy + SparkPlan): for every left row, the single most
-  * recent right row with `rightTs <= leftTs` within the same key.
+  * recent right row with `rightTs <= leftTs` within the same key —
+  * and, when `toleranceUs >= 0`, only if that row is no older than
+  * the tolerance (pandas merge_asof semantics: a staler match yields
+  * NULL values, the left row is kept).
   *
   * Built from RESOLVED children (graft.operators.AsOfJoin.asOfNative
   * constructs it post-analysis), so the analyzer passes it through and
@@ -19,7 +22,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryNode {
+    rightValues: Seq[Attribute],
+    toleranceUs: Long = -1L) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))

@@ -187,6 +187,27 @@ object JoinQueries extends GroupBase {
         .orderBy("event_id")
     }),
 
+    // As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`, the
+    // knob every feature-store point-in-time join exposes): the most
+    // recent click still counts only if it happened within the last
+    // 10 minutes — a staler in-force value yields the left-outer
+    // NULLs instead of silently attributing a purchase to an ancient
+    // click. Same custom AsOfJoinExec single-pass merge (the
+    // tolerance is one comparison on the in-force row, no extra state
+    // or buffering); DuckDB mirrors by nulling the ASOF match past
+    // the window.
+    "join_asof_tol" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      AsOfJoin.asOfNative(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_value"), toleranceMs = 10 * 60 * 1000L)
+        .select("event_id", "user_id", "click_value")
+        .orderBy("event_id")
+    }),
+
     // SymSpell-style fuzzy self-join (edit distance <= 1) over customer
     // names — the entity-resolution join the reference's exact equi
     // joins can't express. Each name emits its deletion neighborhood
@@ -326,6 +347,18 @@ object JoinQueries extends GroupBase {
          ORDER BY c.ws, c.user_id""",
     "join_asof_native" ->
       """SELECT event_id, p.user_id, c.value AS click_value
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+               WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY event_id""",
+    "join_asof_tol" ->
+      """SELECT event_id, p.user_id,
+                CASE WHEN c.ts IS NOT NULL
+                      AND p.ts - c.ts <= INTERVAL 10 MINUTES
+                     THEN c.value END AS click_value
          FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
                WHERE event_type = 'purchase') p
          ASOF LEFT JOIN

@@ -57,6 +57,36 @@ class AsOfEdgeSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("tolerance: boundary inclusive, stale match nulls, newer right recovers") {
+    // right values at t=1000 and t=5000 for key 1
+    val right = mk(Seq((1L, 1000L, 10.0), (1L, 5000L, 50.0)), "v")
+    val left = mk(Seq(
+      (1L, 1000L, 0.0),  // exact match, age 0        -> 10.0
+      (1L, 3000L, 0.0),  // age 2000 == tol            -> 10.0 (inclusive)
+      (1L, 3001L, 0.0),  // age 2001 > tol             -> null (stale)
+      (1L, 5500L, 0.0),  // newer right at 5000 in tol -> 50.0 (recovered)
+      (1L, 9000L, 0.0)), // age 4000 > tol             -> null again
+      "x")
+    val out = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", "ts",
+        Seq("v"), toleranceMs = 2000L)  // t values above are in ms
+      .selectExpr("k", "unix_millis(ts) AS t", "v")
+      .collect().sortBy(_.getLong(1))
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(out.toSeq == Seq(Some(10.0), Some(10.0), None, Some(50.0), None))
+    // tolerance 0: only exact-timestamp matches survive
+    val exact = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", "ts",
+        Seq("v"), toleranceMs = 0L)
+      .selectExpr("unix_millis(ts) AS t", "v").collect()
+      .map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+    assert(exact == Map(1000L -> true, 3000L -> false, 3001L -> false,
+      5500L -> false, 9000L -> false))
+    // negative tolerance = unlimited (the default contract): every
+    // left row here has SOME earlier right row, so no NULLs at all
+    val unl = AsOfJoin.asOfNative(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("v").collect()
+    assert(unl.length == 5 && unl.forall(!_.isNullAt(0)))
+  }
+
   test("key with rights only after the left ts gets null; exact-ts match is inclusive") {
     val left = mk(Seq((1L, 1000L, 0.0), (2L, 5000L, 0.0)), "x")
     val right = mk(Seq((1L, 2000L, 9.0),   // after left ts -> no match
