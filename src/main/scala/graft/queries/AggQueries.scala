@@ -791,9 +791,108 @@ object AggQueries extends GroupBase {
       c.select(col("n_a"), col("n_b"), chi2.as("chi2"),
         (chi2 > lit(3.841)).as("srm"))
     }),
+
+    // TUKEY MEDIAN POLISH of the (weekday x hour) activity grid — the
+    // robust two-way seasonality decomposition (Tukey 1977 EDA):
+    // counts = overall + weekday effect + hour effect + residual,
+    // fit by alternately sweeping MEDIANS out of rows and columns
+    // (means would let one incident hour drag its whole weekday; the
+    // residual table is where anomalies live AFTER seasonality is
+    // removed — the input tw_anomaly's pointwise EWMA lacks). Two
+    // unrolled sweeps; medians of <= 24 integer-or-half values are
+    // exact doubles, so every number is bit-exact cross-engine with
+    // NO rounding. 100 TB shape: the corpus collapses to the 168-cell
+    // grid in ONE hash-agg; every sweep is a bounded 7- or 24-row
+    // median + broadcast-join subtract. Output = the long-format
+    // decomposition (overall, 7 weekday effects, 24 hour effects,
+    // top-5 |residual| cells).
+    "agg_polish" -> ((s, d) => {
+      // every sweep's residual grid feeds TWO consumers (the next
+      // median + the next subtract), so the corpus-scale grid agg
+      // would re-execute 2^4 times without a barrier — each sweep's
+      // output is 168 rows, so localCheckpoint caps it at one corpus
+      // scan total (the graph_ppr rule: barrier when the replayed
+      // lineage is corpus-scale)
+      val grid = t(s, d, "events")
+        .groupBy(dayofweek(col("ts")).as("dw"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("e"))
+        .localCheckpoint()
+      def rowSweep(g: DataFrame): (DataFrame, DataFrame) = {
+        val rm = g.groupBy("dw").agg(median(col("e")).as("m"))
+        (g.join(broadcast(rm), "dw")
+          .select(col("dw"), col("hr"), (col("e") - col("m")).as("e"))
+          .localCheckpoint(), rm)
+      }
+      def colSweep(g: DataFrame): (DataFrame, DataFrame) = {
+        val cm = g.groupBy("hr").agg(median(col("e")).as("m"))
+        (g.join(broadcast(cm), "hr")
+          .select(col("dw"), col("hr"), (col("e") - col("m")).as("e"))
+          .localCheckpoint(), cm)
+      }
+      val (e1, rm1) = rowSweep(grid)
+      val (e2, cm1) = colSweep(e1)
+      val (e3, rm2) = rowSweep(e2)
+      val (e4, cm2) = colSweep(e3)
+      val rEff = rm1.select(col("dw"), col("m").as("m1"))
+        .join(rm2.select(col("dw"), col("m").as("m2")), "dw")
+        .select(col("dw"), (col("m1") + col("m2")).as("eff"))
+      val cEff = cm1.select(col("hr"), col("m").as("m1"))
+        .join(cm2.select(col("hr"), col("m").as("m2")), "hr")
+        .select(col("hr"), (col("m1") + col("m2")).as("eff"))
+      // center the effect vectors: their medians move into the overall
+      val rMed = rEff.agg(median(col("eff")).as("rm"))
+      val cMed = cEff.agg(median(col("eff")).as("cm"))
+      val overall = rMed.crossJoin(cMed)
+        .select(lit("overall").as("component"),
+          lit(null).cast("int").as("k"), (col("rm") + col("cm")).as("value"))
+      val rows = rEff.crossJoin(broadcast(rMed))
+        .select(lit("dow").as("component"), col("dw").cast("int").as("k"),
+          (col("eff") - col("rm")).as("value"))
+      val cols = cEff.crossJoin(broadcast(cMed))
+        .select(lit("hour").as("component"), col("hr").cast("int").as("k"),
+          (col("eff") - col("cm")).as("value"))
+      val resid = e4
+        .select(lit("resid").as("component"),
+          (col("dw") * 100 + col("hr")).cast("int").as("k"),
+          col("e").as("value"))
+        .orderBy(abs(col("value")).desc, col("k")).limit(5)
+      overall.unionByName(rows).unionByName(cols).unionByName(resid)
+        .orderBy("component", "k")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_polish" ->
+      """WITH grid AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dw,
+                              hour(CAST(ts AS TIMESTAMP)) AS hr,
+                              CAST(count(*) AS DOUBLE) AS e
+                       FROM events GROUP BY 1, 2),
+         rm1 AS (SELECT dw, median(e) AS m FROM grid GROUP BY 1),
+         e1 AS (SELECT g.dw, g.hr, g.e - m AS e FROM grid g JOIN rm1 USING (dw)),
+         cm1 AS (SELECT hr, median(e) AS m FROM e1 GROUP BY 1),
+         e2 AS (SELECT g.dw, g.hr, g.e - m AS e FROM e1 g JOIN cm1 USING (hr)),
+         rm2 AS (SELECT dw, median(e) AS m FROM e2 GROUP BY 1),
+         e3 AS (SELECT g.dw, g.hr, g.e - m AS e FROM e2 g JOIN rm2 USING (dw)),
+         cm2 AS (SELECT hr, median(e) AS m FROM e3 GROUP BY 1),
+         e4 AS (SELECT g.dw, g.hr, g.e - m AS e FROM e3 g JOIN cm2 USING (hr)),
+         reff AS (SELECT dw, rm1.m + rm2.m AS eff FROM rm1 JOIN rm2 USING (dw)),
+         ceff AS (SELECT hr, cm1.m + cm2.m AS eff FROM cm1 JOIN cm2 USING (hr)),
+         rmed AS (SELECT median(eff) AS rm FROM reff),
+         cmed AS (SELECT median(eff) AS cm FROM ceff),
+         unioned AS (
+           SELECT 'overall' AS component, CAST(NULL AS INT) AS k,
+                  rm + cm AS value
+           FROM rmed CROSS JOIN cmed
+           UNION ALL
+           SELECT 'dow', CAST(dw AS INT), eff - rm FROM reff CROSS JOIN rmed
+           UNION ALL
+           SELECT 'hour', CAST(hr AS INT), eff - cm FROM ceff CROSS JOIN cmed
+           UNION ALL
+           SELECT * FROM (SELECT 'resid', CAST(dw * 100 + hr AS INT), e
+                          FROM e4
+                          ORDER BY abs(e) DESC, CAST(dw * 100 + hr AS INT)
+                          LIMIT 5))
+         SELECT * FROM unioned ORDER BY component, k""",
     // the boolean is the checked claim: Spark's HLL++ estimate landed
     // within 5% of the exact distinct count the two engines share
     "agg_approx_distinct" ->

@@ -76,7 +76,8 @@ object PlanAudit {
     "tw_acf",          // 48-row lag table + 1-row global stats onto the span grid
     "tw_cpd",          // 1-row span/global-stat broadcasts onto the span grid
     "agg_survival",    // 1-row span-end/total broadcasts onto the lifetime histogram
-    "graph_kcore")     // same node-count broadcast via the shared graph builder
+    "graph_kcore",     // same node-count broadcast via the shared graph builder
+    "agg_polish")      // 1-row effect-median broadcasts onto the 168-cell grid
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

@@ -100,6 +100,7 @@ object PlanDump {
     "agg_survival" -> "Kaplan-Meier: one user-keyed hash-agg, survival arithmetic on the span-bounded lifetime histogram (prefix sums, no per-user window)",
     "text_rake" -> "RAKE keyphrases: element-wise run segmentation (no per-token window), (doc, run) hash-agg, vocab-sized word stats joined back",
     "graph_kcore" -> "k-core peeling: per round two endpoint semi-filters + one degree hash-agg, active set barriered per round",
+    "agg_polish" -> "Tukey median polish: corpus collapses to the 168-cell grid once (barriered), sweeps are bounded 7/24-row medians + broadcast subtracts",
   )
 
   def main(args: Array[String]): Unit = {

@@ -497,6 +497,52 @@ class NewOpsR8Spec extends SparkSpec {
       "peeling should drop some nodes and keep some on this graph")
   }
 
+  test("agg_polish matches a brute-force Tukey median-polish model") {
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val cells = graft.core.Tables.load(spark, d, "events")
+      .groupBy(dayofweek(col("ts")).as("dw"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("double").as("e"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    var e = cells.toMap
+    val dws = e.keys.map(_._1).toSeq.distinct.sorted
+    val hrs = e.keys.map(_._2).toSeq.distinct.sorted
+    var rEff = dws.map(_ -> 0.0).toMap
+    var cEff = hrs.map(_ -> 0.0).toMap
+    for (_ <- 1 to 2) {
+      val rm = dws.map(dw =>
+        dw -> med(e.collect { case ((d0, _), v) if d0 == dw => v }.toSeq)).toMap
+      e = e.map { case ((d0, h), v) => ((d0, h), v - rm(d0)) }
+      rEff = rEff.map { case (d0, v) => d0 -> (v + rm(d0)) }
+      val cm = hrs.map(h =>
+        h -> med(e.collect { case ((_, h0), v) if h0 == h => v }.toSeq)).toMap
+      e = e.map { case ((d0, h), v) => ((d0, h), v - cm(h)) }
+      cEff = cEff.map { case (h, v) => h -> (v + cm(h)) }
+    }
+    val rMed = med(rEff.values.toSeq); val cMed = med(cEff.values.toSeq)
+    val wantOverall = rMed + cMed
+    val wantRows = rEff.map { case (k, v) => k -> (v - rMed) }
+    val wantCols = cEff.map { case (k, v) => k -> (v - cMed) }
+    val wantResid = e.toSeq
+      .map { case ((d0, h), v) => (d0 * 100 + h, v) }
+      .sortBy { case (k, v) => (-math.abs(v), k) }.take(5).toMap
+    val got = SparkEntry.queries("agg_polish")(spark, d).collect()
+    got.foreach { r =>
+      val (comp, v) = (r.getString(0), r.getDouble(2))
+      comp match {
+        case "overall" => assert(v == wantOverall, s"overall $v")
+        case "dow"     => assert(v == wantRows(r.getInt(1)), s"dow ${r.getInt(1)}")
+        case "hour"    => assert(v == wantCols(r.getInt(1)), s"hour ${r.getInt(1)}")
+        case "resid"   => assert(v == wantResid(r.getInt(1)), s"resid ${r.getInt(1)}")
+      }
+    }
+    assert(got.count(_.getString(0) == "dow") == dws.length)
+    assert(got.count(_.getString(0) == "hour") == hrs.length)
+    assert(got.count(_.getString(0) == "resid") == math.min(5, e.size))
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
