@@ -792,6 +792,50 @@ object AggQueries extends GroupBase {
         (chi2 > lit(3.841)).as("srm"))
     }),
 
+    // HLL SKETCH MERGE — the property that makes sketch pipelines
+    // work at 100 TB: per-DAY sub-sketches (the shape a daily
+    // ingestion job materializes) merge by REGISTER-WISE MAX into the
+    // month sketch, and because max is associative/commutative/
+    // idempotent the merged sketch is BIT-IDENTICAL to one built over
+    // the whole span directly — re-aggregation of pre-aggregated
+    // partials is lossless, unlike any sum/avg of per-day distinct
+    // counts. The query materializes both paths and the checked claim
+    // is est_merged == est_direct EXACTLY (plus the usual accuracy
+    // readout vs the exact distinct). Same 64-register rho
+    // construction as agg_hll_manual; one (day, bucket) hash-agg +
+    // bounded register tables.
+    "agg_hll_merge" -> ((s, d) => {
+      val b = t(s, d, "events")
+        .select(date_trunc("day", col("ts")).as("day"),
+          graft.functions.TextOps.hash32(col("user_id").cast("string")).as("h"),
+          col("user_id"))
+        .withColumn("bucket", pmod(col("h"), lit(64)))
+        .withColumn("rho",
+          lit(27) - length(ltrim(bin(shiftright(col("h"), 6)), "0")))
+      def estDf(regs: DataFrame, as: String): DataFrame = regs
+        .agg(sum(pow(lit(2.0), -col("mx"))).as("s_ne"),
+          count(lit(1)).as("v_ne"))
+        .select(((lit(64) - col("v_ne")) + col("s_ne")).as("ss"),
+          (lit(64) - col("v_ne")).as("vz"),
+          (lit(0.709) * 4096 / ((lit(64) - col("v_ne")) + col("s_ne")))
+            .as("raw"))
+        .select(round(when(col("raw") <= 160 && col("vz") > 0,
+            lit(64) * log(lit(64.0) / col("vz")))
+          .otherwise(col("raw")), 2).as(as))
+      val daily = b.groupBy("day", "bucket").agg(max(col("rho")).as("mx"))
+      val merged = daily.groupBy("bucket").agg(max(col("mx")).as("mx"))
+      val direct = b.groupBy("bucket").agg(max(col("rho")).as("mx"))
+      val nd = daily.select("day").distinct().agg(count(lit(1)).as("n_days"))
+      val exact = b.agg(countDistinct(col("user_id")).as("exact_users"))
+      estDf(merged, "est_merged").crossJoin(estDf(direct, "est_direct"))
+        .crossJoin(broadcast(nd)).crossJoin(broadcast(exact))
+        .select(col("n_days"), col("est_merged"), col("est_direct"),
+          (col("est_merged") === col("est_direct")).as("lossless"),
+          col("exact_users"),
+          round(abs(col("est_merged") - col("exact_users").cast("double")) /
+            col("exact_users").cast("double"), 6).as("rel_err"))
+    }),
+
     // TUKEY MEDIAN POLISH of the (weekday x hour) activity grid — the
     // robust two-way seasonality decomposition (Tukey 1977 EDA):
     // counts = overall + weekday effect + hour effect + residual,
@@ -862,6 +906,36 @@ object AggQueries extends GroupBase {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_hll_merge" -> {
+      val h = graft.functions.TextOps.hash32Sql("CAST(user_id AS VARCHAR)")
+      def estSql(regs: String) =
+        s"""(SELECT round(CASE WHEN raw <= 160 AND vz > 0
+                   THEN 64 * ln(CAST(64.0 AS DOUBLE) / vz)
+                   ELSE raw END, 2)
+             FROM (SELECT 64 - v_ne AS vz,
+                          CAST(0.709 AS DOUBLE) * 4096
+                            / ((64 - v_ne) + s_ne) AS raw
+                   FROM (SELECT sum(pow(CAST(2.0 AS DOUBLE), -mx)) AS s_ne,
+                                count(*) AS v_ne FROM $regs) a) x)"""
+      s"""WITH b AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                            ($h) % 64 AS bucket,
+                            27 - length(ltrim(bin(($h) // 64), '0')) AS rho,
+                            user_id
+                     FROM events),
+          daily AS (SELECT day, bucket, max(rho) AS mx FROM b GROUP BY 1, 2),
+          merged AS (SELECT bucket, max(mx) AS mx FROM daily GROUP BY 1),
+          direct AS (SELECT bucket, max(rho) AS mx FROM b GROUP BY 1),
+          ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM b)
+          SELECT (SELECT count(DISTINCT day) FROM daily) AS n_days,
+                 ${estSql("merged")} AS est_merged,
+                 ${estSql("direct")} AS est_direct,
+                 ${estSql("merged")} = ${estSql("direct")} AS lossless,
+                 exact_users,
+                 round(abs(${estSql("merged")}
+                       - CAST(exact_users AS DOUBLE))
+                   / CAST(exact_users AS DOUBLE), 6) AS rel_err
+          FROM ex"""
+    },
     "agg_polish" ->
       """WITH grid AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dw,
                               hour(CAST(ts AS TIMESTAMP)) AS hr,

@@ -77,7 +77,8 @@ object PlanAudit {
     "tw_cpd",          // 1-row span/global-stat broadcasts onto the span grid
     "agg_survival",    // 1-row span-end/total broadcasts onto the lifetime histogram
     "graph_kcore",     // same node-count broadcast via the shared graph builder
-    "agg_polish")      // 1-row effect-median broadcasts onto the 168-cell grid
+    "agg_polish",      // 1-row effect-median broadcasts onto the 168-cell grid
+    "agg_hll_merge")   // 1-row estimate/exact scalars cross-joined into the readout
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

@@ -101,6 +101,7 @@ object PlanDump {
     "text_rake" -> "RAKE keyphrases: element-wise run segmentation (no per-token window), (doc, run) hash-agg, vocab-sized word stats joined back",
     "graph_kcore" -> "k-core peeling: per round two endpoint semi-filters + one degree hash-agg, active set barriered per round",
     "agg_polish" -> "Tukey median polish: corpus collapses to the 168-cell grid once (barriered), sweeps are bounded 7/24-row medians + broadcast subtracts",
+    "agg_hll_merge" -> "HLL sketch merge: one (day, bucket) hash-agg, register-wise max re-aggregation, both estimate paths on 64-row tables",
   )
 
   def main(args: Array[String]): Unit = {

@@ -543,6 +543,18 @@ class NewOpsR8Spec extends SparkSpec {
     assert(got.count(_.getString(0) == "resid") == math.min(5, e.size))
   }
 
+  test("agg_hll_merge: daily-sketch merge is lossless and the estimate is sane") {
+    val r = SparkEntry.queries("agg_hll_merge")(spark, d).collect().head
+    val (nDays, em, ed, lossless, exact, relErr) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3),
+        r.getLong(4), r.getDouble(5))
+    assert(nDays > 1, "need multiple daily sub-sketches for the merge to mean anything")
+    assert(lossless && em == ed,
+      s"register-max merge must be lossless: merged $em vs direct $ed")
+    assert(exact > 0 && relErr < 0.5,
+      s"64-register HLL should land within 50% of $exact, got $em")
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
