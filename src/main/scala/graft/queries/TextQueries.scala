@@ -465,6 +465,37 @@ object TextQueries extends GroupBase {
     // hash — the reproducible-split primitive of a training pipeline.
     // Hash-mod, not rand(): same rows land in the same split on any
     // cluster size, re-run, or engine (the oracle reproduces it).
+    // GROUP-aware split (GroupKFold / dedup-aware eval hygiene): a
+    // doc-hash split (pipe_split) puts exact duplicates on BOTH sides
+    // of the train/test fence — the eval then "generalizes" to rows
+    // it memorized. Splitting on the hash of the CONTENT GROUP
+    // (md5(text): every duplicate shares it) pins each dup cluster to
+    // one fold by construction. The query emits the group-aware split
+    // stats AND the leakage audit of the naive doc split — the number
+    // of content groups straddling folds, i.e. exactly what this
+    // operator eliminates. Shape: one (group) hash-agg for the audit,
+    // one split-keyed agg for the stats, a 1-row audit broadcast.
+    "pipe_groupsplit" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+        .withColumn("dsp", pmod(TextOps.hash32(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100)))
+        .withColumn("gsp", pmod(TextOps.hash32(
+          concat(lit("gsplit:"), col("h"))), lit(100)))
+      def name(c: org.apache.spark.sql.Column) =
+        when(c < 80, "train").when(c < 90, "val").otherwise("test")
+      val leak = base
+        .groupBy("h").agg(countDistinct(name(col("dsp"))).as("nsp"))
+        .agg(sum(when(col("nsp") > 1, 1L).otherwise(0L))
+          .as("leaked_groups_docsplit"))
+      base.groupBy(name(col("gsp")).as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_groups"),
+          sum(col("n_chars")).as("n_chars"))
+        .crossJoin(broadcast(leak))
+        .orderBy("split")
+    }),
+
     "pipe_split" -> ((s, d) => {
       val h = pmod(TextOps.hash32(
         concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
@@ -1783,6 +1814,26 @@ object TextQueries extends GroupBase {
       s"""SELECT tok, count(*) AS cnt
           FROM (SELECT unnest($toksSql) AS tok FROM documents)
           GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
+    "pipe_groupsplit" -> {
+      val dh = TextOps.hash32Sql("'split:' || CAST(doc_id AS VARCHAR)")
+      val gh = TextOps.hash32Sql("'gsplit:' || md5(text)")
+      def nm(e: String) =
+        s"""CASE WHEN ($e) % 100 < 80 THEN 'train'
+                 WHEN ($e) % 100 < 90 THEN 'val' ELSE 'test' END"""
+      s"""WITH base AS (SELECT doc_id, n_chars, md5(text) AS h,
+                               ${nm(dh)} AS dsp, ${nm(gh)} AS gsp
+                        FROM documents),
+          leak AS (SELECT CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS leaked_groups_docsplit
+                   FROM (SELECT h, count(DISTINCT dsp) AS nsp
+                         FROM base GROUP BY 1) g)
+          SELECT gsp AS split, count(*) AS n_docs,
+                 count(DISTINCT h) AS n_groups,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 leaked_groups_docsplit
+          FROM base CROSS JOIN leak
+          GROUP BY 1, leaked_groups_docsplit ORDER BY split"""
+    },
     "pipe_split" -> {
       val h = TextOps.hash32Sql("'split:' || CAST(doc_id AS VARCHAR)")
       s"""SELECT lang,

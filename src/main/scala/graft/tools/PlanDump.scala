@@ -102,6 +102,7 @@ object PlanDump {
     "graph_kcore" -> "k-core peeling: per round two endpoint semi-filters + one degree hash-agg, active set barriered per round",
     "agg_polish" -> "Tukey median polish: corpus collapses to the 168-cell grid once (barriered), sweeps are bounded 7/24-row medians + broadcast subtracts",
     "agg_hll_merge" -> "HLL sketch merge: one (day, bucket) hash-agg, register-wise max re-aggregation, both estimate paths on 64-row tables",
+    "pipe_groupsplit" -> "group-aware split: one content-group hash-agg for the leakage audit, split-keyed stats, 1-row audit broadcast",
   )
 
   def main(args: Array[String]): Unit = {

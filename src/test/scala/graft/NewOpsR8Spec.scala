@@ -555,6 +555,31 @@ class NewOpsR8Spec extends SparkSpec {
       s"64-register HLL should land within 50% of $exact, got $em")
   }
 
+  test("pipe_groupsplit: group split never leaks a dup cluster across folds") {
+    val s = spark
+    import s.implicits._
+    // corpus with HEAVY duplication: 40 docs over 6 distinct texts
+    val rnd = new scala.util.Random(9L)
+    val texts = Vector("a b", "c d", "e f", "g h", "i j", "k l")
+    val docs = Vector.tabulate(40)(i =>
+      (i.toLong, texts(rnd.nextInt(6)), "en", "srcG", 3L))
+    val dir = Files.createTempDirectory("graft-r8gs").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("pipe_groupsplit")(spark, dir).collect()
+    // group-count conservation: every distinct text lands in exactly
+    // one fold, so the per-fold group counts must PARTITION the texts
+    assert(rows.map(_.getLong(2)).sum == texts.length,
+      "n_groups must total the distinct text count")
+    assert(rows.map(_.getLong(1)).sum == docs.length)
+    // the audit column reports the DOC split's leakage on this corpus
+    // (40 docs over 6 texts: overwhelmingly likely at least one text
+    // straddles folds under a per-doc hash — the point of the op)
+    val leaked = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) == leaked))
+    assert(leaked >= 0 && leaked <= texts.length)
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
