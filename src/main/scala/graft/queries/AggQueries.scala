@@ -792,6 +792,42 @@ object AggQueries extends GroupBase {
         (chi2 > lit(3.841)).as("srm"))
     }),
 
+    // ONE-WAY ANOVA across event types — the k-group extension of
+    // agg_ab's two-sample z: does mean `value` differ across the
+    // event types at all (run BEFORE k·(k−1)/2 pairwise tests —
+    // the multiple-comparison discipline)? F = (SSB/(k−1)) /
+    // (SSW/(N−k)) from per-group sufficient statistics only:
+    // SSB = Σ_g S_g²/n_g − S²/N, SSW = Σ_g Q_g − Σ_g S_g²/n_g with
+    // S = Σv, Q = Σv² — one group-keyed hash agg, a k-row re-agg,
+    // nothing else. Exactness: v has 2 decimals so v and v² sum
+    // exactly in DECIMAL(30,4) (Exact.dsum); the divisions are the
+    // only doubles, F rounds to 6 and the flag reads the rounded
+    // value (agg_ab discipline; crit = 2.372, df1 = 4, df2 = ∞).
+    "agg_anova" -> ((s, d) => {
+      val g = t(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Exact.Dec)).as("svd"),
+          sum((col("value") * col("value")).cast(Exact.Dec)).as("sqd"))
+      val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("svd")).cast("double").as("sAll"),
+        sum(col("sqd")).cast("double").as("qAll"),
+        // exact power-of-two prescale (the agg_cuped discipline):
+        // S_g^2/n_g reaches ~5e7 at sf0.1 and fsum's BIGINT mirror
+        // holds only |x| < 1024 on the 2^53 grid — /2^36 keeps the
+        // scaled terms far inside while the grid stays 2^-17 absolute
+        (Exact.fsum(col("svd").cast("double") * col("svd").cast("double") /
+          col("n").cast("double") / lit(68719476736.0)) *
+          lit(68719476736.0)).as("sbAll"))
+      val ssb = col("sbAll") -
+        col("sAll") * col("sAll") / col("nn").cast("double")
+      val ssw = col("qAll") - col("sbAll")
+      val f = round((ssb / (col("k") - 1).cast("double")) /
+        (ssw / (col("nn") - col("k")).cast("double")), 6)
+      tot.select(col("k"), col("nn").as("n"),
+        round(ssb, 6).as("ssb"), round(ssw, 6).as("ssw"), f.as("f"),
+        (f > lit(2.372)).as("significant"))
+    }),
+
     // HLL SKETCH MERGE — the property that makes sketch pipelines
     // work at 100 TB: per-DAY sub-sketches (the shape a daily
     // ingestion job materializes) merge by REGISTER-WISE MAX into the
@@ -906,6 +942,29 @@ object AggQueries extends GroupBase {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_anova" ->
+      s"""WITH g AS (SELECT event_type, count(*) AS n,
+                            sum(CAST(value AS DECIMAL(30,4))) AS svd,
+                            sum(CAST(value * value AS DECIMAL(30,4))) AS sqd
+                     FROM events GROUP BY 1),
+          tot AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+                         CAST(CAST(sum(svd) AS VARCHAR) AS DOUBLE) AS sall,
+                         CAST(CAST(sum(sqd) AS VARCHAR) AS DOUBLE) AS qall,
+                         ${graft.core.ExactSql.fsum(
+                           """CAST(CAST(svd AS VARCHAR) AS DOUBLE) *
+                              CAST(CAST(svd AS VARCHAR) AS DOUBLE) /
+                              CAST(n AS DOUBLE) / 68719476736.0""")}
+                           * 68719476736.0 AS sball
+                  FROM g)
+          SELECT k, nn AS n,
+                 round(sball - sall * sall / nn, 6) AS ssb,
+                 round(qall - sball, 6) AS ssw,
+                 round((sball - sall * sall / nn) / (k - 1)
+                       / ((qall - sball) / (nn - k)), 6) AS f,
+                 round((sball - sall * sall / nn) / (k - 1)
+                       / ((qall - sball) / (nn - k)), 6)
+                   > CAST(2.372 AS DOUBLE) AS significant
+          FROM tot""",
     "agg_hll_merge" -> {
       val h = graft.functions.TextOps.hash32Sql("CAST(user_id AS VARCHAR)")
       def estSql(regs: String) =

@@ -258,6 +258,37 @@ object GraphQueries extends GroupBase {
         .orderBy("doc_id")
     }),
 
+    // DEGREE ASSORTATIVITY — the one-number mixing diagnostic next to
+    // graph_reciprocity: the Pearson correlation of endpoint degrees
+    // over the symmetrized edge list. Organic webs are DISassortative
+    // (hubs link to leaves, r < 0); link farms wiring hubs to hubs
+    // push r up — the structural smell test read before trusting
+    // PageRank-ish priors. 100 TB shape: one degree hash-agg, two
+    // endpoint joins, and the five sufficient statistics stay in
+    // exact BIGINT (tw_tsim discipline; magnitudes hub-degree² x
+    // edges — flip to DECIMAL(38,0) near ~1e18, the text_ks lesson),
+    // so r pays one sqrt + one division, rounded to 6.
+    "graph_assortativity" -> ((s, d) => {
+      val (_, edges) = graph(s, d)
+      val und = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      val st = und
+        .join(deg.select(col("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+      st.select(col("m"),
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(((col("m") * col("sxx") - col("sx") * col("sx")) *
+            (col("m") * col("syy") - col("sy") * col("sy"))).cast("double")),
+          6).as("r"))
+    }),
+
     // K-CORE membership by bounded peeling (K = 3, 3 rounds) — the
     // density signal the link-farm screen uses where triangles count
     // local closure: a node is in the 3-core only if it keeps >= 3
@@ -518,6 +549,25 @@ object GraphQueries extends GroupBase {
           SELECT d.doc_id, coalesce(n_tri, CAST(0 AS BIGINT)) AS n_tri
           FROM documents d LEFT JOIN per USING (doc_id)
           ORDER BY doc_id""",
+    "graph_assortativity" ->
+      s"""WITH $graphSql,
+          und AS (SELECT src, dst FROM edges
+                  UNION SELECT dst, src FROM edges),
+          deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+          st AS (SELECT count(*) AS m,
+                        CAST(sum(a.deg) AS BIGINT) AS sx,
+                        CAST(sum(b.deg) AS BIGINT) AS sy,
+                        CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+                        CAST(sum(b.deg * b.deg) AS BIGINT) AS syy,
+                        CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy
+                 FROM und
+                 JOIN deg a ON a.src = und.src
+                 JOIN deg b ON b.src = und.dst)
+          SELECT m,
+                 round(CAST(m * sxy - sx * sy AS DOUBLE) /
+                   sqrt(CAST((m * sxx - sx * sx) *
+                             (m * syy - sy * sy) AS DOUBLE)), 6) AS r
+          FROM st""",
     "graph_kcore" -> {
       def peel(prev: String, out: String): String =
         s"""$out AS (SELECT src AS doc_id FROM (

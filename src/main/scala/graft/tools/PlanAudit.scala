@@ -79,7 +79,8 @@ object PlanAudit {
     "graph_kcore",     // same node-count broadcast via the shared graph builder
     "agg_polish",      // 1-row effect-median broadcasts onto the 168-cell grid
     "agg_hll_merge",   // 1-row estimate/exact scalars cross-joined into the readout
-    "pipe_groupsplit") // 1-row leakage-audit broadcast onto the 3-row split stats
+    "pipe_groupsplit", // 1-row leakage-audit broadcast onto the 3-row split stats
+    "graph_assortativity") // node-count broadcast via the shared graph builder
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

@@ -103,6 +103,8 @@ object PlanDump {
     "agg_polish" -> "Tukey median polish: corpus collapses to the 168-cell grid once (barriered), sweeps are bounded 7/24-row medians + broadcast subtracts",
     "agg_hll_merge" -> "HLL sketch merge: one (day, bucket) hash-agg, register-wise max re-aggregation, both estimate paths on 64-row tables",
     "pipe_groupsplit" -> "group-aware split: one content-group hash-agg for the leakage audit, split-keyed stats, 1-row audit broadcast",
+    "agg_anova" -> "one-way ANOVA: one group-keyed hash-agg of decimal-exact sufficient statistics, k-row re-agg, one F division",
+    "graph_assortativity" -> "degree assortativity: one degree hash-agg + two endpoint joins, exact BIGINT sufficient statistics",
   )
 
   def main(args: Array[String]): Unit = {

@@ -580,6 +580,38 @@ class NewOpsR8Spec extends SparkSpec {
     assert(leaked >= 0 && leaked <= texts.length)
   }
 
+  test("agg_anova matches a brute-force one-way F computation") {
+    val vals = graft.core.Tables.load(spark, d, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = vals.length; val k = groups.size
+    val mean = vals.map(_._2).sum / n
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length; g.length * (m - mean) * (m - mean) }.sum
+    val ssw = groups.values.map { g =>
+      val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val r = SparkEntry.queries("agg_anova")(spark, d).collect().head
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    // the engine computes via decimal-exact sufficient statistics; the
+    // naive two-pass model accumulates error, so compare loosely
+    assert(math.abs(r.getDouble(4) - f) / math.max(f, 1e-9) < 1e-3,
+      s"F ${r.getDouble(4)} vs model $f")
+    assert(r.getBoolean(5) == (r.getDouble(4) > 2.372))
+  }
+
+  test("graph_assortativity: hub-leaf wiring makes the web disassortative, |r| <= 1") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, d)
+      .collect().head
+    assert(r.getLong(0) > 0)
+    val rho = r.getDouble(1)
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+    // ten hub pages absorb ~a quarter of all in-links from leaves, so
+    // the degree correlation must come out negative on this graph
+    assert(rho < 0.0, s"expected disassortative mixing, got r = $rho")
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
