@@ -802,6 +802,64 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("qid", "rank")
     }),
 
+    // CALINSKI-HARABASZ index — the INTERNAL clustering-validation
+    // number next to emb_purity's external (label-needing) purity/NMI:
+    // CH = (SSB/(k−1)) / (SSW/(n−k)) over the IVF cell assignment,
+    // with SSW against each cell's MEAN (not its seed centroid) and
+    // SSB the size-weighted spread of cell means around the global
+    // mean — ANOVA's F applied to the embedding space, the number a
+    // pipeline sweeps k against when no labels exist. 100 TB shape:
+    // one assignment scan (broadcast seed centroids, vd2 kernel), one
+    // (cell, dim) fsum pass for the means, one scoring scan against
+    // the broadcast assembled means — dim-bounded tables everywhere,
+    // nothing on the driver. SSW/SSB are fsums of vd2 folds
+    // (order-independent, bit-exact); CH rounds to 6.
+    "emb_ch_index" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          VectorFunctions.vd2(col("embedding"), col("cv")).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("embedding"), col("cid")),
+          struct(col("d2"), col("cid"))).as("mm"))
+        .select(col("vec_id"), col("mm.embedding").as("embedding"),
+          col("mm.cid").as("cell"))
+      def assemble(df: DataFrame, keyCols: Seq[String], value: String,
+                   as: String): DataFrame =
+        df.groupBy(keyCols.map(col): _*).agg(transform(
+          array_sort(collect_list(struct(col("pos"), col(value)))),
+          x => x.getField(value)).as(as))
+      val cellMeans = assemble(
+        assign.select(col("cell"), posexplode(col("embedding"))
+            .as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((Exact.fsum(col("x")) / count(lit(1))).as("m")),
+        Seq("cell"), "m", "cm")
+      val cellN = assign.groupBy("cell").agg(count(lit(1)).as("nc"))
+      val gMean = assemble(
+        assign.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("pos")
+          .agg((Exact.fsum(col("x")) / count(lit(1))).as("m"))
+          .withColumn("g", lit(1)),
+        Seq("g"), "m", "gm").select("gm")
+      val ssw = assign.join(broadcast(cellMeans), "cell")
+        .agg(Exact.fsum(VectorFunctions.vd2(col("embedding"), col("cm")))
+          .as("ssw"))
+      val ssb = cellMeans.join(cellN, "cell").crossJoin(broadcast(gMean))
+        .agg(Exact.fsum(col("nc").cast("double") *
+          VectorFunctions.vd2(col("cm"), col("gm"))).as("ssb"),
+          count(lit(1)).as("k"))
+      val nTot = assign.agg(count(lit(1)).as("n"))
+      ssb.crossJoin(broadcast(ssw)).crossJoin(broadcast(nTot))
+        .select(col("k"), col("n"),
+          round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
+          round((col("ssb") / (col("k") - 1).cast("double")) /
+            (col("ssw") / (col("n") - col("k")).cast("double")), 6)
+            .as("ch"))
+    }),
+
     // LINEAR PROBE — the standard embedding-quality eval (Alain &
     // Bengio 2016; every SSL paper's table 1): freeze the embeddings,
     // fit a linear model on a label, and read how much signal the
@@ -1728,6 +1786,45 @@ object EmbeddingQueries extends GroupBase {
             FROM scored)
           SELECT qid, rank, nid, hamming FROM ranked
           WHERE rank <= 3 ORDER BY qid, rank""",
+    "emb_ch_index" -> {
+      import graft.core.ExactSql
+      def d2f(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+            (acc, v) -> acc + v)"""
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+                         FROM embeddings WHERE vec_id < 8),
+          scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                            ${d2f("e.embedding", "c.cv")} AS d2
+                     FROM embeddings e CROSS JOIN cents c),
+          assign AS (SELECT vec_id, embedding, cid AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cid) AS rn FROM scored) x
+                     WHERE rn = 1),
+          cm AS (SELECT cell, i,
+                        ${ExactSql.fsum("CAST(embedding[i] AS DOUBLE)")}
+                          / count(*) AS m
+                 FROM assign, range(1, 65) r(i) GROUP BY cell, i),
+          cma AS (SELECT cell, list(m ORDER BY i) AS cmv FROM cm GROUP BY 1),
+          cn AS (SELECT cell, count(*) AS nc FROM assign GROUP BY 1),
+          gm AS (SELECT i,
+                        ${ExactSql.fsum("CAST(embedding[i] AS DOUBLE)")}
+                          / count(*) AS m
+                 FROM assign, range(1, 65) r(i) GROUP BY i),
+          gma AS (SELECT list(m ORDER BY i) AS gmv FROM gm),
+          sw AS (SELECT ${ExactSql.fsum(d2f("a.embedding", "cmv"))} AS ssw
+                 FROM assign a JOIN cma USING (cell)),
+          sb AS (SELECT ${ExactSql.fsum(
+                   s"CAST(nc AS DOUBLE) * ${d2f("cmv", "gmv")}")} AS ssb,
+                        count(*) AS k
+                 FROM cma JOIN cn USING (cell) CROSS JOIN gma),
+          nt AS (SELECT count(*) AS n FROM assign)
+          SELECT k, n, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+                 round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS ch
+          FROM sb CROSS JOIN sw CROSS JOIN nt"""
+    },
     "emb_probe" -> {
       import graft.core.ExactSql
       val foldW = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

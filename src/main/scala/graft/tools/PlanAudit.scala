@@ -80,7 +80,8 @@ object PlanAudit {
     "agg_polish",      // 1-row effect-median broadcasts onto the 168-cell grid
     "agg_hll_merge",   // 1-row estimate/exact scalars cross-joined into the readout
     "pipe_groupsplit", // 1-row leakage-audit broadcast onto the 3-row split stats
-    "graph_assortativity") // node-count broadcast via the shared graph builder
+    "graph_assortativity", // node-count broadcast via the shared graph builder
+    "emb_ch_index")    // seed-centroid + assembled-mean broadcasts, corpus streams
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded
@@ -105,7 +106,8 @@ object PlanAudit {
     "dd_tfidf_cos",   // per-doc sorted postings vector, state = one doc's vocab
     "emb_probe",      // 64-element weight re-assembly per step, bounded by dim
     "tw_motif",       // span-sized hourly series assembly (time-bounded, SF-free)
-    "text_rake")      // per-run phrase re-assembly, state = one phrase (<= 4 tokens)
+    "text_rake",      // per-run phrase re-assembly, state = one phrase (<= 4 tokens)
+    "emb_ch_index")   // 64-element cell/global mean re-assembly, bounded by dim
   // (tw_cpd's global window runs on the span-bounded dense series —
   // the text_zipf bounded-GLOBALWIN class)
 

@@ -105,6 +105,7 @@ object PlanDump {
     "pipe_groupsplit" -> "group-aware split: one content-group hash-agg for the leakage audit, split-keyed stats, 1-row audit broadcast",
     "agg_anova" -> "one-way ANOVA: one group-keyed hash-agg of decimal-exact sufficient statistics, k-row re-agg, one F division",
     "graph_assortativity" -> "degree assortativity: one degree hash-agg + two endpoint joins, exact BIGINT sufficient statistics",
+    "emb_ch_index" -> "Calinski-Harabasz: one assignment scan, (cell, dim) fsum means, one scoring scan vs broadcast means — dim-bounded tables",
   )
 
   def main(args: Array[String]): Unit = {

@@ -612,6 +612,44 @@ class NewOpsR8Spec extends SparkSpec {
     assert(rho < 0.0, s"expected disassortative mixing, got r = $rho")
   }
 
+  test("emb_ch_index matches a brute-force Calinski-Harabasz model") {
+    val vecs = graft.core.Tables.load(spark, d, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = vecs.filter(_._1 < 8)
+    def d2(a: Array[Float], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val assign = vecs.map { case (id, v) =>
+      val cell = cents.map { case (cid, cv) =>
+        (cv.zip(v).map { case (c, x) =>
+          (x.toDouble - c.toDouble) * (x.toDouble - c.toDouble) }.sum, cid)
+      }.min._2
+      (id, v, cell)
+    }
+    val byCell = assign.groupBy(_._3)
+    val means = byCell.view.mapValues { g =>
+      val m = Array.fill(64)(0.0)
+      g.foreach { case (_, v, _) => (0 until 64).foreach(i => m(i) += v(i)) }
+      m.map(_ / g.length)
+    }.toMap
+    val gmean = {
+      val m = Array.fill(64)(0.0)
+      assign.foreach { case (_, v, _) => (0 until 64).foreach(i => m(i) += v(i)) }
+      m.map(_ / assign.length)
+    }
+    val ssw = assign.map { case (_, v, c) => d2(v, means(c)) }.sum
+    val ssb = byCell.map { case (c, g) =>
+      g.length * means(c).zip(gmean)
+        .map { case (a, b) => (a - b) * (a - b) }.sum }.sum
+    val n = assign.length; val k = byCell.size
+    val ch = (ssb / (k - 1)) / (ssw / (n - k))
+    val r = SparkEntry.queries("emb_ch_index")(spark, d).collect().head
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    assert(math.abs(r.getDouble(2) - ssb) < 1e-4, s"ssb ${r.getDouble(2)} vs $ssb")
+    assert(math.abs(r.getDouble(3) - ssw) < 1e-4, s"ssw ${r.getDouble(3)} vs $ssw")
+    assert(math.abs(r.getDouble(4) - ch) / ch < 1e-6, s"ch ${r.getDouble(4)} vs $ch")
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
