@@ -792,6 +792,40 @@ object AggQueries extends GroupBase {
         (chi2 > lit(3.841)).as("srm"))
     }),
 
+    // POWER ANALYSIS / minimum detectable effect for the A/B readout —
+    // the question asked BEFORE agg_ab's z is read: at the observed
+    // sample sizes and base rate, what conversion-rate lift could this
+    // experiment even see? MDE = (z_{α/2} + z_β)·SE with SE =
+    // sqrt(p(1−p)(1/n_a + 1/n_b)), α = .05 two-sided (1.959964),
+    // β = .2 i.e. 80% power (0.841621) — the industry-default
+    // parameters. Also reports the n-per-arm needed to detect a 1%
+    // absolute lift. Shape: agg_ab's one user-keyed hash-agg into a
+    // 1-row readout; the only transcendental is sqrt, rounded to 6.
+    "agg_power" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy("user_id")
+        .agg(max((col("event_type") === "purchase").cast("int")).as("conv"))
+        .withColumn("v", pmod(graft.functions.TextOps.hash32(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)))
+      val c = users.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(col("conv").cast("long")).as("conv_all"))
+      val p = col("conv_all").cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se = sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))
+      val zsum = lit(1.959964 + 0.841621)
+      val mde = round(zsum * se, 6)
+      // n per arm for a 1% absolute lift: n = 2 p(1-p) (z_sum / d)^2
+      val nNeed = ceil(lit(2.0) * p * (lit(1.0) - p) *
+        (zsum / lit(0.01)) * (zsum / lit(0.01))).cast("long")
+      c.select(col("n_a"), col("n_b"), round(p, 6).as("base_rate"),
+        mde.as("mde_abs"),
+        round(mde / p, 6).as("mde_rel"),
+        nNeed.as("n_per_arm_for_1pct"))
+    }),
+
     // ONE-WAY ANOVA across event types — the k-group extension of
     // agg_ab's two-sample z: does mean `value` differ across the
     // event types at all (run BEFORE k·(k−1)/2 pairwise tests —
@@ -942,6 +976,35 @@ object AggQueries extends GroupBase {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_power" -> {
+      val h = graft.functions.TextOps.hash32Sql(
+        "'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT user_id,
+                            max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS conv
+                     FROM events GROUP BY 1),
+          c AS (SELECT CAST(sum(CASE WHEN ($h) % 2 = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN ($h) % 2 = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                       CAST(sum(conv) AS BIGINT) AS conv_all
+                FROM u),
+          s AS (SELECT n_a, n_b,
+                       CAST(conv_all AS DOUBLE) / (n_a + n_b) AS p,
+                       sqrt((CAST(conv_all AS DOUBLE) / (n_a + n_b)) *
+                            (1.0 - CAST(conv_all AS DOUBLE) / (n_a + n_b)) *
+                            (1.0 / n_a + 1.0 / n_b)) AS se
+                FROM c)
+          SELECT n_a, n_b, round(p, 6) AS base_rate,
+                 round((1.959964 + 0.841621) * se, 6) AS mde_abs,
+                 round(round((1.959964 + 0.841621) * se, 6) / p, 6)
+                   AS mde_rel,
+                 CAST(ceil(2.0 * p * (1.0 - p) *
+                   ((1.959964 + 0.841621) / 0.01) *
+                   ((1.959964 + 0.841621) / 0.01)) AS BIGINT)
+                   AS n_per_arm_for_1pct
+          FROM s"""
+    },
     "agg_anova" ->
       s"""WITH g AS (SELECT event_type, count(*) AS n,
                             sum(CAST(value AS DECIMAL(30,4))) AS svd,

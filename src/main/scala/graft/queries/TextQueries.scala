@@ -1510,6 +1510,33 @@ object TextQueries extends GroupBase {
         .select(col("n1"), col("n2"), col("vocab"), col("jsd_bits"))
     }),
 
+    // TERM BURSTINESS (variance-to-mean ratio of per-document counts,
+    // zeros included) — the overdispersion diagnostic separating
+    // function words (Poisson-ish, VMR ≈ 1: they occur evenly) from
+    // content/topical words (bursty, VMR >> 1: absent mostly, heavy
+    // where present; Church & Gale 1995). Feeds stopword induction
+    // and keyword weighting where raw frequency misleads. Exact
+    // integer sufficient statistics (Σtf, Σtf² per term + the doc
+    // count); VMR = (Σtf²/N − (Σtf/N)²) / (Σtf/N) pays three
+    // divisions, rounded to 6. One tokenize pass → vocab-sized table.
+    "text_dispersion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val tf = docs.select(col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val st = tf.groupBy("w").agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("st"), sum(col("tf") * col("tf")).as("sq"))
+      val ndD = col("nd").cast("double")
+      val mean = col("st").cast("double") / ndD
+      st.crossJoin(broadcast(nd))
+        .select(col("w"), col("df"), col("st").as("total"),
+          round(((col("sq").cast("double") / ndD) - mean * mean) / mean, 6)
+            .as("vmr"))
+        .orderBy(col("vmr").desc, col("w"))
+    }),
+
     // RAKE keyphrase extraction (Rose et al. 2010) — the multi-word
     // complement of text_tfidf's single-term keywords and text_pmi's
     // adjacent bigrams: candidate phrases are the maximal runs of
@@ -2538,6 +2565,22 @@ object TextQueries extends GroupBase {
                  round(${ExactSql.fsum("term")}
                    / ln(CAST(2.0 AS DOUBLE)), 6) AS jsd_bits
           FROM terms GROUP BY 1, 2""",
+    "text_dispersion" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
+                     WHERE len($toksSql) > 0),
+          nd AS (SELECT count(*) AS nd FROM d),
+          tf AS (SELECT doc_id, w, count(*) AS tf FROM (
+                   SELECT doc_id, unnest(tk) AS w FROM d) GROUP BY 1, 2),
+          st AS (SELECT w, count(*) AS df,
+                        CAST(sum(tf) AS BIGINT) AS st,
+                        CAST(sum(tf * tf) AS BIGINT) AS sq
+                 FROM tf GROUP BY 1)
+          SELECT w, df, st AS total,
+                 round(((CAST(sq AS DOUBLE) / nd)
+                        - (CAST(st AS DOUBLE) / nd)
+                          * (CAST(st AS DOUBLE) / nd))
+                       / (CAST(st AS DOUBLE) / nd), 6) AS vmr
+          FROM st CROSS JOIN nd ORDER BY vmr DESC, w""",
     "text_rake" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
                      WHERE len($toksSql) > 0),

@@ -401,6 +401,45 @@ object TimeWindowQueries extends GroupBase {
         .orderBy("lag")
     }),
 
+    // SEASONAL-NAIVE FORECAST BASELINE + MASE — the evaluation floor
+    // every forecasting pipeline must report (Hyndman & Koehler 2006):
+    // predict hour t by the same hour yesterday (lag 24) and score
+    // the last 7 days against the lag-1 naive. MASE = MAE_snaive /
+    // MAE_naive1 over the same eval hours: < 1 means daily
+    // seasonality is real signal, >= 1 means the fancy baseline adds
+    // nothing. Shape: corpus → span-bounded dense hourly series (the
+    // spine discipline); both forecasts are hour-keyed self-joins on
+    // the grid; integer absolute errors until the final divisions,
+    // rounded to 6.
+    "tw_mase" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(date_trunc("hour", col("ts")).as("hb"))
+      val counts = ev.groupBy("hb").agg(count(lit(1)).as("c"))
+      val range = counts.agg(min(col("hb")).as("mn"), max(col("hb")).as("mx"))
+      val spine = range.select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("hb"))
+      val dense = spine.join(counts, Seq("hb"), "left")
+        .select(col("hb"), coalesce(col("c"), lit(0L)).as("x"))
+      val evalSet = dense.as("t")
+        .join(dense.as("s24"), col("s24.hb") ===
+          col("t.hb") - expr("INTERVAL 24 HOURS"))
+        .join(dense.as("s1"), col("s1.hb") ===
+          col("t.hb") - expr("INTERVAL 1 HOUR"))
+        .crossJoin(broadcast(range))
+        .filter(col("t.hb") > col("mx") - expr("INTERVAL 168 HOURS"))
+        .select(abs(col("t.x") - col("s24.x")).as("e24"),
+          abs(col("t.x") - col("s1.x")).as("e1"))
+      evalSet.agg(count(lit(1)).as("n_eval"),
+          sum(col("e24")).as("se24"), sum(col("e1")).as("se1"))
+        .select(col("n_eval"),
+          round(col("se24").cast("double") /
+            col("n_eval").cast("double"), 6).as("mae_snaive"),
+          round(col("se1").cast("double") /
+            col("n_eval").cast("double"), 6).as("mae_naive1"),
+          round(col("se24").cast("double") /
+            col("se1").cast("double"), 6).as("mase"))
+    }),
+
     // CUSUM change-point scan on the hourly event series — the
     // level-shift detector (Page 1954; the monitoring twin of
     // tw_anomaly's point-outlier EWMA): s_t = Σ_{i<=t}(x_i − μ) peaks
@@ -703,6 +742,27 @@ object TimeWindowQueries extends GroupBase {
                           - (CAST(sx AS DOUBLE) / n)
                             * (CAST(sx AS DOUBLE) / n)), 6) AS r
           FROM lg CROSS JOIN gstat ORDER BY lag""",
+    "tw_mase" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb
+                    FROM events WHERE event_type = 'purchase'),
+          b AS (SELECT hb, count(*) AS c FROM e GROUP BY 1),
+          r AS (SELECT min(hb) AS mn, max(hb) AS mx FROM b),
+          spine AS (SELECT unnest(generate_series(mn, mx,
+                      INTERVAL 1 HOUR)) AS hb FROM r),
+          dense AS (SELECT s.hb, CAST(coalesce(c, 0) AS BIGINT) AS x
+                    FROM spine s LEFT JOIN b USING (hb)),
+          ev AS (SELECT abs(t.x - s24.x) AS e24, abs(t.x - s1.x) AS e1
+                 FROM dense t
+                 JOIN dense s24 ON s24.hb = t.hb - INTERVAL 24 HOURS
+                 JOIN dense s1 ON s1.hb = t.hb - INTERVAL 1 HOUR
+                 CROSS JOIN r
+                 WHERE t.hb > mx - INTERVAL 168 HOURS)
+          SELECT count(*) AS n_eval,
+                 round(CAST(sum(e24) AS DOUBLE) / count(*), 6) AS mae_snaive,
+                 round(CAST(sum(e1) AS DOUBLE) / count(*), 6) AS mae_naive1,
+                 round(CAST(sum(e24) AS DOUBLE) / CAST(sum(e1) AS DOUBLE), 6)
+                   AS mase
+          FROM ev""",
     "tw_cpd" ->
       """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb
                     FROM events WHERE event_type = 'error'),

@@ -81,7 +81,9 @@ object PlanAudit {
     "agg_hll_merge",   // 1-row estimate/exact scalars cross-joined into the readout
     "pipe_groupsplit", // 1-row leakage-audit broadcast onto the 3-row split stats
     "graph_assortativity", // node-count broadcast via the shared graph builder
-    "emb_ch_index")    // seed-centroid + assembled-mean broadcasts, corpus streams
+    "emb_ch_index",    // seed-centroid + assembled-mean broadcasts, corpus streams
+    "text_dispersion", // 1-row doc-count broadcast onto the vocab-sized table
+    "tw_mase")         // 1-row span broadcast onto the span-bounded grid
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

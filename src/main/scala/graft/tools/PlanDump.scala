@@ -106,6 +106,8 @@ object PlanDump {
     "agg_anova" -> "one-way ANOVA: one group-keyed hash-agg of decimal-exact sufficient statistics, k-row re-agg, one F division",
     "graph_assortativity" -> "degree assortativity: one degree hash-agg + two endpoint joins, exact BIGINT sufficient statistics",
     "emb_ch_index" -> "Calinski-Harabasz: one assignment scan, (cell, dim) fsum means, one scoring scan vs broadcast means — dim-bounded tables",
+    "text_dispersion" -> "term burstiness: one tokenize pass to the vocab-sized (df, sum, sumsq) table, three divisions per term",
+    "tw_mase" -> "forecast baseline: span-bounded dense grid, two hour-keyed self-joins, integer error sums",
   )
 
   def main(args: Array[String]): Unit = {

@@ -650,6 +650,61 @@ class NewOpsR8Spec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - ch) / ch < 1e-6, s"ch ${r.getDouble(4)} vs $ch")
   }
 
+  test("agg_power: MDE shrinks with n and the 1pct sizing inverts the formula") {
+    val r = SparkEntry.queries("agg_power")(spark, d).collect().head
+    val (na, nb, p, mdeAbs, mdeRel, nNeed) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))
+    // at sf0.001 every user converts (p = 1): se = 0, mde = 0 — the
+    // formulas must still hold at the degenerate edge
+    assert(na > 0 && nb > 0 && p > 0.0 && p <= 1.0)
+    val zsum = 1.959964 + 0.841621
+    val se = math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(mdeAbs - BigDecimal(zsum * se)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(mdeRel - mdeAbs / p) < 1e-5)
+    assert(nNeed == math.ceil(2.0 * p * (1 - p) *
+      (zsum / 0.01) * (zsum / 0.01)).toLong)
+  }
+
+  test("text_dispersion: VMR is Poisson-calibrated — constant-rate terms near 1") {
+    val rows = SparkEntry.queries("text_dispersion")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, df, total, vmr) =>
+      assert(df >= 1 && total >= df, s"$w counts inconsistent")
+      assert(vmr >= 0.0, s"$w VMR negative")
+    }
+    // differential check on one term against a brute model
+    val (w0, _, _, vmr0) = rows.head
+    val docs = graft.core.Tables.load(spark, d, "documents")
+      .select("text").collect().map(_.getString(0))
+      .map(_.split(" ").filter(_.nonEmpty)).filter(_.nonEmpty)
+    val tfs = docs.map(_.count(_ == w0).toLong)
+    val n = tfs.length
+    val mean = tfs.sum.toDouble / n
+    val vmr = ((tfs.map(t => t * t).sum.toDouble / n) - mean * mean) / mean
+    assert(math.abs(vmr0 - BigDecimal(vmr)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"$w0: $vmr0 vs $vmr")
+  }
+
+  test("tw_mase: error accounting is exact against the dense series model") {
+    val series = hourlySeries("purchase")
+    val n = series.length
+    // the query keeps hours within 168h of the span end whose lag-24
+    // and lag-1 neighbors exist on the spine
+    val evalHours = (0 until n).filter(t => t > n - 169 && t >= 24)
+    val e24 = evalHours.map(t => math.abs(series(t) - series(t - 24)).toDouble)
+    val e1 = evalHours.map(t => math.abs(series(t) - series(t - 1)).toDouble)
+    val r = SparkEntry.queries("tw_mase")(spark, d).collect().head
+    assert(r.getLong(0) == evalHours.length, s"n_eval ${r.getLong(0)} vs ${evalHours.length}")
+    assert(math.abs(r.getDouble(1) - BigDecimal(e24.sum / e24.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(r.getDouble(3) - BigDecimal(e24.sum / e1.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
