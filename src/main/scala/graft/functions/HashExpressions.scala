@@ -52,6 +52,37 @@ object HashKernels {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** 64-bit block-mean code of a payload's byte stream (mm_phash's
+    * aHash kernel): the first 64·(len/64) bytes split into 64 equal
+    * blocks; bit j = block j's byte sum · 64 > total byte sum (the
+    * division-free mean compare). Returns 0 when len < 64 (callers
+    * filter those rows out first). Byte-based — identical to the
+    * per-character relational formulation for ASCII payloads, which
+    * is also the honest unit for BINARY media blobs. Integer-only →
+    * bit-exact vs the oracle's relational mirror. */
+  def blockMeanCode(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    val b = bytes.length / 64
+    if (b < 1) return 0L
+    val sums = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    val used = b * 64
+    while (i < used) {
+      val v = (bytes(i) & 0xff).toLong
+      sums(i / b) += v
+      total += v
+      i += 1
+    }
+    var code = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) * 64 > total) code |= (1L << j)
+      j += 1
+    }
+    code
+  }
+
   private def eachShingleHash(toks: ArrayData, n: Int)(f: Long => Unit): Unit = {
     val len = toks.numElements()
     val sb = new java.lang.StringBuilder(64)
@@ -340,6 +371,30 @@ case class ShingleSimHash(child: Expression, n: Int) extends ShingleKernelExpr {
 /** `token_topcount(tokens)` → INT max per-token occurrence count —
   * turns the repetition signal's explode + two-level hash-agg into a
   * per-row kernel (see HashKernels.topTokenCount). */
+/** Codegen'd 64-bit block-mean payload code (see
+  * HashKernels.blockMeanCode) — one static call per row replaces
+  * mm_phash's byte explode + two corpus-scale hash-aggs. */
+case class BlockMeanCode(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING payload")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "block_mean_code"
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.blockMeanCode(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.blockMeanCode($a);")
+
+  override protected def withNewChildInternal(c: Expression): BlockMeanCode =
+    copy(child = c)
+}
+
 case class TokenTopCount(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -281,6 +281,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new FunctionIdentifier("sparse_dot_q20"),
       new ExpressionInfo(classOf[SparseDotQ20].getName, "sparse_dot_q20"),
       (args: Seq[Expression]) => SparseDotQ20(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("block_mean_code"),
+      new ExpressionInfo(classOf[BlockMeanCode].getName, "block_mean_code"),
+      (args: Seq[Expression]) => BlockMeanCode(args(0))))
     ext.injectOptimizerRule(_ => graft.plans.ExistsRewriteRule)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectParser((session, delegate) =>

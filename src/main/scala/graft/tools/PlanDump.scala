@@ -96,7 +96,7 @@ object PlanDump {
     "tw_motif" -> "matrix-profile motif: span-sized series (one hash-agg), span^2-bounded window pair join — SF-independent after the first aggregate",
     "tw_acf" -> "autocorrelation: one (hour) hash-agg, 48-lag self-join on the span grid, integer sufficient statistics",
     "tw_cpd" -> "CUSUM change-point: integer prefix window over the span-bounded series, 1-row global-mean broadcast",
-    "mm_phash" -> "perceptual media near-dup: byte-explode into (doc, block) hash-agg, integer bit math, banded Hamming candidates (no all-pairs)",
+    "mm_phash" -> "perceptual media near-dup: codegen block_mean_code kernel per row (zero-shuffle codes), banded Hamming candidates (no all-pairs)",
     "agg_survival" -> "Kaplan-Meier: one user-keyed hash-agg, survival arithmetic on the span-bounded lifetime histogram (prefix sums, no per-user window)",
     "text_rake" -> "RAKE keyphrases: element-wise run segmentation (no per-token window), (doc, run) hash-agg, vocab-sized word stats joined back",
     "graph_kcore" -> "k-core peeling: per round two endpoint semi-filters + one degree hash-agg, active set barriered per round",
