@@ -792,6 +792,46 @@ object AggQueries extends GroupBase {
         (chi2 > lit(3.841)).as("srm"))
     }),
 
+    // GINI COEFFICIENT of per-user spend — the concentration /
+    // whale-analysis readout (how unequal is revenue across users):
+    // computed by the trapezoid rule over the Lorenz curve of the
+    // INTEGER-DOLLAR spend histogram, G = 1 − Σ_k p_k·(L_{k−1}+L_k).
+    // The histogram is bounded by the VALUE RANGE, not the user count
+    // (the agg_auc rank-arithmetic discipline) — at 100 TB the
+    // per-user agg is one hash-agg and everything after runs on the
+    // range-bounded bucket table, never a global sort of users.
+    // Bucketing at whole dollars is the documented quantization (a
+    // production run tightens the grid or feeds a quantile sketch);
+    // both engines bucket identically so the value is bit-exact.
+    // Per-bucket spend sums stay DECIMAL until the Lorenz divisions;
+    // the bucket-term sum is an fsum (order-independent); G rounds
+    // to 6.
+    "agg_gini" -> ((s, d) => {
+      val spend = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast(Exact.Dec)).as("sp"))
+      val hist = spend
+        .groupBy(floor(col("sp").cast("double")).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"), sum(col("sp")).as("sd"))
+      val tot = hist.agg(sum(col("c")).as("n"),
+        sum(col("sd")).cast("double").as("t"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val terms = hist
+        .withColumn("cum", sum(col("sd")).over(w).cast("double"))
+        .crossJoin(broadcast(tot))
+        .select((col("c").cast("double") / col("n").cast("double") *
+          (lit(2.0) * col("cum") - col("sd").cast("double")) / col("t"))
+          .as("term"), col("n"), col("t"))
+      terms.groupBy("n")
+        .agg(max(col("t")).as("total_spend"),
+          round(lit(1.0) - Exact.fsum(col("term")), 6).as("gini"))
+        .select(col("n").as("n_users"),
+          round(col("total_spend"), 2).as("total_spend"), col("gini"))
+    }),
+
     // POWER ANALYSIS / minimum detectable effect for the A/B readout —
     // the question asked BEFORE agg_ab's z is read: at the observed
     // sample sizes and base rate, what conversion-rate lift could this
@@ -976,6 +1016,29 @@ object AggQueries extends GroupBase {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "agg_gini" ->
+      s"""WITH spend AS (SELECT user_id,
+                                sum(CAST(value AS DECIMAL(30,4))) AS sp
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY 1),
+          hist AS (SELECT CAST(floor(CAST(CAST(sp AS VARCHAR) AS DOUBLE))
+                            AS BIGINT) AS b,
+                          count(*) AS c, sum(sp) AS sd
+                   FROM spend GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         CAST(CAST(sum(sd) AS VARCHAR) AS DOUBLE) AS t
+                  FROM hist),
+          terms AS (SELECT CAST(c AS DOUBLE) / n *
+                           (2.0 * CAST(CAST(sum(sd) OVER (ORDER BY b
+                              ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+                              AS DOUBLE)
+                            - CAST(CAST(sd AS VARCHAR) AS DOUBLE)) / t
+                             AS term,
+                           n, t
+                    FROM hist CROSS JOIN tot)
+          SELECT n AS n_users, round(max(t), 2) AS total_spend,
+                 round(1.0 - ${graft.core.ExactSql.fsum("term")}, 6) AS gini
+          FROM terms GROUP BY n""",
     "agg_power" -> {
       val h = graft.functions.TextOps.hash32Sql(
         "'ab:' || CAST(user_id AS VARCHAR)")

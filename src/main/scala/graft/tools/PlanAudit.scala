@@ -83,7 +83,8 @@ object PlanAudit {
     "graph_assortativity", // node-count broadcast via the shared graph builder
     "emb_ch_index",    // seed-centroid + assembled-mean broadcasts, corpus streams
     "text_dispersion", // 1-row doc-count broadcast onto the vocab-sized table
-    "tw_mase")         // 1-row span broadcast onto the span-bounded grid
+    "tw_mase",         // 1-row span broadcast onto the span-bounded grid
+    "agg_gini")        // 1-row totals broadcast onto the range-bounded histogram
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

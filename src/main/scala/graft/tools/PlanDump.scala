@@ -108,6 +108,7 @@ object PlanDump {
     "emb_ch_index" -> "Calinski-Harabasz: one assignment scan, (cell, dim) fsum means, one scoring scan vs broadcast means — dim-bounded tables",
     "text_dispersion" -> "term burstiness: one tokenize pass to the vocab-sized (df, sum, sumsq) table, three divisions per term",
     "tw_mase" -> "forecast baseline: span-bounded dense grid, two hour-keyed self-joins, integer error sums",
+    "agg_gini" -> "Gini concentration: one user hash-agg, Lorenz trapezoid over the range-bounded spend histogram (no global user sort)",
   )
 
   def main(args: Array[String]): Unit = {

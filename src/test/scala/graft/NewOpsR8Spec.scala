@@ -705,6 +705,27 @@ class NewOpsR8Spec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("agg_gini matches a brute-force Lorenz trapezoid on the same buckets") {
+    val spends = graft.core.Tables.load(spark, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum(col("value")).as("sp"))
+      .collect().map(_.getDouble(1))
+    val byBucket = spends.groupBy(s => math.floor(s).toLong).toSeq.sortBy(_._1)
+    val n = spends.length; val t = spends.sum
+    var cum = 0.0; var acc = 0.0
+    byBucket.foreach { case (_, g) =>
+      val sd = g.sum
+      cum += sd
+      acc += g.length.toDouble / n * (2.0 * cum - sd) / t
+    }
+    val want = 1.0 - acc
+    val r = SparkEntry.queries("agg_gini")(spark, d).collect().head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(2) - want) < 1e-6,
+      s"gini ${r.getDouble(2)} vs model $want")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
