@@ -1510,6 +1510,36 @@ object TextQueries extends GroupBase {
         .select(col("n1"), col("n2"), col("vocab"), col("jsd_bits"))
     }),
 
+    // CLOZE eval-sample synthesis — the EVAL-DATA-CONSTRUCTION family
+    // (the other side of decontamination: the pipeline that BUILDS
+    // held-out probes from the corpus): mask one deterministically
+    // chosen token per document (position = h32(doc) % n_tok, skewed
+    // away from position 0 so the blank has left context), emit the
+    // masked text, the answer, and the answer's corpus frequency band
+    // (rare answers make harder probes — the difficulty metadata an
+    // eval harness stratifies on). Element-wise masking + one
+    // vocab-sized frequency broadcast; an embarrassingly parallel
+    // projection scan at any scale.
+    "pipe_cloze" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) >= 2)
+        .withColumn("pos", (pmod(TextOps.hash32(
+          concat(lit("cloze:"), col("doc_id").cast("string"))),
+          size(col("tk")) - 1) + 1).cast("int"))
+        .withColumn("answer", element_at(col("tk"), col("pos") + 1))
+      val freq = docs.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cf"))
+      docs.join(broadcast(freq), col("answer") === col("w"))
+        .select(col("doc_id"), col("pos"), col("answer"),
+          col("cf").as("answer_freq"),
+          concat_ws(" ", transform(
+            zip_with(col("tk"), sequence(lit(0), size(col("tk")) - 1),
+              (t0, i) => when(i === col("pos"), lit("____")).otherwise(t0)),
+            x => x)).as("masked"))
+        .orderBy("doc_id")
+    }),
+
     // TERM BURSTINESS (variance-to-mean ratio of per-document counts,
     // zeros included) — the overdispersion diagnostic separating
     // function words (Poisson-ish, VMR ≈ 1: they occur evenly) from
@@ -2565,6 +2595,23 @@ object TextQueries extends GroupBase {
                  round(${ExactSql.fsum("term")}
                    / ln(CAST(2.0 AS DOUBLE)), 6) AS jsd_bits
           FROM terms GROUP BY 1, 2""",
+    "pipe_cloze" -> {
+      val h = TextOps.hash32Sql("'cloze:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
+                     WHERE len($toksSql) >= 2),
+          m AS (SELECT doc_id, tk,
+                       CAST(($h) % (len(tk) - 1) + 1 AS INT) AS pos
+                FROM d),
+          a AS (SELECT doc_id, tk, pos, tk[pos + 1] AS answer FROM m),
+          freq AS (SELECT w, count(*) AS cf FROM (
+                     SELECT unnest(tk) AS w FROM d) GROUP BY 1)
+          SELECT doc_id, pos, answer, cf AS answer_freq,
+                 array_to_string(list_transform(
+                   list_zip(tk, range(0, len(tk))),
+                   p -> CASE WHEN p[2] = pos THEN '____' ELSE p[1] END),
+                   ' ') AS masked
+          FROM a JOIN freq ON answer = w ORDER BY doc_id"""
+    },
     "text_dispersion" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
                      WHERE len($toksSql) > 0),

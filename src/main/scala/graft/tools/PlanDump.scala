@@ -109,6 +109,7 @@ object PlanDump {
     "text_dispersion" -> "term burstiness: one tokenize pass to the vocab-sized (df, sum, sumsq) table, three divisions per term",
     "tw_mase" -> "forecast baseline: span-bounded dense grid, two hour-keyed self-joins, integer error sums",
     "agg_gini" -> "Gini concentration: one user hash-agg, Lorenz trapezoid over the range-bounded spend histogram (no global user sort)",
+    "pipe_cloze" -> "cloze synthesis: element-wise masking + one vocab-sized frequency broadcast, embarrassingly parallel",
   )
 
   def main(args: Array[String]): Unit = {

@@ -726,6 +726,24 @@ class NewOpsR8Spec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
   }
 
+  test("pipe_cloze: exactly one blank, answer recoverable, never position 0") {
+    val rows = SparkEntry.queries("pipe_cloze")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, pos, answer, freq, masked) =>
+      val toks = masked.split(" ")
+      assert(pos >= 1 && pos < toks.length, s"doc $id pos $pos")
+      assert(toks(pos) == "____", s"doc $id: blank not at reported pos")
+      assert(toks.count(_ == "____") >= 1)
+      assert(answer.nonEmpty && freq >= 1)
+      // the masked text with the answer restored has no blanks the
+      // original didn't have (the corpus never contains "____")
+      assert(!toks.take(pos).contains("____") &&
+        !toks.drop(pos + 1).contains("____"), s"doc $id: multiple blanks")
+    }
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
