@@ -832,6 +832,53 @@ object AggQueries extends GroupBase {
           round(col("total_spend"), 2).as("total_spend"), col("gini"))
     }),
 
+    // PARETO / top-decile share — the operationally quoted companion
+    // to agg_gini's scalar ("the top 10% of buyers drive X% of
+    // revenue"): share of total spend held by the heaviest 10% and 1%
+    // of purchasing users, from the SAME range-bounded integer-dollar
+    // histogram (one user hash-agg, no global sort). The decile
+    // boundary falls inside a bucket; its spend is allocated
+    // pro-rata by user count (uniform-within-bucket, the documented
+    // quantization — identical arithmetic in both engines). Descending
+    // cumulative counts/spends are windows over the bounded histogram.
+    "agg_pareto" -> ((s, d) => {
+      val spend = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast(Exact.Dec)).as("sp"))
+      val hist = spend
+        .groupBy(floor(col("sp").cast("double")).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"), sum(col("sp")).as("sd"))
+      val tot = hist.agg(sum(col("c")).as("n"),
+        sum(col("sd")).cast("double").as("t"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("b").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val cum = hist
+        .withColumn("cumC", sum(col("c")).over(wDesc))
+        .withColumn("cumS", sum(col("sd")).over(wDesc).cast("double"))
+        .crossJoin(broadcast(tot))
+      def share(frac: Double) = {
+        // take whole buckets while cumC <= n*frac; pro-rate the
+        // boundary bucket's spend by the user shortfall
+        val target = col("n").cast("double") * lit(frac)
+        val prevC = (col("cumC") - col("c")).cast("double")
+        val sdD = col("sd").cast("double")
+        val inside = col("cumC").cast("double") >= target && prevC < target
+        round(Exact.fsum(
+          when(col("cumC").cast("double") <= target, sdD)
+            .when(inside,
+              sdD * (target - prevC) / col("c").cast("double"))
+            .otherwise(lit(0.0)) / lit(1024.0)) * lit(1024.0) /
+          max(col("t")), 6)
+      }
+      cum.groupBy("n")
+        .agg(share(0.10).as("top10_share"), share(0.01).as("top1_share"))
+        .select(col("n").as("n_users"), col("top10_share"),
+          col("top1_share"))
+    }),
+
     // POWER ANALYSIS / minimum detectable effect for the A/B readout —
     // the question asked BEFORE agg_ab's z is read: at the observed
     // sample sizes and base rate, what conversion-rate lift could this
@@ -1039,6 +1086,36 @@ object AggQueries extends GroupBase {
           SELECT n AS n_users, round(max(t), 2) AS total_spend,
                  round(1.0 - ${graft.core.ExactSql.fsum("term")}, 6) AS gini
           FROM terms GROUP BY n""",
+    "agg_pareto" -> {
+      def share(frac: String) = graft.core.ExactSql.fsum(
+        s"""(CASE WHEN CAST(cumC AS DOUBLE) <= n * $frac
+                  THEN CAST(sd AS DOUBLE)
+                  WHEN CAST(cumC AS DOUBLE) >= n * $frac
+                       AND CAST(cumC - c AS DOUBLE) < n * $frac
+                  THEN CAST(sd AS DOUBLE) *
+                       (n * $frac - CAST(cumC - c AS DOUBLE))
+                       / CAST(c AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END) / 1024.0""")
+      s"""WITH spend AS (SELECT user_id,
+                                sum(CAST(value AS DECIMAL(30,4))) AS sp
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY 1),
+          hist AS (SELECT CAST(floor(CAST(CAST(sp AS VARCHAR) AS DOUBLE))
+                            AS BIGINT) AS b,
+                          count(*) AS c, sum(sp) AS sd
+                   FROM spend GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         CAST(CAST(sum(sd) AS VARCHAR) AS DOUBLE) AS t
+                  FROM hist),
+          cum AS (SELECT b, c, sd,
+                         CAST(sum(c) OVER (ORDER BY b DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumC
+                  FROM hist)
+          SELECT n AS n_users,
+                 round(${share("0.10")} * 1024.0 / max(t), 6) AS top10_share,
+                 round(${share("0.01")} * 1024.0 / max(t), 6) AS top1_share
+          FROM cum CROSS JOIN tot GROUP BY n"""
+    },
     "agg_power" -> {
       val h = graft.functions.TextOps.hash32Sql(
         "'ab:' || CAST(user_id AS VARCHAR)")

@@ -110,6 +110,7 @@ object PlanDump {
     "tw_mase" -> "forecast baseline: span-bounded dense grid, two hour-keyed self-joins, integer error sums",
     "agg_gini" -> "Gini concentration: one user hash-agg, Lorenz trapezoid over the range-bounded spend histogram (no global user sort)",
     "pipe_cloze" -> "cloze synthesis: element-wise masking + one vocab-sized frequency broadcast, embarrassingly parallel",
+    "agg_pareto" -> "top-decile share: descending cumulative windows over the range-bounded spend histogram, pro-rated boundary bucket",
   )
 
   def main(args: Array[String]): Unit = {

@@ -744,6 +744,33 @@ class NewOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("agg_pareto matches a brute-force bucket-prorated top-share model") {
+    val spends = graft.core.Tables.load(spark, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum(col("value")).as("sp"))
+      .collect().map(_.getDouble(1))
+    val n = spends.length; val t = spends.sum
+    val hist = spends.groupBy(s => math.floor(s).toLong).toSeq
+      .map { case (b, g) => (b, g.length, g.sum) }.sortBy(-_._1)
+    def share(frac: Double): Double = {
+      val target = n * frac
+      var cumC = 0L; var acc = 0.0
+      hist.foreach { case (_, c, sd) =>
+        val prev = cumC; cumC += c
+        if (cumC <= target) acc += sd
+        else if (prev < target) acc += sd * (target - prev) / c
+      }
+      acc / t
+    }
+    val r = SparkEntry.queries("agg_pareto")(spark, d).collect().head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - share(0.10)) < 1e-6,
+      s"top10 ${r.getDouble(1)} vs ${share(0.10)}")
+    assert(math.abs(r.getDouble(2) - share(0.01)) < 1e-6)
+    // sanity: concentration orders correctly and exceeds the uniform floor
+    assert(r.getDouble(1) > 0.10 - 1e-6 && r.getDouble(1) >= r.getDouble(2))
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
