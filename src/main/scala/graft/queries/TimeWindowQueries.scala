@@ -401,6 +401,39 @@ object TimeWindowQueries extends GroupBase {
         .orderBy("lag")
     }),
 
+    // DAU / WAU STICKINESS — the product-engagement staple next to
+    // agg_retention's cohort grid: per day, the distinct active users
+    // (DAU), the distinct users active in the trailing 7 days (WAU),
+    // and stickiness = DAU/WAU (how much of the weekly audience shows
+    // up daily). Exact rolling distinct WITHOUT a rolling-distinct
+    // aggregate: each (user, day) activity row contributes to the 7
+    // window-end days it falls into (a bounded x7 explode), and WAU
+    // is then a plain distinct count per window end — corpus-scale
+    // work is one dedup and two hash-aggs, no window over users.
+    // Days without a full 7-day history are emitted with their
+    // partial window (flagged by days_observed < 7).
+    "tw_stickiness" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val dau = act.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val span = act.agg(min(col("day")).as("mn"))
+      val wau = act
+        .select(col("user_id"), explode(sequence(col("day"),
+          col("day") + expr("INTERVAL 6 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("wend"))
+        .distinct()
+        .groupBy(col("wend").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day")).crossJoin(broadcast(span))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"),
+          least(datediff(col("day").cast("date"), col("mn").cast("date"))
+            + 1, lit(7)).cast("int").as("days_observed"))
+        .orderBy("day")
+    }),
+
     // SEASONAL-NAIVE FORECAST BASELINE + MASE — the evaluation floor
     // every forecasting pipeline must report (Hyndman & Koehler 2006):
     // predict hour t by the same hour yesterday (lag 24) and score
@@ -742,6 +775,26 @@ object TimeWindowQueries extends GroupBase {
                           - (CAST(sx AS DOUBLE) / n)
                             * (CAST(sx AS DOUBLE) / n)), 6) AS r
           FROM lg CROSS JOIN gstat ORDER BY lag""",
+    "tw_stickiness" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+                             CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                               AS TIMESTAMP) AS day
+                      FROM events),
+          dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                  FROM act GROUP BY 1),
+          span AS (SELECT min(day) AS mn FROM act),
+          w AS (SELECT DISTINCT user_id, CAST(wend AS TIMESTAMP) AS wend
+                FROM act,
+                  LATERAL (SELECT unnest(generate_series(day,
+                    day + INTERVAL 6 DAYS, INTERVAL 1 DAY)) AS wend) g),
+          wau AS (SELECT wend AS day, count(DISTINCT user_id) AS wau
+                  FROM w GROUP BY 1)
+          SELECT d.day, dau, wau,
+                 round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness,
+                 CAST(least(date_diff('day', CAST(mn AS DATE),
+                   CAST(d.day AS DATE)) + 1, 7) AS INT) AS days_observed
+          FROM dau d JOIN wau USING (day) CROSS JOIN span
+          ORDER BY day""",
     "tw_mase" ->
       """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb
                     FROM events WHERE event_type = 'purchase'),

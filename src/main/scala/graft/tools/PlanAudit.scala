@@ -85,7 +85,8 @@ object PlanAudit {
     "text_dispersion", // 1-row doc-count broadcast onto the vocab-sized table
     "tw_mase",         // 1-row span broadcast onto the span-bounded grid
     "agg_gini",        // 1-row totals broadcast onto the range-bounded histogram
-    "agg_pareto")      // same 1-row totals broadcast onto the spend histogram
+    "agg_pareto",      // same 1-row totals broadcast onto the spend histogram
+    "tw_stickiness")   // 1-row span-start broadcast onto the day table
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

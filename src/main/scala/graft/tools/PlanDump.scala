@@ -111,6 +111,7 @@ object PlanDump {
     "agg_gini" -> "Gini concentration: one user hash-agg, Lorenz trapezoid over the range-bounded spend histogram (no global user sort)",
     "pipe_cloze" -> "cloze synthesis: element-wise masking + one vocab-sized frequency broadcast, embarrassingly parallel",
     "agg_pareto" -> "top-decile share: descending cumulative windows over the range-bounded spend histogram, pro-rated boundary bucket",
+    "tw_stickiness" -> "DAU/WAU: one (user, day) dedup, bounded x7 window-end explode, two distinct hash-aggs — no rolling-distinct window",
   )
 
   def main(args: Array[String]): Unit = {

@@ -771,6 +771,29 @@ class NewOpsR8Spec extends SparkSpec {
     assert(r.getDouble(1) > 0.10 - 1e-6 && r.getDouble(1) >= r.getDouble(2))
   }
 
+  test("tw_stickiness matches a brute-force rolling-distinct model") {
+    val act = graft.core.Tables.load(spark, d, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val days = act.map(_._2).distinct.sorted
+    val dayMs = 86400000L
+    val want = days.map { dd =>
+      val dau = act.filter(_._2 == dd).map(_._1).distinct.length
+      val wau = act.filter(a => a._2 <= dd && a._2 > dd - 7 * dayMs)
+        .map(_._1).distinct.length
+      (dd, dau.toLong, wau.toLong, BigDecimal(dau.toDouble / wau)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("tw_stickiness")(spark, d).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == want.toSeq,
+      s"stickiness table diverges: got ${got.take(3).toSeq} ...")
+    // stickiness is a ratio of nested distinct sets: always in (0, 1]
+    assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
