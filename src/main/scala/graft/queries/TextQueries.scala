@@ -1099,6 +1099,37 @@ object TextQueries extends GroupBase {
     // is ~4 chars). Pure per-row expressions: embarrassingly parallel,
     // no shuffle except the output sort. The regex is dialect-neutral
     // (same semantics in Java regex and RE2/DuckDB).
+    // TOKENIZER FERTILITY per language — the table every multilingual
+    // tokenizer paper reports (subwords per word; high fertility =
+    // the language pays more sequence length per content): fertility
+    // = Σ subwords / Σ whitespace words and compression = bytes per
+    // subword, both per lang under the same BPE-ish subword estimate
+    // text_bpe uses per document. One projection scan into a
+    // lang-keyed hash-agg; integer sums, two divisions per lang,
+    // rounded to 6.
+    "text_fertility" -> ((s, d) => {
+      val pre = regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+      t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+        .select(col("lang"), size(col("tk")).cast("long").as("nw"),
+          aggregate(transform(pre,
+              t0 => ceil(length(t0).cast("double") / 4.0).cast("long")),
+            lit(0L), (a, v) => a + v).as("nb"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("nb")).as("n_subwords"), sum(col("nc")).as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          round(col("n_subwords").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility"),
+          round(col("n_bytes").cast("double") /
+            col("n_subwords").cast("double"), 6).as("bytes_per_subword"))
+        .orderBy("lang")
+    }),
+
     "text_bpe" -> ((s, d) => {
       val pre = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
       t(s, d, "documents")
@@ -2306,6 +2337,26 @@ object TextQueries extends GroupBase {
           SELECT piece, CAST(freq AS BIGINT) AS freq,
                  CAST(freq * length(piece) AS BIGINT) AS score
           FROM p ORDER BY score DESC, piece LIMIT 30""",
+    "text_fertility" ->
+      s"""WITH d AS (SELECT lang,
+                            CAST(len($toksSql) AS BIGINT) AS nw,
+                            CAST(list_sum(list_transform(
+                              regexp_extract_all(text,
+                                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                              t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4)
+                                   AS BIGINT))) AS BIGINT) AS nb,
+                            CAST(length(text) AS BIGINT) AS nc
+                     FROM documents WHERE len($toksSql) > 0),
+          g AS (SELECT lang, count(*) AS n_docs,
+                       CAST(sum(nw) AS BIGINT) AS n_words,
+                       CAST(sum(nb) AS BIGINT) AS n_subwords,
+                       CAST(sum(nc) AS BIGINT) AS n_bytes
+                FROM d GROUP BY 1)
+          SELECT lang, n_docs, n_words, n_subwords,
+                 round(CAST(n_subwords AS DOUBLE) / n_words, 6) AS fertility,
+                 round(CAST(n_bytes AS DOUBLE) / n_subwords, 6)
+                   AS bytes_per_subword
+          FROM g ORDER BY lang""",
     "text_bpe" ->
       s"""SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))

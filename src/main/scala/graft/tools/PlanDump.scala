@@ -112,6 +112,7 @@ object PlanDump {
     "pipe_cloze" -> "cloze synthesis: element-wise masking + one vocab-sized frequency broadcast, embarrassingly parallel",
     "agg_pareto" -> "top-decile share: descending cumulative windows over the range-bounded spend histogram, pro-rated boundary bucket",
     "tw_stickiness" -> "DAU/WAU: one (user, day) dedup, bounded x7 window-end explode, two distinct hash-aggs — no rolling-distinct window",
+    "text_fertility" -> "tokenizer fertility: one projection scan into a lang-keyed hash-agg, integer sums",
   )
 
   def main(args: Array[String]): Unit = {

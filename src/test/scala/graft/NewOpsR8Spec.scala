@@ -794,6 +794,24 @@ class NewOpsR8Spec extends SparkSpec {
     assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
   }
 
+  test("text_fertility: per-lang accounting is consistent and fertility >= word floor") {
+    val rows = SparkEntry.queries("text_fertility")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val totalDocs = graft.core.Tables.load(spark, d, "documents")
+      .filter(size(graft.functions.TextOps.tokens(col("text"))) > 0).count()
+    assert(rows.map(_._2).sum == totalDocs)
+    rows.foreach { case (lang, nd, nw, nb, fert, bps) =>
+      assert(nd > 0 && nw > 0 && nb > 0, s"$lang empty")
+      // the subword estimate never splits below one piece per pretoken,
+      // and alpha words pretokenize 1:1 here, so fertility >= ~1
+      assert(fert > 0.9, s"$lang fertility $fert")
+      assert(math.abs(fert - nb.toDouble / nw) < 1e-6)
+      assert(bps > 0.0 && bps <= 6.0, s"$lang bytes/subword $bps")
+    }
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
