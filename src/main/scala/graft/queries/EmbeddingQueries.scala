@@ -802,6 +802,35 @@ object EmbeddingQueries extends GroupBase {
         .orderBy("qid", "rank")
     }),
 
+    // MEAN RECIPROCAL RANK of the IVF search — the rank-SENSITIVE
+    // retrieval eval next to emb_recall's set-overlap recall@3:
+    // where in the approximate result list does the TRUE nearest
+    // neighbor land? MRR = mean over queries of 1/rank (0 when the
+    // true top-1 is missing entirely) per probe budget — the number
+    // that distinguishes "usually first" from "usually third" when
+    // recall alone reads identical. Integer ranks → exact rational
+    // arithmetic until the final mean, rounded to 6. Same shapes as
+    // emb_recall: broadcast-probe searches, bounded join of two
+    // per-query top-k lists.
+    "emb_mrr" -> ((s, d) => {
+      val truth1 = bruteKnn(s, d).filter(col("qid") < 5 && col("rank") === 1)
+        .select(col("qid"), col("nid"))
+      def rr(p: Int) = ivfKnn(s, d, p)
+        .join(truth1, Seq("qid", "nid"), "left_semi")
+        .select(col("qid"), (lit(1.0) / col("rank")).as(s"rr_p$p"))
+      val base = truth1.select("qid")
+      def arm(p: Int) = base
+        .join(rr(p), Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col(s"rr_p$p"), lit(0.0)).as(s"rr_p$p"))
+      arm(1).join(arm(2), Seq("qid")).join(arm(4), Seq("qid"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_queries"),
+          round(Exact.fsum(col("rr_p1")) / count(lit(1)), 6).as("mrr_p1"),
+          round(Exact.fsum(col("rr_p2")) / count(lit(1)), 6).as("mrr_p2"),
+          round(Exact.fsum(col("rr_p4")) / count(lit(1)), 6).as("mrr_p4"))
+    }),
+
     // CALINSKI-HARABASZ index — the INTERNAL clustering-validation
     // number next to emb_purity's external (label-needing) purity/NMI:
     // CH = (SSB/(k−1)) / (SSW/(n−k)) over the IVF cell assignment,
@@ -1786,6 +1815,27 @@ object EmbeddingQueries extends GroupBase {
             FROM scored)
           SELECT qid, rank, nid, hamming FROM ranked
           WHERE rank <= 3 ORDER BY qid, rank""",
+    "emb_mrr" -> {
+      import graft.core.ExactSql
+      def rr(p: Int) =
+        s"""rr$p AS (SELECT b.qid,
+                            coalesce(max(1.0 / i.rank), CAST(0.0 AS DOUBLE))
+                              AS rr
+                     FROM (SELECT qid, nid FROM brute
+                           WHERE rank = 1 AND qid < 5) b
+                     LEFT JOIN ivf$p i ON i.qid = b.qid AND i.nid = b.nid
+                     GROUP BY b.qid)"""
+      s"""WITH brute AS ($embKnnSql),
+          ivf1 AS (${embIvfKnnSql(1)}),
+          ivf2 AS (${embIvfKnnSql(2)}),
+          ivf4 AS (${embIvfKnnSql(4)}),
+          ${rr(1)}, ${rr(2)}, ${rr(4)}
+          SELECT count(*) AS n_queries,
+                 round(${ExactSql.fsum("rr1.rr")} / count(*), 6) AS mrr_p1,
+                 round(${ExactSql.fsum("rr2.rr")} / count(*), 6) AS mrr_p2,
+                 round(${ExactSql.fsum("rr4.rr")} / count(*), 6) AS mrr_p4
+          FROM rr1 JOIN rr2 USING (qid) JOIN rr4 USING (qid)"""
+    },
     "emb_ch_index" -> {
       import graft.core.ExactSql
       def d2f(a: String, b: String) =

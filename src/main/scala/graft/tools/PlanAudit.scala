@@ -86,7 +86,8 @@ object PlanAudit {
     "tw_mase",         // 1-row span broadcast onto the span-bounded grid
     "agg_gini",        // 1-row totals broadcast onto the range-bounded histogram
     "agg_pareto",      // same 1-row totals broadcast onto the spend histogram
-    "tw_stickiness")   // 1-row span-start broadcast onto the day table
+    "tw_stickiness",   // 1-row span-start broadcast onto the day table
+    "emb_mrr")         // composes emb_knn + emb_ivf_knn, inherits their probes
 
   /** Queries where a collect_list/collect_set aggregate is BOUNDED by
     * construction (state does not grow with the data): dim-bounded

@@ -113,6 +113,7 @@ object PlanDump {
     "agg_pareto" -> "top-decile share: descending cumulative windows over the range-bounded spend histogram, pro-rated boundary bucket",
     "tw_stickiness" -> "DAU/WAU: one (user, day) dedup, bounded x7 window-end explode, two distinct hash-aggs — no rolling-distinct window",
     "text_fertility" -> "tokenizer fertility: one projection scan into a lang-keyed hash-agg, integer sums",
+    "emb_mrr" -> "MRR retrieval eval: broadcast-probe searches, bounded per-query top-k joins, exact reciprocal ranks",
   )
 
   def main(args: Array[String]): Unit = {

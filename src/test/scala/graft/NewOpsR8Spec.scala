@@ -812,6 +812,18 @@ class NewOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("emb_mrr: bounded by recall ordering and monotone in probe budget") {
+    val r = SparkEntry.queries("emb_mrr")(spark, d).collect().head
+    val (n, m1, m2, m4) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n == 5)
+    Seq(m1, m2, m4).foreach(m => assert(m >= 0.0 && m <= 1.0))
+    // more probes can only ADD candidates: the true top-1 can only be
+    // found at the same or better rank, so MRR is monotone in P
+    assert(m2 >= m1 - 1e-9 && m4 >= m2 - 1e-9,
+      s"MRR not monotone in probes: $m1 / $m2 / $m4")
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
