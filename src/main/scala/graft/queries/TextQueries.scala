@@ -1099,6 +1099,34 @@ object TextQueries extends GroupBase {
     // is ~4 chars). Pure per-row expressions: embarrassingly parallel,
     // no shuffle except the output sort. The regex is dialect-neutral
     // (same semantics in Java regex and RE2/DuckDB).
+    // VOCABULARY COVERAGE / OOV RATE per language — fertility's
+    // companion tokenizer-eval table: with a top-K frequency vocab
+    // (K = 20 here; a real vocab is larger, same shape), what
+    // fraction of each language's running tokens falls out of
+    // vocabulary? High OOV = the language is under-served by the
+    // vocab (it pays UNK/byte-fallback cost). The vocab is a
+    // frequency top-k via TakeOrderedAndProject, broadcast back; the
+    // per-lang rates are exact integer ratios, rounded to 6.
+    "text_oov" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .withColumn("tk", TextOps.tokens(col("text")))
+        .filter(size(col("tk")) > 0)
+        .select(col("lang"), explode(col("tk")).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("w")).limit(20)
+        .select(col("w"), lit(1).as("inv"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6).as("oov_rate"),
+          round(lit(1.0) - col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6).as("coverage"))
+        .orderBy("lang")
+    }),
+
     // TOKENIZER FERTILITY per language — the table every multilingual
     // tokenizer paper reports (subwords per word; high fertility =
     // the language pays more sequence length per content): fertility
@@ -2337,6 +2365,22 @@ object TextQueries extends GroupBase {
           SELECT piece, CAST(freq AS BIGINT) AS freq,
                  CAST(freq * length(piece) AS BIGINT) AS score
           FROM p ORDER BY score DESC, piece LIMIT 30""",
+    "text_oov" ->
+      s"""WITH toks AS (SELECT lang, unnest($toksSql) AS w FROM documents
+                        WHERE len($toksSql) > 0),
+          vocab AS (SELECT w FROM (
+                      SELECT w, count(*) AS cf FROM toks GROUP BY 1
+                      ORDER BY cf DESC, w LIMIT 20)),
+          g AS (SELECT lang, count(*) AS n_tokens,
+                       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_oov
+                FROM toks t LEFT JOIN vocab v ON t.w = v.w
+                GROUP BY 1)
+          SELECT lang, n_tokens, n_oov,
+                 round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate,
+                 round(1.0 - CAST(n_oov AS DOUBLE) / n_tokens, 6)
+                   AS coverage
+          FROM g ORDER BY lang""",
     "text_fertility" ->
       s"""WITH d AS (SELECT lang,
                             CAST(len($toksSql) AS BIGINT) AS nw,

@@ -114,6 +114,7 @@ object PlanDump {
     "tw_stickiness" -> "DAU/WAU: one (user, day) dedup, bounded x7 window-end explode, two distinct hash-aggs — no rolling-distinct window",
     "text_fertility" -> "tokenizer fertility: one projection scan into a lang-keyed hash-agg, integer sums",
     "emb_mrr" -> "MRR retrieval eval: broadcast-probe searches, bounded per-query top-k joins, exact reciprocal ranks",
+    "text_oov" -> "vocabulary coverage: frequency top-k vocab broadcast back onto one tokenize stream, exact per-lang integer ratios",
   )
 
   def main(args: Array[String]): Unit = {

@@ -824,6 +824,22 @@ class NewOpsR8Spec extends SparkSpec {
       s"MRR not monotone in probes: $m1 / $m2 / $m4")
   }
 
+  test("text_oov: coverage complements oov_rate; totals match the corpus") {
+    val rows = SparkEntry.queries("text_oov")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val totalToks = graft.core.Tables.load(spark, d, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))))
+      .count()
+    assert(rows.map(_._2).sum == totalToks)
+    rows.foreach { case (lang, nt, no, rate, cov) =>
+      assert(no >= 0 && no <= nt, s"$lang oov bounds")
+      assert(math.abs(rate + cov - 1.0) < 2e-6, s"$lang rate+coverage != 1")
+      assert(math.abs(rate - no.toDouble / nt) < 1e-6)
+    }
+  }
+
   test("emb_decontam: bench excluded, cosine bounded, flag mirrors threshold") {
     val rows = SparkEntry.queries("emb_decontam")(spark, d).collect()
     assert(rows.nonEmpty)
