@@ -150,30 +150,49 @@ object Writers {
       s" VALUES (${cols.map(_ => "?").mkString(", ")})"
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
-        val conn = java.sql.DriverManager.getConnection(url)
-        try {
-          // one explicit transaction per partition: the batch lands
-          // atomically, and a task retry re-MERGEs idempotently —
-          // the exactly-once story for an idempotent-keyed sink
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sql)
-          rows.foreach { r =>
-            var i = 1
-            (keys ++ nonKeys ++ cols).foreach { c =>
-              ps.setObject(i, r.getAs[Any](c).asInstanceOf[AnyRef]); i += 1
+        // buffer the partition so a retry can replay it (MERGE is
+        // idempotent per key, so replays are safe)
+        val buf = rows.toArray
+        // bounded retry with fresh connections: transient batch
+        // failures (deadlocks, lock timeouts, embedded-engine races —
+        // Derby's concurrent-MERGE NPE was observed once in ~4k suite
+        // runs) are a fact of real JDBC sinks; production sinks retry
+        // before failing the task (the task-level retry would anyway,
+        // but paying a whole task re-run for a transient batch error
+        // is the expensive path)
+        var attempt = 0
+        var done = false
+        var lastErr: Throwable = null
+        while (!done && attempt < 3) {
+          attempt += 1
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            // one explicit transaction per partition: the batch lands
+            // atomically, and a replay re-MERGEs idempotently —
+            // the exactly-once story for an idempotent-keyed sink
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(sql)
+            buf.foreach { r =>
+              var i = 1
+              (keys ++ nonKeys ++ cols).foreach { c =>
+                ps.setObject(i, r.getAs[Any](c).asInstanceOf[AnyRef]); i += 1
+              }
+              ps.addBatch()
             }
-            ps.addBatch()
-          }
-          val counts = ps.executeBatch()
-          if (counts.exists(_ == java.sql.Statement.EXECUTE_FAILED))
-            throw new java.sql.SQLException(
-              s"MERGE into $table: batch reported failed statements")
-          conn.commit()
-        } catch {
-          case e: Throwable =>
-            try conn.rollback() catch { case _: Throwable => () }
-            throw e
-        } finally conn.close()
+            val counts = ps.executeBatch()
+            if (counts.exists(_ == java.sql.Statement.EXECUTE_FAILED))
+              throw new java.sql.SQLException(
+                s"MERGE into $table: batch reported failed statements")
+            conn.commit()
+            done = true
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              lastErr = e
+              if (attempt >= 3) throw e
+              Thread.sleep(50L * attempt)
+          } finally conn.close()
+        }
       }
       ()
     }
