@@ -219,14 +219,19 @@ object AggQueries extends GroupBase {
              count(lit(1)).as("cnt"))
         .orderBy("n_regionkey")),
 
-    // ntile bucketing (OVER-window family)
-    "agg_ntile" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders")
-        .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
-        .orderBy("o_orderkey")
-    }),
+    // ntile bucketing (OVER-window family). NOT ntile(4).over(
+    // Window.orderBy(...)): an unpartitioned ntile window moves every
+    // row to one task's sort. ZipIndex.ntileBy is the distributed
+    // form — range-partitioned global rank plus ntile's closed-form
+    // bucket split as literal arithmetic (N comes free from the
+    // counting pass). Ties broken by o_orderkey (unique) so the
+    // assignment is deterministic and oracle-stable.
+    "agg_ntile" -> ((s, d) =>
+      graft.operators.ZipIndex.ntileBy(
+          t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+          4, "quartile", col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "quartile")
+        .orderBy("o_orderkey")),
 
     // approx_count_distinct (HLL++): the engine-side analogue of the
     // reference's Bloom-filter UV (UvCountWithBloomByWindow.scala:13-39).

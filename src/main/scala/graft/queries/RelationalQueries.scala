@@ -106,14 +106,17 @@ object RelationalQueries extends GroupBase {
     }),
 
     // zipWithIndex (DataSetFunc.scala:989-1013): deterministic dense ids.
-    // monotonically_increasing_id is partition-dependent, so the
-    // deterministic (and distributed) form is row_number over the
-    // natural key order.
+    // monotonically_increasing_id is partition-dependent and an
+    // unpartitioned row_number window is a single-task sort of the
+    // whole table, so the distributed form is ZipIndex's two-pass
+    // range-partitioned index (per-partition counts -> broadcast
+    // prefix offsets). The trailing limit plans as
+    // TakeOrderedAndProject: per-partition top-100 heaps, no global
+    // sort.
     "rel_zip_index" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, d, "orders").select("o_orderkey")
-        .withColumn("idx",
-          row_number().over(Window.orderBy("o_orderkey")) - 1)
+      val (indexed, _) = graft.operators.ZipIndex.withIndex(
+        t(s, d, "orders").select("o_orderkey"), "idx", col("o_orderkey"))
+      indexed.withColumn("idx", col("idx").cast("int"))
         .orderBy("o_orderkey").limit(100)
     }),
 

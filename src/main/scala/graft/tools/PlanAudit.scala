@@ -138,6 +138,37 @@ object PlanAudit {
     p.collect { case w: LWindow => w }.exists(_.children.exists(tainted))
   }
 
+  /** GLOBALWIN detector: a window function with an EMPTY partition
+    * spec — `f() OVER (ORDER BY ...)` with no PARTITION BY — moves
+    * EVERY input row to one task, which buffers and sorts the whole
+    * input (WindowExec's "No Partition Defined" warning). Checked on
+    * the LOGICAL plan (`Window.partitionSpec.isEmpty`) — the round-8
+    * string grep for `partitionBy=[]` matched text Spark's formatted
+    * explain never prints, so it could never fire; PlanSpec now pins
+    * this detector against a deliberately global plan. */
+  private[graft] def globalWindow(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    p.collectFirst { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
+  }
+
+  /** Queries where an unpartitioned window is BOUNDED by construction
+    * (runs over a table whose row count does not grow linearly with
+    * the data — document the bound when adding an entry). Raw-corpus
+    * global windows (the agg_ntile / rel_zip_index round-8 class) are
+    * NEVER whitelisted: use ZipIndex (range-partitioned two-pass
+    * rank) or histogram rank arithmetic instead. */
+  private val expectedGlobalWin: Set[String] = Set(
+    "agg_gini",     // cumsum over the range-bounded integer-dollar histogram
+    "agg_pareto",   // desc cumsums over the same bounded spend histogram
+    "agg_survival", // risk-set prefix sums over the span-bounded (hours) lifetime histogram
+    "pipe_interleave", // final ord window runs on the 400-row post-limit budget
+    "pipe_mix",     // normalizer fold over the #sources-row post-agg table
+    "pipe_unimax",  // water-filling windows on the L-row (source) table
+    "text_rrf",     // rank-assign windows on the <=50-row post-limit top lists
+    "text_zipf",    // vocab rank + filter<=30 -> WindowGroupLimit streaming top-k
+    "tw_cpd")       // prefix sums over the span-bounded hour spine
+
   /** Queries where a window over Generate output is BOUNDED by
     * construction and therefore allowed (document the bound here when
     * adding an entry):
@@ -178,8 +209,8 @@ object PlanAudit {
             "CARTESIAN" -> p.contains("CartesianProduct"),
             "BNLJ" -> (p.contains("BroadcastNestedLoopJoin") &&
               !expectedBnlj.contains(name)),
-            "GLOBALWIN" -> p.linesIterator.exists(l =>
-              l.contains("Window") && l.contains("partitionBy=[]")),
+            "GLOBALWIN" -> (globalWindow(qe.optimizedPlan) &&
+              !expectedGlobalWin.contains(name)),
             "NOPUSH" -> (p.contains("PushedFilters: []") &&
               p.contains("DataFilters: [") && !p.contains("DataFilters: []")),
             "COLLECT" -> ((p.contains("collect_list") ||
