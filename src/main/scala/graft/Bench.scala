@@ -90,8 +90,9 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val allEntries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     // full map → file (sorted by name)
+    val prov = graft.core.Provenance.jsonFields
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${allEntries.mkString("{", ",", "}")},"sf":$sf}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${allEntries.mkString("{", ",", "}")},"sf":$sf,$prov}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
@@ -104,7 +105,7 @@ object Bench {
     var used = 0
     for (e <- bySlow if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"sf":$sf}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"sf":$sf,$prov}"""
     println(line)
     spark.stop()
   }

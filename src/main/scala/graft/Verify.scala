@@ -48,6 +48,10 @@ object Verify {
     // the surviving dumps — a non-zero exit would zero the whole round.
     Files.writeString(Paths.get(s"$outDir/_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // provenance: which tree produced this dump (ADVICE r8 — artifacts
+    // must carry their origin so stale evidence is self-identifying)
+    Files.writeString(Paths.get(s"$outDir/_provenance.json"),
+      s"""{${graft.core.Provenance.jsonFields},"sfDir":${q(sfDir)}}""")
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(",")}")
     spark.stop()

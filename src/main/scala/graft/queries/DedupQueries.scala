@@ -953,12 +953,16 @@ object DedupQueries extends GroupBase {
           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
                    FROM shr a JOIN shr b
                      ON a.sh = b.sh AND a.doc_id < b.doc_id),
-          dots AS (SELECT da, db,
-                          CAST(SUM(CAST(floor(pa.w8 * pb.w8 * 1048576.0)
-                                   AS BIGINT)) AS DOUBLE) / 1048576.0 AS dot
+          dots AS (SELECT cand.da, cand.db,
+                          coalesce(CAST(SUM(CAST(floor(pa.w8 * pb.w8 * 1048576.0)
+                                   AS BIGINT)) AS DOUBLE) / 1048576.0, 0.0) AS dot
+                   -- LEFT joins: a candidate pair sharing NO terms stays in
+                   -- the pool at dot = 0, exactly as the engine's doc-vector
+                   -- merge emits it — an inner postings join would rank a
+                   -- smaller pool whenever < 50 pairs have positive cosine
                    FROM cand
-                   JOIN wp pa ON pa.doc_id = cand.da
-                   JOIN wp pb ON pb.doc_id = cand.db AND pb.w = pa.w
+                   LEFT JOIN wp pa ON pa.doc_id = cand.da
+                   LEFT JOIN wp pb ON pb.doc_id = cand.db AND pb.w = pa.w
                    GROUP BY 1, 2)
           SELECT da, db, dot / (na.nrm * nb.nrm) AS cos
           FROM dots

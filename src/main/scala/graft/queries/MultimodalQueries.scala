@@ -154,10 +154,15 @@ object MultimodalQueries extends GroupBase {
       // corpus-scale hash-aggs — measured 1.5 s -> ~0.3 s at sf0.1.
       // The ORACLE keeps the relational per-character formulation, so
       // the two engines cross-check algorithm against algorithm
-      // (text_winnow's convention); byte == character on these ASCII
-      // payloads, and bytes are the honest unit for binary media.
+      // (text_winnow's convention). The kernel hashes BYTES (the
+      // honest unit for binary media) while the oracle sums per
+      // CHARACTER, so both sides ENFORCE the ASCII precondition —
+      // octet_length = char_length — instead of assuming it: a
+      // non-ASCII payload is excluded from both pools rather than
+      // silently diverging in the filter and the code.
       val codes = t(s, d, "documents")
-        .filter(length(col("text")) >= 64)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) >= 64)
         .select(col("doc_id"),
           call_function("block_mean_code", col("text")).as("code"))
       val bands = codes
@@ -240,7 +245,11 @@ object MultimodalQueries extends GroupBase {
          FROM g GROUP BY 1 ORDER BY mtype""",
     "mm_phash" ->
       """WITH base AS (SELECT doc_id, text, length(text) // 64 AS b
-                       FROM documents WHERE length(text) // 64 >= 1),
+                       FROM documents
+                       -- ASCII enforced (octet = char), mirroring the
+                       -- engine's byte/char-agnostic eligibility gate
+                       WHERE octet_length(encode(text)) = length(text)
+                         AND length(text) // 64 >= 1),
          blocks AS (
            SELECT doc_id, CAST((i - 1) // b AS INT) AS blk,
                   sum(ascii(substr(text, CAST(i AS INT), 1))) AS bs

@@ -162,11 +162,14 @@ object Writers {
         // is the expensive path)
         var attempt = 0
         var done = false
-        var lastErr: Throwable = null
         while (!done && attempt < 3) {
           attempt += 1
-          val conn = java.sql.DriverManager.getConnection(url)
+          // getConnection sits INSIDE the try: a transient connect
+          // failure (the most common transient JDBC error) gets the
+          // same 3-attempt backoff as a batch failure
+          var conn: java.sql.Connection = null
           try {
+            conn = java.sql.DriverManager.getConnection(url)
             // one explicit transaction per partition: the batch lands
             // atomically, and a replay re-MERGEs idempotently —
             // the exactly-once story for an idempotent-keyed sink
@@ -187,11 +190,13 @@ object Writers {
             done = true
           } catch {
             case e: Throwable =>
-              try conn.rollback() catch { case _: Throwable => () }
-              lastErr = e
+              if (conn != null)
+                try conn.rollback() catch { case _: Throwable => () }
               if (attempt >= 3) throw e
               Thread.sleep(50L * attempt)
-          } finally conn.close()
+          } finally {
+            if (conn != null) try conn.close() catch { case _: Throwable => () }
+          }
         }
       }
       ()
