@@ -178,6 +178,107 @@ class CepPropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- quantifier × skip-strategy × within interactions ----
+  // A reference machine for PLAIN KIND CHAINS (no anyMatch/optional):
+  // relaxed contiguity, greedy, first-hit advancement — but with the
+  // completion + AFTER MATCH skip semantics of all five strategies
+  // implemented independently of the NFA. Quantifiers enter as
+  // repeated chain positions (times(n)/group expand to exactly that),
+  // so these properties cross the three axes the example specs never
+  // mix: bounded repetition, every skip strategy, and horizon expiry.
+  private def chainScan(es: List[KeyedEvent], names: List[String],
+      kinds: List[String], w: Long, skip: Skip): Set[List[Double]] = {
+    case class P(tss: List[Long], vals: List[Double], idx: Int)
+    var ps = List.empty[P]
+    val out = scala.collection.mutable.Set.empty[List[Double]]
+    es.sortBy(e => (ts(e), e.value)).foreach { e =>
+      val t = ts(e)
+      ps = ps.filter(p => t - p.tss.head <= w) // WITHIN horizon
+      val adv = ps.map { p =>
+        if (p.idx < kinds.length && e.kind == kinds(p.idx))
+          P(p.tss :+ t, p.vals :+ e.value, p.idx + 1)
+        else p
+      }
+      val started =
+        if (e.kind == kinds.head) List(P(List(t), List(e.value), 1)) else Nil
+      val cands = adv ++ started
+      val (complete, live) = cands.partition(_.idx == kinds.length)
+      if (complete.isEmpty) ps = live
+      else {
+        val first = complete.map(_.tss.head).min
+        (skip match {
+          // simultaneous completions overlap: leftmost start only
+          case SkipPastLastRow => complete.filter(_.tss.head == first)
+          case _ => complete
+        }).foreach(p => out += p.vals)
+        def anchor(v: String, last: Boolean): Option[Long] = {
+          val m = complete.minBy(_.tss.head)
+          val rows = names.zip(m.tss).collect { case (n, tr) if n == v => tr }
+          if (last) rows.lastOption else rows.headOption
+        }
+        ps = skip match {
+          case SkipPastLastRow => Nil
+          case SkipToNext      => live.filter(_.tss.head > first)
+          case NoSkip          => live
+          case SkipToFirst(v)  => anchor(v, last = false)
+            .map(a => live.filter(_.tss.head >= a)).getOrElse(live)
+          case SkipToLast(v)   => anchor(v, last = true)
+            .map(a => live.filter(_.tss.head >= a)).getOrElse(live)
+        }
+      }
+    }
+    out.toSet
+  }
+
+  private val genSkipB: Gen[Skip] = Gen.oneOf(NoSkip, SkipToNext,
+    SkipPastLastRow, SkipToFirst("b"), SkipToLast("b"))
+
+  test("quantified A B{2} matches the reference under every skip strategy") {
+    checkProp(forAll(genEvents, genWithin, genSkipB) { (es, w, sk) =>
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")).times(2))
+      got(runPure(es, steps, w, strict = false, sk)) ==
+        chainScan(es, List("a", "b", "b"), List("A", "B", "B"), w, sk)
+    })
+  }
+
+  test("3-step chain A B C matches the reference under every skip strategy") {
+    checkProp(forAll(genEvents, genWithin, genSkipB) { (es, w, sk) =>
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")),
+        Step("c", Set("C")))
+      got(runPure(es, steps, w, strict = false, sk)) ==
+        chainScan(es, List("a", "b", "c"), List("A", "B", "C"), w, sk)
+    })
+  }
+
+  test("pattern group (A B){2} matches the reference under every skip strategy") {
+    checkProp(forAll(genEvents, genWithin, genSkipB) { (es, w, sk) =>
+      val steps = group(Seq(Step("a", Set("A")), Step("b", Set("B"))), 2)
+      got(runPure(es, steps, w, strict = false, sk)) ==
+        chainScan(es, List("a", "b", "a", "b"), List("A", "B", "A", "B"), w, sk)
+    })
+  }
+
+  test("allowCombinations × within: every 1- and 2-subset inside the horizon") {
+    // generalizes the two example tests above to random sequences AND
+    // finite horizons: size-2 subsets emit at completion, size-1
+    // subsets at horizon expiry (or end-of-input flush), so the full
+    // expected set is exactly the in-horizon B-subsequences of size <=2
+    checkProp(forAll(genEvents, genWithin) { (es, w) =>
+      val steps = Step("a", Set("A")) +: Step("b", Set("B")).combinationsUpTo(2)
+      val singles = (for {
+        a <- es if a.kind == "A"
+        b <- es if b.kind == "B" && ts(b) > ts(a) && ts(b) - ts(a) <= w
+      } yield List(a.value, b.value)).toSet
+      val pairs = (for {
+        a <- es if a.kind == "A"
+        b1 <- es if b1.kind == "B" && ts(b1) > ts(a)
+        b2 <- es if b2.kind == "B" && ts(b2) > ts(b1) && ts(b2) - ts(a) <= w
+      } yield List(a.value, b1.value, b2.value)).toSet
+      got(runPure(es, steps, w, strict = false, NoSkip, flushEnd = true)) ==
+        (singles ++ pairs)
+    })
+  }
+
   test("SkipPastLastRow is the non-overlapping left-to-right scan") {
     checkProp(forAll(genEvents, genWithin) { (es, w) =>
       val steps = Seq(Step("a", Set("A")), Step("b", Set("B")))
