@@ -115,6 +115,8 @@ object PlanDump {
     "text_fertility" -> "tokenizer fertility: one projection scan into a lang-keyed hash-agg, integer sums",
     "emb_mrr" -> "MRR retrieval eval: broadcast-probe searches, bounded per-query top-k joins, exact reciprocal ranks",
     "text_oov" -> "vocabulary coverage: frequency top-k vocab broadcast back onto one tokenize stream, exact per-lang integer ratios",
+    "rel_zip_index" -> "zipWithIndex: range-partitioned two-pass index (per-partition counts -> broadcast prefix offsets), no single-partition window; limit plans as TakeOrderedAndProject",
+    "agg_ntile" -> "ntile quartiles: ZipIndex distributed rank + closed-form bucket split as literal arithmetic, no unpartitioned ntile window",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.Sessions
+
+/** Two-SF scaling readout: times every registered query at a small and
+  * a large scale factor and reports the time ratio against the data
+  * ratio, so SUPERLINEAR queries surface numerically instead of by
+  * plan inspection. A query whose work is linear in the data shows a
+  * ratio at or (usually, because fixed per-query overhead dominates at
+  * small SF) well below the data ratio; a quadratic pair-join shows
+  * ~dataRatio², which no local wall-clock at ONE scale factor reveals.
+  *
+  * Run: sbt "runMain graft.tools.ScalingProbe [smallDir largeDir]"
+  *   (defaults /root/testdata/sf0.01 vs sf0.1, data ratio 10×)
+  *
+  * Output: scaling.json (full per-query map with provenance) + a
+  * flagged-query table on stdout. Flag threshold: ratio > 2× the data
+  * ratio AND large-SF time > 0.5 s — sub-second queries are overhead-
+  * dominated and their ratios are noise, and ratios only slightly
+  * above the data ratio are cache/spill texture, not complexity.
+  * Exit code stays 0 (informational; PlanSpec/PlanAudit is the gate).
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val large = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    def sfOf(d: String): Double =
+      "sf([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1).toDouble).getOrElse(1.0)
+    val dataRatio = sfOf(large) / sfOf(small)
+    val spark = Sessions.build("graft-scaling")
+    try { spark.range(1000000).selectExpr("sum(id)").collect() }
+    catch { case _: Throwable => () }
+
+    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+             d: String): Double = {
+      try fn(spark, d).count() catch { case _: Throwable => return -1.0 } // warm
+      System.gc()
+      val t0 = System.nanoTime()
+      try { fn(spark, d).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = time(fn, small)
+      val tl = time(fn, large)
+      val ratio = if (ts > 0 && tl > 0) tl / ts else -1.0
+      (name, ts, tl, ratio)
+    }
+    def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val json = rows.map { case (n, ts, tl, r) =>
+      s""""$n":{"small":${f(ts)},"large":${f(tl)},"ratio":${f(r)}}"""
+    }.mkString("{", ",", s"""},"data_ratio":$dataRatio,${graft.core.Provenance.jsonFields}}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("scaling.json"),
+      s"""{"queries":$json""")
+
+    val flagged = rows.filter { case (_, _, tl, r) =>
+      r > 2 * dataRatio && tl > 0.5 }
+    println(f"[scaling] data ratio ${dataRatio}%.0fx; flag = time ratio > ${2 * dataRatio}%.0fx and large > 0.5s")
+    rows.sortBy(-_._4).take(15).foreach { case (n, ts, tl, r) =>
+      val mark = if (flagged.exists(_._1 == n)) "  << SUPERLINEAR" else ""
+      println(f"[scaling] $n%-22s ${ts}%7.3fs -> ${tl}%7.3fs  ratio ${r}%6.2fx$mark")
+    }
+    println(s"[scaling] flagged: ${flagged.size}/${rows.size}")
+    spark.stop()
+  }
+}
