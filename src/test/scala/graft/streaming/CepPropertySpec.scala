@@ -187,17 +187,19 @@ class CepPropertySpec extends AnyFunSuite {
   // so these properties cross the three axes the example specs never
   // mix: bounded repetition, every skip strategy, and horizon expiry.
   private def chainScan(es: List[KeyedEvent], names: List[String],
-      kinds: List[String], w: Long, skip: Skip): Set[List[Double]] = {
+      kinds: List[String], w: Long, skip: Skip,
+      strict: Boolean = false): Set[List[Double]] = {
     case class P(tss: List[Long], vals: List[Double], idx: Int)
     var ps = List.empty[P]
     val out = scala.collection.mutable.Set.empty[List[Double]]
     es.sortBy(e => (ts(e), e.value)).foreach { e =>
       val t = ts(e)
       ps = ps.filter(p => t - p.tss.head <= w) // WITHIN horizon
-      val adv = ps.map { p =>
+      val adv = ps.flatMap { p =>
         if (p.idx < kinds.length && e.kind == kinds(p.idx))
-          P(p.tss :+ t, p.vals :+ e.value, p.idx + 1)
-        else p
+          List(P(p.tss :+ t, p.vals :+ e.value, p.idx + 1))
+        else if (strict) Nil // contiguity broken: partial dies
+        else List(p)
       }
       val started =
         if (e.kind == kinds.head) List(P(List(t), List(e.value), 1)) else Nil
@@ -255,6 +257,24 @@ class CepPropertySpec extends AnyFunSuite {
       val steps = group(Seq(Step("a", Set("A")), Step("b", Set("B"))), 2)
       got(runPure(es, steps, w, strict = false, sk)) ==
         chainScan(es, List("a", "b", "a", "b"), List("A", "B", "A", "B"), w, sk)
+    })
+  }
+
+  test("STRICT chains match the reference under every skip strategy") {
+    // strict contiguity (`next`) crossed with quantifiers and all five
+    // skip strategies: a non-matching event kills the partial instead
+    // of being skipped over
+    checkProp(forAll(genEvents, genWithin, genSkipB) { (es, w, sk) =>
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")).times(2))
+      got(runPure(es, steps, w, strict = true, sk)) ==
+        chainScan(es, List("a", "b", "b"), List("A", "B", "B"), w, sk,
+          strict = true)
+    })
+    checkProp(forAll(genEvents, genWithin, genSkipB) { (es, w, sk) =>
+      val steps = group(Seq(Step("a", Set("A")), Step("b", Set("B"))), 2)
+      got(runPure(es, steps, w, strict = true, sk)) ==
+        chainScan(es, List("a", "b", "a", "b"), List("A", "B", "A", "B"), w,
+          sk, strict = true)
     })
   }
 
