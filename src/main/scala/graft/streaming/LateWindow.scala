@@ -26,8 +26,10 @@ case class LateWindowOut(key: Long, windowStart: Timestamp,
   *   - ON-TIME FIRING  (flinkWM >= we)      <=> sparkWM >= we - L  —
   *     an event-time timer at we - L;
   *   - LATE RE-FIRE    (flinkWM <= we + L)  <=> data arriving while
-  *     sparkWM < we — emitted per micro-batch (per-batch coalescing
-  *     of Flink's per-element re-firing, same deviation as uvWithBloom);
+  *     sparkWM < we — one emission PER LATE ELEMENT with the running
+  *     aggregate (the reference's per-element trigger), elements
+  *     ordered by event time within a batch (the deterministic
+  *     stand-in for single-stream arrival order);
   *   - PURGE           (flinkWM > we + L)   <=> sparkWM >= we — the
   *     second event-time timer, firing WITHOUT emission (Flink purges
   *     silently);
@@ -86,16 +88,34 @@ object LateWindow {
             }
           } else {
             var (cnt, sum, firings) = state.getOption.getOrElse((0L, 0.0, 0))
-            events.foreach { e => cnt += 1; sum += e.value }
             val out =
               if (wm + L >= we) {
                 // window already past its on-time point: this batch's
-                // rows are allowed-late arrivals -> immediate re-fire
-                // (or the first firing, if data outran the timer)
-                firings += 1
-                Iterator.single(LateWindowOut(key, new Timestamp(ws),
-                  cnt, sum, firings, late = firings > 1))
-              } else Iterator.empty
+                // rows are allowed-late arrivals, and the reference
+                // re-fires PER ELEMENT (WatermarkDemo.scala:254-300) —
+                // one emission per late row with the running aggregate,
+                // in event-time order (the deterministic stand-in for
+                // single-stream arrival order; Spark's group iterator
+                // order is shuffle-dependent)
+                val buf = scala.collection.mutable.ListBuffer.empty[LateWindowOut]
+                if (firings == 0 && cnt > 0) {
+                  // the on-time timer lagged the watermark advance into
+                  // this batch: fire the buffered prefix once (Flink's
+                  // watermark-passage firing), then the new rows re-fire
+                  firings = 1
+                  buf += LateWindowOut(key, new Timestamp(ws), cnt, sum, 1,
+                    late = false)
+                }
+                events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+                  cnt += 1; sum += e.value; firings += 1
+                  buf += LateWindowOut(key, new Timestamp(ws), cnt, sum,
+                    firings, late = firings > 1)
+                }
+                buf.iterator
+              } else {
+                events.foreach { e => cnt += 1; sum += e.value }
+                Iterator.empty
+              }
             state.update((cnt, sum, firings))
             state.setTimeoutTimestamp(
               math.max(if (firings == 0) we - L else we, wm + 1))

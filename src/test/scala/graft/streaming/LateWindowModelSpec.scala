@@ -66,11 +66,19 @@ class LateWindowModelSpec extends SparkSpec {
         (e.key, Math.floorDiv(e.ts.getTime, WIN) * WIN))
       touched.toSeq.sortBy(_._1).foreach { case ((key, ws), es) =>
         val st = state.getOrElseUpdate((key, ws), St(0L, 0.0, 0, Long.MaxValue))
-        es.foreach { e => st.cnt += 1; st.sum += e.value }
         if (w + L >= we(ws)) {
-          st.firings += 1
-          emitted += ((key, ws, st.cnt, st.sum, st.firings, st.firings > 1))
-        }
+          // past the on-time point: PER-ELEMENT re-firing (event-time
+          // order within the batch), preceded by the lagged on-time
+          // firing of any buffered prefix
+          if (st.firings == 0 && st.cnt > 0) {
+            st.firings = 1
+            emitted += ((key, ws, st.cnt, st.sum, 1, false))
+          }
+          es.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            st.cnt += 1; st.sum += e.value; st.firings += 1
+            emitted += ((key, ws, st.cnt, st.sum, st.firings, st.firings > 1))
+          }
+        } else es.foreach { e => st.cnt += 1; st.sum += e.value }
         st.timer = math.max(if (st.firings == 0) we(ws) - L else we(ws), w + 1)
       }
       timersOnly(w, touched.keySet)

@@ -83,6 +83,38 @@ class LateWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two late elements in ONE batch re-fire once EACH (per-element trigger)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = LateWindow.tumbling(in.toDS(),
+        windowMs = 10000L, delayMs = 5000L, latenessMs = 10000L)
+      .writeStream.format("memory").queryName("latewin_perel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(KeyedEvent(3L, ts(B + 1000L), "e", 10))
+      q.processAllAvailable()
+      in.addData(KeyedEvent(3L, ts(B + 16000L), "e", 1)) // on-time fire [0,10s)
+      q.processAllAvailable()
+      // one batch, two allowed-late rows -> the reference fires per
+      // element: (2, 14.0, firing 2) then (3, 16.0, firing 3) in
+      // event-time order — a coalescing emulation would emit only the
+      // second
+      in.addData(KeyedEvent(3L, ts(B + 4000L), "e", 4),
+                 KeyedEvent(3L, ts(B + 5000L), "e", 2))
+      q.processAllAvailable()
+      val win0 = spark.table("latewin_perel").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+                   r.getDouble(3), r.getInt(4), r.getBoolean(5)))
+        .filter(_._2 == B).toList.sortBy(_._5)
+      assert(win0 == List((3L, B, 1L, 10.0, 1, false),
+                          (3L, B, 2L, 14.0, 2, true),
+                          (3L, B, 3L, 16.0, 3, true)),
+        s"per-element late re-firing wrong: $win0")
+    } finally q.stop()
+  }
+
   test("watermark jumping the whole lateness horizon still fires exactly once") {
     val s = spark
     import s.implicits._
