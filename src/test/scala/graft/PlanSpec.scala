@@ -164,6 +164,26 @@ class PlanSpec extends SparkSpec {
       "weight row stopped broadcasting (a shuffled weight join cannot scale)")
   }
 
+  test("CARTESIAN/BNLJ detector strings match real formatted-plan text") {
+    // the audit's string-match detectors are only alive if Spark's
+    // formatted explain actually prints these node names — freeze that
+    // (the GLOBALWIN grep died because it matched text Spark never
+    // prints; this pins the remaining string-based checks)
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val a = spark.range(3).toDF("x")
+    val b = spark.range(3).toDF("y")
+    assert(fmt(a.crossJoin(org.apache.spark.sql.functions.broadcast(b)))
+      .contains("BroadcastNestedLoopJoin"), "BNLJ node name drifted")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(fmt(a.crossJoin(b)).contains("CartesianProduct"),
+        "CartesianProduct node name drifted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("GLOBALWIN detector fires on a real global-window plan (never dead again)") {
     // Round 8 shipped a detector grepping formatted-explain text Spark
     // never prints ("partitionBy=[]") — provably dead. This freezes
