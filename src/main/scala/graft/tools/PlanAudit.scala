@@ -23,7 +23,7 @@ object PlanAudit {
     * 1-row corpus totals, crossWithTiny) — the corpus side still
     * streams partition-parallel, so these scale. Anything else
     * acquiring a BNLJ is a regression. */
-  private val expectedBnlj = Set(
+  private[graft] val expectedBnlj = Set(
     "emb_knn", "emb_mips", "emb_ivf_assign", "emb_ivf_knn", "emb_kmeans", "emb_pq",
     "emb_ivfpq", // centroid/codebook/LUT/probed-cell broadcasts, corpus streams
     "emb_recall", // composes emb_knn + emb_ivf_knn, inherits their probes
@@ -98,7 +98,7 @@ object PlanAudit {
     * (over_sum_distinct). Anything else acquiring a collect buffer is
     * an unbounded-group-state regression (the emb_centroid bug class —
     * use Exact.fsum / a bounded Aggregator instead). */
-  private val expectedCollect = Set(
+  private[graft] val expectedCollect = Set(
     "emb_kmeans", "emb_pq", "emb_ivfpq", "text_lm_nll", "text_lm_bigram", "pipe_mix",
     "agg_string_agg", "over_sum_distinct",
     "pipe_ccnet", // text_lm_nll's per-doc sorted NLL fold, state = one doc's vocab
@@ -158,7 +158,7 @@ object PlanAudit {
     * global windows (the agg_ntile / rel_zip_index round-8 class) are
     * NEVER whitelisted: use ZipIndex (range-partitioned two-pass
     * rank) or histogram rank arithmetic instead. */
-  private val expectedGlobalWin: Set[String] = Set(
+  private[graft] val expectedGlobalWin: Set[String] = Set(
     "agg_gini",     // cumsum over the range-bounded integer-dollar histogram
     "agg_pareto",   // desc cumsums over the same bounded spend histogram
     "agg_survival", // risk-set prefix sums over the span-bounded (hours) lifetime histogram
@@ -189,7 +189,7 @@ object PlanAudit {
     *  - tw_cpd: the Generate is the hour-spine explode — exactly ONE
     *    row per hour of the global span, so the prefix-sum window is
     *    span-bounded (the tw_gapfill spine class). */
-  private val expectedExplodeWin: Set[String] =
+  private[graft] val expectedExplodeWin: Set[String] =
     Set("tw_gapfill", "pipe_epochs", "dd_spans", "tw_cpd")
 
   /** Audit every registered query's plan at `d`; returns the flagged

@@ -164,6 +164,21 @@ class PlanSpec extends SparkSpec {
       "weight row stopped broadcasting (a shuffled weight join cannot scale)")
   }
 
+  test("audit whitelists reference only live query names (no rot)") {
+    // a whitelist entry for a renamed/deleted query lingers silently;
+    // the reverse direction fails closed (the audit flags it), so only
+    // this direction needs a gate
+    val live = SparkEntry.queries.keySet
+    for ((label, wl) <- Seq(
+        "expectedBnlj" -> graft.tools.PlanAudit.expectedBnlj,
+        "expectedCollect" -> graft.tools.PlanAudit.expectedCollect,
+        "expectedGlobalWin" -> graft.tools.PlanAudit.expectedGlobalWin,
+        "expectedExplodeWin" -> graft.tools.PlanAudit.expectedExplodeWin)) {
+      val dead = wl -- live
+      assert(dead.isEmpty, s"$label references non-existent queries: $dead")
+    }
+  }
+
   test("CARTESIAN/BNLJ detector strings match real formatted-plan text") {
     // the audit's string-match detectors are only alive if Spark's
     // formatted explain actually prints these node names — freeze that
