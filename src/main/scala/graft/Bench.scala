@@ -20,6 +20,20 @@ import graft.core.Sessions
   * bench_full.json next to the repo for human inspection.
   */
 object Bench {
+  /** Scale factor parsed from a testdata dir name (`.../sf0.1`). */
+  private[graft] def sfOf(dir: String): Option[Double] =
+    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble)
+
+  /** 3-decimal artifact formatting, shared with ScalingProbe so the
+    * two JSON artifacts round identically. */
+  private[graft] def fmt3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** One-time JVM/codegen warm-up (guarded: must not fail the run). */
+  private[graft] def warmJvm(spark: org.apache.spark.sql.SparkSession): Unit =
+    try spark.range(1000000).selectExpr("sum(id)").collect()
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // `--only q1,q2` (or bare names) restricts the run — lets a single
@@ -40,10 +54,9 @@ object Bench {
     // absorb one-time JIT + classloading cost into its measurement.
     // Guarded: a warm-up failure must not zero the whole artifact —
     // the timed loop below reports per-query failures as -1.
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      SparkEntry.entry(spark).count()
-    } catch { case e: Throwable =>
+    warmJvm(spark)
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
     // Per-query plan warm-up: whole-stage codegen + JIT of each
@@ -85,9 +98,8 @@ object Bench {
       name -> (if (ok) sec else -1.0)
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("0.1")
-    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val sf = sfOf(sfDir).map(_.toString).getOrElse("0.1")
+    def fmt(v: Double) = fmt3(v)
     val allEntries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     // full map → file (sorted by name)
     val prov = graft.core.Provenance.jsonFields

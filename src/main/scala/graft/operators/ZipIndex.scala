@@ -34,6 +34,14 @@ import org.apache.spark.sql.types.LongType
   *
   * The `order` columns must form a UNIQUE key or the assigned index is
   * nondeterministic within ties (same caveat as row_number).
+  *
+  * EAGERNESS CAVEAT: the counting pass runs at CONSTRUCTION time — the
+  * offsets must exist before the indexed plan can be built, so even a
+  * plan-only consumer (PlanAudit/PlanDump/explain) pays pass 1 over
+  * the (column-pruned) input. That is the inherent price of any
+  * two-pass index; the pass-2 job reuses pass 1's shuffle output, and
+  * the P-entry offset broadcast is reclaimed by Spark's ContextCleaner
+  * once the returned frame becomes unreachable.
   */
 object ZipIndex {
 

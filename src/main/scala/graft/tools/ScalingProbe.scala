@@ -25,12 +25,16 @@ object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val large = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    def sfOf(d: String): Double =
-      "sf([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1).toDouble).getOrElse(1.0)
-    val dataRatio = sfOf(large) / sfOf(small)
+    // the data ratio IS the flag threshold's denominator — a dir name
+    // the sf-regex can't parse must be a loud error, not a silent 1.0
+    // that mass-flags every linear query as superlinear
+    val dataRatio = (graft.Bench.sfOf(small), graft.Bench.sfOf(large)) match {
+      case (Some(s), Some(l)) => l / s
+      case _ => sys.error(
+        s"cannot parse scale factors from '$small' / '$large' — dirs must contain sf<N>")
+    }
     val spark = Sessions.build("graft-scaling")
-    try { spark.range(1000000).selectExpr("sum(id)").collect() }
-    catch { case _: Throwable => () }
+    graft.Bench.warmJvm(spark)
 
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
              d: String): Double = {
@@ -47,7 +51,7 @@ object ScalingProbe {
       val ratio = if (ts > 0 && tl > 0) tl / ts else -1.0
       (name, ts, tl, ratio)
     }
-    def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    def f(v: Double) = graft.Bench.fmt3(v)
     val json = rows.map { case (n, ts, tl, r) =>
       s""""$n":{"small":${f(ts)},"large":${f(tl)},"ratio":${f(r)}}"""
     }.mkString("{", ",", s"""},"data_ratio":$dataRatio,${graft.core.Provenance.jsonFields}}""")
