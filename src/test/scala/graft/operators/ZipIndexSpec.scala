@@ -43,6 +43,17 @@ class ZipIndexSpec extends SparkSpec {
       "closed-form bucket split diverged from ntile semantics")
   }
 
+  test("null order keys index deterministically (ASC = NULLS FIRST)") {
+    val df = Seq[(java.lang.Long, String)]((null, "n1"), (5L, "a"),
+      (null, "n2"), (1L, "b")).toDF("k", "tag").repartition(3)
+    // tie-break the two nulls on tag so the total order stays unique
+    val (indexed, total) = ZipIndex.withIndex(df, "idx", col("k"), col("tag"))
+    assert(total === 4L)
+    val got = indexed.orderBy("idx").select("tag").as[String].collect().toSeq
+    assert(got === Seq("n1", "n2", "b", "a"),
+      "null keys must sort first, exactly as row_number over ASC order")
+  }
+
   test("ntileBy with fewer rows than buckets assigns bucket = rank") {
     val df = Seq(30, 10, 20).toDF("k")
     val got = ZipIndex.ntileBy(df, 7, "q", col("k"))
