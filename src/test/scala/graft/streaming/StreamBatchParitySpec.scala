@@ -142,6 +142,62 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
   }
 
+  test("tumble offset: streaming offset windows == batch tw_tumble_offset") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (input, batches, sentinel) = replay()
+    val stream = input.toDS().withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "1 hour", "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("cnt"))
+    runAppend(stream, "parity_offset")(input, batches, sentinel)
+    // the sentinel row lands in its own far-future window: drop it by
+    // window start, not by type (this twin carries no type column)
+    val cut = sentinel.getTime - 86400000L
+    val got = spark.table("parity_offset")
+      .filter(col("w_start") < new java.sql.Timestamp(cut)).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val want = SparkEntry.queries("tw_tumble_offset")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
+  }
+
+  test("cumulate: streaming expanding slices == batch tw_cumulate") {
+    // CUMULATE = explode each row into its expanding slice-ends BEFORE
+    // one windowed agg — the same single-aggregation plan in both
+    // modes, so append mode accepts it (no chained aggregation)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (input, batches, sentinel) = replay()
+    // the watermark must ride the GROUPING time column: after the
+    // slice explode the event-time attribute is w_end, so re-anchor
+    // the watermark there (grouping by a watermarked timestamp column
+    // is the supported append-mode shape for non-window() groupings)
+    val stream = input.toDS()
+      .withColumn("w_start", window(col("ts"), "4 hours").getField("start"))
+      .withColumn("w_end", explode(sequence(
+        date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR"),
+        col("w_start") + expr("INTERVAL 4 HOURS"),
+        expr("INTERVAL 1 HOUR"))))
+      .withWatermark("w_end", "30 days")
+      .groupBy("w_start", "w_end")
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_v"))
+    runAppend(stream, "parity_cumulate")(input, batches, sentinel)
+    val cut = new java.sql.Timestamp(sentinel.getTime - 86400000L)
+    val got = spark.table("parity_cumulate")
+      .filter(col("w_start") < cut).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = SparkEntry.queries("tw_cumulate")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want,
+      s"stream-batch divergence: ${(got diff want) ++ (want diff got)}")
+  }
+
   test("funnel: stateful funnelTrack == batch agg_funnel stage counts") {
     // custom-state parity (not a built-in window): the buffered
     // event-time fold must reproduce the batch min-chain exactly
