@@ -54,6 +54,20 @@ class ZipIndexSpec extends SparkSpec {
       "null keys must sort first, exactly as row_number over ASC order")
   }
 
+  test("ntileBy == ntile(k) across bucket counts and remainders") {
+    // sweep k so every remainder class of the closed-form split is
+    // exercised (cut inside/at/after the big buckets)
+    for (n <- Seq(17, 40); k <- Seq(2, 3, 5, 8)) {
+      val df = spark.range(0, n).select(pmod(col("id") * 13, lit(n)).as("x"))
+        .repartition(3)
+      val got = ZipIndex.ntileBy(df, k, "q", col("x"))
+      val expect = df.withColumn("q", ntile(k).over(Window.orderBy("x")))
+      assert(got.select("x", "q").except(expect).isEmpty &&
+        expect.except(got.select("x", "q")).isEmpty,
+        s"ntileBy($k) over $n rows diverged from ntile")
+    }
+  }
+
   test("ntileBy with fewer rows than buckets assigns bucket = rank") {
     val df = Seq(30, 10, 20).toDF("k")
     val got = ZipIndex.ntileBy(df, 7, "q", col("k"))
