@@ -274,18 +274,35 @@ object GraphQueries extends GroupBase {
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      // sufficient statistics accumulate in DECIMAL(38,0): at 100 TB
+      // (1e12 edges, hub degrees ~1e8) Σdeg² alone crosses 2^63, so
+      // the BIGINT sum — not just the Pearson products below — is the
+      // overflow site; per-term products stay in long (deg ≤ ~1e9
+      // before a term overflows, far beyond any real web graph)
+      val dec0 = "decimal(38,0)"
       val st = und
         .join(deg.select(col("src"), col("deg").as("dx")), "src")
         .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
         .agg(count(lit(1)).as("m"),
-          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-          sum(col("dx") * col("dx")).as("sxx"),
-          sum(col("dy") * col("dy")).as("syy"),
-          sum(col("dx") * col("dy")).as("sxy"))
+          sum(col("dx").cast(dec0)).as("sx"),
+          sum(col("dy").cast(dec0)).as("sy"),
+          sum((col("dx") * col("dx")).cast(dec0)).as("sxx"),
+          sum((col("dy") * col("dy")).cast(dec0)).as("syy"),
+          sum((col("dx") * col("dy")).cast(dec0)).as("sxy"))
+      // the Pearson products exceed BIGINT at sf0.1 (m·sxy ~ 1e22 —
+      // the "flip to DECIMAL(38,0) near 1e18" note above, now real):
+      // every product runs in exact DECIMAL(38,0), each term converts
+      // to double, and only doubles multiply under the sqrt — the
+      // oracle mirrors with HUGEINT so both engines run the identical
+      // exact-int -> IEEE-double -> multiply -> sqrt sequence
+      val dec = "decimal(38,0)"
       st.select(col("m"),
-        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt(((col("m") * col("sxx") - col("sx") * col("sx")) *
-            (col("m") * col("syy") - col("sy") * col("sy"))).cast("double")),
+        round((col("m").cast(dec) * col("sxy") -
+            col("sx").cast(dec) * col("sy")).cast("double") /
+          sqrt((col("m").cast(dec) * col("sxx") -
+              col("sx").cast(dec) * col("sx")).cast("double") *
+            (col("m").cast(dec) * col("syy") -
+              col("sy").cast(dec) * col("sy")).cast("double")),
           6).as("r"))
     }),
 
@@ -564,9 +581,12 @@ object GraphQueries extends GroupBase {
                  JOIN deg a ON a.src = und.src
                  JOIN deg b ON b.src = und.dst)
           SELECT m,
-                 round(CAST(m * sxy - sx * sy AS DOUBLE) /
-                   sqrt(CAST((m * sxx - sx * sx) *
-                             (m * syy - sy * sy) AS DOUBLE)), 6) AS r
+                 round(CAST(CAST(m AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                   sqrt(CAST(CAST(m AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+                        CAST(CAST(m AS HUGEINT) * syy
+                             - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) AS r
           FROM st""",
     "graph_kcore" -> {
       def peel(prev: String, out: String): String =

@@ -289,16 +289,28 @@ object TimeWindowQueries extends GroupBase {
             col("a.event_type") < col("b.event_type"))
         .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
         .agg(count(lit(1)).as("n"),
-          sum(col("a.x")).as("sx"), sum(col("b.x")).as("sy"),
-          sum(col("a.x") * col("a.x")).as("sxx"),
-          sum(col("b.x") * col("b.x")).as("syy"),
-          sum(col("a.x") * col("b.x")).as("sxy"))
+          // DECIMAL(38,0) sums: at 100 TB (~3e8 events/hour) Σx²
+          // crosses 2^63 within one span — the sum, not just the
+          // Pearson products, is an overflow site
+          sum(col("a.x").cast("decimal(38,0)")).as("sx"),
+          sum(col("b.x").cast("decimal(38,0)")).as("sy"),
+          sum((col("a.x") * col("a.x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("b.x") * col("b.x")).cast("decimal(38,0)")).as("syy"),
+          sum((col("a.x") * col("b.x")).cast("decimal(38,0)")).as("sxy"))
+      // Pearson products in exact DECIMAL(38,0), each term to double,
+      // only doubles multiply under the sqrt — hourly counts grow with
+      // the corpus, so the BIGINT term product crosses 2^63 near sf1
+      // (the graph_assortativity overflow class, fixed round 9); the
+      // oracle mirrors with HUGEINT so the IEEE sequences align
+      val dec = "decimal(38,0)"
       st.select(col("ta"), col("tb"), col("n"),
-          round(((col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("double")) /
-            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy")))
-              .cast("double")), 6).as("r"))
+          round((col("n").cast(dec) * col("sxy") -
+              col("sx").cast(dec) * col("sy")).cast("double") /
+            sqrt((col("n").cast(dec) * col("sxx") -
+                col("sx").cast(dec) * col("sx")).cast("double") *
+              (col("n").cast(dec) * col("syy") -
+                col("sy").cast(dec) * col("sy")).cast("double")),
+            6).as("r"))
         .orderBy(col("r").desc, col("ta"), col("tb"))
     }),
 
@@ -379,8 +391,12 @@ object TimeWindowQueries extends GroupBase {
         expr("INTERVAL 1 HOUR"))).as("hb"))
       val dense = spine.join(counts, Seq("hb"), "left")
         .select(col("hb"), coalesce(col("c"), lit(0L)).as("x"))
-      val glob = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+      // DECIMAL(38,0) Σx/Σx²: hourly counts scale with the corpus, so
+      // the BIGINT square-sum crosses 2^63 within a span at ~100 TB
+      // (the tw_tsim/graph_assortativity overflow class, round 9)
+      val glob = dense.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
       val lagged = dense.as("a")
         .crossJoin(broadcast(
           spine.sparkSession.range(1, 49).select(col("id").as("k"))))
@@ -388,8 +404,10 @@ object TimeWindowQueries extends GroupBase {
           col("a.hb") + expr("make_interval(0, 0, 0, 0, CAST(k AS INT), 0, 0)"))
         .join(dense.as("b"), col("b.hb") === col("hb2"))
         .groupBy("k")
-        .agg(count(lit(1)).as("m"), sum(col("a.x") * col("b.x")).as("sxy"),
-          sum(col("a.x")).as("sh"), sum(col("b.x")).as("st"))
+        .agg(count(lit(1)).as("m"),
+          sum((col("a.x") * col("b.x")).cast("decimal(38,0)")).as("sxy"),
+          sum(col("a.x").cast("decimal(38,0)")).as("sh"),
+          sum(col("b.x").cast("decimal(38,0)")).as("st"))
       val mu = col("sx").cast("double") / col("n").cast("double")
       val c0 = col("sxx").cast("double") / col("n").cast("double") - mu * mu
       lagged.crossJoin(broadcast(glob))
@@ -709,9 +727,12 @@ object TimeWindowQueries extends GroupBase {
                    ON a.hb = b.hb AND a.event_type < b.event_type
                  GROUP BY 1, 2)
           SELECT ta, tb, n,
-                 round(CAST(n * sxy - sx * sy AS DOUBLE) /
-                   sqrt(CAST((n * sxx - sx * sx) *
-                             (n * syy - sy * sy) AS DOUBLE)), 6) AS r
+                 round(CAST(CAST(n AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                   sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+                        CAST(CAST(n AS HUGEINT) * syy
+                             - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) AS r
           FROM st ORDER BY r DESC, ta, tb""",
     "tw_motif" ->
       """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb
