@@ -20,9 +20,13 @@ import graft.core.Sessions
   * bench_full.json next to the repo for human inspection.
   */
 object Bench {
-  /** Scale factor parsed from a testdata dir name (`.../sf0.1`). */
+  /** Scale factor parsed from a testdata dir name (`.../sf0.1`).
+    * None when nothing parses — including regex matches Double can't
+    * read (e.g. `sf0.1.bak` captures "0.1."), so callers keep their
+    * own fallback/loud-error behavior instead of crashing mid-run. */
   private[graft] def sfOf(dir: String): Option[Double] =
-    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble)
+    "sf([0-9.]+)".r.findFirstMatchIn(dir)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
 
   /** 3-decimal artifact formatting, shared with ScalingProbe so the
     * two JSON artifacts round identically. */

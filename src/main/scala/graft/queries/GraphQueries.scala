@@ -291,18 +291,17 @@ object GraphQueries extends GroupBase {
           sum((col("dx") * col("dy")).cast(dec0)).as("sxy"))
       // the Pearson products exceed BIGINT at sf0.1 (m·sxy ~ 1e22 —
       // the "flip to DECIMAL(38,0) near 1e18" note above, now real):
-      // every product runs in exact DECIMAL(38,0), each term converts
-      // to double, and only doubles multiply under the sqrt — the
-      // oracle mirrors with HUGEINT so both engines run the identical
+      // m lifts to the sums' decimal type, each term converts to
+      // double, and only doubles multiply under the sqrt — the oracle
+      // mirrors with HUGEINT so both engines run the identical
       // exact-int -> IEEE-double -> multiply -> sqrt sequence
-      val dec = "decimal(38,0)"
       st.select(col("m"),
-        round((col("m").cast(dec) * col("sxy") -
-            col("sx").cast(dec) * col("sy")).cast("double") /
-          sqrt((col("m").cast(dec) * col("sxx") -
-              col("sx").cast(dec) * col("sx")).cast("double") *
-            (col("m").cast(dec) * col("syy") -
-              col("sy").cast(dec) * col("sy")).cast("double")),
+        round((col("m").cast(dec0) * col("sxy") -
+            col("sx") * col("sy")).cast("double") /
+          sqrt((col("m").cast(dec0) * col("sxx") -
+              col("sx") * col("sx")).cast("double") *
+            (col("m").cast(dec0) * col("syy") -
+              col("sy") * col("sy")).cast("double")),
           6).as("r"))
     }),
 
@@ -571,12 +570,15 @@ object GraphQueries extends GroupBase {
           und AS (SELECT src, dst FROM edges
                   UNION SELECT dst, src FROM edges),
           deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+          -- sums stay HUGEINT (no BIGINT down-cast): the engine's
+          -- DECIMAL(38,0) sums removed the 2^63 sum cliff, and the
+          -- oracle must not keep it (round 9)
           st AS (SELECT count(*) AS m,
-                        CAST(sum(a.deg) AS BIGINT) AS sx,
-                        CAST(sum(b.deg) AS BIGINT) AS sy,
-                        CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
-                        CAST(sum(b.deg * b.deg) AS BIGINT) AS syy,
-                        CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy
+                        sum(a.deg) AS sx,
+                        sum(b.deg) AS sy,
+                        sum(a.deg * a.deg) AS sxx,
+                        sum(b.deg * b.deg) AS syy,
+                        sum(a.deg * b.deg) AS sxy
                  FROM und
                  JOIN deg a ON a.src = und.src
                  JOIN deg b ON b.src = und.dst)

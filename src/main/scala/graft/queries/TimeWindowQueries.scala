@@ -284,6 +284,7 @@ object TimeWindowQueries extends GroupBase {
       val dense = grid.join(counts, Seq("event_type", "hb"), "left")
         .select(col("event_type"), col("hb"),
           coalesce(col("c"), lit(0L)).as("x"))
+      val dec = "decimal(38,0)"
       val st = dense.as("a").join(dense.as("b"),
           col("a.hb") === col("b.hb") &&
             col("a.event_type") < col("b.event_type"))
@@ -292,24 +293,23 @@ object TimeWindowQueries extends GroupBase {
           // DECIMAL(38,0) sums: at 100 TB (~3e8 events/hour) Σx²
           // crosses 2^63 within one span — the sum, not just the
           // Pearson products, is an overflow site
-          sum(col("a.x").cast("decimal(38,0)")).as("sx"),
-          sum(col("b.x").cast("decimal(38,0)")).as("sy"),
-          sum((col("a.x") * col("a.x")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("b.x") * col("b.x")).cast("decimal(38,0)")).as("syy"),
-          sum((col("a.x") * col("b.x")).cast("decimal(38,0)")).as("sxy"))
-      // Pearson products in exact DECIMAL(38,0), each term to double,
-      // only doubles multiply under the sqrt — hourly counts grow with
-      // the corpus, so the BIGINT term product crosses 2^63 near sf1
-      // (the graph_assortativity overflow class, fixed round 9); the
-      // oracle mirrors with HUGEINT so the IEEE sequences align
-      val dec = "decimal(38,0)"
+          sum(col("a.x").cast(dec)).as("sx"),
+          sum(col("b.x").cast(dec)).as("sy"),
+          sum((col("a.x") * col("a.x")).cast(dec)).as("sxx"),
+          sum((col("b.x") * col("b.x")).cast(dec)).as("syy"),
+          sum((col("a.x") * col("b.x")).cast(dec)).as("sxy"))
+      // Pearson terms: n lifts to the sums' decimal type, each term to
+      // double, only doubles multiply under the sqrt — hourly counts
+      // grow with the corpus, so the BIGINT term product crosses 2^63
+      // near sf1 (the graph_assortativity overflow class, round 9);
+      // the oracle mirrors with HUGEINT so the IEEE sequences align
       st.select(col("ta"), col("tb"), col("n"),
           round((col("n").cast(dec) * col("sxy") -
-              col("sx").cast(dec) * col("sy")).cast("double") /
+              col("sx") * col("sy")).cast("double") /
             sqrt((col("n").cast(dec) * col("sxx") -
-                col("sx").cast(dec) * col("sx")).cast("double") *
+                col("sx") * col("sx")).cast("double") *
               (col("n").cast(dec) * col("syy") -
-                col("sy").cast(dec) * col("sy")).cast("double")),
+                col("sy") * col("sy")).cast("double")),
             6).as("r"))
         .orderBy(col("r").desc, col("ta"), col("tb"))
     }),
@@ -716,13 +716,16 @@ object TimeWindowQueries extends GroupBase {
                            CAST(coalesce(c, 0) AS BIGINT) AS x
                     FROM grid g LEFT JOIN b ON g.event_type = b.event_type
                                             AND g.hb = b.hb),
+          -- sums stay HUGEINT (no BIGINT down-cast): the engine's
+          -- DECIMAL(38,0) sums removed the 2^63 sum cliff, and the
+          -- oracle must not keep it (round 9)
           st AS (SELECT a.event_type AS ta, b.event_type AS tb,
                         count(*) AS n,
-                        CAST(sum(a.x) AS BIGINT) AS sx,
-                        CAST(sum(b.x) AS BIGINT) AS sy,
-                        CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
-                        CAST(sum(b.x * b.x) AS BIGINT) AS syy,
-                        CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+                        sum(a.x) AS sx,
+                        sum(b.x) AS sy,
+                        sum(a.x * a.x) AS sxx,
+                        sum(b.x * b.x) AS syy,
+                        sum(a.x * b.x) AS sxy
                  FROM dense a JOIN dense b
                    ON a.hb = b.hb AND a.event_type < b.event_type
                  GROUP BY 1, 2)
@@ -775,13 +778,16 @@ object TimeWindowQueries extends GroupBase {
                       INTERVAL 1 HOUR)) AS hb FROM r),
           dense AS (SELECT s.hb, CAST(coalesce(c, 0) AS BIGINT) AS x
                     FROM spine s LEFT JOIN b USING (hb)),
-          gstat AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-                           CAST(sum(x * x) AS BIGINT) AS sxx
+          -- sums stay HUGEINT (DuckDB's native sum(BIGINT) result):
+          -- a BIGINT down-cast would re-introduce the 2^63 cliff the
+          -- engine's DECIMAL(38,0) sums removed (round 9)
+          gstat AS (SELECT count(*) AS n, sum(x) AS sx,
+                           sum(x * x) AS sxx
                     FROM dense),
           lg AS (SELECT CAST(k AS BIGINT) AS lag, count(*) AS m,
-                        CAST(sum(a.x * bb.x) AS BIGINT) AS sxy,
-                        CAST(sum(a.x) AS BIGINT) AS sh,
-                        CAST(sum(bb.x) AS BIGINT) AS st
+                        sum(a.x * bb.x) AS sxy,
+                        sum(a.x) AS sh,
+                        sum(bb.x) AS st
                  FROM dense a
                  CROSS JOIN (SELECT unnest(range(1, 49)) AS k) ks
                  JOIN dense bb
