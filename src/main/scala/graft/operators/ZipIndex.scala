@@ -68,9 +68,16 @@ object ZipIndex {
 
     // Pass 1: rows per range partition — P numbers to the driver
     // (partition METADATA, the collect zipWithIndex has always had).
+    // Counted with a Long accumulator, NOT Iterator.size: size returns
+    // Int and silently wraps past 2^31 rows per partition — exactly the
+    // 1e12-row regime this operator exists for (N/P can exceed
+    // Int.MaxValue at scale with default parallelism).
     val counts: Array[(Int, Long)] = rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)),
-        preservesPartitioning = true)
+      .mapPartitionsWithIndex({ (pid, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1L }
+        Iterator((pid, n))
+      }, preservesPartitioning = true)
       .collect()
     val total = counts.map(_._2).sum
     val offsets: Map[Int, Long] = {
@@ -93,7 +100,12 @@ object ZipIndex {
   /** `ntile(buckets) OVER (ORDER BY order)` without the global window:
     * rank from [[withIndex]], bucket by ntile's closed-form split
     * (first N mod b buckets take ceil(N/b) rows, the rest floor(N/b))
-    * evaluated as literal arithmetic — N is known from pass 1. */
+    * evaluated as literal arithmetic — N is known from pass 1.
+    *
+    * The splits use SQL `DIV` (Catalyst IntegralDivide), not `/`:
+    * Column `/` promotes Longs to DOUBLE division whose truncation is
+    * only coincidentally right below ~2^51 — DIV keeps the bucket
+    * arithmetic exact integer math at any rank. */
   def ntileBy(df: DataFrame, buckets: Int, tileCol: String, order: Column*): DataFrame = {
     val (indexed, n) = withIndex(df, "__rk", order: _*)
     val base = n / buckets      // floor bucket size
@@ -102,8 +114,8 @@ object ZipIndex {
     val r = col("__rk") + lit(1L) // 1-based rank
     val tile =
       if (base == 0L) r // fewer rows than buckets: bucket = rank
-      else when(r <= cut, (r + base) / (base + 1))
-        .otherwise(lit(rem) + (r - cut + base - 1) / base)
+      else when(r <= cut, expr(s"(__rk + 1 + ${base}L) DIV ${base + 1}L"))
+        .otherwise(lit(rem) + expr(s"(__rk + 1 - ${cut}L + ${base - 1}L) DIV ${base}L"))
     indexed.withColumn(tileCol, tile.cast("int")).drop("__rk")
   }
 }

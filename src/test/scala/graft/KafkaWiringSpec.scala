@@ -36,8 +36,17 @@ class KafkaWiringSpec extends SparkSpec {
     val stream = Readers.rate(spark, 1)
       .selectExpr("CAST(value AS STRING) AS value")
     val tmp = java.nio.file.Files.createTempDirectory("kafkaw").toString
-    assertMissingConnector(
-      Writers.kafkaStream(stream, "localhost:9092", "clicks")
-        .option("checkpointLocation", tmp).start(), "Writers.kafkaStream")
+    // If the jar ever appears, start() SUCCEEDS and the tripwire
+    // assertion fires — capture the live query so the failure doesn't
+    // leave a rate-source stream running for the rest of the suite.
+    var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    try
+      assertMissingConnector({
+        val q = Writers.kafkaStream(stream, "localhost:9092", "clicks")
+          .option("checkpointLocation", tmp).start()
+        started = Some(q)
+        q
+      }, "Writers.kafkaStream")
+    finally started.foreach(q => try q.stop() catch { case _: Throwable => () })
   }
 }
