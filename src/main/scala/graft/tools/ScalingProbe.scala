@@ -19,9 +19,28 @@ import graft.core.Sessions
   * ratio AND large-SF time > 0.5 s — sub-second queries are overhead-
   * dominated and their ratios are noise, and ratios only slightly
   * above the data ratio are cache/spill texture, not complexity.
-  * Exit code stays 0 (informational; PlanSpec/PlanAudit is the gate).
+  * Exits 1 when any query is flagged (promoted to a GATE in round 10;
+  * ScalingSpec additionally rot-checks the committed artifact against
+  * the live catalog and proves the detector fires on a deliberately
+  * quadratic probe).
   */
 object ScalingProbe {
+
+  /** The superlinearity flag, factored out so ScalingSpec gates the
+    * SAME predicate the artifact run uses (no drift between the spec's
+    * idea of "flagged" and the probe's). */
+  def isFlagged(ratio: Double, largeSec: Double, dataRatio: Double): Boolean =
+    ratio > 2 * dataRatio && largeSec > 0.5
+
+  /** Warm-then-time one plan with the probe's discipline (warm run,
+    * GC outside the window, count() action). -1.0 on failure. */
+  def timeOnce(mk: => org.apache.spark.sql.DataFrame): Double = {
+    try mk.count() catch { case _: Throwable => return -1.0 } // warm
+    System.gc()
+    val t0 = System.nanoTime()
+    try { mk.count(); (System.nanoTime() - t0) / 1e9 }
+    catch { case _: Throwable => -1.0 }
+  }
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val large = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -37,13 +56,7 @@ object ScalingProbe {
     graft.Bench.warmJvm(spark)
 
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-             d: String): Double = {
-      try fn(spark, d).count() catch { case _: Throwable => return -1.0 } // warm
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, d).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
-    }
+             d: String): Double = timeOnce(fn(spark, d))
 
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = time(fn, small)
@@ -59,7 +72,7 @@ object ScalingProbe {
       s"""{"queries":$json""")
 
     val flagged = rows.filter { case (_, _, tl, r) =>
-      r > 2 * dataRatio && tl > 0.5 }
+      isFlagged(r, tl, dataRatio) }
     println(f"[scaling] data ratio ${dataRatio}%.0fx; flag = time ratio > ${2 * dataRatio}%.0fx and large > 0.5s")
     rows.sortBy(-_._4).take(15).foreach { case (n, ts, tl, r) =>
       val mark = if (flagged.exists(_._1 == n)) "  << SUPERLINEAR" else ""
@@ -67,5 +80,6 @@ object ScalingProbe {
     }
     println(s"[scaling] flagged: ${flagged.size}/${rows.size}")
     spark.stop()
+    if (flagged.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.tools.ScalingProbe
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ScalingProbe promoted from informational readout to GATE (round-10
+  * verdict #7). Three layers:
+  *
+  *   1. the flag predicate itself (the same `isFlagged` the artifact
+  *      run uses — no spec/probe drift possible);
+  *   2. the committed scaling.json artifact: zero flagged queries,
+  *      zero failed timings, and its query set EQUALS the live
+  *      catalog (rot check — a new query that never went through the
+  *      two-SF sweep, or a renamed one leaving a stale row, fails
+  *      here instead of silently shrinking coverage);
+  *   3. a deliberately quadratic probe run through the REAL timing
+  *      harness must trip the detector while an equal-work linear
+  *      control must not — proof the gate can actually fire, the same
+  *      discipline PlanSpec applies to the GLOBALWIN detector.
+  */
+class ScalingSpec extends SparkSpec {
+
+  test("flag predicate: superlinear+slow flagged; noise and fast queries not") {
+    val dataRatio = 10.0
+    // quadratic signature at 10x data: ~100x time, well over 2x threshold
+    assert(ScalingProbe.isFlagged(ratio = 95.0, largeSec = 3.0, dataRatio))
+    // linear query: ratio at/below the data ratio
+    assert(!ScalingProbe.isFlagged(ratio = 8.0, largeSec = 5.0, dataRatio))
+    // slightly above data ratio = cache/spill texture, not complexity
+    assert(!ScalingProbe.isFlagged(ratio = 19.9, largeSec = 5.0, dataRatio))
+    // overhead-dominated sub-half-second query: ratio is noise
+    assert(!ScalingProbe.isFlagged(ratio = 300.0, largeSec = 0.4, dataRatio))
+    // boundary: strictly-greater on both arms
+    assert(!ScalingProbe.isFlagged(ratio = 20.0, largeSec = 5.0, dataRatio))
+    assert(!ScalingProbe.isFlagged(ratio = 25.0, largeSec = 0.5, dataRatio))
+  }
+
+  test("committed scaling.json: zero flagged, zero failed, catalog rot-free") {
+    val p = java.nio.file.Paths.get("scaling.json")
+    assert(java.nio.file.Files.exists(p),
+      "scaling.json missing — run `sbt \"runMain graft.tools.ScalingProbe\"`")
+    val txt = java.nio.file.Files.readString(p)
+    val dataRatio = """"data_ratio":([0-9.eE+]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      .getOrElse(fail("scaling.json has no data_ratio field"))
+    val entry =
+      """"([A-Za-z0-9_]+)":\{"small":(-?[0-9.]+),"large":(-?[0-9.]+),"ratio":(-?[0-9.]+)\}""".r
+    val rows = entry.findAllMatchIn(txt).map { m =>
+      (m.group(1), m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble)
+    }.toSeq
+    assert(rows.nonEmpty, "scaling.json parsed to zero query rows")
+
+    // rot check: artifact query set == live catalog, both directions
+    val inArtifact = rows.map(_._1).toSet
+    val inCatalog = SparkEntry.queries.keySet
+    val missing = inCatalog -- inArtifact
+    val stale = inArtifact -- inCatalog
+    assert(missing.isEmpty,
+      s"catalog queries never swept by ScalingProbe (regenerate scaling.json): ${missing.toSeq.sorted.mkString(",")}")
+    assert(stale.isEmpty,
+      s"stale rows in scaling.json for queries no longer in the catalog: ${stale.toSeq.sorted.mkString(",")}")
+
+    val failed = rows.filter(r => r._2 < 0 || r._3 < 0)
+    assert(failed.isEmpty,
+      s"queries failed during the sweep: ${failed.map(_._1).sorted.mkString(",")}")
+    val flagged = rows.filter(r => ScalingProbe.isFlagged(r._4, r._3, dataRatio))
+    assert(flagged.isEmpty,
+      s"SUPERLINEAR queries at ${dataRatio}x data: " +
+        flagged.map(r => f"${r._1} (${r._4}%.1fx)").sorted.mkString(","))
+  }
+
+  test("deliberately quadratic probe trips the detector; equal-work linear control does not") {
+    val dataRatio = 4.0
+    // pair-work that count() cannot prune: the filter forces the hash
+    // to evaluate per pair (the same reason FullExec exists for the
+    // catalog — a pruned projection measures nothing)
+    def quadratic(n: Long): DataFrame =
+      spark.range(n).toDF("a").crossJoin(spark.range(n).toDF("b"))
+        .filter(pmod(xxhash64(col("a") * lit(1000003L) + col("b")), lit(1000)) < 499)
+    def linear(m: Long): DataFrame =
+      spark.range(m).toDF("a")
+        .filter(pmod(xxhash64(col("a") * lit(1000003L) + col("a")), lit(1000)) < 499)
+
+    // Self-calibrate against machine speed: grow n until the SMALL
+    // quadratic run is compute-dominated (>= 0.4 s), so fixed job
+    // overhead can't compress the measured ratio below the threshold.
+    // Expected ratios: quadratic ~dataRatio^2 = 16x vs threshold 8x;
+    // linear ~dataRatio = 4x. Both margins are 2x.
+    var n = 2000L
+    var tSmallQ = ScalingProbe.timeOnce(quadratic(n))
+    while (tSmallQ < 0.4 && n < 64000L) {
+      n *= 2
+      tSmallQ = ScalingProbe.timeOnce(quadratic(n))
+    }
+    assert(tSmallQ >= 0.4, s"calibration failed: $tSmallQ s at n=$n")
+    val tLargeQ = ScalingProbe.timeOnce(quadratic((n * dataRatio).toLong))
+    val qRatio = tLargeQ / tSmallQ
+    assert(ScalingProbe.isFlagged(qRatio, tLargeQ, dataRatio),
+      f"quadratic probe NOT flagged: small $tSmallQ%.2fs large $tLargeQ%.2fs ratio $qRatio%.1fx (threshold ${2 * dataRatio}%.0fx) — the scaling gate cannot fire")
+
+    // linear control with the same total work as the small quadratic
+    val m = n * n
+    val tSmallL = ScalingProbe.timeOnce(linear(m))
+    val tLargeL = ScalingProbe.timeOnce(linear((m * dataRatio).toLong))
+    val lRatio = tLargeL / tSmallL
+    assert(!ScalingProbe.isFlagged(lRatio, tLargeL, dataRatio),
+      f"linear control FLAGGED: small $tSmallL%.2fs large $tLargeL%.2fs ratio $lRatio%.1fx — the gate would mass-flag linear queries")
+  }
+}
