@@ -20,6 +20,27 @@ object Sessions {
     sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
 
+  /** Prometheus metrics-export confs (the reference wires Flink metrics
+    * to Prometheus via a PushGateway reporter in flink-conf.yaml —
+    * flink-prometheus/src/main/resources/flink-conf.yaml:1-11; Spark's
+    * idiomatic equivalent is the built-in PULL-based PrometheusServlet
+    * sink on the driver UI plus the executor-metrics Prometheus
+    * resource). Opt-in via SPARK_GRAFT_PROMETHEUS=1 because the servlet
+    * hangs off the web UI, which stays disabled for benchmark runs.
+    * Scrape endpoints once enabled:
+    *   <uiWebUrl>/metrics/prometheus            (driver DropWizard metrics)
+    *   <uiWebUrl>/metrics/executors/prometheus  (per-executor metrics)
+    */
+  val prometheusConfs: Map[String, String] = Map(
+    "spark.metrics.conf.*.sink.prometheusServlet.class" ->
+      "org.apache.spark.metrics.sink.PrometheusServlet",
+    "spark.metrics.conf.*.sink.prometheusServlet.path" ->
+      "/metrics/prometheus",
+    "spark.ui.prometheus.enabled" -> "true")
+
+  private def prometheusOn: Boolean =
+    sys.env.get("SPARK_GRAFT_PROMETHEUS").exists(v => v == "1" || v == "true")
+
   def build(appName: String): SparkSession = {
     val s = SparkSession.builder()
       .appName(appName)
@@ -42,9 +63,16 @@ object Sessions {
       // be set before the first session builds.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+      // UI off for bench/verify runs; flipped on (random port) when the
+      // Prometheus servlet is requested, since the sink serves from it
+      .config("spark.ui.enabled", prometheusOn.toString)
+      .config("spark.ui.port", "0")
+    val withMetrics =
+      if (prometheusOn) prometheusConfs.foldLeft(s) {
+        case (b, (k, v)) => b.config(k, v)
+      } else s
+    val sess = withMetrics.getOrCreate()
+    sess.sparkContext.setLogLevel("WARN")
+    sess
   }
 }

@@ -16,10 +16,16 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .config("spark.ui.enabled", "false")
+      // UI on (random port) so MetricsExportSpec can scrape the
+      // PrometheusServlet sink end-to-end — the metrics system starts
+      // with the process-global SparkContext, so the confs must be here
+      .config("spark.ui.enabled", "true")
+      .config("spark.ui.port", "0")
+    val sess = graft.core.Sessions.prometheusConfs
+      .foldLeft(s) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+    sess.sparkContext.setLogLevel("WARN")
+    sess
   }
   val sf0001 = "/root/testdata/sf0.001"
 }
