@@ -615,7 +615,12 @@ object AggQueries extends GroupBase {
       val pool = users.agg(
           count(lit(1)).as("n"),
           sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"),
+          // DECIMAL(38,0) Σx²: per-user view counts grow with the
+          // corpus, so the BIGINT square-sum crosses 2^63 near ~1e9
+          // users x 1e5 views (the graph_assortativity overflow class,
+          // round 10 audit); per-row x² stays in long (x < 3e9 before
+          // a term overflows)
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
           Exact.dsum(col("y")).as("sy"),
           Exact.dsum(col("x").cast("double") * col("y")).as("sxy"))
         .select(col("n"), col("sy"),
@@ -711,10 +716,12 @@ object AggQueries extends GroupBase {
     // arithmetic over the score HISTOGRAM, never per-pair:
     //   2·num = 2·Σ_s pos_s·cumneg_<s + Σ_s pos_s·neg_s,
     //   AUC   = num / (P·N)
-    // stays in bigint until ONE final double division, so both
-    // engines agree bit-for-bit with no rounding (exact while
-    // P·N < 2^62 — ~2e9 users per class; past that flip the products
-    // to decimal(38,0), the text_ks overflow lesson).
+    // accumulates in DECIMAL(38,0) until ONE final double division,
+    // so both engines agree bit-for-bit with no rounding. The rank
+    // products pos·cumneg reach ~P·N (~1e18 at 2e9 users per class,
+    // past 2^63 beyond that) — the graph_assortativity overflow
+    // class, protected in the round-10 audit: pos lifts to decimal
+    // BEFORE the multiply so the per-row product can't wrap either.
     // Scale shape: per-user agg is ONE user-keyed hash agg; the
     // corpus then collapses to a histogram bounded by distinct
     // integer scores, and the cumulative negatives come from the
@@ -734,10 +741,11 @@ object AggQueries extends GroupBase {
           col("y.score") <= col("x.score"))
         .groupBy(col("x.score"), col("x.pos"), col("x.neg"))
         .agg(sum(col("y.neg")).as("cumneg_le"))
+      val dec0 = "decimal(38,0)"
       val tot = c.agg(
         sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
-        sum(col("pos") * (col("cumneg_le") - col("neg")) * lit(2L) +
-          col("pos") * col("neg")).as("num2"))
+        sum(col("pos").cast(dec0) * (col("cumneg_le") - col("neg")) * lit(2L) +
+          col("pos").cast(dec0) * col("neg")).as("num2"))
       val auc = col("num2").cast("double") /
         nullif(col("n_pos").cast("double") * col("n_neg").cast("double") *
           lit(2.0), lit(0.0))

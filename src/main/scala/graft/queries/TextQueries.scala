@@ -709,8 +709,12 @@ object TextQueries extends GroupBase {
     // integer histogram in ONE pass, cumulative counts come from a
     // broadcast triangular join over the histogram (never a global
     // rank window over rows), and the midrank sum uses the 2·R1
-    // integer identity (c·(2F+t+1) is a BIGINT — the rank sum is
-    // exact integer arithmetic, order-independent, no fsum needed).
+    // integer identity in exact DECIMAL(38,0) — rank products reach
+    // ~n² and the tie cubes ~c³, both past 2^63 near ~3e9 docs per
+    // source (the graph_assortativity overflow class, round-10
+    // audit), so the factors lift to decimal BEFORE the multiplies;
+    // the rank sum stays exact integer arithmetic, order-independent,
+    // no fsum needed.
     // Tie-corrected normal approximation; σ=0 (all values tied)
     // nullifies z on both engines.
     "text_mannwhitney" -> ((s, d) => {
@@ -725,11 +729,13 @@ object TextQueries extends GroupBase {
           col("y.n_tok") < col("x.n_tok"), "left")
         .groupBy(col("x.n_tok"), col("x.c1"), col("x.c2"))
         .agg(coalesce(sum(col("y.c1") + col("y.c2")), lit(0L)).as("fb"))
+      val dec0 = "decimal(38,0)"
+      val tt = (col("c1") + col("c2")).cast(dec0)
       val terms = cum.select(
-        (col("c1") * (lit(2L) * col("fb") + col("c1") + col("c2") + lit(1L)))
+        (col("c1").cast(dec0) *
+          (lit(2L) * col("fb") + col("c1") + col("c2") + lit(1L)))
           .as("r2x"),
-        ((col("c1") + col("c2")) * (col("c1") + col("c2")) *
-          (col("c1") + col("c2")) - (col("c1") + col("c2"))).as("t3t"))
+        (tt * tt * tt - tt).as("t3t"))
         .agg(sum(col("r2x")).as("r2x"), sum(col("t3t")).as("tcorr"))
       val n1d = col("n1").cast("double")
       val n2d = col("n2").cast("double")
@@ -1616,7 +1622,12 @@ object TextQueries extends GroupBase {
       val tf = docs.select(col("doc_id"), explode(col("tk")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val st = tf.groupBy("w").agg(count(lit(1)).as("df"),
-        sum(col("tf")).as("st"), sum(col("tf") * col("tf")).as("sq"))
+        // DECIMAL(38,0) Σtf²: per-doc tf is doc-length-bounded but the
+        // per-term sum runs over every document — nd x max_tf² crosses
+        // 2^63 near 1e11 docs x 1e4-token docs (round-10 overflow
+        // audit); per-row tf² stays in long
+        sum(col("tf")).as("st"),
+        sum((col("tf") * col("tf")).cast("decimal(38,0)")).as("sq"))
       val ndD = col("nd").cast("double")
       val mean = col("st").cast("double") / ndD
       st.crossJoin(broadcast(nd))
