@@ -142,7 +142,13 @@ object GraphQueries extends GroupBase {
         .agg(count(lit(1)).as("n_rec"))
       e2.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(rec))
         .select(col("n_edges"), col("n_rec"),
-          (col("n_rec").cast("double") / col("n_edges").cast("double"))
+          // NULLIF guard: count() yields 0 (not NULL) on an empty edge
+          // table, and ANSI mode throws DIVIDE_BY_ZERO even for double
+          // division — an empty graph must read as NULL reciprocity,
+          // not a pipeline-breaking exception (EdgeExec empty-input
+          // sweep, round 10)
+          (col("n_rec").cast("double") /
+            nullif(col("n_edges").cast("double"), lit(0.0)))
             .as("reciprocity"))
     }),
 

@@ -345,6 +345,12 @@ object TimeWindowQueries extends GroupBase {
           array_sort(collect_list(struct(col("hb"), col("x")))),
           e => e.getField("x")).as("s"))
       val wins = series
+        // guard: a series shorter than one window (incl. the empty
+        // input's 1-row empty array from the global agg) would make
+        // sequence(0, negative) count DOWN and slice() reject start=0
+        // — no window fits, so there is no motif (EdgeExec empty-input
+        // sweep, round 10)
+        .filter(size(col("s")) >= W)
         .select(explode(sequence(lit(0), size(col("s")) - W)).as("st"),
           col("s"))
         .select(col("st"), slice(col("s"), col("st") + 1, lit(W)).as("w"))
