@@ -203,11 +203,18 @@ object AggQueries extends GroupBase {
           sum(col("l_discount").cast(dec)).cast("double").as("sy"),
           sum((col("l_discount") * col("l_discount")).cast(dec)).cast("double").as("syy"))
         .select(col("l_returnflag"), col("n"),
-          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_q"),
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd_q"),
+          // NULLIF guards: sample variance/correlation are undefined at
+          // n=1 (or zero spread) and ANSI throws DIVIDE_BY_ZERO even
+          // for doubles — degenerate groups must read NULL, not crash
+          // (EdgeExec single-row sweep, round 10)
+          ((col("sxx") - col("sx") * col("sx") / col("n")) /
+            nullif((col("n") - 1).cast("double"), lit(0.0))).as("var_q"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            nullif((col("n") - 1).cast("double"), lit(0.0))).as("sd_q"),
           ((col("sxy") - col("sx") * col("sy") / col("n")) /
-            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-             sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qd"))
+            nullif(sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n")),
+              lit(0.0))).as("corr_qd"))
         .orderBy("l_returnflag")
     }),
 
@@ -569,8 +576,11 @@ object AggQueries extends GroupBase {
       // scale by the exact power-of-two 1/4 before the fold and
       // multiply back after (both ops exact, no precision change)
       val ests = rep.groupBy("b")
+        // NULLIF: a replicate whose resampled weights are all zero has
+        // no estimate (possible with a tiny corpus) — NULL, not a
+        // DIVIDE_BY_ZERO crash (EdgeExec single-row sweep, round 10)
         .agg((Exact.fsum(col("w").cast("double") * col("value") / lit(4.0)) *
-          lit(4.0) / sum(col("w")).cast("double")).as("est"))
+          lit(4.0) / nullif(sum(col("w")).cast("double"), lit(0.0))).as("est"))
       val ea = ests.agg(
         (Exact.fsum(col("est")) / lit(16.0)).as("ea"))
       val se = ests.crossJoin(broadcast(ea))
@@ -910,11 +920,14 @@ object AggQueries extends GroupBase {
         sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(col("conv").cast("long")).as("conv_all"))
+      // NULLIF guards: with one arm empty (or zero conversions) the
+      // MDE is undefined — NULL, not an ANSI DIVIDE_BY_ZERO crash
+      // (EdgeExec single-row sweep, round 10)
       val p = col("conv_all").cast("double") /
-        (col("n_a") + col("n_b")).cast("double")
+        nullif((col("n_a") + col("n_b")).cast("double"), lit(0.0))
       val se = sqrt(p * (lit(1.0) - p) *
-        (lit(1.0) / col("n_a").cast("double") +
-          lit(1.0) / col("n_b").cast("double")))
+        (lit(1.0) / nullif(col("n_a").cast("double"), lit(0.0)) +
+          lit(1.0) / nullif(col("n_b").cast("double"), lit(0.0))))
       val zsum = lit(1.959964 + 0.841621)
       val mde = round(zsum * se, 6)
       // n per arm for a 1% absolute lift: n = 2 p(1-p) (z_sum / d)^2
@@ -922,7 +935,7 @@ object AggQueries extends GroupBase {
         (zsum / lit(0.01)) * (zsum / lit(0.01))).cast("long")
       c.select(col("n_a"), col("n_b"), round(p, 6).as("base_rate"),
         mde.as("mde_abs"),
-        round(mde / p, 6).as("mde_rel"),
+        round(mde / nullif(p, lit(0.0)), 6).as("mde_rel"),
         nNeed.as("n_per_arm_for_1pct"))
     }),
 
@@ -955,8 +968,12 @@ object AggQueries extends GroupBase {
       val ssb = col("sbAll") -
         col("sAll") * col("sAll") / col("nn").cast("double")
       val ssw = col("qAll") - col("sbAll")
-      val f = round((ssb / (col("k") - 1).cast("double")) /
-        (ssw / (col("nn") - col("k")).cast("double")), 6)
+      // NULLIF guards: F is undefined at k=1 or N=k (zero df on either
+      // side) — NULL, not an ANSI DIVIDE_BY_ZERO crash (EdgeExec
+      // single-row sweep, round 10)
+      val f = round((ssb / nullif((col("k") - 1).cast("double"), lit(0.0))) /
+        nullif(ssw / nullif((col("nn") - col("k")).cast("double"), lit(0.0)),
+          lit(0.0)), 6)
       tot.select(col("k"), col("nn").as("n"),
         round(ssb, 6).as("ssb"), round(ssw, 6).as("ssw"), f.as("f"),
         (f > lit(2.372)).as("significant"))

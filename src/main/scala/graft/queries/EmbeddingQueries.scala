@@ -568,7 +568,11 @@ object EmbeddingQueries extends GroupBase {
         .crossJoin(broadcast(hl))
         .select(col("nn").as("n"), col("n_cells"),
           round(col("purity"), 6).as("purity"),
-          round(lit(2.0) * col("mi") / (col("hc") + col("hl")), 6).as("nmi"))
+          // NULLIF: NMI is undefined when both partitions are trivial
+          // (H(C)+H(L)=0, e.g. one cluster and one label) — NULL, not
+          // an ANSI DIVIDE_BY_ZERO crash (EdgeExec single-row sweep)
+          round(lit(2.0) * col("mi") /
+            nullif(col("hc") + col("hl"), lit(0.0)), 6).as("nmi"))
     }),
 
     // k-NN GRAPH construction (the substrate for graph-based dedup,
@@ -884,8 +888,14 @@ object EmbeddingQueries extends GroupBase {
       ssb.crossJoin(broadcast(ssw)).crossJoin(broadcast(nTot))
         .select(col("k"), col("n"),
           round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
-          round((col("ssb") / (col("k") - 1).cast("double")) /
-            (col("ssw") / (col("n") - col("k")).cast("double")), 6)
+          // NULLIF guards: CH is undefined at k=1, n=k, or zero
+          // within-cluster scatter — NULL, not an ANSI DIVIDE_BY_ZERO
+          // crash (EdgeExec single-row sweep, round 10)
+          round((col("ssb") /
+            nullif((col("k") - 1).cast("double"), lit(0.0))) /
+            nullif(col("ssw") /
+              nullif((col("n") - col("k")).cast("double"), lit(0.0)),
+              lit(0.0)), 6)
             .as("ch"))
     }),
 
@@ -1186,7 +1196,12 @@ object EmbeddingQueries extends GroupBase {
         .select(col("wa"),
           sqrt(aggregate(transform(col("wa"), x => x * x),
             lit(0.0), (a, b) => a + b)).as("nrm"))
-        .select(transform(col("wa"), x => x / col("nrm")).as("v"))
+        // NULLIF: a zero update direction (degenerate corpus — e.g. a
+        // single vector, whose centered form is the zero vector) has
+        // no normalized direction: NULL components, not an ANSI
+        // DIVIDE_BY_ZERO crash (EdgeExec single-row sweep, round 10)
+        .select(transform(col("wa"),
+          x => x / nullif(col("nrm"), lit(0.0))).as("v"))
     }
     (mu, mu1, iter(iter(iter(v0))))
   }

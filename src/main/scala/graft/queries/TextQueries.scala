@@ -1560,8 +1560,13 @@ object TextQueries extends GroupBase {
         sum(when(col("gen") < 10, 1L).otherwise(0L)).as("c1"),
         sum(when(col("gen") >= 10, 1L).otherwise(0L)).as("c2"))
       val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-      val p = col("c1").cast("double") / col("n1").cast("double")
-      val q = col("c2").cast("double") / col("n2").cast("double")
+      // NULLIF: with one crawl generation entirely absent the JSD is
+      // undefined — every term (and the readout) goes NULL instead of
+      // an ANSI DIVIDE_BY_ZERO crash (EdgeExec single-row sweep, r10)
+      val p = col("c1").cast("double") /
+        nullif(col("n1").cast("double"), lit(0.0))
+      val q = col("c2").cast("double") /
+        nullif(col("n2").cast("double"), lit(0.0))
       val m = (p + q) / lit(2.0)
       cnt.crossJoin(broadcast(tot))
         .select(col("n1"), col("n2"),
@@ -1768,10 +1773,14 @@ object TextQueries extends GroupBase {
           col("b") - coalesce(sum(col("cap")).over(
             ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("level",
+          // NULLIF: when EVERY source is capped there is no water
+          // level (the capped branch below never reads it) — NULL,
+          // not an ANSI DIVIDE_BY_ZERO crash (EdgeExec single-row
+          // sweep, round 10)
           (col("b") - coalesce(sum(when(col("capped"), col("cap")))
             .over(all), lit(0L))).cast("double") /
-          sum(when(!col("capped"), 1).otherwise(0)).over(all)
-            .cast("double"))
+          nullif(sum(when(!col("capped"), 1).otherwise(0)).over(all)
+            .cast("double"), lit(0.0)))
       lvl.select(col("source"), col("n_tok"), col("e_cap"),
           col("cap").as("cap_tokens"),
           when(col("capped"), col("cap").cast("double"))

@@ -15,11 +15,15 @@ import graft.core.Sessions
   * empty input: an empty result, or scalar rows with NULL/NaN
   * statistics. Unacceptable: any thrown exception.
   *
-  *   sbt "runMain graft.tools.EdgeExec [schemaSfDir] [outJson]"
-  *     (defaults /root/testdata/sf0.001, EDGE_EXEC.json)
+  *   sbt "runMain graft.tools.EdgeExec [schemaSfDir] [outJson] [nRows]"
+  *     (defaults /root/testdata/sf0.001, EDGE_EXEC.json, 0)
   *
-  * The empty clones are derived from the REAL tables' schemas (limit 0)
-  * so this can never drift from the testdata contract.
+  * nRows = 0 is the empty-input sweep; nRows = 1 is the single-row
+  * sweep (every sample-variance /(n-1), every two-group statistic with
+  * one group absent — the degenerate-denominator class ANSI turns from
+  * NaN into a thrown DIVIDE_BY_ZERO). The clones are derived from the
+  * REAL tables (limit n) so this can never drift from the testdata
+  * contract.
   */
 object EdgeExec {
   val tables = Seq("region", "nation", "customer", "supplier", "part",
@@ -28,12 +32,13 @@ object EdgeExec {
   def main(args: Array[String]): Unit = {
     val schemaDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outJson = if (args.length > 1) args(1) else "EDGE_EXEC.json"
+    val nRows = if (args.length > 2) args(2).toInt else 0
     val spark = Sessions.build("graft-edgeexec")
     graft.Bench.warmJvm(spark)
 
     val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty").toString
     tables.foreach { tbl =>
-      spark.read.parquet(s"$schemaDir/$tbl.parquet").limit(0)
+      spark.read.parquet(s"$schemaDir/$tbl.parquet").limit(nRows)
         .write.mode("overwrite").parquet(s"$emptyDir/$tbl.parquet")
     }
 
@@ -57,9 +62,9 @@ object EdgeExec {
     val entries = results
       .map { case (n, st) => s""""$n":"${esc(st)}"""" }.mkString("{", ",", "}")
     val json =
-      s"""{"action":"empty-input-robustness","schema_dir":"${esc(schemaDir)}","n_queries":${results.size},"n_failed":$failed,"queries":$entries,${graft.core.Provenance.jsonFields}}"""
+      s"""{"action":"degenerate-input-robustness","n_rows":$nRows,"schema_dir":"${esc(schemaDir)}","n_queries":${results.size},"n_failed":$failed,"queries":$entries,${graft.core.Provenance.jsonFields}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson), json.getBytes("UTF-8"))
-    println(s"[edgeexec] ${results.size - failed}/${results.size} empty-input ok -> $outJson")
+    println(s"[edgeexec] ${results.size - failed}/${results.size} ok on ${nRows}-row tables -> $outJson")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
