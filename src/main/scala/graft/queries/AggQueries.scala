@@ -634,9 +634,14 @@ object AggQueries extends GroupBase {
           Exact.dsum(col("y")).as("sy"),
           Exact.dsum(col("x").cast("double") * col("y")).as("sxy"))
         .select(col("n"), col("sy"),
+          // NULLIF: theta is undefined when the covariate has zero
+          // variance (all users share one x — plausible in a filtered
+          // cohort at any scale); ANSI throws on the double division,
+          // so the degenerate fit must read NULL (EdgeExec sweep, r10)
           round((nD * col("sxy") - col("sx").cast("double") * col("sy")) /
-            (nD * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")), 6)
+            nullif(nD * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"),
+              lit(0.0)), 6)
             .as("theta"),
           (col("sx").cast("double") / nD).as("mx"))
       val adj = users.crossJoin(broadcast(pool))
@@ -671,7 +676,8 @@ object AggQueries extends GroupBase {
           round(col("ma_b") - col("ma_a"), 6).as("lift_adj"),
           round(lit(1.0) -
             ((col("saa") - col("sa") * col("sa") / nD) / nD) /
-            ((col("syy") - col("sy") * col("sy") / nD) / nD), 6)
+            nullif((col("syy") - col("sy") * col("sy") / nD) / nD,
+              lit(0.0)), 6)
             .as("var_reduction"))
     }),
 

@@ -302,12 +302,16 @@ object GraphQueries extends GroupBase {
       // mirrors with HUGEINT so both engines run the identical
       // exact-int -> IEEE-double -> multiply -> sqrt sequence
       st.select(col("m"),
+        // NULLIF: Pearson r is undefined when either endpoint-degree
+        // series is constant (zero variance term — e.g. a perfect
+        // regular graph); ANSI throws on the double division, so the
+        // degenerate case must read NULL (EdgeExec sweep, round 10)
         round((col("m").cast(dec0) * col("sxy") -
             col("sx") * col("sy")).cast("double") /
-          sqrt((col("m").cast(dec0) * col("sxx") -
+          nullif(sqrt((col("m").cast(dec0) * col("sxx") -
               col("sx") * col("sx")).cast("double") *
             (col("m").cast(dec0) * col("syy") -
-              col("sy") * col("sy")).cast("double")),
+              col("sy") * col("sy")).cast("double")), lit(0.0)),
           6).as("r"))
     }),
 

@@ -744,7 +744,11 @@ object TextQueries extends GroupBase {
         n1d * (n1d + lit(1.0)) / lit(2.0)
       val mu = n1d * n2d / lit(2.0)
       val sig2 = n1d * n2d / lit(12.0) *
-        ((nd + lit(1.0)) - col("tcorr").cast("double") / (nd * (nd - lit(1.0))))
+        // NULLIF: the tie correction divides by n(n-1), zero when the
+        // two sources hold a single doc total (EdgeExec sweep, r10);
+        // the z NULLIF below already covers sigma = 0
+        ((nd + lit(1.0)) - col("tcorr").cast("double") /
+          nullif(nd * (nd - lit(1.0)), lit(0.0)))
       val z = (u1 - mu) / nullif(sqrt(sig2), lit(0.0))
       terms.crossJoin(broadcast(tot))
         .select(col("n1"), col("n2"), u1.as("u1"), z.as("z"),

@@ -304,12 +304,17 @@ object TimeWindowQueries extends GroupBase {
       // near sf1 (the graph_assortativity overflow class, round 9);
       // the oracle mirrors with HUGEINT so the IEEE sequences align
       st.select(col("ta"), col("tb"), col("n"),
+          // NULLIF: r is undefined when either hourly series is
+          // CONSTANT over the span (zero variance — plausible in real
+          // data at any scale, e.g. a heartbeat event type emitting a
+          // fixed per-hour count); ANSI throws on the double division,
+          // so the degenerate pair must read NULL (EdgeExec sweep, r10)
           round((col("n").cast(dec) * col("sxy") -
               col("sx") * col("sy")).cast("double") /
-            sqrt((col("n").cast(dec) * col("sxx") -
+            nullif(sqrt((col("n").cast(dec) * col("sxx") -
                 col("sx") * col("sx")).cast("double") *
               (col("n").cast(dec) * col("syy") -
-                col("sy") * col("sy")).cast("double")),
+                col("sy") * col("sy")).cast("double")), lit(0.0)),
             6).as("r"))
         .orderBy(col("r").desc, col("ta"), col("tb"))
     }),
@@ -418,10 +423,13 @@ object TimeWindowQueries extends GroupBase {
       val c0 = col("sxx").cast("double") / col("n").cast("double") - mu * mu
       lagged.crossJoin(broadcast(glob))
         .select(col("k").as("lag"),
+          // NULLIF: autocorrelation is undefined for a CONSTANT series
+          // (c0 = 0 — the tw_tsim degenerate class); NULL, not an ANSI
+          // DIVIDE_BY_ZERO crash (EdgeExec sweep, round 10)
           round(((col("sxy").cast("double") -
             mu * (col("sh") + col("st")).cast("double") +
             col("m").cast("double") * mu * mu) /
-            col("n").cast("double")) / c0, 6).as("r"))
+            col("n").cast("double")) / nullif(c0, lit(0.0)), 6).as("r"))
         .orderBy("lag")
     }),
 
