@@ -586,7 +586,14 @@ object DedupQueries extends GroupBase {
       dots
         .join(nrm.select(col("doc_id").as("da"), col("nrm").as("na")), Seq("da"))
         .join(nrm.select(col("doc_id").as("db"), col("nrm").as("nb")), Seq("db"))
-        .select(col("da"), col("db"), (col("dot") / (col("na") * col("nb"))).as("cos"))
+        // NULLIF: an ALL-DUPLICATES corpus — the exact input a dedup
+        // operator exists for — gives every term idf = ln(1) = 0, so
+        // every doc vector and norm is zero and the cosine is 0/0;
+        // ANSI throws on the double division, so undefined similarity
+        // must read NULL (sorted last), not crash the dedup pass
+        // (EdgeExec identical-docs probe, round 10)
+        .select(col("da"), col("db"),
+          (col("dot") / nullif(col("na") * col("nb"), lit(0.0))).as("cos"))
         .orderBy(col("cos").desc, col("da"), col("db")).limit(50)
     }),
 

@@ -25,6 +25,14 @@ object EmbeddingQueries extends GroupBase {
     * but a primitive loop inside whole-stage codegen. */
   private def dot(a: Column, b: Column): Column = VectorFunctions.fdot(a, b)
   private def norm(a: Column): Column = VectorFunctions.fnorm(a)
+  /** Cosine with a NULLIF-guarded denominator: a zero-norm vector (a
+    * failed encoder emitting zeros — real at production scale) makes
+    * the similarity undefined, and ANSI throws DIVIDE_BY_ZERO even
+    * for doubles. NULL sorts last / drops from >= filters, which is
+    * exactly how an undefined similarity should behave (EdgeExec
+    * degenerate-input sweeps, round 10). */
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   private val Planes = 8
   private val Dim = 64
@@ -98,8 +106,7 @@ object EmbeddingQueries extends GroupBase {
       // lexicographic struct (cos, -cid).
       e.crossJoin(broadcast(cents))
         .select(col("vec_id"),
-          (dot(col("embedding"), col("cv")) /
-            (norm(col("embedding")) * norm(col("cv")))).as("cos"), col("cid"))
+          cosine(col("embedding"), col("cv")).as("cos"), col("cid"))
         .groupBy("vec_id")
         .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid"))))
           .as("cell"))
@@ -163,8 +170,7 @@ object EmbeddingQueries extends GroupBase {
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
         proj.join(broadcast(q), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"),
-            (dot(col("qv"), col("v")) /
-              (norm(col("qv")) * norm(col("v")))).as("cos"))
+            cosine(col("qv"), col("v")).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select("qid", "nid")
@@ -349,8 +355,7 @@ object EmbeddingQueries extends GroupBase {
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val scored = e.crossJoin(broadcast(coarse))
         .select(col("vec_id"), col("embedding"),
-          (dot(col("embedding"), col("cv")) /
-            (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+          cosine(col("embedding"), col("cv")).as("ccos"), col("cid"))
       val assign = scored.groupBy("vec_id")
         .agg(max_by(struct(col("embedding"), col("cid")),
           struct(col("ccos"), negate(col("cid")))).as("r"))
@@ -535,8 +540,7 @@ object EmbeddingQueries extends GroupBase {
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"),
-          (dot(col("embedding"), col("cv")) /
-            (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+          cosine(col("embedding"), col("cv")).as("ccos"), col("cid"))
         .groupBy("vec_id")
         .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
           .as("cell"))
@@ -592,8 +596,7 @@ object EmbeddingQueries extends GroupBase {
       e.as("x").join(e.as("y"),
           col("x.bkt") === col("y.bkt") && col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
-          (dot(col("x.embedding"), col("y.embedding")) /
-            (norm(col("x.embedding")) * norm(col("y.embedding")))).as("cos"))
+          cosine(col("x.embedding"), col("y.embedding")).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("src", "dst", "rank", "cos")
@@ -614,8 +617,7 @@ object EmbeddingQueries extends GroupBase {
       // same max_by hash-agg shape as emb_ivf_assign (no window sort)
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"),
-          (dot(col("embedding"), col("cv")) /
-            (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+          cosine(col("embedding"), col("cv")).as("ccos"), col("cid"))
         .groupBy("vec_id")
         .agg(max_by(struct(col("embedding"), col("cid")),
           struct(col("ccos"), negate(col("cid")))).as("r"))
@@ -623,8 +625,7 @@ object EmbeddingQueries extends GroupBase {
           col("r.cid").as("cell"))
       val drops = assign.as("x").join(assign.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-        .filter(dot(col("x.embedding"), col("y.embedding")) /
-          (norm(col("x.embedding")) * norm(col("y.embedding"))) >= 0.35)
+        .filter(cosine(col("x.embedding"), col("y.embedding")) >= 0.35)
         .select(col("y.vec_id").as("vec_id")).distinct()
       assign.select("vec_id", "cell")
         .join(drops.withColumn("dup", lit(true)), Seq("vec_id"), "left")
@@ -646,8 +647,7 @@ object EmbeddingQueries extends GroupBase {
       e.as("x").join(e.as("y"),
           col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"),
-          (dot(col("x.embedding"), col("y.embedding")) /
-            (norm(col("x.embedding")) * norm(col("y.embedding")))).as("cos"))
+          cosine(col("x.embedding"), col("y.embedding")).as("cos"))
         .filter(col("cos") >= 0.35)
         .orderBy("da", "db")
     }),
@@ -688,8 +688,7 @@ object EmbeddingQueries extends GroupBase {
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
       e.join(broadcast(probes), col("label") =!= col("qlabel"))
         .select(col("qid"), col("vec_id").as("nid"), col("label").as("nlabel"),
-          (dot(col("qv"), col("embedding")) /
-            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+          cosine(col("qv"), col("embedding")).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("qid", "nid", "nlabel", "rank", "cos")
@@ -715,8 +714,7 @@ object EmbeddingQueries extends GroupBase {
       val scored = e.join(broadcast(anchors), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
           (col("label") === col("qlabel")).as("same"),
-          (dot(col("qv"), col("embedding")) /
-            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+          cosine(col("qv"), col("embedding")).as("cos"))
       scored.groupBy("qid")
         .agg(
           max_by(struct(col("nid"), col("cos")),
@@ -755,8 +753,7 @@ object EmbeddingQueries extends GroupBase {
         .select(col("embedding").as("qv"))
       val semTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
         .select(col("vec_id").as("doc_id"),
-          (dot(col("qv"), col("embedding")) /
-            (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+          cosine(col("qv"), col("embedding")).as("cos"))
         .orderBy(col("cos").desc, col("doc_id")).limit(K)
         .withColumn("sem_rank",
           row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
@@ -979,8 +976,7 @@ object EmbeddingQueries extends GroupBase {
       e.filter(col("vec_id") % 97 =!= 0)
         .crossJoin(broadcast(bench))
         .select(col("vec_id"), col("bid"),
-          (dot(col("embedding"), col("bv")) /
-            (norm(col("embedding")) * norm(col("bv")))).as("cos"))
+          cosine(col("embedding"), col("bv")).as("cos"))
         .groupBy("vec_id")
         .agg(
           max_by(col("bid"), struct(col("cos"), negate(col("bid"))))
@@ -1002,8 +998,7 @@ object EmbeddingQueries extends GroupBase {
       .select(col("embedding").as("qv"))
     val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .select(col("vec_id"), col("embedding"),
-        (dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv")))).as("rel"))
+        cosine(col("embedding"), col("qv")).as("rel"))
     def pick(scored: DataFrame, r: Int): DataFrame =
       scored.agg(max_by(
         struct(col("vec_id"), col("embedding"), col("rel"), col("score")),
@@ -1020,8 +1015,7 @@ object EmbeddingQueries extends GroupBase {
         .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .crossJoin(broadcast(sv))
         .select(col("vec_id"), col("rel"), col("embedding"),
-          (dot(col("embedding"), col("sv")) /
-            (norm(col("embedding")) * norm(col("sv")))).as("sim"))
+          cosine(col("embedding"), col("sv")).as("sim"))
         .groupBy(col("vec_id"), col("rel"))
         .agg(first(col("embedding")).as("embedding"),
           max(col("sim")).as("msim"))
@@ -1074,8 +1068,7 @@ object EmbeddingQueries extends GroupBase {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        (dot(col("qv"), col("embedding")) /
-          (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+        cosine(col("qv"), col("embedding")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -1095,8 +1088,7 @@ object EmbeddingQueries extends GroupBase {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
-        (dot(col("embedding"), col("cv")) /
-          (norm(col("embedding")) * norm(col("cv")))).as("ccos"), col("cid"))
+        cosine(col("embedding"), col("cv")).as("ccos"), col("cid"))
     // corpus side: own cell only — same max_by hash-agg shape as
     // emb_ivf_assign (map-side partials, no window sort)
     val assign = scored
@@ -1120,8 +1112,7 @@ object EmbeddingQueries extends GroupBase {
     assign.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        (dot(col("qv"), col("embedding")) /
-          (norm(col("qv")) * norm(col("embedding")))).as("cos"))
+        cosine(col("qv"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(kw))
       .filter(col("rank") <= 3)
       .select("qid", "nid", "rank")
