@@ -113,7 +113,7 @@ object PatternQueries extends GroupBase {
         .filter(col("event_type").isin("signup", "error", "purchase"))
         .select(col("user_id").as("key"), col("ts"),
           col("event_type").as("kind"), col("value"))
-        .as[KeyedEvent]
+        .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, pat.steps, pat.withinMs,
           strict = true, pat.skip, pat.greedy)
         .toDF()
@@ -161,7 +161,7 @@ object PatternQueries extends GroupBase {
         .filter(col("event_type").isin("signup", "error", "purchase"))
         .select(col("user_id").as("key"), col("ts"),
           col("event_type").as("kind"), col("value"))
-        .as[KeyedEvent]
+        .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, pat.steps, pat.withinMs,
           strict = false, pat.skip, pat.greedy)
         .toDF()
@@ -208,7 +208,7 @@ object PatternQueries extends GroupBase {
         .filter(col("event_type").isin("signup", "purchase"))
         .select(col("user_id").as("key"), col("ts"),
           col("event_type").as("kind"), col("value"))
-        .as[KeyedEvent]
+        .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, steps, withinMs = 3600L * 1000,
           strict = false, SeqPattern.NoSkip, greedy = true)
         .toDF()
@@ -229,7 +229,7 @@ object PatternQueries extends GroupBase {
       val ev = t(s, d, "events")
         .select(col("user_id").as("key"), col("ts"),
           col("event_type").as("kind"), col("value"))
-        .as[KeyedEvent]
+        .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, steps, withinMs = 86400L * 1000,
           strict = true, SeqPattern.NoSkip, greedy = true)
         .toDF()
@@ -252,7 +252,7 @@ object PatternQueries extends GroupBase {
         .filter(col("event_type").isin("error", "purchase"))
         .select(col("user_id").as("key"), col("ts"),
           col("event_type").as("kind"), col("value"))
-        .as[KeyedEvent]
+        .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, SeqPattern.group(sub, 2),
           withinMs = 7L * 86400 * 1000, strict = true,
           SeqPattern.NoSkip, greedy = true)
@@ -281,7 +281,7 @@ object PatternQueries extends GroupBase {
         .filter(col("event_type").isin("signup", "view", "purchase"))
         .select(col("user_id").as("key"), col("ts"),
           col("event_type").as("kind"), col("value"))
-        .as[KeyedEvent]
+        .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, steps, withinMs = 86400L * 1000,
           strict = false, SeqPattern.NoSkip, greedy = true)
         .toDF()
@@ -305,7 +305,7 @@ object PatternQueries extends GroupBase {
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("key"), col("ts"),
           col("event_type").as("kind"), col("value"))
-        .as[KeyedEvent]
+        .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, pat.steps, pat.withinMs,
           strict = true, pat.skip, pat.greedy)
         .toDF()

@@ -101,7 +101,7 @@ object MrSql {
       val ev = session.table(tbl).select(
         col(keyC).cast("long").as("key"), col(tsC).as("ts"),
         col(kindC).as("kind"), col(valC).cast("double").as("value"))
-        .as[KeyedEvent]
+        .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, pat.steps, pat.withinMs, strict = true,
           pat.skip, pat.greedy, flushEnd = true)
         .toDF()

@@ -9,6 +9,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * measure). */
 case class KeyedEvent(key: Long, ts: Timestamp, kind: String, value: Double)
 
+object KeyedEvent {
+  /** Typed ingestion boundary for the CEP / MATCH_RECOGNIZE family.
+    *
+    * An event row with a NULL key, timestamp, kind, or measure cannot
+    * participate in keyed sequence detection (no partition to route it
+    * to, no position in event time, no symbol, no measure), and the
+    * primitive-field Encoder would throw NOT_NULL_ASSERT_VIOLATION on
+    * it. These pipelines already define contiguity over a pre-filtered
+    * stream (`isin` on the kind column drops NULL kinds by SQL
+    * three-valued logic), so excluding malformed rows here keeps one
+    * consistent contract: nulls never match, never break, never crash —
+    * the same skip-null semantics SQL gives equi-joins and aggregates.
+    */
+  def ingest(df: org.apache.spark.sql.DataFrame): Dataset[KeyedEvent] =
+    df.na.drop(Seq("key", "ts", "kind", "value"))
+      .as[KeyedEvent](Encoders.product[KeyedEvent])
+}
+
 case class CountWindowOut(key: Long, windowSeq: Long, cnt: Long, sum: Double)
 
 /** Streaming UV output: distinct-visitor count for one tumbling

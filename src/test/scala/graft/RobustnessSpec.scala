@@ -68,4 +68,35 @@ class RobustnessSpec extends SparkSpec {
           .otherwise(col("embedding"))))))
     mustRun(dir, Seq("emb_knn", "emb_neardup", "emb_semdedup", "emb_kcenter"))
   }
+
+  test("null cells in every events column: the typed CEP boundary completes") {
+    // The NullExec class: a NULL in key/ts/kind/value used to throw
+    // NOT_NULL_ASSERT_VIOLATION from KeyedEvent's primitive-field
+    // Encoder. KeyedEvent.ingest now excludes malformed rows at the
+    // typed boundary (nulls never match, never break, never crash).
+    val dir = cloneDir(50, Map("events" -> ((df: org.apache.spark.sql.DataFrame) => {
+      val nulled = df.columns.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+        d.withColumn(c, when(pmod(xxhash64(col("event_id"), lit(i)), lit(5)) === 0,
+          lit(null).cast(d.schema(c).dataType)).otherwise(col(c)))
+      }
+      nulled
+    })))
+    mustRun(dir, Seq("pat_mr", "pat_mr_sql", "pat_mr_nav", "pat_or_cond",
+      "pat_until", "pat_followany", "pat_group_times"))
+  }
+
+  test("KeyedEvent.ingest drops exactly the rows with a null required field") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("2024-01-01 00:00:00"), Some("a"), Some(1.0)),
+      (None, Some("2024-01-01 00:00:01"), Some("a"), Some(2.0)),
+      (Some(3L), None, Some("a"), Some(3.0)),
+      (Some(4L), Some("2024-01-01 00:00:03"), None, Some(4.0)),
+      (Some(5L), Some("2024-01-01 00:00:04"), Some("a"), None),
+      (Some(6L), Some("2024-01-01 00:00:05"), Some("b"), Some(6.0))
+    ).toDF("key", "ts", "kind", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val kept = graft.streaming.KeyedEvent.ingest(df).collect().map(_.key).sorted
+    assert(kept.toSeq == Seq(1L, 6L))
+  }
 }
