@@ -11,18 +11,31 @@ import org.apache.spark.sql.expressions.Aggregator
   * distributed partial/final merge order cannot perturb the result —
   * the same discipline as core.Exact, which makes the query flavor
   * (agg_weighted_avg) hash-match the DuckDB oracle. */
-case class WAvgAcc(sum: BigDecimal, wsum: BigDecimal)
+case class WAvgAcc(sum: BigDecimal, wsum: BigDecimal,
+                   dsum: Double, dwsum: Double, bad: Boolean)
 
 object WeightedAvg extends Aggregator[(Double, Double), WAvgAcc, Double] {
   private val Zero = BigDecimal(0).setScale(4)
-  def zero: WAvgAcc = WAvgAcc(Zero, Zero)
-  def reduce(b: WAvgAcc, a: (Double, Double)): WAvgAcc =
-    WAvgAcc(b.sum + BigDecimal(a._1 * a._2).setScale(4, BigDecimal.RoundingMode.HALF_UP),
-      b.wsum + BigDecimal(a._2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+  def zero: WAvgAcc = WAvgAcc(Zero, Zero, 0.0, 0.0, bad = false)
+  def reduce(b: WAvgAcc, a: (Double, Double)): WAvgAcc = {
+    // A NaN/Inf input has no exact decimal representation
+    // (BigDecimal(NaN) throws). The IEEE shadow sums carry the group
+    // instead, so the statistic degrades to the NaN/Inf a plain
+    // double aggregation would give — never an exception.
+    val vw = a._1 * a._2
+    if (java.lang.Double.isFinite(vw) && java.lang.Double.isFinite(a._2))
+      WAvgAcc(b.sum + BigDecimal(vw).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        b.wsum + BigDecimal(a._2).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        b.dsum + vw, b.dwsum + a._2, b.bad)
+    else WAvgAcc(b.sum, b.wsum, b.dsum + vw, b.dwsum + a._2, bad = true)
+  }
   def merge(a: WAvgAcc, b: WAvgAcc): WAvgAcc =
-    WAvgAcc(a.sum + b.sum, a.wsum + b.wsum)
+    WAvgAcc(a.sum + b.sum, a.wsum + b.wsum,
+      a.dsum + b.dsum, a.dwsum + b.dwsum, a.bad || b.bad)
   def finish(r: WAvgAcc): Double =
-    if (r.wsum.signum == 0) Double.NaN else (r.sum.toDouble / r.wsum.toDouble)
+    if (r.bad) r.dsum / r.dwsum
+    else if (r.wsum.signum == 0) Double.NaN
+    else (r.sum.toDouble / r.wsum.toDouble)
   def bufferEncoder: Encoder[WAvgAcc] = Encoders.product[WAvgAcc]
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

@@ -37,6 +37,20 @@ object Exact {
     * hashing. A DOUBLE is bit-identical everywhere. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** The value when it is a finite float, NULL otherwise (NaN, ±Inf,
+    * or NULL in → NULL out).
+    *
+    * Non-finite floats are a routine production state at scale (an
+    * upstream 0/0 in a permissive engine, a failed normalization),
+    * and under ANSI mode any cast of one to an integral type — a
+    * histogram bucket, a cents-exact BIGINT, an epoch — is a thrown
+    * ARITHMETIC_OVERFLOW/CAST_INVALID_INPUT. Routing integral casts
+    * through this guard gives them the engine's null convention:
+    * undefined reads NULL (drops from equi-joins and aggregates),
+    * never throws. */
+  def finiteOrNull(c: Column): Column =
+    when(!c.isNaN && abs(c) < Double.PositiveInfinity, c)
+
   /** avg = exact-sum / count, one final double division. */
   def davg(c: Column): Column = dsum(c) / count(c)
 

@@ -256,7 +256,11 @@ object JoinQueries extends GroupBase {
       val W = 25.0
       val o = t(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
-      val build = o.withColumn("bkt", floor(col("p") / W).cast("long"))
+      // finiteOrNull: a NaN/Inf price can never satisfy |ap-p| <= W,
+      // and its ANSI cast to a bucket would throw — a null bucket
+      // drops the row from the equi-join instead.
+      val build = o.withColumn("bkt",
+        floor(Exact.finiteOrNull(col("p")) / W).cast("long"))
       val probe = build.select(col("k").as("ak"), col("p").as("ap"),
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
       probe.join(build, Seq("bkt"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Exact
 
 /** §2.3 projection/filter/row transforms, §2.7 sort/limit, §2.8 set ops.
   *
@@ -176,7 +177,7 @@ object RelationalQueries extends GroupBase {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val base = t(s, d, "events").filter(col("user_id") < 5)
         .select(col("user_id"), col("ts"), col("event_id"),
-          floor(col("value") * 100).cast("long").as("v"))
+          floor(Exact.finiteOrNull(col("value")) * 100).cast("long").as("v"))
         .withColumn("seq", row_number().over(w).cast("long"))
         .withColumn("acc", sum(col("v")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -210,7 +211,7 @@ object RelationalQueries extends GroupBase {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, d, "events").filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"),
-          floor(col("value") * 100).cast("long").as("v"))
+          floor(Exact.finiteOrNull(col("value")) * 100).cast("long").as("v"))
         .select(col("user_id"), col("v"),
           col("ts").as("valid_from"),
           lead(col("ts"), 1).over(w).as("valid_to"),

@@ -85,6 +85,35 @@ class RobustnessSpec extends SparkSpec {
       "pat_until", "pat_followany", "pat_group_times"))
   }
 
+  test("NaN/Inf float cells: bucket casts and the BigDecimal UDAF complete") {
+    // The NanExec class: under ANSI, floor(NaN/Inf).cast(long) throws
+    // ARITHMETIC_OVERFLOW (join_range's range bucket, rel_retract_log/
+    // rel_scd2's cents-exact BIGINT) and BigDecimal(NaN) throws
+    // NumberFormatException (WeightedAvg's exact partials). Fixed with
+    // Exact.finiteOrNull (undefined bucket reads NULL) and IEEE shadow
+    // sums in the UDAF.
+    val dir = cloneDir(60,
+      graft.tools.EdgeExec.tables.map(t => t ->
+        ((df: org.apache.spark.sql.DataFrame) =>
+          graft.tools.NanExec.corrupt(df, t))).toMap)
+    mustRun(dir, Seq("join_range", "rel_retract_log", "rel_scd2",
+      "agg_weighted_avg"))
+  }
+
+  test("WeightedAvg degrades to IEEE semantics on non-finite input, stays exact otherwise") {
+    import spark.implicits._
+    val wavg = org.apache.spark.sql.functions.udaf(graft.agg.WeightedAvg)
+    val df = Seq(("a", 10.0, 2.0), ("a", 20.0, 2.0),
+      ("b", 10.0, 1.0), ("b", Double.NaN, 1.0),
+      ("c", Double.PositiveInfinity, 1.0), ("c", 5.0, 3.0))
+      .toDF("g", "v", "w")
+    val out = df.groupBy("g").agg(wavg(col("v"), col("w")).as("wa"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 15.0)
+    assert(out("b").isNaN)
+    assert(out("c").isPosInfinity)
+  }
+
   test("KeyedEvent.ingest drops exactly the rows with a null required field") {
     import spark.implicits._
     val df = Seq(
