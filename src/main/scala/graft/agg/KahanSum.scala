@@ -23,7 +23,12 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class KahanAcc(s: Double, c: Double, n: Long)
 
-object KahanSum extends Aggregator[Double, KahanAcc, Double] {
+/* IN is boxed: a primitive Double input schema is non-nullable, and
+ * Spark's input projection silently reads NULL cells as 0.0 through
+ * it — corrupting the sum instead of skipping the row as every SQL
+ * aggregate does. Boxed input keeps the schema nullable so reduce
+ * can skip. */
+object KahanSum extends Aggregator[java.lang.Double, KahanAcc, Double] {
   def zero: KahanAcc = KahanAcc(0.0, 0.0, 0L)
 
   /** Neumaier update: the compensation also captures the case where
@@ -36,7 +41,8 @@ object KahanSum extends Aggregator[Double, KahanAcc, Double] {
     (t, c + comp)
   }
 
-  def reduce(b: KahanAcc, a: Double): KahanAcc = {
+  def reduce(b: KahanAcc, a: java.lang.Double): KahanAcc = {
+    if (a == null) return b // SQL aggregates skip NULL inputs
     val (s, c) = add(b.s, b.c, a)
     KahanAcc(s, c, b.n + 1)
   }
@@ -54,9 +60,9 @@ object KahanSum extends Aggregator[Double, KahanAcc, Double] {
 }
 
 /** Compensated mean on top of the same accumulator. */
-object KahanMean extends Aggregator[Double, KahanAcc, Double] {
+object KahanMean extends Aggregator[java.lang.Double, KahanAcc, Double] {
   def zero: KahanAcc = KahanSum.zero
-  def reduce(b: KahanAcc, a: Double): KahanAcc = KahanSum.reduce(b, a)
+  def reduce(b: KahanAcc, a: java.lang.Double): KahanAcc = KahanSum.reduce(b, a)
   def merge(a: KahanAcc, b: KahanAcc): KahanAcc = KahanSum.merge(a, b)
   def finish(r: KahanAcc): Double =
     if (r.n == 0) Double.NaN else (r.s + r.c) / r.n

@@ -11,10 +11,14 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class MaxMinAcc(mx: Double, mn: Double, n: Long)
 
-object MaxMin extends Aggregator[Double, MaxMinAcc, MaxMinAcc] {
+/* Boxed IN: with a primitive input schema Spark reads NULL cells as
+ * 0.0 (a phantom extremum); nullable input lets reduce skip them like
+ * SQL max/min do. */
+object MaxMin extends Aggregator[java.lang.Double, MaxMinAcc, MaxMinAcc] {
   def zero: MaxMinAcc = MaxMinAcc(Double.NegativeInfinity, Double.PositiveInfinity, 0L)
-  def reduce(b: MaxMinAcc, a: Double): MaxMinAcc =
-    MaxMinAcc(math.max(b.mx, a), math.min(b.mn, a), b.n + 1)
+  def reduce(b: MaxMinAcc, a: java.lang.Double): MaxMinAcc =
+    if (a == null) b // SQL aggregates skip NULL inputs
+    else MaxMinAcc(math.max(b.mx, a), math.min(b.mn, a), b.n + 1)
   def merge(a: MaxMinAcc, b: MaxMinAcc): MaxMinAcc =
     MaxMinAcc(math.max(a.mx, b.mx), math.min(a.mn, b.mn), a.n + b.n)
   def finish(r: MaxMinAcc): MaxMinAcc = r

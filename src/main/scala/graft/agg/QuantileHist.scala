@@ -25,7 +25,10 @@ case class QBin(v: Double, c: Long)
 case class QHistAcc(bins: Seq[QBin])
 
 class QuantileHist(k: Int, qs: Seq[Double])
-    extends Aggregator[Double, QHistAcc, Seq[Double]] {
+    extends Aggregator[java.lang.Double, QHistAcc, Seq[Double]] {
+  // boxed IN: a primitive input schema reads NULL cells as 0.0 — a
+  // phantom sample that shifts every quantile; nullable input lets
+  // reduce skip them like percentile_cont does
   require(k >= 2, "need at least 2 bins")
 
   def zero: QHistAcc = QHistAcc(Vector.empty)
@@ -51,7 +54,9 @@ class QuantileHist(k: Int, qs: Seq[Double])
     }
   }
 
-  def reduce(acc: QHistAcc, x: Double): QHistAcc = {
+  def reduce(acc: QHistAcc, xx: java.lang.Double): QHistAcc = {
+    if (xx == null) return acc // SQL aggregates skip NULL inputs
+    val x: Double = xx
     val bins = acc.bins.toVector
     val idx = bins.indexWhere(_.v >= x)
     val next =

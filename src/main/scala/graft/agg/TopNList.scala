@@ -14,10 +14,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * whose buffer is O(group)). */
 case class TopAcc(xs: Seq[Double])
 
-class TopNList(n: Int) extends Aggregator[Double, TopAcc, Seq[Double]] {
+class TopNList(n: Int) extends Aggregator[java.lang.Double, TopAcc, Seq[Double]] {
+  // boxed IN: a primitive input schema reads NULL cells as 0.0 — a
+  // phantom 0.0 entry in the top-N; nullable input lets reduce skip
   def zero: TopAcc = TopAcc(Vector.empty)
-  def reduce(b: TopAcc, a: Double): TopAcc =
-    TopAcc((a +: b.xs).sortBy(-_).take(n))
+  def reduce(b: TopAcc, a: java.lang.Double): TopAcc =
+    if (a == null) b // SQL aggregates skip NULL inputs
+    else TopAcc((a.doubleValue +: b.xs).sortBy(-_).take(n))
   def merge(a: TopAcc, b: TopAcc): TopAcc =
     TopAcc((a.xs ++ b.xs).sortBy(-_).take(n))
   def finish(r: TopAcc): Seq[Double] = r.xs

@@ -14,16 +14,22 @@ import org.apache.spark.sql.expressions.Aggregator
 case class WAvgAcc(sum: BigDecimal, wsum: BigDecimal,
                    dsum: Double, dwsum: Double, bad: Boolean)
 
-object WeightedAvg extends Aggregator[(Double, Double), WAvgAcc, Double] {
+/* Boxed IN fields: with a primitive tuple schema Spark reads NULL
+ * cells as 0.0 — a phantom (0·w, w) contribution that silently drags
+ * the average. Nullable fields let reduce skip rows with a NULL value
+ * or weight, as SQL's multi-argument aggregates (corr, covar) do. */
+object WeightedAvg extends Aggregator[(java.lang.Double, java.lang.Double), WAvgAcc, Double] {
   private val Zero = BigDecimal(0).setScale(4)
   def zero: WAvgAcc = WAvgAcc(Zero, Zero, 0.0, 0.0, bad = false)
-  def reduce(b: WAvgAcc, a: (Double, Double)): WAvgAcc = {
+  def reduce(b: WAvgAcc, a: (java.lang.Double, java.lang.Double)): WAvgAcc = {
+    if (a._1 == null || a._2 == null) return b // SQL: skip NULL rows
     // A NaN/Inf input has no exact decimal representation
     // (BigDecimal(NaN) throws). The IEEE shadow sums carry the group
     // instead, so the statistic degrades to the NaN/Inf a plain
     // double aggregation would give — never an exception.
     val vw = a._1 * a._2
-    if (java.lang.Double.isFinite(vw) && java.lang.Double.isFinite(a._2))
+    val w: Double = a._2
+    if (java.lang.Double.isFinite(vw) && java.lang.Double.isFinite(w))
       WAvgAcc(b.sum + BigDecimal(vw).setScale(4, BigDecimal.RoundingMode.HALF_UP),
         b.wsum + BigDecimal(a._2).setScale(4, BigDecimal.RoundingMode.HALF_UP),
         b.dsum + vw, b.dwsum + a._2, b.bad)

@@ -131,7 +131,7 @@ object AggQueries extends GroupBase {
     // under-capacity error is bounded in QuantileHistSpec.
     "agg_qsketch" -> ((s, d) => {
       val qh = udaf(new graft.agg.QuantileHist(64, Seq(0.25, 0.5, 0.75, 0.9)),
-        org.apache.spark.sql.Encoders.scalaDouble)
+        org.apache.spark.sql.Encoders.DOUBLE)
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(qh(col("l_quantity")).as("est"))

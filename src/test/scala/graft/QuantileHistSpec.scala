@@ -10,7 +10,7 @@ class QuantileHistSpec extends SparkSpec {
   private def run(xs: Seq[Double], k: Int, qs: Seq[Double], parts: Int): Seq[Double] = {
     val s = spark
     import s.implicits._
-    val qh = udaf(new graft.agg.QuantileHist(k, qs), Encoders.scalaDouble)
+    val qh = udaf(new graft.agg.QuantileHist(k, qs), Encoders.DOUBLE)
     xs.toDF("v").repartition(parts).agg(qh(col("v")).as("est"))
       .head.getSeq[Double](0)
   }
@@ -54,7 +54,7 @@ class QuantileHistSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
-    val qh = udaf(new graft.agg.QuantileHist(32, Seq(0.5)), Encoders.scalaDouble)
+    val qh = udaf(new graft.agg.QuantileHist(32, Seq(0.5)), Encoders.DOUBLE)
     val q = in.toDF().toDF("v")
       .agg(qh(col("v")).as("est"))
       .writeStream.format("memory").queryName("qh_stream")
@@ -73,7 +73,7 @@ class QuantileHistSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val xs = Seq.tabulate(5000)(i => (i * 7919 % 1000).toDouble)
-    val qh = udaf(new graft.agg.QuantileHist(16, Seq(0.5)), Encoders.scalaDouble)
+    val qh = udaf(new graft.agg.QuantileHist(16, Seq(0.5)), Encoders.DOUBLE)
     // inspect the buffer through a tiny-capacity run: median of a
     // symmetric multiset stays inside the central mass
     val est = xs.toDF("v").repartition(97).agg(qh(col("v"))).head.getSeq[Double](0)

@@ -114,6 +114,46 @@ class RobustnessSpec extends SparkSpec {
     assert(out("c").isPosInfinity)
   }
 
+  test("every custom UDAF skips NULL inputs like a SQL aggregate") {
+    // With a primitive IN type, Spark's input projection reads NULL
+    // cells as 0.0 — a phantom sample that silently corrupts the
+    // statistic (weighted avg dragged toward 0, a fake 0.0 minimum,
+    // a fake 0.0 in the top-N, a shifted quantile). All Double-input
+    // Aggregators take boxed input and skip nulls in reduce.
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("a", 10.0, 1.0), ("a", null, 1.0), ("a", 20.0, null), ("a", 30.0, 1.0)
+    ).toDF("g", "v", "w")
+    val qh = udaf(new graft.agg.QuantileHist(8, Seq(0.5)),
+      org.apache.spark.sql.Encoders.DOUBLE)
+    val wavgF = udaf(graft.agg.WeightedAvg)
+    val mmF = udaf(graft.agg.MaxMin)
+    val ksF = udaf(graft.agg.KahanSum)
+    val kmF = udaf(graft.agg.KahanMean)
+    val topF = udaf(graft.agg.Top3List)
+    val row = df.groupBy("g").agg(
+      wavgF(col("v"), col("w")).as("wavg"),
+      mmF(col("v")).as("mm"),
+      ksF(col("v")).as("ks"),
+      kmF(col("v")).as("km"),
+      topF(col("v")).as("top3"),
+      qh(col("v")).as("med")).collect().head
+    assert(row.getAs[Double]("wavg") == 20.0) // (10 + 30) / 2
+    val mm = row.getAs[org.apache.spark.sql.Row]("mm")
+    assert(mm.getDouble(0) == 30.0 && mm.getDouble(1) == 10.0 && mm.getLong(2) == 3L)
+    assert(row.getAs[Double]("ks") == 60.0)
+    assert(row.getAs[Double]("km") == 20.0)
+    assert(row.getSeq[Double](row.fieldIndex("top3")).toList == List(30.0, 20.0, 10.0))
+    assert(row.getSeq[Double](row.fieldIndex("med")).toList == List(20.0))
+    val mg = udaf(new graft.agg.MisraGries(4),
+      org.apache.spark.sql.Encoders.STRING)
+    val mgRow = Seq(("a", "x"), ("a", null), ("a", "x"), ("a", "y"))
+      .toDF("g", "s").groupBy("g").agg(mg(col("s")).as("hh"))
+      .select(col("hh.counters"), col("hh.n")).collect().head
+    assert(mgRow.getAs[Map[String, Long]](0) == Map("x" -> 2L, "y" -> 1L))
+    assert(mgRow.getLong(1) == 3L)
+  }
+
   test("KeyedEvent.ingest drops exactly the rows with a null required field") {
     import spark.implicits._
     val df = Seq(

@@ -21,12 +21,12 @@ class TopNListSpec extends SparkSpec {
   test("merge law: any partition split yields the same top-N") {
     import graft.agg.{Top3List, TopAcc}
     val xs = (1 to 50).map(i => (i * 37 % 101).toDouble)
-    val whole = xs.foldLeft(Top3List.zero)(Top3List.reduce)
+    val whole = xs.foldLeft(Top3List.zero)(Top3List.reduce(_, _))
     (1 until xs.length by 7).foreach { cut =>
       val (l, r) = xs.splitAt(cut)
       val merged = Top3List.merge(
-        l.foldLeft(Top3List.zero)(Top3List.reduce),
-        r.foldLeft(Top3List.zero)(Top3List.reduce))
+        l.foldLeft(Top3List.zero)(Top3List.reduce(_, _)),
+        r.foldLeft(Top3List.zero)(Top3List.reduce(_, _)))
       assert(Top3List.finish(merged) == Top3List.finish(whole))
     }
   }
