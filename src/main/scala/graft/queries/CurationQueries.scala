@@ -105,8 +105,11 @@ object CurationQueries extends GroupBase {
     "pipe_budget" -> ((s, d) => {
       val BUDGET = 4000
       val tk = col("tk")
+      // NULLIF: zero tokens -> NULL quality (sorts last under DESC,
+      // never selected into the budget), not an ANSI DIVIDE_BY_ZERO
+      // crash (TextExec adversarial-text sweep, round 10)
       val q = (size(array_distinct(tk)).cast("decimal(18,8)") /
-        size(tk).cast("decimal(18,8)")).cast("double")
+        nullif(size(tk), lit(0)).cast("decimal(18,8)")).cast("double")
       val ord = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
       val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "documents")
@@ -328,7 +331,7 @@ object CurationQueries extends GroupBase {
       s"""WITH d AS (SELECT doc_id, lang,
                             CAST(len($toksSql) AS INT) AS n_tok,
                             CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
-                                 / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS q
+                                 / CAST(NULLIF(len($toksSql), 0) AS DECIMAL(18,8)) AS DOUBLE) AS q
                      FROM documents),
           r AS (SELECT doc_id, lang, n_tok, q,
                        row_number() OVER (PARTITION BY lang

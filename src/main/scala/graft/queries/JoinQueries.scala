@@ -218,21 +218,48 @@ object JoinQueries extends GroupBase {
     // built-in) verifies only the blocked pairs. A variant is shared by
     // at most ~|alphabet| names, so there are no hot blocking keys at
     // 100 TB; the ck<=300 filter just bounds the demo output.
+    //
+    // PREFIX-bounded deletes (SymSpell's prefix optimization, lossless
+    // for d=1): variants are generated on the first FUZZY_P chars only.
+    // Any pair at edit distance 1 still shares a variant — an edit at
+    // position i < P leaves both prefixes one shared delete apart, an
+    // edit at i >= P leaves the prefixes equal — while a pathological
+    // 100 KB "name" (a routine state in dirty data; TextExec sweep,
+    // round 10) emits P bounded variants instead of L variants of
+    // length L = O(L²) bytes, which OOMed the candidate build. The
+    // banded levenshtein(_, _, 1) verifier is O(L) per pair, not
+    // O(L²), for the same reason.
     "join_fuzzy" -> ((s, d) => {
+      val P = 24 // >= real name lengths, so clean data is unaffected
       val names = t(s, d, "customer")
         .filter(col("c_custkey") <= 300)
         .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
+      val pfx = col("nm").substr(lit(1), lit(P))
       val variants = names.select(col("ck"), col("nm"), explode(
-        array_union(array(col("nm")),
-          transform(sequence(lit(1), length(col("nm"))), i =>
-            concat(col("nm").substr(lit(1), i - 1),
-              col("nm").substr(i + 1, length(col("nm"))))))).as("v"))
+        array_union(array(pfx),
+          transform(sequence(lit(1), length(pfx)), i =>
+            concat(pfx.substr(lit(1), i - 1),
+              pfx.substr(i + 1, length(pfx)))))).as("v"))
+      // The verify predicates live IN the join condition, cheapest
+      // first, because conjunct order is evaluation order in the
+      // join residual: `<` kills the (x, x) bucket self-matches and
+      // the length band kills cross-length pairs BEFORE levenshtein
+      // runs. Order matters operationally: a bucket of k identical
+      // long strings produces k² residual evaluations, and Spark's
+      // thresholded levenshtein is O(L²) for non-ASCII input — with
+      // 56 KB dirty names that was hours of DP on pairs the cheap
+      // predicates reject in O(L) (TextExec sweep hang, round 10; a
+      // separate .filter() after the join let Catalyst push
+      // levenshtein in FRONT of the `<`).
       variants.as("a").join(variants.as("b"),
-          col("a.v") === col("b.v") && col("a.nm") < col("b.nm"))
+          col("a.v") === col("b.v") &&
+          col("a.nm") < col("b.nm") &&
+          abs(length(col("a.nm")) - length(col("b.nm"))) <= 1 &&
+          // thresholded levenshtein returns -1 when the bound is blown
+          levenshtein(col("a.nm"), col("b.nm"), 1) >= 0)
         .select(col("a.ck").as("ck1"), col("b.ck").as("ck2"),
           col("a.nm").as("nm1"), col("b.nm").as("nm2"))
         .distinct()
-        .filter(levenshtein(col("nm1"), col("nm2")) <= 1)
         .orderBy("ck1", "ck2")
     }),
 

@@ -145,9 +145,12 @@ object ScalarFuncQueries extends GroupBase {
           col("event_id"),
           element_at(str_to_map(col("kv"), lit(","), lit("=")), "uid").as("m_uid"),
           element_at(str_to_map(col("kv"), lit(","), lit("=")), "type").as("m_type"),
-          parse_url(col("url"), lit("HOST")).as("u_host"),
-          parse_url(col("url"), lit("PATH")).as("u_path"),
-          parse_url(col("url"), lit("QUERY")).as("u_query"),
+          // try_parse_url: the URL embeds a data column, and parsing
+          // data-derived URLs must tolerate garbage (NULL, not an
+          // INVALID_URL throw — TextExec adversarial-text sweep, r10)
+          try_parse_url(col("url"), lit("HOST")).as("u_host"),
+          try_parse_url(col("url"), lit("PATH")).as("u_path"),
+          try_parse_url(col("url"), lit("QUERY")).as("u_query"),
           unix_timestamp(col("ts")).as("epoch_s"),
           from_unixtime(unix_timestamp(col("ts")), "yyyy-MM-dd HH:mm:ss").as("rt"),
           to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("ts_trunc"),

@@ -39,15 +39,18 @@ object TextQueries extends GroupBase {
     "text_quality" -> ((s, d) => {
       val toks = col("tk")
       val nTok = size(toks)
+      // NULLIF: an empty/whitespace-only document has zero tokens —
+      // its ratios are undefined (NULL), not an ANSI DIVIDE_BY_ZERO
+      // crash (TextExec adversarial-text sweep, round 10)
+      val nTokDen = nullif(nTok, lit(0)).cast("decimal(18,8)")
       val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
-      val ttr = size(array_distinct(toks)).cast("decimal(18,8)") /
-        nTok.cast("decimal(18,8)")
+      val ttr = size(array_distinct(toks)).cast("decimal(18,8)") / nTokDen
       t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
         .select(
         col("doc_id"),
         nStop.as("n_stop"),
-        (nStop.cast("decimal(18,8)") / nTok.cast("decimal(18,8)"))
+        (nStop.cast("decimal(18,8)") / nTokDen)
           .cast("double").as("stop_ratio"),
         ttr.cast("double").as("ttr"),
         (nTok >= 20 && nTok <= 90).as("len_ok"))
@@ -538,8 +541,10 @@ object TextQueries extends GroupBase {
         m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x5555))
       }
       val tk = col("tk")
+      // NULLIF: zero tokens -> NULL ttr quantile -> NULL z/shard, not
+      // an ANSI DIVIDE_BY_ZERO crash (TextExec sweep, round 10)
       val ttr = (size(array_distinct(tk)).cast("decimal(18,8)") /
-        size(tk).cast("decimal(18,8)")).cast("double")
+        nullif(size(tk), lit(0)).cast("decimal(18,8)")).cast("double")
       t(s, d, "documents")
         .withColumn("tk", graft.functions.TextOps.tokens(col("text")))
         .select(col("doc_id"),
@@ -1470,11 +1475,13 @@ object TextQueries extends GroupBase {
     "pipe_classify" -> ((s, d) => {
       val toks = col("tk")
       val nTok = size(toks)
+      // NULLIF: zero tokens -> NULL score/keep, not an ANSI
+      // DIVIDE_BY_ZERO crash (TextExec sweep, round 10)
+      val nTokDen = nullif(nTok, lit(0)).cast("decimal(18,8)")
       val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
-      val stopRatio = (nStop.cast("decimal(18,8)") /
-        nTok.cast("decimal(18,8)")).cast("double")
+      val stopRatio = (nStop.cast("decimal(18,8)") / nTokDen).cast("double")
       val ttr = (size(array_distinct(toks)).cast("decimal(18,8)") /
-        nTok.cast("decimal(18,8)")).cast("double")
+        nTokDen).cast("double")
       val lenN = nTok.cast("double") / lit(100.0)
       val z = lit(-0.8) + lit(2.5) * stopRatio +
         lit(-1.2) * ttr + lit(0.9) * lenN
@@ -1557,9 +1564,14 @@ object TextQueries extends GroupBase {
     // (|term| < ln2/2 is far inside fsum's documented |x| bound);
     // the result rounds to 6 after the /ln2 rescale.
     "text_jsd" -> ((s, d) => {
+      // try_cast + isNotNull: a source id that doesn't parse (dirty
+      // metadata is a routine production state) excludes the row from
+      // the divergence estimate instead of throwing CAST_INVALID_INPUT
+      // under ANSI (TextExec adversarial-text sweep, round 10)
       val toks = t(s, d, "documents")
-        .select(substring(col("source"), 4, 10).cast("int").as("gen"),
+        .select(substring(col("source"), 4, 10).try_cast("int").as("gen"),
           explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("gen").isNotNull)
       val cnt = toks.groupBy("tok").agg(
         sum(when(col("gen") < 10, 1L).otherwise(0L)).as("c1"),
         sum(when(col("gen") >= 10, 1L).otherwise(0L)).as("c2"))
@@ -1762,8 +1774,12 @@ object TextQueries extends GroupBase {
       val src = t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
         .groupBy("source").agg(sum(size(col("tk"))).as("n_tok"))
+        // try_cast+coalesce: an unparseable source id (dirty metadata)
+        // falls back to the minimum epoch cap instead of throwing
+        // CAST_INVALID_INPUT under ANSI (TextExec sweep, round 10)
         .withColumn("e_cap", lit(1) +
-          pmod(substring(col("source"), 4, 10).cast("int"), lit(4)))
+          pmod(coalesce(substring(col("source"), 4, 10).try_cast("int"),
+            lit(0)), lit(4)))
       val tot = src.agg(
         (sum(col("n_tok")) * lit(B)).as("b"), count(lit(1)).as("l"))
       val ord = Window.orderBy(col("cap"), col("source"))
@@ -1812,9 +1828,9 @@ object TextQueries extends GroupBase {
           CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t))) AS INT) AS n_stop,
           CAST(CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t)))
                     AS DECIMAL(18,8))
-               / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS stop_ratio,
+               / CAST(NULLIF(len($toksSql), 0) AS DECIMAL(18,8)) AS DOUBLE) AS stop_ratio,
           CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
-               / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS ttr,
+               / CAST(NULLIF(len($toksSql), 0) AS DECIMAL(18,8)) AS DOUBLE) AS ttr,
           (len($toksSql) >= 20 AND len($toksSql) <= 90) AS len_ok
           FROM documents ORDER BY doc_id""",
     "text_gopher" ->
@@ -2000,7 +2016,7 @@ object TextQueries extends GroupBase {
             SELECT doc_id,
                    CAST(least(floor(n_chars / 16), 255) AS INT) AS q_len,
                    CAST(floor(CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
-                              / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE)
+                              / CAST(NULLIF(len($toksSql), 0) AS DECIMAL(18,8)) AS DOUBLE)
                               * 255) AS INT) AS q_ttr
             FROM documents)
           SELECT doc_id, q_len, q_ttr,
@@ -2643,9 +2659,9 @@ object TextQueries extends GroupBase {
             SELECT doc_id,
               CAST(CAST(len(list_filter($toksSql, t -> list_contains($stopSql, t)))
                         AS DECIMAL(18,8))
-                   / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS sr,
+                   / CAST(NULLIF(len($toksSql), 0) AS DECIMAL(18,8)) AS DOUBLE) AS sr,
               CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
-                   / CAST(len($toksSql) AS DECIMAL(18,8)) AS DOUBLE) AS ttr,
+                   / CAST(NULLIF(len($toksSql), 0) AS DECIMAL(18,8)) AS DOUBLE) AS ttr,
               CAST(len($toksSql) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS ln
             FROM documents),
           z AS (SELECT doc_id,
@@ -2684,8 +2700,9 @@ object TextQueries extends GroupBase {
          FROM m GROUP BY 1 ORDER BY 1""",
     "text_jsd" ->
       s"""WITH toks AS (
-            SELECT CAST(substr(source, 4, 10) AS INT) AS gen, unnest($toksSql) AS tok
-            FROM documents),
+            SELECT TRY_CAST(substr(source, 4, 10) AS INT) AS gen, unnest($toksSql) AS tok
+            FROM documents
+            WHERE TRY_CAST(substr(source, 4, 10) AS INT) IS NOT NULL),
           cnt AS (SELECT tok,
                          sum(CASE WHEN gen < 10 THEN 1 ELSE 0 END) AS c1,
                          sum(CASE WHEN gen >= 10 THEN 1 ELSE 0 END) AS c2
@@ -2804,7 +2821,7 @@ object TextQueries extends GroupBase {
     "pipe_unimax" ->
       s"""WITH src AS (SELECT source,
                        CAST(sum(len($toksSql)) AS BIGINT) AS n_tok,
-                       1 + (CAST(substr(source, 4, 10) AS INT) % 4) AS e_cap
+                       1 + (coalesce(TRY_CAST(substr(source, 4, 10) AS INT), 0) % 4) AS e_cap
                        FROM documents GROUP BY 1),
           tot AS (SELECT CAST(sum(n_tok) * 2 AS BIGINT) AS b, count(*) AS l FROM src),
           r AS (SELECT source, n_tok, e_cap, n_tok * e_cap AS cap, b, l,

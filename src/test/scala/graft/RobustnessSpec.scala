@@ -100,6 +100,23 @@ class RobustnessSpec extends SparkSpec {
       "agg_weighted_avg"))
   }
 
+  test("adversarial text cells: the TextExec class completes") {
+    // The TextExec class: hostile-but-valid-UTF-8 strings (empty,
+    // whitespace-only, emoji/CJK/RTL, control chars, a ~60 KB blob,
+    // unparseable numeric metadata) used to throw DIVIDE_BY_ZERO on
+    // zero-token ratio denominators (text_quality, pipe_classify,
+    // pipe_budget, pipe_zorder), CAST_INVALID_INPUT on source-id
+    // parses (text_jsd, pipe_unimax), INVALID_URL on a data-derived
+    // URL (fn_convert), and OOM join_fuzzy's candidate build (O(L²)
+    // delete-variant bytes per 60 KB name — now prefix-bounded).
+    val dir = cloneDir(60,
+      graft.tools.EdgeExec.tables.map(t => t ->
+        ((df: org.apache.spark.sql.DataFrame) =>
+          graft.tools.TextExec.corrupt(df, t))).toMap)
+    mustRun(dir, Seq("text_quality", "pipe_classify", "pipe_budget",
+      "pipe_zorder", "text_jsd", "pipe_unimax", "fn_convert", "join_fuzzy"))
+  }
+
   test("WeightedAvg degrades to IEEE semantics on non-finite input, stays exact otherwise") {
     import spark.implicits._
     val wavg = org.apache.spark.sql.functions.udaf(graft.agg.WeightedAvg)
