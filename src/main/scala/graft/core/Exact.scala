@@ -37,6 +37,17 @@ object Exact {
     * hashing. A DOUBLE is bit-identical everywhere. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** Overflow-proof negation of an int64 id, for lowest-id-wins
+    * tie-breaks inside max_by/min struct orderings.
+    *
+    * `negate(longCol)` is a thrown ARITHMETIC_OVERFLOW under ANSI
+    * when the id is Long.MinValue — and sentinel-polluted ids
+    * (MIN/MAX used as "unknown" markers upstream) are a routine
+    * production state at 100 TB (NumExec sweep, round 10). Negating
+    * in DECIMAL(20,0) cannot overflow; ordering is identical, and
+    * the struct field never reaches the output schema. */
+  def negId(c: Column): Column = negate(c.cast("decimal(20,0)"))
+
   /** The value when it is a finite float, NULL otherwise (NaN, ±Inf,
     * or NULL in → NULL out).
     *

@@ -108,7 +108,7 @@ object EmbeddingQueries extends GroupBase {
         .select(col("vec_id"),
           cosine(col("embedding"), col("cv")).as("cos"), col("cid"))
         .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("cos"), negate(col("cid"))))
+        .agg(max_by(col("cid"), struct(col("cos"), Exact.negId(col("cid"))))
           .as("cell"))
         .orderBy("vec_id")
     }),
@@ -358,7 +358,7 @@ object EmbeddingQueries extends GroupBase {
           cosine(col("embedding"), col("cv")).as("ccos"), col("cid"))
       val assign = scored.groupBy("vec_id")
         .agg(max_by(struct(col("embedding"), col("cid")),
-          struct(col("ccos"), negate(col("cid")))).as("r"))
+          struct(col("ccos"), Exact.negId(col("cid")))).as("r"))
         .select(col("vec_id"), col("r.embedding").as("embedding"),
           col("r.cid").as("cell"))
       val books = e.filter(col("vec_id") < KC).select(
@@ -542,7 +542,7 @@ object EmbeddingQueries extends GroupBase {
         .select(col("vec_id"),
           cosine(col("embedding"), col("cv")).as("ccos"), col("cid"))
         .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
+        .agg(max_by(col("cid"), struct(col("ccos"), Exact.negId(col("cid"))))
           .as("cell"))
       val lab = assign.join(
         t(s, d, "documents").select(col("doc_id").as("vec_id"), col("lang")),
@@ -620,7 +620,7 @@ object EmbeddingQueries extends GroupBase {
           cosine(col("embedding"), col("cv")).as("ccos"), col("cid"))
         .groupBy("vec_id")
         .agg(max_by(struct(col("embedding"), col("cid")),
-          struct(col("ccos"), negate(col("cid")))).as("r"))
+          struct(col("ccos"), Exact.negId(col("cid")))).as("r"))
         .select(col("vec_id"), col("r.embedding").as("embedding"),
           col("r.cid").as("cell"))
       val drops = assign.as("x").join(assign.as("y"),
@@ -718,9 +718,9 @@ object EmbeddingQueries extends GroupBase {
       scored.groupBy("qid")
         .agg(
           max_by(struct(col("nid"), col("cos")),
-            when(col("same"), struct(col("cos"), negate(col("nid"))))).as("p"),
+            when(col("same"), struct(col("cos"), Exact.negId(col("nid"))))).as("p"),
           max_by(struct(col("nid"), col("cos")),
-            when(!col("same"), struct(col("cos"), negate(col("nid"))))).as("n"))
+            when(!col("same"), struct(col("cos"), Exact.negId(col("nid"))))).as("n"))
         .select(col("qid"), col("p.nid").as("pos_id"), col("p.cos").as("pos_cos"),
           col("n.nid").as("neg_id"), col("n.cos").as("neg_cos"),
           (col("p.cos") - col("n.cos")).as("margin"))
@@ -979,7 +979,7 @@ object EmbeddingQueries extends GroupBase {
           cosine(col("embedding"), col("bv")).as("cos"))
         .groupBy("vec_id")
         .agg(
-          max_by(col("bid"), struct(col("cos"), negate(col("bid"))))
+          max_by(col("bid"), struct(col("cos"), Exact.negId(col("bid"))))
             .as("bench_id"),
           max(col("cos")).as("max_cos"))
         .select(col("vec_id"), col("bench_id"), col("max_cos"),
@@ -1002,7 +1002,7 @@ object EmbeddingQueries extends GroupBase {
     def pick(scored: DataFrame, r: Int): DataFrame =
       scored.agg(max_by(
         struct(col("vec_id"), col("embedding"), col("rel"), col("score")),
-        struct(col("score"), negate(col("vec_id")))).as("p"))
+        struct(col("score"), Exact.negId(col("vec_id")))).as("p"))
         .select(lit(r).as("round"), col("p.vec_id").as("vec_id"),
           col("p.embedding").as("embedding"), col("p.rel").as("rel"),
           col("p.score").as("score"))
@@ -1052,7 +1052,7 @@ object EmbeddingQueries extends GroupBase {
       // same 3-consumer lineage truncation as mmrSelect
       sel = sel.unionByName(scored.agg(max_by(
         struct(col("vec_id"), col("embedding"), col("mind2")),
-        struct(col("mind2"), negate(col("vec_id")))).as("p"))
+        struct(col("mind2"), Exact.negId(col("vec_id")))).as("p"))
         .select(lit(r).as("round"), col("p.vec_id").as("vec_id"),
           col("p.embedding").as("embedding"), col("p.mind2").as("mind2")))
         .localCheckpoint()
@@ -1094,7 +1094,7 @@ object EmbeddingQueries extends GroupBase {
     val assign = scored
       .groupBy("vec_id")
       .agg(max_by(struct(col("embedding"), col("cid")),
-        struct(col("ccos"), negate(col("cid")))).as("r"))
+        struct(col("ccos"), Exact.negId(col("cid")))).as("r"))
       .select(col("vec_id"), col("r.embedding").as("embedding"),
         col("r.cid").as("cell"))
     // query side: top-P cells per query; the ranking window sees at

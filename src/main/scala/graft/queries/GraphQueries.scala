@@ -41,11 +41,18 @@ object GraphQueries extends GroupBase {
     val docs = t(s, d, "documents")
     val nrow = docs.agg(count(lit(1)).as("n_nodes"))
     val nodes = docs.select(col("doc_id")).crossJoin(broadcast(nrow))
+    // pmod BEFORE the *31: the multiply runs on a value already
+    // reduced below n_nodes, so it cannot overflow for any int64
+    // input (a MaxValue sentinel id — routine dirty-data pollution —
+    // made doc_id*31 a thrown ARITHMETIC_OVERFLOW under ANSI; NumExec
+    // sweep, round 10). Identity for clean ids (0 <= doc_id < N), so
+    // the oracle mirror and all results are unchanged on real data.
     val edges = nodes.filter(col("doc_id") % 7 =!= 0)
       .withColumn("ds", array_distinct(filter(
         concat(array(col("doc_id") % 10),
           transform(sequence(lit(1), lit(3)),
-            j => (col("doc_id") * 31 + j * 17) % col("n_nodes"))),
+            j => (pmod(col("doc_id"), col("n_nodes")) * 31 + j * 17) %
+              col("n_nodes"))),
         x => x =!= col("doc_id"))))
       .select(col("doc_id").as("src"), size(col("ds")).as("deg"),
         explode(col("ds")).as("dst"))
@@ -471,7 +478,7 @@ object GraphQueries extends GroupBase {
        outs AS (SELECT doc_id AS src,
            list_distinct(list_filter(
              list_prepend(doc_id % 10,
-               list_transform(range(1, 4), j -> (doc_id*31 + j*17) % n)),
+               list_transform(range(1, 4), j -> (((doc_id % n + n) % n)*31 + j*17) % n)),
              x -> x <> doc_id)) AS ds
          FROM documents CROSS JOIN nn WHERE doc_id % 7 <> 0),
        edges AS (SELECT src, len(ds) AS deg, unnest(ds) AS dst FROM outs)"""

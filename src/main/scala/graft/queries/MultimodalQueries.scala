@@ -36,7 +36,7 @@ object MultimodalQueries extends GroupBase {
         .select(
           col("doc_id"),
           element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("mtype"),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mtype"),
           length(col("payload")).as("nbytes"),
           md5(col("payload")).as("checksum"),
           lower(hex(col("payload"))).substr(1, 8).as("magic"),
@@ -88,7 +88,7 @@ object MultimodalQueries extends GroupBase {
         .withColumn("payload", col("text").cast("binary"))
         .select(col("doc_id"),
           element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("mtype"),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mtype"),
           length(col("payload")).cast("long").as("nbytes"))
         .withColumn("shard",
           // cum-bytes « 2^53, so the double floor-division is exact;
@@ -117,7 +117,7 @@ object MultimodalQueries extends GroupBase {
         .select(
           col("doc_id"),
           element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("mtype"),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mtype"),
           length(col("payload")).cast("long").as("nbytes"),
           md5(col("payload")).as("checksum"))
       m.groupBy("mtype", "checksum")
@@ -185,7 +185,7 @@ object MultimodalQueries extends GroupBase {
   def oracleSql: Map[String, String] = Map(
     "mm_manifest" ->
       """SELECT doc_id,
-                ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS mtype,
+                ['image', 'audio', 'video'][CAST((doc_id % 3 + 3) % 3 + 1 AS INT)] AS mtype,
                 CAST(octet_length(encode(text)) AS INT) AS nbytes,
                 md5(text) AS checksum,
                 lower(substring(to_hex(encode(text)), 1, 8)) AS magic,
@@ -213,7 +213,7 @@ object MultimodalQueries extends GroupBase {
     "mm_webdataset" ->
       """WITH m AS (
            SELECT doc_id,
-                  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS mtype,
+                  ['image', 'audio', 'video'][CAST((doc_id % 3 + 3) % 3 + 1 AS INT)] AS mtype,
                   CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
            FROM documents),
          sh AS (
@@ -230,7 +230,7 @@ object MultimodalQueries extends GroupBase {
     "mm_dedup" ->
       """WITH m AS (
            SELECT doc_id,
-                  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS mtype,
+                  ['image', 'audio', 'video'][CAST((doc_id % 3 + 3) % 3 + 1 AS INT)] AS mtype,
                   CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
                   md5(text) AS checksum
            FROM documents),

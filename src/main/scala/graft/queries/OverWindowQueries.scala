@@ -130,8 +130,13 @@ object OverWindowQueries extends GroupBase {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events")
         .select(col("event_type"), col("event_id"),
-          aggregate(collect_set(col("user_id")).over(w), lit(0L),
-            (acc, x) => acc + x).as("sum_dist_users"))
+          // DECIMAL(38,0) fold + try_cast: a MaxValue sentinel id in
+          // the distinct set overflows the BIGINT running sum under
+          // ANSI (NumExec sweep, round 10); exact on clean data
+          aggregate(collect_set(col("user_id")).over(w),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+            (acc, x) => acc + x.cast("decimal(38,0)"))
+            .try_cast("long").as("sum_dist_users"))
         .orderBy("event_type", "event_id")
     }),
   )

@@ -23,9 +23,9 @@ object ScalarFuncQueries extends GroupBase {
     "fn_math" -> ((s, d) =>
       t(s, d, "part").select(
         col("p_partkey"),
-        abs(col("p_size") - 25).as("abs_v"),
+        abs(col("p_size").cast("long") - 25).as("abs_v"),
         (col("p_size") % 7).as("mod_v"),
-        signum(col("p_size") - 25).as("sign_v"),
+        signum(col("p_size").cast("long") - 25).as("sign_v"),
         floor(col("p_retailprice")).as("floor_v"),
         ceil(col("p_retailprice")).as("ceil_v"),
         // round() on raw doubles is a cross-engine trap (Spark rounds the
@@ -41,7 +41,7 @@ object ScalarFuncQueries extends GroupBase {
         round(sin(col("p_size")), 6).as("sin_v"),
         round(cos(col("p_size")), 6).as("cos_v"),
         round(atan(col("p_size")), 6).as("atan_v"),
-        round(lit(1.0) / tan(col("p_size")), 6).as("cot_v"),
+        round(lit(1.0) / nullif(tan(col("p_size")), lit(0.0)), 6).as("cot_v"),
         round(lit(Math.E), 6).as("e_v"),
         round(degrees(col("p_size") / lit(100.0)), 6).as("deg_v"),
         round(radians(col("p_size")), 6).as("rad_v"),
@@ -170,7 +170,7 @@ object ScalarFuncQueries extends GroupBase {
         .select(
           col("p_partkey"),
           col("st.b").as("st_brand"),
-          (col("st.sz") + 1).as("st_size1"),
+          (col("st.sz").cast("long") + 1).as("st_size1"),
           element_at(col("arr"), 1).as("arr_first"),
           element_at(col("arr"), -1).as("arr_last"),
           size(col("arr")).as("arr_len"),
@@ -233,9 +233,9 @@ object ScalarFuncQueries extends GroupBase {
   def oracleSql: Map[String, String] = Map(
     "fn_math" ->
       """SELECT p_partkey,
-            abs(p_size - 25) AS abs_v,
+            abs(CAST(p_size AS BIGINT) - 25) AS abs_v,
             p_size % 7 AS mod_v,
-            CAST(sign(p_size - 25) AS DOUBLE) AS sign_v,
+            CAST(sign(CAST(p_size AS BIGINT) - 25) AS DOUBLE) AS sign_v,
             CAST(floor(p_retailprice) AS BIGINT) AS floor_v,
             CAST(ceil(p_retailprice) AS BIGINT) AS ceil_v,
             CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS round_v,
@@ -248,7 +248,7 @@ object ScalarFuncQueries extends GroupBase {
             round(sin(p_size), 6) AS sin_v,
             round(cos(p_size), 6) AS cos_v,
             round(atan(p_size), 6) AS atan_v,
-            round(CAST(1.0 AS DOUBLE) / tan(p_size), 6) AS cot_v,
+            round(CAST(1.0 AS DOUBLE) / NULLIF(tan(p_size), 0.0), 6) AS cot_v,
             round(exp(CAST(1.0 AS DOUBLE)), 6) AS e_v,
             round(degrees(p_size / 100.0), 6) AS deg_v,
             round(radians(p_size), 6) AS rad_v,
@@ -339,7 +339,7 @@ object ScalarFuncQueries extends GroupBase {
     "fn_nested" ->
       """SELECT p_partkey,
             p_brand AS st_brand,
-            p_size + 1 AS st_size1,
+            CAST(p_size AS BIGINT) + 1 AS st_size1,
             string_split(p_name, ' ')[1] AS arr_first,
             string_split(p_name, ' ')[-1] AS arr_last,
             CAST(len(string_split(p_name, ' ')) AS INT) AS arr_len,

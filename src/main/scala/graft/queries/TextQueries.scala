@@ -494,7 +494,8 @@ object TextQueries extends GroupBase {
       base.groupBy(name(col("gsp")).as("split"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("h")).as("n_groups"),
-          sum(col("n_chars")).as("n_chars"))
+          sum(col("n_chars").cast("decimal(38,0)"))
+            .try_cast("long").as("n_chars"))
         .crossJoin(broadcast(leak))
         .orderBy("split")
     }),
@@ -507,7 +508,11 @@ object TextQueries extends GroupBase {
           when(h < 80, "train").when(h < 90, "val").otherwise("test"))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("n_chars"))
+          // DECIMAL(38,0) + try_cast: sentinel-polluted n_chars
+          // (MaxValue markers) overflow the plain BIGINT sum under
+          // ANSI (NumExec sweep, round 10); exact on clean data
+          sum(col("n_chars").cast("decimal(38,0)"))
+            .try_cast("long").as("n_chars"))
         .orderBy("lang", "split")
     }),
 
@@ -548,7 +553,7 @@ object TextQueries extends GroupBase {
       t(s, d, "documents")
         .withColumn("tk", graft.functions.TextOps.tokens(col("text")))
         .select(col("doc_id"),
-          least(floor(col("n_chars") / 16), lit(255)).cast("int").as("q_len"),
+          greatest(least(floor(col("n_chars") / 16), lit(255)), lit(0)).cast("int").as("q_len"),
           floor(ttr * 255).cast("int").as("q_ttr"))
         .withColumn("z",
           shiftleft(spread(col("q_len")), 1).bitwiseOR(spread(col("q_ttr"))))
@@ -2014,7 +2019,7 @@ object TextQueries extends GroupBase {
       }
       s"""WITH q AS (
             SELECT doc_id,
-                   CAST(least(floor(n_chars / 16), 255) AS INT) AS q_len,
+                   CAST(greatest(least(floor(n_chars / 16), 255), 0) AS INT) AS q_len,
                    CAST(floor(CAST(CAST(len(list_distinct($toksSql)) AS DECIMAL(18,8))
                               / CAST(NULLIF(len($toksSql), 0) AS DECIMAL(18,8)) AS DOUBLE)
                               * 255) AS INT) AS q_ttr

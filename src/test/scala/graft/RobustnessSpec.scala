@@ -117,6 +117,26 @@ class RobustnessSpec extends SparkSpec {
       "pipe_zorder", "text_jsd", "pipe_unimax", "fn_convert", "join_fuzzy"))
   }
 
+  test("integer/timestamp sentinel cells: the NumExec class completes") {
+    // The NumExec class: boundary sentinels (Long/Int Max/Min, -1, 0)
+    // and calendar-extreme timestamps — routine "unknown" markers in
+    // dirty data — used to throw ARITHMETIC_OVERFLOW from id*31 edge
+    // synthesis (whole graph_* family), negate(MinValue) id tie-breaks
+    // (emb_* max_by orderings, now Exact.negId in DECIMAL),
+    // plain-BIGINT sums of sentinel-polluted columns (pipe_split/
+    // groupsplit, over_sum_distinct — now DECIMAL(38,0) + try_cast),
+    // int32 arithmetic in the scalar battery (fn_math/fn_nested),
+    // INVALID_INDEX_OF_ZERO from signed % as an array index (mm_* —
+    // now pmod), and CAST_OVERFLOW on an unclamped bucket (pipe_zorder).
+    val dir = cloneDir(60,
+      graft.tools.EdgeExec.tables.map(t => t ->
+        ((df: org.apache.spark.sql.DataFrame) =>
+          graft.tools.NumExec.corrupt(df, t))).toMap)
+    mustRun(dir, Seq("graph_pagerank", "graph_triangles", "emb_ivf_assign",
+      "emb_semdedup", "emb_triplets", "mm_manifest", "over_sum_distinct",
+      "pipe_split", "pipe_groupsplit", "pipe_zorder", "fn_math", "fn_nested"))
+  }
+
   test("WeightedAvg degrades to IEEE semantics on non-finite input, stays exact otherwise") {
     import spark.implicits._
     val wavg = org.apache.spark.sql.functions.udaf(graft.agg.WeightedAvg)
