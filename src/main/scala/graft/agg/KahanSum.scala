@@ -28,7 +28,7 @@ case class KahanAcc(s: Double, c: Double, n: Long)
  * it — corrupting the sum instead of skipping the row as every SQL
  * aggregate does. Boxed input keeps the schema nullable so reduce
  * can skip. */
-object KahanSum extends Aggregator[java.lang.Double, KahanAcc, Double] {
+object KahanSum extends Aggregator[java.lang.Double, KahanAcc, java.lang.Double] {
   def zero: KahanAcc = KahanAcc(0.0, 0.0, 0L)
 
   /** Neumaier update: the compensation also captures the case where
@@ -54,18 +54,21 @@ object KahanSum extends Aggregator[java.lang.Double, KahanAcc, Double] {
     KahanAcc(s, c, a.n + b.n)
   }
 
-  def finish(r: KahanAcc): Double = r.s + r.c
+  /** SQL sum over zero accepted rows is NULL, not 0.0. */
+  def finish(r: KahanAcc): java.lang.Double =
+    if (r.n == 0) null else r.s + r.c
   def bufferEncoder: Encoder[KahanAcc] = Encoders.product[KahanAcc]
-  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }
 
 /** Compensated mean on top of the same accumulator. */
-object KahanMean extends Aggregator[java.lang.Double, KahanAcc, Double] {
+object KahanMean extends Aggregator[java.lang.Double, KahanAcc, java.lang.Double] {
   def zero: KahanAcc = KahanSum.zero
   def reduce(b: KahanAcc, a: java.lang.Double): KahanAcc = KahanSum.reduce(b, a)
   def merge(a: KahanAcc, b: KahanAcc): KahanAcc = KahanSum.merge(a, b)
-  def finish(r: KahanAcc): Double =
-    if (r.n == 0) Double.NaN else (r.s + r.c) / r.n
+  /** SQL avg over zero accepted rows is NULL, not NaN. */
+  def finish(r: KahanAcc): java.lang.Double =
+    if (r.n == 0) null else (r.s + r.c) / r.n
   def bufferEncoder: Encoder[KahanAcc] = Encoders.product[KahanAcc]
-  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }

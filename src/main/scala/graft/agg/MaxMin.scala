@@ -11,17 +11,24 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class MaxMinAcc(mx: Double, mn: Double, n: Long)
 
+/** Output with nullable extrema: a group whose every input is NULL has
+  * NO extremum — SQL max/min read NULL there, never the ±Infinity
+  * sentinels the accumulator starts from. */
+case class MaxMinOut(mx: Option[Double], mn: Option[Double], n: Long)
+
 /* Boxed IN: with a primitive input schema Spark reads NULL cells as
  * 0.0 (a phantom extremum); nullable input lets reduce skip them like
  * SQL max/min do. */
-object MaxMin extends Aggregator[java.lang.Double, MaxMinAcc, MaxMinAcc] {
+object MaxMin extends Aggregator[java.lang.Double, MaxMinAcc, MaxMinOut] {
   def zero: MaxMinAcc = MaxMinAcc(Double.NegativeInfinity, Double.PositiveInfinity, 0L)
   def reduce(b: MaxMinAcc, a: java.lang.Double): MaxMinAcc =
     if (a == null) b // SQL aggregates skip NULL inputs
     else MaxMinAcc(math.max(b.mx, a), math.min(b.mn, a), b.n + 1)
   def merge(a: MaxMinAcc, b: MaxMinAcc): MaxMinAcc =
     MaxMinAcc(math.max(a.mx, b.mx), math.min(a.mn, b.mn), a.n + b.n)
-  def finish(r: MaxMinAcc): MaxMinAcc = r
+  def finish(r: MaxMinAcc): MaxMinOut =
+    if (r.n == 0) MaxMinOut(None, None, 0L)
+    else MaxMinOut(Some(r.mx), Some(r.mn), r.n)
   def bufferEncoder: Encoder[MaxMinAcc] = Encoders.product[MaxMinAcc]
-  def outputEncoder: Encoder[MaxMinAcc] = Encoders.product[MaxMinAcc]
+  def outputEncoder: Encoder[MaxMinOut] = Encoders.product[MaxMinOut]
 }

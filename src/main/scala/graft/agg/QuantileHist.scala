@@ -84,7 +84,8 @@ class QuantileHist(k: Int, qs: Seq[Double])
     * SQL percentile/quantile_cont when the histogram is exact */
   def finish(acc: QHistAcc): Seq[Double] = {
     val bins = acc.bins
-    if (bins.isEmpty) return qs.map(_ => Double.NaN)
+    // SQL percentile over zero accepted rows is NULL, not NaNs
+    if (bins.isEmpty) return null
     val n = bins.map(_.c).sum
     def valueAt(rank: Long): Double = {
       var cum = 0L

@@ -18,7 +18,7 @@ case class WAvgAcc(sum: BigDecimal, wsum: BigDecimal,
  * cells as 0.0 — a phantom (0·w, w) contribution that silently drags
  * the average. Nullable fields let reduce skip rows with a NULL value
  * or weight, as SQL's multi-argument aggregates (corr, covar) do. */
-object WeightedAvg extends Aggregator[(java.lang.Double, java.lang.Double), WAvgAcc, Double] {
+object WeightedAvg extends Aggregator[(java.lang.Double, java.lang.Double), WAvgAcc, java.lang.Double] {
   private val Zero = BigDecimal(0).setScale(4)
   def zero: WAvgAcc = WAvgAcc(Zero, Zero, 0.0, 0.0, bad = false)
   def reduce(b: WAvgAcc, a: (java.lang.Double, java.lang.Double)): WAvgAcc = {
@@ -38,10 +38,16 @@ object WeightedAvg extends Aggregator[(java.lang.Double, java.lang.Double), WAvg
   def merge(a: WAvgAcc, b: WAvgAcc): WAvgAcc =
     WAvgAcc(a.sum + b.sum, a.wsum + b.wsum,
       a.dsum + b.dsum, a.dwsum + b.dwsum, a.bad || b.bad)
-  def finish(r: WAvgAcc): Double =
+  /** Zero accepted weight on the exact path — no usable rows, or
+    * weights summing to exactly zero — is an undefined statistic:
+    * SQL's sum(v·w)/sum(w) reads NULL there (NULL/NULL or the house
+    * NULLIF-on-denominator convention), never NaN. The non-finite
+    * (`bad`) path keeps IEEE semantics: the group already contains a
+    * NaN/Inf and the double division reports exactly that. */
+  def finish(r: WAvgAcc): java.lang.Double =
     if (r.bad) r.dsum / r.dwsum
-    else if (r.wsum.signum == 0) Double.NaN
+    else if (r.wsum.signum == 0) null
     else (r.sum.toDouble / r.wsum.toDouble)
   def bufferEncoder: Encoder[WAvgAcc] = Encoders.product[WAvgAcc]
-  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }

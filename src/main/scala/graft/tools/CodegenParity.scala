@@ -88,7 +88,7 @@ object CodegenParity {
       name -> compareOne(spark, sfDir, name, fn)
     }
     val failed = results.count(_._2 != "ok")
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String) = SweepJson.esc(s)
     val entries = results
       .map { case (n, st) => s""""$n":"${esc(st)}"""" }.mkString("{", ",", "}")
     val json =

@@ -45,7 +45,7 @@ object FullExec {
       name -> err
     }
     val failed = results.count(_._2.isDefined)
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String) = SweepJson.esc(s)
     val entries = results.map { case (n, err) =>
       s""""$n":${err.fold("\"ok\"")(m => s""""error: ${esc(m)}"""")}"""
     }.mkString("{", ",", "}")

@@ -64,7 +64,7 @@ object NullExec {
       name -> status
     }
     val failed = results.count(_._2.startsWith("error"))
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String) = SweepJson.esc(s)
     val entries = results
       .map { case (n, st) => s""""$n":"${esc(st)}"""" }.mkString("{", ",", "}")
     val json =

@@ -78,7 +78,7 @@ object PartInvariance {
     val failed = results.count { case (n, st) =>
       st != "exact" && st != "tol" && !whitelist.contains(n)
     }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String) = SweepJson.esc(s)
     val entries = results
       .map { case (n, st) => s""""$n":"${esc(st)}"""" }.mkString("{", ",", "}")
     val json =
@@ -135,11 +135,16 @@ object PartInvariance {
   }
 
   /** Sort key with doubles rounded to 6 significant digits so IEEE
-    * noise doesn't break the pairing. */
+    * noise doesn't break the pairing. -0.0 keys as 0.0: the two are
+    * tolEq-equal but format differently ("-0.000000e+00"), and a
+    * reassociation that flips the zero's sign between layouts must
+    * not mispair the rows. */
   def roundedKey(v: Any): String = v match {
     case null => "∅"
     case d: Double =>
-      if (d.isNaN || d.isInfinite) d.toString else f"$d%.6e"
+      if (d.isNaN || d.isInfinite) d.toString
+      else if (d == 0.0) "0.000000e+00"
+      else f"$d%.6e"
     case s: Vector[_] => s.map(roundedKey).mkString("[", ",", "]")
     case p: (_, _) => roundedKey(p._1) + ":" + roundedKey(p._2)
     case x => x.toString

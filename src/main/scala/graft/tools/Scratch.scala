@@ -59,25 +59,6 @@ object Scratch {
       time("e_full_variant")(g2.count())
       spark.stop(); return
     }
-    if (sys.env.get("SCRATCH_Q").contains("_fuzzyprof")) {
-      // candidate-pair length histogram of join_fuzzy's blocking on sfDir
-      val names = Tables.load(spark, sfDir, "customer")
-        .filter(col("c_custkey") <= 300)
-        .select(col("c_custkey").as("ck"), col("c_name").as("nm"))
-      val P = 24
-      val pfx = col("nm").substr(lit(1), lit(P))
-      val variants = names.select(col("ck"), col("nm"), explode(
-        array_union(array(pfx),
-          transform(sequence(lit(1), length(pfx)), i =>
-            concat(pfx.substr(lit(1), i - 1),
-              pfx.substr(i + 1, length(pfx)))))).as("v"))
-      val cand = variants.as("a").join(variants.as("b"),
-          col("a.v") === col("b.v") && col("a.nm") < col("b.nm"))
-        .select(length(col("a.nm")).as("la"), length(col("b.nm")).as("lb"))
-      cand.groupBy("la", "lb").count().orderBy(desc("count"))
-        .collect().take(15).foreach(r => println(s"[fuzzyprof] $r"))
-      spark.stop(); return
-    }
     val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
     // SCRATCH_RUN=1: execute THIS queryExecution (toRdd, not count —
     // count builds a new one) so AQE finalizes and stage reuse shows

@@ -191,6 +191,42 @@ class RobustnessSpec extends SparkSpec {
     assert(mgRow.getLong(1) == 3L)
   }
 
+  test("every custom UDAF reads NULL on an all-NULL group like a SQL aggregate") {
+    // The complement of the null-SKIP contract: a group where every
+    // input cell is NULL has no statistic at all. SQL max/min/sum/avg/
+    // percentile read NULL there — never the accumulator's identity
+    // (±Infinity extrema, a 0.0 sum, a NaN mean, NaN quantiles).
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("a", null, null), ("a", null, null),
+      ("b", 5.0, 1.0)
+    ).toDF("g", "v", "w")
+    val mmF = udaf(graft.agg.MaxMin)
+    val ksF = udaf(graft.agg.KahanSum)
+    val kmF = udaf(graft.agg.KahanMean)
+    val wavgF = udaf(graft.agg.WeightedAvg)
+    val qhF = udaf(new graft.agg.QuantileHist(8, Seq(0.5)),
+      org.apache.spark.sql.Encoders.DOUBLE)
+    val row = df.groupBy("g").agg(
+      mmF(col("v")).as("mm"),
+      ksF(col("v")).as("ks"),
+      kmF(col("v")).as("km"),
+      wavgF(col("v"), col("w")).as("wavg"),
+      qhF(col("v")).as("med"))
+      .filter(col("g") === "a").collect().head
+    val mm = row.getAs[org.apache.spark.sql.Row]("mm")
+    assert(mm.isNullAt(mm.fieldIndex("mx")) && mm.isNullAt(mm.fieldIndex("mn")))
+    assert(mm.getLong(mm.fieldIndex("n")) == 0L)
+    assert(row.isNullAt(row.fieldIndex("ks")))
+    assert(row.isNullAt(row.fieldIndex("km")))
+    assert(row.isNullAt(row.fieldIndex("wavg")))
+    assert(row.isNullAt(row.fieldIndex("med")))
+    // and the non-degenerate group is untouched
+    val b = df.groupBy("g").agg(mmF(col("v")).as("mm"))
+      .filter(col("g") === "b").select("mm.mx").collect().head
+    assert(b.getDouble(0) == 5.0)
+  }
+
   test("KeyedEvent.ingest drops exactly the rows with a null required field") {
     import spark.implicits._
     val df = Seq(

@@ -1,10 +1,19 @@
 #!/bin/bash
 # Regenerate every locally-producible gate artifact at HEAD, in order.
 # Usage: bash tools/refresh_gates.sh   (from the repo root; ~90 min)
+# Exits nonzero (and says which gates failed) if ANY gate fails —
+# a gate's sbt runMain exits 1 when its artifact records failures.
 set -o pipefail
 cd "$(dirname "$0")/.."
+FAILED=()
 log() { echo "[refresh $(date +%H:%M:%S)] $*"; }
-run() { log "start: $1"; sbt -batch "runMain $2" 2>&1 | grep -E "$3"; log "done: $1"; }
+run() {
+  log "start: $1"
+  if ! sbt -batch "runMain $2" 2>&1 | grep -E "$3"; then
+    FAILED+=("$1"); log "FAILED: $1"
+  fi
+  log "done: $1"
+}
 run EdgeExec      "graft.tools.EdgeExec"                                               "\[edgeexec\]"
 run EdgeExec1     "graft.tools.EdgeExec /root/testdata/sf0.001 EDGE_EXEC_1ROW.json 1"  "\[edgeexec\]"
 run NullExec      "graft.tools.NullExec"                                               "\[nullexec\]"
@@ -16,6 +25,12 @@ run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARIT
 run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r10.json"        "\[fullexec\]"
 run ScalingProbe  "graft.tools.ScalingProbe"                                           "\[scaling|scaling.json"
 log "start: Bench sf0.1"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | head -1
-log "ALL GATES REFRESHED"
+if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | head -1; then
+  FAILED+=("Bench"); log "FAILED: Bench"
+fi
+if [ ${#FAILED[@]} -gt 0 ]; then
+  log "GATES FAILED: ${FAILED[*]}"
+  exit 1
+fi
+log "ALL GATES REFRESHED (all green)"
