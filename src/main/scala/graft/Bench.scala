@@ -38,6 +38,57 @@ object Bench {
     try spark.range(1000000).selectExpr("sum(id)").collect()
     catch { case _: Throwable => () }
 
+  /** Host-calibration micro-suite: three DATA-INDEPENDENT probes over
+    * `spark.range` (no testdata IO) that measure what this host+JVM
+    * deliver right now — raw codegen CPU, one canonical 32-partition
+    * shuffle, one codegen window. Each probe is warmed once and timed
+    * 3×, median kept, so the block costs ~2 s total. The suite runs it
+    * BEFORE and AFTER the catalog: cross-round bench deltas can then be
+    * read in calibrated terms (r9→r10's +17% was adjudicated as host
+    * drift from a controlled experiment that lived only in prose —
+    * this block makes that attribution a committed, re-derivable
+    * artifact), and start-vs-end disagreement exposes drift WITHIN a
+    * run. Guarded like the warm-up: a probe failure reports -1 and
+    * never kills the bench. */
+  private[graft] def calibrate(spark: org.apache.spark.sql.SparkSession): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.sum
+    def probe(body: => Unit): Double =
+      try {
+        body // warm: codegen + JIT off the clock, like the catalog queries
+        val ts = Seq.fill(3) {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        ts.sorted.apply(1)
+      } catch { case _: Throwable => -1.0 }
+    Seq(
+      "cal_cpu" -> probe {
+        // mask before summing: an unmasked 128M-row sum of raw hash
+        // longs overflows and ANSI mode (session default) throws
+        spark.range(128000000L)
+          .selectExpr("sum(xxhash64(id) & 1048575) AS s").collect()
+      },
+      "cal_shuffle" -> probe {
+        spark.range(8000000L)
+          .selectExpr("pmod(xxhash64(id), 4096) AS k", "id AS v")
+          .groupBy("k").agg(sum("v").as("sv"))
+          .selectExpr("sum(k * sv) AS s").collect()
+      },
+      "cal_window" -> probe {
+        spark.range(8000000L)
+          .selectExpr("pmod(id, 4096) AS k", "id AS v")
+          .selectExpr("k", "sum(v) OVER (PARTITION BY k ORDER BY v) AS rs")
+          .selectExpr("sum(rs) AS s").collect()
+      })
+  }
+
+  /** Reference calibration total: the `calibrate` block's sum measured
+    * on THIS container in round 11 (the round the block was
+    * introduced), committed so later rounds can normalize:
+    * `value_cal = value * (CalRef / cal_total_now)`. A later bench
+    * whose raw total moved but whose calibrated total held steady
+    * changed with the host, not the code. */
+  private[graft] val CalRef = 1.45
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // `--only q1,q2` (or bare names) restricts the run — lets a single
@@ -84,6 +135,7 @@ object Bench {
     // compiled plan no matter how the cache is sized.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     val doWarm = new java.io.File(warmDir).isDirectory
+    val calStart = calibrate(spark)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (doWarm)
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -101,27 +153,46 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -1.0)
     }
+    val calEnd = calibrate(spark)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sf = sfOf(sfDir).map(_.toString).getOrElse("0.1")
     def fmt(v: Double) = fmt3(v)
+    // Calibration block: start + end probe timings, their sums, and
+    // the drift-normalized headline. scale > 1 means the host ran
+    // SLOWER than the committed round-11 reference; value_cal divides
+    // that out so cross-round deltas isolate code changes.
+    val calOkS = calStart.collect { case (_, v) if v >= 0 => v }
+    val calSum = if (calOkS.nonEmpty) calOkS.sum else -1.0
+    val calOkE = calEnd.collect { case (_, v) if v >= 0 => v }
+    val calSumEnd = if (calOkE.nonEmpty) calOkE.sum else -1.0
+    val scaleVsRef = if (calSum > 0) calSum / CalRef else -1.0
+    val valueCal = if (scaleVsRef > 0) total / scaleVsRef else -1.0
+    val calJson = {
+      val s = calStart.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+      val e = calEnd.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+      s"""{"start":{$s},"end":{$e},"cal_total":${fmt(calSum)},"cal_total_end":${fmt(calSumEnd)},"cal_ref":${fmt(CalRef)},"host_scale":${fmt(scaleVsRef)},"value_cal":${fmt(valueCal)}}"""
+    }
     val allEntries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     // full map → file (sorted by name)
     val prov = graft.core.Provenance.jsonFields
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${allEntries.mkString("{", ",", "}")},"sf":$sf,$prov}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":$calJson,"queries":${allEntries.mkString("{", ",", "}")},"sf":$sf,$prov}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // compact line → stdout, slowest-first entries until the budget
-    val budget = 1500
+    // (trimmed from 1500 when the ~300-byte calibration block joined
+    // the line: the driver parses a ~2 KB stdout tail, and the full
+    // map is in bench_full.json anyway)
+    val budget = 1200
     val bySlow = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val kept = new scala.collection.mutable.ListBuffer[String]
     var used = 0
     for (e <- bySlow if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"sf":$sf,$prov}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":$calJson,"queries":${kept.mkString("{", ",", "}")},"sf":$sf,$prov}"""
     println(line)
     spark.stop()
   }

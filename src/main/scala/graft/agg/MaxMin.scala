@@ -20,12 +20,22 @@ case class MaxMinOut(mx: Option[Double], mn: Option[Double], n: Long)
  * 0.0 (a phantom extremum); nullable input lets reduce skip them like
  * SQL max/min do. */
 object MaxMin extends Aggregator[java.lang.Double, MaxMinAcc, MaxMinOut] {
-  def zero: MaxMinAcc = MaxMinAcc(Double.NegativeInfinity, Double.PositiveInfinity, 0L)
+  /* Extrema use Spark SQL's total ordering (NaN greatest, above +Inf)
+   * via java.lang.Double.compare — math.min(x, NaN) reads NaN and
+   * would permanently poison the minimum, whereas SQL min over
+   * {1.0, NaN} is 1.0. Sentinels under that ordering: smallest value
+   * (-Inf) for max, LARGEST value (NaN) for min — so a NaN-only group
+   * reads min = NaN exactly like Spark's built-in min. */
+  private def gt(x: Double, y: Double): Double =
+    if (java.lang.Double.compare(x, y) >= 0) x else y
+  private def lt(x: Double, y: Double): Double =
+    if (java.lang.Double.compare(x, y) <= 0) x else y
+  def zero: MaxMinAcc = MaxMinAcc(Double.NegativeInfinity, Double.NaN, 0L)
   def reduce(b: MaxMinAcc, a: java.lang.Double): MaxMinAcc =
     if (a == null) b // SQL aggregates skip NULL inputs
-    else MaxMinAcc(math.max(b.mx, a), math.min(b.mn, a), b.n + 1)
+    else MaxMinAcc(gt(b.mx, a), lt(b.mn, a), b.n + 1)
   def merge(a: MaxMinAcc, b: MaxMinAcc): MaxMinAcc =
-    MaxMinAcc(math.max(a.mx, b.mx), math.min(a.mn, b.mn), a.n + b.n)
+    MaxMinAcc(gt(a.mx, b.mx), lt(a.mn, b.mn), a.n + b.n)
   def finish(r: MaxMinAcc): MaxMinOut =
     if (r.n == 0) MaxMinOut(None, None, 0L)
     else MaxMinOut(Some(r.mx), Some(r.mn), r.n)

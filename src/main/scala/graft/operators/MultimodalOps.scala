@@ -37,8 +37,45 @@ object MultimodalOps {
       javax.imageio.ImageIO.setUseCache(false)
       this
     }
+    /** Decompression-bomb cap: a tiny file can declare e.g. 60000×60000
+      * pixels and allocate gigabytes on full decode. 64 MP (~256 MB of
+      * INT_ARGB) is far above any legitimate crawl image and far below
+      * executor heap. Dimensions are peeked from the stream HEADER via
+      * ImageReader before any pixel allocation. */
+    private val MaxPixels = 64L * 1024 * 1024
+
+    /** Header-only dimension read; None when no reader claims the
+      * payload (non-image bytes → fallback path). */
+    private def peekDims(in: javax.imageio.stream.ImageInputStream): Option[(Int, Int)] = {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } finally reader.dispose()
+      }
+    }
+
     def decode(payload: Array[Byte]): Option[(Int, Int, Double)] =
       try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val dims = try peekDims(iis) finally iis.close()
+        dims match {
+          case None => None
+          case Some((pw, ph)) if pw.toLong * ph > MaxPixels || pw <= 0 || ph <= 0 =>
+            None // bomb or corrupt header: quarantine via the fallback path
+          case Some(_) => decodePixels(payload)
+        }
+      } catch {
+        // OOM / interrupts / fatal JVM errors must propagate — only
+        // data-shaped failures (corrupt bytes, codec bugs) fall back
+        case scala.util.control.NonFatal(_) => None
+      }
+
+    private def decodePixels(payload: Array[Byte]): Option[(Int, Int, Double)] = {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
         if (img == null) None
@@ -59,7 +96,7 @@ object MultimodalOps {
           }
           Some((w, h, sum / (w.toDouble * h) / 255.0))
         }
-      } catch { case _: Throwable => None }
+    }
   }
 
   /** STUB for the codecs the container lacks (video/audio): folds the

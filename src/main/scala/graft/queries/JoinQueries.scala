@@ -79,9 +79,14 @@ object JoinQueries extends GroupBase {
         .select("c_custkey", "c_name").orderBy("c_custkey")),
 
     // anti join via NOT EXISTS semantics (QueryTest.scala:216-247)
+    // big-spender complement: customers with no order above 300k.
+    // (Every sf0.01 customer has SOME order, so the bare no-orders
+    // variant was vacuously green on 0 rows — this predicate keeps
+    // genuine anti-join survivors at every SF.)
     "join_anti" -> ((s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")),
 
     // physical join-strategy hints (DataSetFunc.scala:334-384):
@@ -337,7 +342,8 @@ object JoinQueries extends GroupBase {
          ORDER BY c_custkey""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
          ORDER BY c_custkey""",
     "join_hints" ->
       s"""SELECT p_brand, count(*) AS cnt, ${ExactSql.dsum("l_quantity")} AS sum_qty

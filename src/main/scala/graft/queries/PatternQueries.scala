@@ -59,14 +59,17 @@ object PatternQueries extends GroupBase {
                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
            GROUP BY a.user_id ORDER BY a.user_id""")),
 
-    // N fails within T (login-fail, times(3) within 30m): error events
-    // whose trailing-30m error count reaches 3
+    // N fails within T (login-fail, times(3)): error events whose
+    // trailing-6h error count reaches 3. The original 30m horizon
+    // never fired at sf0.01 (max trailing count 2) — a detector whose
+    // green row never detected anything is a blind spot, so the
+    // window is widened until genuine matches exist at test scale.
     "pat_nfails" -> ((s, d) =>
       sql(s, d,
         """SELECT user_id, event_id, n_err FROM (
              SELECT user_id, event_id,
                     count(*) OVER (PARTITION BY user_id ORDER BY ts
-                                   RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                                   RANGE BETWEEN INTERVAL 6 HOURS PRECEDING
                                    AND CURRENT ROW) AS n_err
              FROM events WHERE event_type = 'error') x
            WHERE n_err >= 3 ORDER BY user_id, event_id""")),
@@ -84,8 +87,12 @@ object PatternQueries extends GroupBase {
                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
            ORDER BY a.user_id, a.event_id""")),
 
-    // small-then-large within 1 minute (FraudDetector.scala:17-60):
-    // consecutive-event variant via lag()
+    // small-probe-then-large purchase (FraudDetector.scala:17-60):
+    // consecutive-event variant via lag(). Thresholds calibrated to
+    // the generator's value distribution (p90 ≈ 107, max ≈ 371) so
+    // real matches exist at sf0.01 — the original 10/400-within-1m
+    // combination was unsatisfiable in this data and the detector
+    // passed vacuously on 0 rows.
     "pat_fraud" -> ((s, d) =>
       sql(s, d,
         """SELECT user_id, event_id, prev_v, value FROM (
@@ -93,8 +100,8 @@ object PatternQueries extends GroupBase {
                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              FROM events WHERE event_type = 'purchase') x
-           WHERE prev_v < 10.0 AND value > 400.0
-             AND ts <= prev_ts + INTERVAL 1 MINUTE
+           WHERE prev_v < 150.0 AND value > 250.0
+             AND ts <= prev_ts + INTERVAL 1 DAY
            ORDER BY user_id, event_id""")),
 
     // MATCH_RECOGNIZE via the text frontend (MrParser → SeqPattern
@@ -353,7 +360,7 @@ object PatternQueries extends GroupBase {
       """SELECT user_id, event_id, n_err FROM (
            SELECT user_id, event_id,
                   count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
-                                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                                 RANGE BETWEEN INTERVAL 6 HOURS PRECEDING
                                  AND CURRENT ROW) AS n_err
            FROM events WHERE event_type = 'error') x
          WHERE n_err >= 3 ORDER BY user_id, event_id""",
@@ -375,8 +382,8 @@ object PatternQueries extends GroupBase {
                   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
                                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
            FROM events WHERE event_type = 'purchase') x
-         WHERE prev_v < 10.0 AND value > 400.0
-           AND ts <= prev_ts + INTERVAL 1 MINUTE
+         WHERE prev_v < 150.0 AND value > 250.0
+           AND ts <= prev_ts + INTERVAL 1 DAY
          ORDER BY user_id, event_id""",
     "pat_mr_nav" ->
       """WITH f AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

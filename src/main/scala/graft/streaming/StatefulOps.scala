@@ -21,10 +21,19 @@ object KeyedEvent {
     * three-valued logic), so excluding malformed rows here keeps one
     * consistent contract: nulls never match, never break, never crash —
     * the same skip-null semantics SQL gives equi-joins and aggregates.
+    *
+    * NULL only: a NaN measure is a present value and must keep flowing
+    * (it still occupies its slot in the sequence, so strict contiguity
+    * sees it) — `na.drop` would silently drop NaN doubles too, which
+    * under strict contiguity could fabricate matches the reference
+    * engine rejects. Hence explicit IS NOT NULL conjuncts, not na.drop.
     */
-  def ingest(df: org.apache.spark.sql.DataFrame): Dataset[KeyedEvent] =
-    df.na.drop(Seq("key", "ts", "kind", "value"))
+  def ingest(df: org.apache.spark.sql.DataFrame): Dataset[KeyedEvent] = {
+    import org.apache.spark.sql.functions.col
+    df.filter(col("key").isNotNull && col("ts").isNotNull &&
+        col("kind").isNotNull && col("value").isNotNull)
       .as[KeyedEvent](Encoders.product[KeyedEvent])
+  }
 }
 
 case class CountWindowOut(key: Long, windowSeq: Long, cnt: Long, sum: Double)

@@ -25,10 +25,18 @@ run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARIT
 run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r10.json"        "\[fullexec\]"
 run ScalingProbe  "graft.tools.ScalingProbe"                                           "\[scaling|scaling.json"
 log "start: Bench sf0.1"
-if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | head -1; then
+# Capture to a temp file and test sbt's exit status and the metric line
+# separately — `| grep | head -1` under pipefail can record a SPURIOUS
+# failure when head's early exit SIGPIPEs grep (exit 141).
+BENCH_OUT=$(mktemp)
+if SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" >"$BENCH_OUT" 2>/dev/null \
+  && grep -m1 '"metric"' "$BENCH_OUT"; then
+  :
+else
   FAILED+=("Bench"); log "FAILED: Bench"
 fi
+rm -f "$BENCH_OUT"
 if [ ${#FAILED[@]} -gt 0 ]; then
   log "GATES FAILED: ${FAILED[*]}"
   exit 1
