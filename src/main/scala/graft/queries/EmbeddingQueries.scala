@@ -17,6 +17,19 @@ import graft.core.Exact
   * so rank ordering matches exactly and no score rounding is needed.
   * Hyperplane weights are small integers from a fixed formula
   * ((i*31 + j*17) % 13) - 6 — exactly representable, no RNG.
+  *
+  * Stand-in selections are bounded by construction: every
+  * `filter(vec_id < K)` that stands in for an offline artifact (K
+  * centroids, K codebooks, K query probes) carries `.limit(K)`. On
+  * clean data the filter already yields exactly K rows and the limit
+  * is a no-op; on dirty ids (duplicate vec_ids — a re-crawled corpus,
+  * a hot placeholder id) the filter alone can match a large corpus
+  * fraction, and since these frames feed crossJoin(broadcast(...)),
+  * an unbounded selection turns the one-pass scoring scan into a
+  * near-quadratic blowup (observed: 98 s emb_ivfpq at sf0.001 in the
+  * round-11 hot-key skew sweep vs ~1 s with the limits in place).
+  * A K-row limit keeps the product O(N·K) no matter what the id
+  * column holds.
   */
 object EmbeddingQueries extends GroupBase {
 
@@ -63,7 +76,7 @@ object EmbeddingQueries extends GroupBase {
     // kernel is the whole scoring cost.
     "emb_mips" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
+      val q = e.filter(col("vec_id") < 5).limit(5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid"))
       e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -95,7 +108,7 @@ object EmbeddingQueries extends GroupBase {
     // what matters at scale). Centroid side broadcasts.
     "emb_ivf_assign" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8)
+      val cents = e.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       // argmax as a max_by aggregate, not a row_number window: map-side
       // partials collapse the k candidate rows per vector BEFORE the
@@ -165,7 +178,7 @@ object EmbeddingQueries extends GroupBase {
           if (dim == 64) e.select(col("vec_id"), col("embedding").as("v"))
           else e.select(col("vec_id"),
             slice(col("embedding"), 1, dim).as("v"))
-        val q = proj.filter(col("vec_id") < 5)
+        val q = proj.filter(col("vec_id") < 5).limit(5)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
         proj.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -260,7 +273,7 @@ object EmbeddingQueries extends GroupBase {
             struct(col("d2"), col("cid"))).as("r"))
           .select(col("vec_id"), col("r.embedding").as("embedding"),
             col("r.cid").as("cell"), col("r.d2").as("d2"))
-      val c0 = e.filter(col("vec_id") < 4)
+      val c0 = e.filter(col("vec_id") < 4).limit(4)
         .select(col("vec_id").as("cid"),
           transform(col("embedding"), x => x.cast("double")).as("cv"))
       val c1 = assign(c0)
@@ -293,7 +306,7 @@ object EmbeddingQueries extends GroupBase {
       val e = t(s, d, "embeddings").select(
         Seq(col("vec_id")) ++ (0 until M).map(m =>
           slice(col("embedding"), m * SUB + 1, SUB).as(s"e$m")): _*)
-      val cents = e.filter(col("vec_id") < KC).select(
+      val cents = e.filter(col("vec_id") < KC).limit(KC).select(
         Seq(col("vec_id").as("cid")) ++ (0 until M).map(m =>
           col(s"e$m").as(s"cv$m")): _*)
       // PQ codes: per-subspace argmin codeword (struct-min tiebreaks
@@ -309,7 +322,7 @@ object EmbeddingQueries extends GroupBase {
           col(s"m$m.c").as(s"c$m")): _*)
       // query-side LUT: exact distance from each query subvector to
       // each codeword (3 queries × M×KC entries, broadcast)
-      val lut = e.filter(col("vec_id") < 3).crossJoin(broadcast(cents))
+      val lut = e.filter(col("vec_id") < 3).limit(3).crossJoin(broadcast(cents))
         .select(col("vec_id").as("qid"), col("cid"),
           explode(array((0 until M).map(m =>
             struct(lit(m).as("m"), d2(col(s"e$m"), col(s"cv$m")).as("dist"))): _*))
@@ -351,7 +364,7 @@ object EmbeddingQueries extends GroupBase {
       val M = 4; val SUB = 16; val KC = 4; val P = 2
       def d2(a: Column, b: Column) = VectorFunctions.vd2(a, b)
       val e = t(s, d, "embeddings")
-      val coarse = e.filter(col("vec_id") < 8)
+      val coarse = e.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val scored = e.crossJoin(broadcast(coarse))
         .select(col("vec_id"), col("embedding"),
@@ -361,7 +374,7 @@ object EmbeddingQueries extends GroupBase {
           struct(col("ccos"), Exact.negId(col("cid")))).as("r"))
         .select(col("vec_id"), col("r.embedding").as("embedding"),
           col("r.cid").as("cell"))
-      val books = e.filter(col("vec_id") < KC).select(
+      val books = e.filter(col("vec_id") < KC).limit(KC).select(
         Seq(col("vec_id").as("cid")) ++ (0 until M).map(m =>
           slice(col("embedding"), m * SUB + 1, SUB).as(s"cv$m")): _*)
       val codes = assign.crossJoin(broadcast(books))
@@ -379,7 +392,7 @@ object EmbeddingQueries extends GroupBase {
         .withColumn("pr", row_number().over(qcw))
         .filter(col("pr") <= P)
         .select(col("qid"), col("cid").as("cell"))
-      val lut = e.filter(col("vec_id") < 3).crossJoin(broadcast(books))
+      val lut = e.filter(col("vec_id") < 3).limit(3).crossJoin(broadcast(books))
         .select(col("vec_id").as("qid"),
           explode(array((0 until M).map(m =>
             struct(lit(m).as("m"), col("cid"),
@@ -465,7 +478,7 @@ object EmbeddingQueries extends GroupBase {
     "emb_rq" -> ((s, d) => {
       def d2(a: Column, b: Column) = VectorFunctions.vd2(a, b)
       val e = t(s, d, "embeddings")
-      val c1 = e.filter(col("vec_id") < 4)
+      val c1 = e.filter(col("vec_id") < 4).limit(4)
         .select(col("vec_id").as("c1id"), col("embedding").as("cv"))
       val a1 = e.crossJoin(broadcast(c1))
         .withColumn("err1", d2(col("embedding"), col("cv")))
@@ -477,7 +490,7 @@ object EmbeddingQueries extends GroupBase {
           col("r.c1id").as("c1id"), col("r.err1").as("err1"),
           zip_with(col("r.embedding"), col("r.cv"),
             (x, y) => x.cast("double") - y.cast("double")).as("res"))
-      val c2 = a1.filter(col("vec_id") >= 4 && col("vec_id") < 8)
+      val c2 = a1.filter(col("vec_id") >= 4 && col("vec_id") < 8).limit(4)
         .select(col("vec_id").as("c2id"), col("res").as("rv"))
       a1.crossJoin(broadcast(c2))
         .withColumn("err2", d2(col("res"), col("rv")))
@@ -536,7 +549,7 @@ object EmbeddingQueries extends GroupBase {
     // driver. NMI rounds to 6 (ln); purity is an exact rational.
     "emb_purity" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8)
+      val cents = e.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"),
@@ -612,7 +625,7 @@ object EmbeddingQueries extends GroupBase {
     // plan-identical → ReuseExchange computes the assignment once.
     "emb_semdedup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8)
+      val cents = e.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       // same max_by hash-agg shape as emb_ivf_assign (no window sort)
       val assign = e.crossJoin(broadcast(cents))
@@ -682,7 +695,7 @@ object EmbeddingQueries extends GroupBase {
     // order needs no rounding.
     "emb_hardneg" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val probes = e.filter(col("vec_id") < 8)
+      val probes = e.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("embedding").as("qv"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
@@ -708,7 +721,7 @@ object EmbeddingQueries extends GroupBase {
     // margin need no rounding.
     "emb_triplets" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val anchors = e.filter(col("vec_id") < 8)
+      val anchors = e.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("embedding").as("qv"))
       val scored = e.join(broadcast(anchors), col("vec_id") =!= col("qid"))
@@ -791,7 +804,7 @@ object EmbeddingQueries extends GroupBase {
                       CAST(0 AS FLOAT),
                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
         ).as("code"))
-      val probes = codes.filter(col("vec_id") < 8)
+      val probes = codes.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("qid"), col("code").as("qcode"))
       val w = Window.partitionBy("qid").orderBy(col("hamming"), col("nid"))
       codes.join(broadcast(probes), col("vec_id") =!= col("qid"))
@@ -846,7 +859,7 @@ object EmbeddingQueries extends GroupBase {
     // (order-independent, bit-exact); CH rounds to 6.
     "emb_ch_index" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8)
+      val cents = e.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
@@ -1064,7 +1077,7 @@ object EmbeddingQueries extends GroupBase {
     * emb_knn and the emb_recall truth side). */
   private def bruteKnn(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(col("vec_id") < 10).limit(10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -1084,7 +1097,7 @@ object EmbeddingQueries extends GroupBase {
     * registered) and emb_recall (P=1 vs P=2 comparison). */
   private def ivfKnn(s: SparkSession, d: String, probes: Int = 1): DataFrame = {
     val e = t(s, d, "embeddings")
-    val cents = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < 8).limit(8)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),

@@ -37,15 +37,8 @@ object NullExec {
 
     val nullDir = java.nio.file.Files.createTempDirectory("graft-nulls").toString
     EdgeExec.tables.foreach { tbl =>
-      val df = spark.read.parquet(s"$schemaDir/$tbl.parquet")
-      val fp = xxhash64(df.columns.map(col) :+ lit(tbl): _*)
-      val masked = df.columns.zipWithIndex.foldLeft(df.withColumn("__fp", fp)) {
-        case (d, (c, i)) =>
-          d.withColumn(c,
-            when(pmod(xxhash64(col("__fp"), lit(i)), lit(denom)) === 0,
-              lit(null).cast(d.schema(c).dataType)).otherwise(col(c)))
-      }.drop("__fp")
-      masked.write.mode("overwrite").parquet(s"$nullDir/$tbl.parquet")
+      corrupt(spark.read.parquet(s"$schemaDir/$tbl.parquet"), tbl, denom)
+        .write.mode("overwrite").parquet(s"$nullDir/$tbl.parquet")
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -73,5 +66,19 @@ object NullExec {
     println(s"[nullexec] ${results.size - failed}/${results.size} ok on 1-in-$denom-null tables -> $outJson")
     spark.stop()
     if (failed > 0) sys.exit(1)
+  }
+
+  /** NULL into 1-in-`denom` cells of EVERY column (deterministic
+    * xxhash64 row-fingerprint mask, salted per column ordinal).
+    * Shared with ComboExec, which stacks this on top of the other
+    * corruption axes. */
+  def corrupt(df: org.apache.spark.sql.DataFrame, salt: String, denom: Int): org.apache.spark.sql.DataFrame = {
+    val fp = xxhash64(df.columns.map(col) :+ lit(salt): _*)
+    df.columns.zipWithIndex.foldLeft(df.withColumn("__fp", fp)) {
+      case (d, (c, i)) =>
+        d.withColumn(c,
+          when(pmod(xxhash64(col("__fp"), lit(i)), lit(denom)) === 0,
+            lit(null).cast(d.schema(c).dataType)).otherwise(col(c)))
+    }.drop("__fp")
   }
 }

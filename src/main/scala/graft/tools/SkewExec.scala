@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.SparkEntry
+import graft.core.Sessions
+
+/** Hot-key skew robustness sweep: every catalog query against clones
+  * of the real testdata where ~25% of the values in every KEY column
+  * (the `*key` TPC-H columns, `user_id`, `doc_id`, `vec_id`,
+  * `src`/`dst`) are collapsed onto ONE hot value per column.
+  *
+  * Why this matters at 100 TB: Zipfian keys are the default state of
+  * web data — one domain is 20% of the crawl, one user is half the
+  * event log, a null-ish placeholder id repeats billions of times.
+  * Collapsed keys ALSO make formerly-unique ids (doc_id, vec_id)
+  * duplicate, which is exactly what a re-crawled corpus looks like.
+  * The failure modes this sweep hunts: per-key state that assumed
+  * uniqueness (a window over a "primary key" now holding 25% of the
+  * table), joins whose hot-side row products explode, and ANSI
+  * arithmetic on key-derived values that assumed the generator's
+  * range. Acceptable outcomes: bigger groups, more join matches,
+  * deterministic dedup keeping one of the duplicates. Unacceptable:
+  * exceptions, or a query that was sublinear going quadratic (the
+  * artifact records per-query wall seconds so a blowup is visible).
+  *
+  * Deterministic mask (xxhash64 row fingerprint, salted per column).
+  *
+  *   sbt "runMain graft.tools.SkewExec [schemaSfDir] [outJson]"
+  *     (defaults /root/testdata/sf0.001, SKEW_EXEC.json)
+  */
+object SkewExec {
+  /** Key-column predicate: join/group identity columns only — never
+    * measures (skewing l_quantity would just change statistics). */
+  private[tools] def isKeyCol(name: String): Boolean =
+    name.endsWith("key") || name == "user_id" || name == "doc_id" ||
+      name == "vec_id" || name == "src" || name == "dst"
+
+  /** Collapse ~25% of each key column onto its per-column hot value
+    * (the column minimum: always a legitimate, joinable id). */
+  def corrupt(df: DataFrame, salt: String): DataFrame = {
+    val keyCols = df.schema.fields.filter(f => isKeyCol(f.name) &&
+      (f.dataType == LongType || f.dataType == IntegerType))
+    if (keyCols.isEmpty) return df
+    // per-column minima in one scan, broadcast as literals
+    val mins = df.agg(
+      min(col(keyCols.head.name)),
+      keyCols.tail.map(f => min(col(f.name))): _*).head()
+    val fp = xxhash64(df.columns.map(col) :+ lit(salt): _*)
+    val out = keyCols.zipWithIndex.foldLeft(df.withColumn("__fp", fp)) {
+      case (d, (f, i)) =>
+        val hot = mins.get(i)
+        if (hot == null) d
+        else d.withColumn(f.name,
+          when(pmod(xxhash64(col("__fp"), lit(f.name)), lit(4)) === 0,
+            lit(hot).cast(f.dataType)).otherwise(col(f.name)))
+    }
+    out.drop("__fp")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val schemaDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outJson = if (args.length > 1) args(1) else "SKEW_EXEC.json"
+    val spark = Sessions.build("graft-skewexec")
+    graft.Bench.warmJvm(spark)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    EdgeExec.tables.foreach { tbl =>
+      corrupt(spark.read.parquet(s"$schemaDir/$tbl.parquet"), tbl)
+        .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val status =
+        try {
+          val df = fn(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          val n = df.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          s"ok:$n:${graft.Bench.fmt3(sec)}s"
+        } catch { case e: Throwable =>
+          val m = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).replaceAll("\\s+", " ").take(160)
+          System.err.println(s"[skewexec] $name FAILED: $m")
+          s"error: $m"
+        }
+      name -> status
+    }
+    val failed = results.count(_._2.startsWith("error"))
+    def esc(s: String) = SweepJson.esc(s)
+    val entries = results
+      .map { case (n, st) => s""""$n":"${esc(st)}"""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"action":"hot-key-skew-robustness","schema_dir":"${esc(schemaDir)}","n_queries":${results.size},"n_failed":$failed,"queries":$entries,${graft.core.Provenance.jsonFields}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson), json.getBytes("UTF-8"))
+    println(s"[skewexec] ${results.size - failed}/${results.size} ok on hot-key-skew tables -> $outJson")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

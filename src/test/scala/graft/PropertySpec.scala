@@ -18,19 +18,40 @@ class PropertySpec extends AnyFunSuite {
   test("MaxMin merge is associative and commutative (partial-agg law)") {
     def acc(xs: Seq[Double]): MaxMinAcc =
       xs.foldLeft(MaxMin.zero)((b, a) => MaxMin.reduce(b, a))
+    // bitwise equality: the min sentinel is NaN (the SQL-largest
+    // double), and primitive NaN == NaN is false — the algebraic law
+    // is about VALUES, so compare bit patterns
+    def bitEq(a: MaxMinAcc, b: MaxMinAcc): Boolean =
+      java.lang.Double.doubleToLongBits(a.mx) == java.lang.Double.doubleToLongBits(b.mx) &&
+        java.lang.Double.doubleToLongBits(a.mn) == java.lang.Double.doubleToLongBits(b.mn) &&
+        a.n == b.n
     checkProp(forAll { (xs: List[Double], ys: List[Double]) =>
-      MaxMin.merge(acc(xs), acc(ys)) == MaxMin.merge(acc(ys), acc(xs))
+      bitEq(MaxMin.merge(acc(xs), acc(ys)), MaxMin.merge(acc(ys), acc(xs)))
     })
     checkProp(forAll { (xs: List[Double], ys: List[Double], zs: List[Double]) =>
-      MaxMin.merge(MaxMin.merge(acc(xs), acc(ys)), acc(zs)) ==
-        MaxMin.merge(acc(xs), MaxMin.merge(acc(ys), acc(zs)))
+      bitEq(MaxMin.merge(MaxMin.merge(acc(xs), acc(ys)), acc(zs)),
+        MaxMin.merge(acc(xs), MaxMin.merge(acc(ys), acc(zs))))
     })
     checkProp(forAll { (xs: List[Double]) =>
       xs.isEmpty || {
         val a = acc(xs)
-        a.mx == xs.max && a.mn == xs.min && a.n == xs.length
+        // 2.13's default Ordering[Double] is the same NaN-greatest
+        // total ordering; compare bitwise in case the generator ever
+        // emits NaN
+        java.lang.Double.doubleToLongBits(a.mx) ==
+          java.lang.Double.doubleToLongBits(xs.max) &&
+          java.lang.Double.doubleToLongBits(a.mn) ==
+            java.lang.Double.doubleToLongBits(xs.min) &&
+          a.n == xs.length
       }
     })
+    // NaN semantics pin (SQL total ordering, NaN greatest): a NaN
+    // input must not poison min, must win max, and a NaN-only group
+    // reads NaN for both — exactly Spark's built-in min/max
+    val mixed = MaxMin.reduce(MaxMin.reduce(MaxMin.zero, 1.5), Double.NaN)
+    assert(mixed.mn == 1.5 && mixed.mx.isNaN && mixed.n == 2)
+    val only = MaxMin.reduce(MaxMin.zero, Double.NaN)
+    assert(only.mn.isNaN && only.mx.isNaN && only.n == 1)
   }
 
   test("SeqPattern.expand preserves step count under quantifiers") {

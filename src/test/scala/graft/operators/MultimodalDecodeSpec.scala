@@ -74,6 +74,35 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(!f.decoded, "truncated png must route to the fallback, not throw")
   }
 
+  test("decompression-bomb header (60000x60000 declared) is rejected before pixel allocation") {
+    val s = spark
+    import s.implicits._
+    // Hand-built PNG prelude: signature + a VALID IHDR chunk declaring
+    // 60000×60000 (3.6 G pixels ≈ 14 GB decoded) and nothing else. The
+    // JDK reader happily reports those dimensions from the header; a
+    // guard that fully decodes before checking would OOM the executor.
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val ih = new java.io.DataOutputStream(ihdr)
+    ih.writeBytes("IHDR")
+    ih.writeInt(60000); ih.writeInt(60000) // width, height
+    ih.write(8); ih.write(6); ih.write(0); ih.write(0); ih.write(0)
+    out.writeInt(13) // IHDR data length
+    val body = ihdr.toByteArray
+    out.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    out.writeInt(crc.getValue.toInt)
+    val bomb = bos.toByteArray
+    val t0 = System.nanoTime()
+    val f = MultimodalOps.decodeFeatures(
+      Seq((1L, bomb)).toDF("doc_id", "payload")).collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(!f.decoded, "bomb header must route to the quarantine fallback")
+    assert(sec < 30.0, s"bomb rejection took ${sec}s - was it fully decoded?")
+  }
+
   test("mixed-payload partition keeps decode partition-parallel (no shuffle)") {
     val s = spark
     import s.implicits._

@@ -17,6 +17,26 @@ class StatefulOpsSpec extends SparkSpec {
     finally q.stop()
   }
 
+  test("ingest drops NULL rows but keeps NaN measures (contiguity-preserving)") {
+    // na.drop would silently drop NaN doubles too — under strict
+    // contiguity a vanished row can FABRICATE matches the engine
+    // should reject, so NaN must flow through like any other value
+    val s = spark
+    import s.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val df = Seq[(java.lang.Long, java.sql.Timestamp, String, java.lang.Double)](
+      (1L, ts, "a", 1.0),
+      (1L, ts, "a", Double.NaN), // present value: must survive
+      (1L, ts, null, 2.0),       // null kind: dropped
+      (null, ts, "a", 3.0),      // null key: dropped
+      (1L, null, "a", 4.0),      // null ts: dropped
+      (1L, ts, "a", null)        // null measure: dropped
+    ).toDF("key", "ts", "kind", "value")
+    val kept = KeyedEvent.ingest(df).collect()
+    assert(kept.length == 2, s"expected 1.0 + NaN rows, got ${kept.toList}")
+    assert(kept.count(_.value.isNaN) == 1)
+  }
+
   test("count tumbling window fires every n events per key") {
     val s = spark
     import s.implicits._

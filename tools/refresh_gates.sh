@@ -20,9 +20,11 @@ run NullExec      "graft.tools.NullExec"                                        
 run NanExec       "graft.tools.NanExec"                                                "\[nanexec\]"
 run TextExec      "graft.tools.TextExec"                                               "\[textexec\]"
 run NumExec       "graft.tools.NumExec"                                                "\[numexec\]"
+run ComboExec     "graft.tools.ComboExec"                                              "\[comboexec\]"
+run SkewExec      "graft.tools.SkewExec"                                               "\[skewexec\]"
 run PartInvariance "graft.tools.PartInvariance"                                        "\[partinv\]"
 run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARITY.json" "parity|\[codegen"
-run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r10.json"        "\[fullexec\]"
+run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r11.json"        "\[fullexec\]"
 run ScalingProbe  "graft.tools.ScalingProbe"                                           "\[scaling|scaling.json"
 log "start: Bench sf0.1"
 # Capture to a temp file and test sbt's exit status and the metric line
@@ -37,6 +39,11 @@ else
   FAILED+=("Bench"); log "FAILED: Bench"
 fi
 rm -f "$BENCH_OUT"
+# Staleness gate LAST: every artifact above was just regenerated, so
+# this passes iff the tree is clean w.r.t. src/main — i.e. the
+# artifacts genuinely attest HEAD. Red here means a source change
+# landed without a re-run (or the refresh ran on a dirty tree).
+run StaleCheck    "graft.tools.StaleCheck"                                             "\[stalecheck\].*fresh ->"
 if [ ${#FAILED[@]} -gt 0 ]; then
   log "GATES FAILED: ${FAILED[*]}"
   exit 1
