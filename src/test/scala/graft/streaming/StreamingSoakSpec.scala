@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import scala.jdk.CollectionConverters._
+
+/** Streaming soak (round-11 verdict #8): the CEP NFA and the
+  * allowedLateness re-fire machine under the RocksDB state store with
+  * kill/restart mid-stream — CheckpointSpec proves each operator
+  * recovers once under the default (HDFS-backed in-memory) provider;
+  * this suite composes RESTART × ROCKSDB × MULTI-CYCLE, the
+  * production configuration a long-lived 100 TB streaming job
+  * actually runs in (executor loss and redeploys are routine; state
+  * larger than heap forces RocksDB).
+  */
+class StreamingSoakSpec extends SparkSpec {
+
+  private def withRocksDB(f: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key, "")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally if (prev.nonEmpty) spark.conf.set(key, prev)
+    else spark.conf.unset(key)
+  }
+
+  test("NFA emits each match EXACTLY ONCE across two kill/restart cycles (RocksDB)") {
+    withRocksDB {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import SeqPattern._
+      val ckpt = Files.createTempDirectory("graft-soak-ckpt").toString
+      val steps = Seq(Step("a", Set("A")), Step("b", Set("B")),
+        Step("c", Set("C")))
+      val input = MemoryStream[KeyedEvent]
+      def stream = SeqPattern.detectOrdered(
+        input.toDS().withWatermark("ts", "5 seconds").as[KeyedEvent],
+        steps, withinMs = 600000L, strict = false)
+      val out = StreamingSoakSpec.matches
+      out.clear()
+      def start() = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[MatchOut], _: Long) =>
+          b.collect().foreach(m => out.add((m.key, m.values.toList)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+               es: KeyedEvent*): Unit =
+        es.foreach { e => input.addData(e); q.processAllAvailable() }
+
+      // cycle 1: key 7 completes and matures BEFORE the first kill;
+      // key 8 has only its A consumed (a live partial in RocksDB)
+      val q1 = start()
+      try feed(q1,
+        KeyedEvent(7L, ts(1000L), "A", 1.0),
+        KeyedEvent(8L, ts(2000L), "A", 10.0),
+        KeyedEvent(7L, ts(3000L), "B", 2.0),
+        KeyedEvent(7L, ts(4000L), "C", 3.0),
+        KeyedEvent(7L, ts(30000L), "N", 0.0),
+        KeyedEvent(8L, ts(30000L), "N", 0.0),
+        KeyedEvent(7L, ts(31000L), "N", 0.0))
+      finally q1.stop()
+      assert(out.toArray.toList == List((7L, List(1.0, 2.0, 3.0))),
+        s"pre-kill match wrong: ${out.toArray.toList}")
+
+      // cycle 2: key 8's B arrives, still no match — then kill again.
+      // Key 7's completed match must NOT re-emit on recovery.
+      val q2 = start()
+      try feed(q2,
+        KeyedEvent(8L, ts(32000L), "B", 20.0),
+        KeyedEvent(8L, ts(40000L), "N", 0.0))
+      finally q2.stop()
+      assert(out.toArray.toList == List((7L, List(1.0, 2.0, 3.0))),
+        s"restart re-emitted or fabricated a match: ${out.toArray.toList}")
+
+      // cycle 3: the C completing a partial that SPANS BOTH restarts
+      val q3 = start()
+      try feed(q3,
+        KeyedEvent(8L, ts(41000L), "C", 30.0),
+        KeyedEvent(8L, ts(90000L), "N", 0.0),
+        KeyedEvent(8L, ts(91000L), "N", 0.0))
+      finally q3.stop()
+      assert(out.toArray.toList ==
+        List((7L, List(1.0, 2.0, 3.0)), (8L, List(10.0, 20.0, 30.0))),
+        s"match spanning two restarts must emit exactly once: ${out.toArray.toList}")
+    }
+  }
+
+  test("allowedLateness re-fire machine recovers firings + watermark (RocksDB)") {
+    withRocksDB {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val B = 86400000L // epoch-adjacent windows distort the initial WM
+      val ckpt = Files.createTempDirectory("graft-soak-late-ckpt").toString
+      val input = MemoryStream[KeyedEvent]
+      def stream = LateWindow.tumbling(input.toDS(),
+        windowMs = 10000L, delayMs = 5000L, latenessMs = 10000L)
+      val out = StreamingSoakSpec.lateRows
+      out.clear()
+      def start() = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[LateWindowOut], _: Long) =>
+          b.collect().foreach(o =>
+            out.add((o.key, o.windowStart.getTime - B, o.cnt, o.sum,
+              o.firing, o.late)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+
+      // pre-kill: two accumulations + the on-time firing of [0,10s)
+      val q1 = start()
+      try {
+        input.addData(KeyedEvent(1L, ts(B + 1000L), "e", 10),
+          KeyedEvent(1L, ts(B + 2000L), "e", 20))
+        q1.processAllAvailable()
+        input.addData(KeyedEvent(1L, ts(B + 16000L), "e", 1))
+        q1.processAllAvailable()
+        assert(out.toArray.toList == List((1L, 0L, 2L, 30.0, 1, false)),
+          s"on-time firing before the kill: ${out.toArray.toList}")
+      } finally q1.stop()
+
+      // post-restart: an allowed-late element must RE-FIRE with the
+      // recovered aggregate (cnt=2, sum=30, firings=1) — and the
+      // recovered watermark must still admit it (sparkWM = 1s < 3s)
+      val q2 = start()
+      try {
+        input.addData(KeyedEvent(1L, ts(B + 3000L), "e", 5))
+        q2.processAllAvailable()
+        assert(out.toArray.toList == List(
+          (1L, 0L, 2L, 30.0, 1, false), (1L, 0L, 3L, 35.0, 2, true)),
+          s"late re-fire lost recovered state: ${out.toArray.toList}")
+        // advance past end + L: [0,10s) purges silently; [10,20s)
+        // hits its on-time point with the 16s event
+        input.addData(KeyedEvent(1L, ts(B + 26000L), "e", 2))
+        q2.processAllAvailable()
+        val got = out.asScala.toList
+        assert(got.count(_._2 == 0L) == 2, s"purge must not re-fire: $got")
+        assert(got.contains((1L, 10000L, 1L, 1.0, 1, false)),
+          s"window [10,20s) on-time firing after restart: $got")
+        // too-late row against the recovered+advanced watermark: dropped
+        input.addData(KeyedEvent(1L, ts(B + 4000L), "e", 99))
+        q2.processAllAvailable()
+        assert(out.asScala.toList == got,
+          s"too-late row revived a purged window: ${out.toArray.toList}")
+      } finally q2.stop()
+    }
+  }
+}
+
+object StreamingSoakSpec {
+  /** Driver-side collectors (local mode: executor == driver JVM). */
+  val matches =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, List[Double])]()
+  val lateRows =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double, Int, Boolean)]()
+}
