@@ -69,6 +69,19 @@ class RobustnessSpec extends SparkSpec {
     mustRun(dir, Seq("emb_knn", "emb_neardup", "emb_semdedup", "emb_kcenter"))
   }
 
+  test("duplicate-id corpus: ANN stand-in selections stay K-bounded (skew-sweep class)") {
+    // The SkewExec class (round 11): with duplicate vec_ids a bare
+    // filter(vec_id < K) — the stand-in for K offline-trained
+    // centroids/codebooks/queries — matches a large corpus FRACTION,
+    // and feeding that into crossJoin(broadcast(...)) went
+    // near-quadratic (emb_ivfpq 98 s at sf0.001). The selections now
+    // carry limit(K); every id below collapses to 0, the worst case.
+    val dir = cloneDir(200, Map("embeddings" -> ((df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("vec_id", lit(0L)))))
+    mustRun(dir, Seq("emb_pq", "emb_ivfpq", "emb_rq", "emb_kmeans",
+      "emb_knn", "emb_ivf_knn", "emb_matryoshka", "emb_mips"))
+  }
+
   test("null cells in every events column: the typed CEP boundary completes") {
     // The NullExec class: a NULL in key/ts/kind/value used to throw
     // NOT_NULL_ASSERT_VIOLATION from KeyedEvent's primitive-field
