@@ -798,9 +798,13 @@ object EmbeddingQueries extends GroupBase {
     // Integer codes and integer distances are bit-exact cross-engine
     // by construction: no rounding anywhere.
     "emb_binary" -> ((s, d) => {
+      // try_element_at: a SHORT vector (encoder shape drift — ShapeExec,
+      // round 11) reads NULL past its end, NULL > 0 is NULL, and IF
+      // routes to the no-bit branch — missing dimensions contribute no
+      // bit instead of throwing INVALID_ARRAY_INDEX_IN_ELEMENT_AT
       val codes = t(s, d, "embeddings").select(col("vec_id"), expr(
         """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
-             acc + IF(element_at(embedding, CAST(i + 1 AS INT)) >
+             acc + IF(try_element_at(embedding, CAST(i + 1 AS INT)) >
                       CAST(0 AS FLOAT),
                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
         ).as("code"))
@@ -960,9 +964,14 @@ object EmbeddingQueries extends GroupBase {
         // measured 1.1 -> 1.3 s WORSE (3 eager jobs vs the cheap
         // re-execution of 1-row assemblies); unlike emb_mmr, the
         // geometric lineage here is all K-row/1-row stages.
+        // coalesce(try_element_at): a PADDED vector (shape drift) emits
+        // gradient positions past the 64-entry weight row — those dims
+        // start from weight 0.0 (the same init as every other dim)
+        // instead of throwing on the out-of-bounds read
         w = assemble(g.crossJoin(broadcast(nr)).crossJoin(broadcast(w))
           .select(col("pos"),
-            Exact.q6(element_at(col("w"), col("pos") + 1) -
+            Exact.q6(coalesce(try_element_at(col("w"), col("pos") + 1),
+              lit(0.0)) -
               lit(Lr) * col("gs") / col("n").cast("double")).as("nw")), "nw")
         rows += lossRow(step, w)
       }

@@ -82,6 +82,26 @@ class RobustnessSpec extends SparkSpec {
       "emb_knn", "emb_ivf_knn", "emb_matryoshka", "emb_mips"))
   }
 
+  test("wrong-dimension embeddings: the element_at-past-end class completes (shape-drift sweep)") {
+    // The ShapeExec class (round 11): encoder version drift puts 32-d,
+    // 96-d, and empty vectors in the same column as the nominal 64-d
+    // ones. Fixed-dimension index arithmetic crashed twice under ANSI:
+    // emb_binary's sequence(0,63) bit fold read element 33 of a 32-d
+    // vector, and emb_probe's weight update read gradient position 95
+    // of a 64-entry weight row (both INVALID_ARRAY_INDEX_IN_ELEMENT_AT,
+    // now try_element_at).
+    val dir = cloneDir(60, Map("embeddings" -> ((df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("embedding",
+        when(col("vec_id") % 4 === 0, slice(col("embedding"), 1, 32))
+          .when(col("vec_id") % 4 === 1,
+            concat(col("embedding"), col("embedding")))
+          .when(col("vec_id") % 4 === 2,
+            array().cast("array<float>"))
+          .otherwise(col("embedding"))))))
+    mustRun(dir, Seq("emb_binary", "emb_probe", "emb_knn", "emb_pq",
+      "emb_ivfpq", "emb_pca", "emb_sq8"))
+  }
+
   test("null cells in every events column: the typed CEP boundary completes") {
     // The NullExec class: a NULL in key/ts/kind/value used to throw
     // NOT_NULL_ASSERT_VIOLATION from KeyedEvent's primitive-field

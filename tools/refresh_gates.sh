@@ -22,6 +22,7 @@ run TextExec      "graft.tools.TextExec"                                        
 run NumExec       "graft.tools.NumExec"                                                "\[numexec\]"
 run ComboExec     "graft.tools.ComboExec"                                              "\[comboexec\]"
 run SkewExec      "graft.tools.SkewExec"                                               "\[skewexec\]"
+run ShapeExec     "graft.tools.ShapeExec"                                              "\[shapeexec\]"
 run PartInvariance "graft.tools.PartInvariance"                                        "\[partinv\]"
 run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARITY.json" "parity|\[codegen"
 run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r11.json"        "\[fullexec\]"
