@@ -81,13 +81,39 @@ object Bench {
       })
   }
 
-  /** Reference calibration total: the `calibrate` block's sum measured
-    * on THIS container in round 11 (the round the block was
-    * introduced), committed so later rounds can normalize:
-    * `value_cal = value * (CalRef / cal_total_now)`. A later bench
-    * whose raw total moved but whose calibrated total held steady
-    * changed with the host, not the code. */
+  /** Reference calibration total (round 11, kept only so CalProbe and
+    * old notes can still show the legacy sum-based ratio). The r11
+    * driver run proved the SUM aggregate non-robust: one anomalous
+    * window probe (6.07 s vs 0.64 s calm, persistent start AND end)
+    * produced host_scale 4.711 and value_cal 21.6 s while per-query
+    * raws moved ~1.05× — the drift instrument over-corrected exactly
+    * when one probe misbehaved. host_scale is now the MEDIAN of
+    * per-probe ratios against `CalRefProbes`. */
   private[graft] val CalRef = 1.45
+
+  /** Per-probe references: the calm round-11 CalProbe steady state on
+    * this container (min of the committed calm run's start/end blocks
+    * — min discards the start block's residual JIT, ADVICE r11). */
+  private[graft] val CalRefProbes: Map[String, Double] = Map(
+    "cal_cpu" -> 0.092, "cal_shuffle" -> 0.268, "cal_window" -> 0.639)
+
+  /** Robust host scale: per-probe ratio min(start,end)/ref, median
+    * across probes. min-of-runs discards one-sided JIT/GC residue
+    * inside a run; the median discards a whole misbehaving probe
+    * (replaying the r11 driver numbers: ratios 0.74/1.17/9.02 →
+    * host_scale 1.17, vs the garbage 4.711 the sum produced). Returns
+    * -1 when no probe succeeded in both blocks. */
+  private[graft] def hostScale(start: Seq[(String, Double)],
+                               end: Seq[(String, Double)]): Double = {
+    val e = end.toMap
+    val ratios = start.collect {
+      case (k, s) if CalRefProbes.contains(k) =>
+        val best = Seq(s, e.getOrElse(k, -1.0)).filter(_ >= 0)
+        if (best.isEmpty) -1.0 else best.min / CalRefProbes(k)
+    }.filter(_ > 0).sorted
+    if (ratios.isEmpty) -1.0
+    else ratios(ratios.size / 2) // median (upper for even n)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,12 +191,19 @@ object Bench {
     val calSum = if (calOkS.nonEmpty) calOkS.sum else -1.0
     val calOkE = calEnd.collect { case (_, v) if v >= 0 => v }
     val calSumEnd = if (calOkE.nonEmpty) calOkE.sum else -1.0
-    val scaleVsRef = if (calSum > 0) calSum / CalRef else -1.0
+    val scaleVsRef = hostScale(calStart, calEnd)
     val valueCal = if (scaleVsRef > 0) total / scaleVsRef else -1.0
     val calJson = {
       val s = calStart.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       val e = calEnd.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
-      s"""{"start":{$s},"end":{$e},"cal_total":${fmt(calSum)},"cal_total_end":${fmt(calSumEnd)},"cal_ref":${fmt(CalRef)},"host_scale":${fmt(scaleVsRef)},"value_cal":${fmt(valueCal)}}"""
+      val em = calEnd.toMap
+      val ratios = calStart.collect {
+        case (k, sv) if CalRefProbes.contains(k) =>
+          val best = Seq(sv, em.getOrElse(k, -1.0)).filter(_ >= 0)
+          val r = if (best.isEmpty) -1.0 else best.min / CalRefProbes(k)
+          "\"" + k + "\":" + fmt(r)
+      }.mkString(",")
+      s"""{"start":{$s},"end":{$e},"cal_total":${fmt(calSum)},"cal_total_end":${fmt(calSumEnd)},"probe_ratios":{$ratios},"cal_ref":${fmt(CalRef)},"host_scale":${fmt(scaleVsRef)},"value_cal":${fmt(valueCal)}}"""
     }
     val allEntries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     // full map → file (sorted by name)

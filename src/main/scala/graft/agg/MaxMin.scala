@@ -33,7 +33,19 @@ object MaxMin extends Aggregator[java.lang.Double, MaxMinAcc, MaxMinOut] {
   def zero: MaxMinAcc = MaxMinAcc(Double.NegativeInfinity, Double.NaN, 0L)
   def reduce(b: MaxMinAcc, a: java.lang.Double): MaxMinAcc =
     if (a == null) b // SQL aggregates skip NULL inputs
-    else MaxMinAcc(gt(b.mx, a), lt(b.mn, a), b.n + 1)
+    else {
+      /* Normalize -0.0 to 0.0 on input: Spark's SQLOrderingUtil treats
+       * the two zeros as EQUAL while the raw Double.compare used here
+       * orders -0.0 < 0.0 — unnormalized, a group mixing both zeros
+       * reads min=-0.0/max=0.0 where the built-in min/max may surface
+       * the other zero, a bit-level mismatch under the bit-exact
+       * gates. Unifying zeros at the door keeps merge bit-wise
+       * commutative/associative (the partial-agg law PropertySpec
+       * checks), which an incumbent-wins tie rule would not. Primitive
+       * == is false for NaN, so NaN passes through untouched. */
+      val v = if (a.doubleValue() == 0.0) 0.0 else a.doubleValue()
+      MaxMinAcc(gt(b.mx, v), lt(b.mn, v), b.n + 1)
+    }
   def merge(a: MaxMinAcc, b: MaxMinAcc): MaxMinAcc =
     MaxMinAcc(gt(a.mx, b.mx), lt(a.mn, b.mn), a.n + b.n)
   def finish(r: MaxMinAcc): MaxMinOut =

@@ -47,15 +47,23 @@ object MultimodalOps {
     /** Header-only dimension read; None when no reader claims the
       * payload (non-image bytes → fallback path). */
     private def peekDims(in: javax.imageio.stream.ImageInputStream): Option[(Int, Int)] = {
+      // Iterate ALL claiming readers, like ImageIO.read's selection
+      // loop: an ambiguous payload whose first reader fails header
+      // parse may still decode under the next one — returning None on
+      // the first failure would quarantine a decodable image.
       val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) None
-      else {
+      var dims: Option[(Int, Int)] = None
+      while (dims.isEmpty && readers.hasNext) {
         val reader = readers.next()
         try {
           reader.setInput(in, true, true)
-          Some((reader.getWidth(0), reader.getHeight(0)))
+          dims = Some((reader.getWidth(0), reader.getHeight(0)))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            try in.seek(0) catch { case scala.util.control.NonFatal(_) => () }
         } finally reader.dispose()
       }
+      dims
     }
 
     def decode(payload: Array[Byte]): Option[(Int, Int, Double)] =

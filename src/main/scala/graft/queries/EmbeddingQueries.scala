@@ -20,16 +20,21 @@ import graft.core.Exact
   *
   * Stand-in selections are bounded by construction: every
   * `filter(vec_id < K)` that stands in for an offline artifact (K
-  * centroids, K codebooks, K query probes) carries `.limit(K)`. On
-  * clean data the filter already yields exactly K rows and the limit
-  * is a no-op; on dirty ids (duplicate vec_ids — a re-crawled corpus,
-  * a hot placeholder id) the filter alone can match a large corpus
-  * fraction, and since these frames feed crossJoin(broadcast(...)),
-  * an unbounded selection turns the one-pass scoring scan into a
-  * near-quadratic blowup (observed: 98 s emb_ivfpq at sf0.001 in the
-  * round-11 hot-key skew sweep vs ~1 s with the limits in place).
-  * A K-row limit keeps the product O(N·K) no matter what the id
-  * column holds.
+  * centroids, K codebooks, K query probes) goes through `standIn`,
+  * which caps the frame at K rows. On clean data the filter already
+  * yields exactly K rows and the cap is a no-op; on dirty ids
+  * (duplicate vec_ids — a re-crawled corpus, a hot placeholder id)
+  * the filter alone can match a large corpus fraction, and since
+  * these frames feed crossJoin(broadcast(...)), an unbounded
+  * selection turns the one-pass scoring scan into a near-quadratic
+  * blowup (observed: 98 s emb_ivfpq at sf0.001 in the round-11
+  * hot-key skew sweep vs ~1 s with the limits in place). A K-row cap
+  * keeps the product O(N·K) no matter what the id column holds; the
+  * helper makes the convention structural (PlanSpec pins that every
+  * broadcast stand-in subtree carries a limit) and deterministic
+  * (sort-then-limit, so WHICH duplicate survives doesn't depend on
+  * partitioning — the r11 bare `.limit(K)` made sweep row counts
+  * run-order-dependent on dirty data).
   */
 object EmbeddingQueries extends GroupBase {
 
@@ -46,6 +51,26 @@ object EmbeddingQueries extends GroupBase {
     * degenerate-input sweeps, round 10). */
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** K-row bounded stand-in for an offline artifact (trained
+    * centroids, codebooks, query probes), selected from a corpus
+    * frame by id. Sort-then-limit instead of a bare `.limit(k)`:
+    * `orderBy(vec_id, row-hash).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k heaps merged on the
+    * driver, NO exchange (cheaper than LocalLimit→single-partition
+    * Exchange→GlobalLimit) — and is DETERMINISTIC under duplicate
+    * ids: the row fingerprint breaks ties, so which K rows survive
+    * does not depend on partitioning or scan order (ties only between
+    * bit-identical rows, which are interchangeable). On clean data
+    * the id filter yields exactly k distinct rows and this returns
+    * the same set a bare limit did. Default predicate `vec_id < k`;
+    * pass `pred` for range selections. */
+  private def standIn(e: DataFrame, k: Int, pred: Column = null): DataFrame = {
+    val p = if (pred == null) col("vec_id") < k else pred
+    e.filter(p)
+      .orderBy(col("vec_id"), xxhash64(struct(e.columns.map(col): _*)))
+      .limit(k)
+  }
 
   private val Planes = 8
   private val Dim = 64
@@ -76,7 +101,7 @@ object EmbeddingQueries extends GroupBase {
     // kernel is the whole scoring cost.
     "emb_mips" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 5).limit(5)
+      val q = standIn(e, 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("nid"))
       e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -108,7 +133,7 @@ object EmbeddingQueries extends GroupBase {
     // what matters at scale). Centroid side broadcasts.
     "emb_ivf_assign" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8).limit(8)
+      val cents = standIn(e, 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       // argmax as a max_by aggregate, not a row_number window: map-side
       // partials collapse the k candidate rows per vector BEFORE the
@@ -178,7 +203,7 @@ object EmbeddingQueries extends GroupBase {
           if (dim == 64) e.select(col("vec_id"), col("embedding").as("v"))
           else e.select(col("vec_id"),
             slice(col("embedding"), 1, dim).as("v"))
-        val q = proj.filter(col("vec_id") < 5).limit(5)
+        val q = standIn(proj, 5)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
         proj.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -273,7 +298,7 @@ object EmbeddingQueries extends GroupBase {
             struct(col("d2"), col("cid"))).as("r"))
           .select(col("vec_id"), col("r.embedding").as("embedding"),
             col("r.cid").as("cell"), col("r.d2").as("d2"))
-      val c0 = e.filter(col("vec_id") < 4).limit(4)
+      val c0 = standIn(e, 4)
         .select(col("vec_id").as("cid"),
           transform(col("embedding"), x => x.cast("double")).as("cv"))
       val c1 = assign(c0)
@@ -306,7 +331,7 @@ object EmbeddingQueries extends GroupBase {
       val e = t(s, d, "embeddings").select(
         Seq(col("vec_id")) ++ (0 until M).map(m =>
           slice(col("embedding"), m * SUB + 1, SUB).as(s"e$m")): _*)
-      val cents = e.filter(col("vec_id") < KC).limit(KC).select(
+      val cents = standIn(e, KC).select(
         Seq(col("vec_id").as("cid")) ++ (0 until M).map(m =>
           col(s"e$m").as(s"cv$m")): _*)
       // PQ codes: per-subspace argmin codeword (struct-min tiebreaks
@@ -322,7 +347,7 @@ object EmbeddingQueries extends GroupBase {
           col(s"m$m.c").as(s"c$m")): _*)
       // query-side LUT: exact distance from each query subvector to
       // each codeword (3 queries × M×KC entries, broadcast)
-      val lut = e.filter(col("vec_id") < 3).limit(3).crossJoin(broadcast(cents))
+      val lut = standIn(e, 3).crossJoin(broadcast(cents))
         .select(col("vec_id").as("qid"), col("cid"),
           explode(array((0 until M).map(m =>
             struct(lit(m).as("m"), d2(col(s"e$m"), col(s"cv$m")).as("dist"))): _*))
@@ -364,7 +389,7 @@ object EmbeddingQueries extends GroupBase {
       val M = 4; val SUB = 16; val KC = 4; val P = 2
       def d2(a: Column, b: Column) = VectorFunctions.vd2(a, b)
       val e = t(s, d, "embeddings")
-      val coarse = e.filter(col("vec_id") < 8).limit(8)
+      val coarse = standIn(e, 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val scored = e.crossJoin(broadcast(coarse))
         .select(col("vec_id"), col("embedding"),
@@ -374,7 +399,7 @@ object EmbeddingQueries extends GroupBase {
           struct(col("ccos"), Exact.negId(col("cid")))).as("r"))
         .select(col("vec_id"), col("r.embedding").as("embedding"),
           col("r.cid").as("cell"))
-      val books = e.filter(col("vec_id") < KC).limit(KC).select(
+      val books = standIn(e, KC).select(
         Seq(col("vec_id").as("cid")) ++ (0 until M).map(m =>
           slice(col("embedding"), m * SUB + 1, SUB).as(s"cv$m")): _*)
       val codes = assign.crossJoin(broadcast(books))
@@ -392,7 +417,7 @@ object EmbeddingQueries extends GroupBase {
         .withColumn("pr", row_number().over(qcw))
         .filter(col("pr") <= P)
         .select(col("qid"), col("cid").as("cell"))
-      val lut = e.filter(col("vec_id") < 3).limit(3).crossJoin(broadcast(books))
+      val lut = standIn(e, 3).crossJoin(broadcast(books))
         .select(col("vec_id").as("qid"),
           explode(array((0 until M).map(m =>
             struct(lit(m).as("m"), col("cid"),
@@ -478,7 +503,7 @@ object EmbeddingQueries extends GroupBase {
     "emb_rq" -> ((s, d) => {
       def d2(a: Column, b: Column) = VectorFunctions.vd2(a, b)
       val e = t(s, d, "embeddings")
-      val c1 = e.filter(col("vec_id") < 4).limit(4)
+      val c1 = standIn(e, 4)
         .select(col("vec_id").as("c1id"), col("embedding").as("cv"))
       val a1 = e.crossJoin(broadcast(c1))
         .withColumn("err1", d2(col("embedding"), col("cv")))
@@ -490,7 +515,7 @@ object EmbeddingQueries extends GroupBase {
           col("r.c1id").as("c1id"), col("r.err1").as("err1"),
           zip_with(col("r.embedding"), col("r.cv"),
             (x, y) => x.cast("double") - y.cast("double")).as("res"))
-      val c2 = a1.filter(col("vec_id") >= 4 && col("vec_id") < 8).limit(4)
+      val c2 = standIn(a1, 4, col("vec_id") >= 4 && col("vec_id") < 8)
         .select(col("vec_id").as("c2id"), col("res").as("rv"))
       a1.crossJoin(broadcast(c2))
         .withColumn("err2", d2(col("res"), col("rv")))
@@ -549,7 +574,7 @@ object EmbeddingQueries extends GroupBase {
     // driver. NMI rounds to 6 (ln); purity is an exact rational.
     "emb_purity" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8).limit(8)
+      val cents = standIn(e, 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"),
@@ -625,7 +650,7 @@ object EmbeddingQueries extends GroupBase {
     // plan-identical → ReuseExchange computes the assignment once.
     "emb_semdedup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8).limit(8)
+      val cents = standIn(e, 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       // same max_by hash-agg shape as emb_ivf_assign (no window sort)
       val assign = e.crossJoin(broadcast(cents))
@@ -695,7 +720,7 @@ object EmbeddingQueries extends GroupBase {
     // order needs no rounding.
     "emb_hardneg" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val probes = e.filter(col("vec_id") < 8).limit(8)
+      val probes = standIn(e, 8)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("embedding").as("qv"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
@@ -721,7 +746,7 @@ object EmbeddingQueries extends GroupBase {
     // margin need no rounding.
     "emb_triplets" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val anchors = e.filter(col("vec_id") < 8).limit(8)
+      val anchors = standIn(e, 8)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("embedding").as("qv"))
       val scored = e.join(broadcast(anchors), col("vec_id") =!= col("qid"))
@@ -808,7 +833,7 @@ object EmbeddingQueries extends GroupBase {
                       CAST(0 AS FLOAT),
                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
         ).as("code"))
-      val probes = codes.filter(col("vec_id") < 8).limit(8)
+      val probes = standIn(codes, 8)
         .select(col("vec_id").as("qid"), col("code").as("qcode"))
       val w = Window.partitionBy("qid").orderBy(col("hamming"), col("nid"))
       codes.join(broadcast(probes), col("vec_id") =!= col("qid"))
@@ -863,7 +888,7 @@ object EmbeddingQueries extends GroupBase {
     // (order-independent, bit-exact); CH rounds to 6.
     "emb_ch_index" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8).limit(8)
+      val cents = standIn(e, 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assign = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
@@ -983,7 +1008,13 @@ object EmbeddingQueries extends GroupBase {
     // translated eval item, a cosine gate against the benchmark's
     // embeddings does not (the FineWeb/GPT-3-appendix protocol is to
     // run BOTH). Benchmark set = vec_id % 97 == 0 (the held-out eval
-    // embeddings); every training vector reports its nearest benchmark
+    // embeddings), capped at 64 rows through standIn — a production
+    // benchmark is FIXED-size (thousands of items) while this modulo
+    // stand-in grows with the corpus, and an uncapped bench side was
+    // the one surviving instance of the r11 unbounded-broadcast class
+    // (the new PlanSpec structural pin caught it: on hot-key-skewed
+    // ids, 25% of the corpus satisfies `% 97 == 0` and the broadcast
+    // goes corpus-sized); every training vector reports its nearest benchmark
     // item + max cosine, flagged at 0.3. 100 TB shape: the benchmark
     // side is eval-benchmark-sized (thousands, not billions) →
     // broadcast; the corpus streams through the codegen float_dot
@@ -993,7 +1024,7 @@ object EmbeddingQueries extends GroupBase {
     // and the nearest-id pick need no rounding.
     "emb_decontam" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val bench = e.filter(col("vec_id") % 97 === 0)
+      val bench = standIn(e, 64, col("vec_id") % 97 === 0)
         .select(col("vec_id").as("bid"), col("embedding").as("bv"))
       e.filter(col("vec_id") % 97 =!= 0)
         .crossJoin(broadcast(bench))
@@ -1086,7 +1117,7 @@ object EmbeddingQueries extends GroupBase {
     * emb_knn and the emb_recall truth side). */
   private def bruteKnn(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val q = e.filter(col("vec_id") < 10).limit(10)
+    val q = standIn(e, 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -1106,7 +1137,7 @@ object EmbeddingQueries extends GroupBase {
     * registered) and emb_recall (P=1 vs P=2 comparison). */
   private def ivfKnn(s: SparkSession, d: String, probes: Int = 1): DataFrame = {
     val e = t(s, d, "embeddings")
-    val cents = e.filter(col("vec_id") < 8).limit(8)
+    val cents = standIn(e, 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
@@ -1948,7 +1979,8 @@ object EmbeddingQueries extends GroupBase {
     },
     "emb_decontam" ->
       s"""WITH bench AS (SELECT vec_id AS bid, embedding AS bv
-                         FROM embeddings WHERE vec_id % 97 = 0),
+                         FROM embeddings WHERE vec_id % 97 = 0
+                         ORDER BY vec_id LIMIT 64),
           scored AS (
             SELECT e.vec_id, bid,
                    ${dotSql("e.embedding", "bv")} /

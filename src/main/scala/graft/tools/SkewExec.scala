@@ -37,6 +37,36 @@ object SkewExec {
     name.endsWith("key") || name == "user_id" || name == "doc_id" ||
       name == "vec_id" || name == "src" || name == "dst"
 
+  /** Per-query wall-clock ceiling at sf0.001, in CALM-host seconds
+    * (the recorded time is divided by the measured host_scale before
+    * comparison, so a slow container doesn't flip the gate). The r11
+    * sweep's slowest NON-pathological entry was dd_cdc at 12.6 s;
+    * 25 s gives 2× headroom on top of the host normalization while
+    * still catching the class this bound exists for — the unbounded
+    * stand-in that sent emb_ivfpq to 98 s (r11, fixed). A bare
+    * "ok:30.9s" used to hide a real regression behind an inherent
+    * one; now any entry over its bound records `slow:` and fails the
+    * sweep. */
+  private[graft] val DefaultBoundSec = 25.0
+
+  /** Inherently-expensive-under-skew whitelist (PlanAudit
+    * expectedGlobalWin style — document the mechanism when adding an
+    * entry; RobustnessSpec fails if a key stops naming a live query):
+    *  - join_inner_chain: an equi-join where one hot key holds 25% of
+    *    BOTH sides has quadratic OUTPUT (~ (N/4)² matched rows) — any
+    *    engine pays it; r11 measured 30.9 s at sf0.001.
+    *  - pipe_ccnet: the LM-pipeline dedup gate under a single hot
+    *    chunk id compares the hot group pairwise; r11 measured
+    *    17.9 s. Output-bounded, not state-bounded, so it completes —
+    *    just slowly.
+    *  - dd_cdc: CDC materialization where 25% of keys collapse makes
+    *    one change-log group hold a quarter of the stream; the
+    *    per-key latest-wins window is linear in the group, r11
+    *    measured 12.6 s — near the default bound, whitelisted at 2×
+    *    its measured value so host jitter can't flip it. */
+  private[graft] val BoundOverrides: Map[String, Double] = Map(
+    "join_inner_chain" -> 90.0, "pipe_ccnet" -> 55.0, "dd_cdc" -> 40.0)
+
   /** Collapse ~25% of each key column onto its per-column hot value
     * (the column minimum: always a legitimate, joinable id). */
   def corrupt(df: DataFrame, salt: String): DataFrame = {
@@ -71,6 +101,12 @@ object SkewExec {
         .write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
     }
 
+    // host normalization for the wall-clock bounds: the same robust
+    // median-of-probe-ratios scale Bench uses (floored at 1 — a
+    // faster-than-reference host never LOOSENS a bound)
+    val cal = graft.Bench.calibrate(spark)
+    val hostScale = math.max(1.0, graft.Bench.hostScale(cal, cal))
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val status =
@@ -79,7 +115,13 @@ object SkewExec {
           df.write.format("noop").mode("overwrite").save()
           val n = df.count()
           val sec = (System.nanoTime() - t0) / 1e9
-          s"ok:$n:${graft.Bench.fmt3(sec)}s"
+          val bound = BoundOverrides.getOrElse(name, DefaultBoundSec)
+          if (sec / hostScale > bound) {
+            System.err.println(
+              s"[skewexec] $name SLOW: ${graft.Bench.fmt3(sec)}s " +
+              s"(bound ${bound}s × host $hostScale)")
+            s"slow:$n:${graft.Bench.fmt3(sec)}s>bound:$bound"
+          } else s"ok:$n:${graft.Bench.fmt3(sec)}s"
         } catch { case e: Throwable =>
           val m = (e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage)).replaceAll("\\s+", " ").take(160)
@@ -88,12 +130,13 @@ object SkewExec {
         }
       name -> status
     }
-    val failed = results.count(_._2.startsWith("error"))
+    val failed = results.count(r =>
+      r._2.startsWith("error") || r._2.startsWith("slow"))
     def esc(s: String) = SweepJson.esc(s)
     val entries = results
       .map { case (n, st) => s""""$n":"${esc(st)}"""" }.mkString("{", ",", "}")
     val json =
-      s"""{"action":"hot-key-skew-robustness","schema_dir":"${esc(schemaDir)}","n_queries":${results.size},"n_failed":$failed,"queries":$entries,${graft.core.Provenance.jsonFields}}"""
+      s"""{"action":"hot-key-skew-robustness","schema_dir":"${esc(schemaDir)}","n_queries":${results.size},"n_failed":$failed,"host_scale":${graft.Bench.fmt3(hostScale)},"default_bound_sec":${graft.Bench.fmt3(DefaultBoundSec)},"queries":$entries,${graft.core.Provenance.jsonFields}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson), json.getBytes("UTF-8"))
     println(s"[skewexec] ${results.size - failed}/${results.size} ok on hot-key-skew tables -> $outJson")
     spark.stop()

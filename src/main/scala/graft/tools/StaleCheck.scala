@@ -24,7 +24,7 @@ object StaleCheck {
   private val fixed = Seq(
     "EDGE_EXEC.json", "EDGE_EXEC_1ROW.json", "NULL_EXEC.json",
     "NAN_EXEC.json", "TEXT_EXEC.json", "NUM_EXEC.json", "COMBO_EXEC.json",
-    "SKEW_EXEC.json", "SHAPE_EXEC.json",
+    "SKEW_EXEC.json", "SHAPE_EXEC.json", "HUGE_EXEC.json",
     "PART_INVARIANCE.json", "CODEGEN_PARITY.json", "scaling.json",
     "bench_full.json")
 

@@ -173,10 +173,78 @@ class PlanSpec extends SparkSpec {
         "expectedBnlj" -> graft.tools.PlanAudit.expectedBnlj,
         "expectedCollect" -> graft.tools.PlanAudit.expectedCollect,
         "expectedGlobalWin" -> graft.tools.PlanAudit.expectedGlobalWin,
-        "expectedExplodeWin" -> graft.tools.PlanAudit.expectedExplodeWin)) {
+        "expectedExplodeWin" -> graft.tools.PlanAudit.expectedExplodeWin,
+        "skewBoundOverrides" -> graft.tools.SkewExec.BoundOverrides.keySet)) {
       val dead = wl -- live
       assert(dead.isEmpty, s"$label references non-existent queries: $dead")
     }
+  }
+
+  test("emb_* broadcast stand-ins are structurally row-bounded") {
+    // The r11 skew sweep caught emb_ivfpq at 98 s when a stand-in
+    // frame (`filter(vec_id < K)`) lost its row cap under duplicate
+    // ids and fed crossJoin(broadcast) a corpus-sized side. The cap is
+    // now the `standIn` helper (sort-then-limit), and this pin makes
+    // the convention structural: every BroadcastNestedLoopJoin build
+    // side in every emb_* plan must be row-bounded by construction —
+    // a limit (TakeOrderedAndProject/GlobalLimit/CollectLimit), a
+    // scalar aggregate (≤1 row per partition pre-merge), or a
+    // composition of bounded inputs. A contributor reintroducing a
+    // bare filter stand-in fails here, not in a 98 s sweep entry.
+    import org.apache.spark.sql.execution.{SparkPlan,
+      TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec,
+      LocalTableScanExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: CollectLimitExec | _: LocalTableScanExec => true
+      case r: org.apache.spark.sql.execution.RangeExec =>
+        r.range.numElements <= 10000 // literal spine, statically sized
+      case a: BaseAggregateExec =>
+        // scalar aggregates and constant-key groupings (`keys=[1]`,
+        // the grand-mean idiom) emit ≤1 row per partition pre-merge;
+        // Alias hardwires foldable=false, so look through it
+        a.groupingExpressions.forall {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+            al.child.foldable
+          case e => e.foldable
+        } || bounded(a.child)
+      case o => o.children.nonEmpty && o.children.forall(bounded)
+    }
+    // Broadcast sides bounded by an aggregation DOMAIN rather than a
+    // structural limit — the grouping key ranges over a K-bounded
+    // value set, which a plan walk can't see (document the bound when
+    // adding an entry; the in-test assert below gates rot):
+    //  - emb_kmeans / emb_ch_index: centroids grouped by `cell`, whose
+    //    values are the ≤8 cids of the standIn coarse table (argmax
+    //    over a bounded broadcast) — ≤8 groups.
+    //  - emb_drift: per-source centroids — grouped by the generator's
+    //    ≤4-value `source` column.
+    val aggDomainBounded = Set("emb_kmeans", "emb_ch_index", "emb_drift")
+    assert((aggDomainBounded -- SparkEntry.queries.keySet).isEmpty,
+      "aggDomainBounded references non-existent queries")
+    val embs = SparkEntry.queries.keySet.filter(_.startsWith("emb_"))
+      .diff(aggDomainBounded).toSeq.sorted
+    val offenders = embs.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan
+      plan.collect {
+        case j: BroadcastNestedLoopJoinExec =>
+          val side = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          if (bounded(side)) None else Some(name)
+      }.flatten
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unbounded broadcast stand-in (no limit/scalar-agg on the build side): $offenders")
+    // the detector itself must be alive: at least one emb_* plan has a
+    // BNLJ whose bound comes from the standIn TakeOrderedAndProject
+    val knnPlan = SparkEntry.queries("emb_knn")(spark, d).queryExecution.sparkPlan
+    assert(knnPlan.collectFirst { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "emb_knn lost its broadcast-probe BNLJ — the pin's live-detector anchor")
   }
 
   test("CARTESIAN/BNLJ detector strings match real formatted-plan text") {

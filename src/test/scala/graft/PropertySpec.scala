@@ -52,7 +52,22 @@ class PropertySpec extends AnyFunSuite {
     assert(mixed.mn == 1.5 && mixed.mx.isNaN && mixed.n == 2)
     val only = MaxMin.reduce(MaxMin.zero, Double.NaN)
     assert(only.mn.isNaN && only.mx.isNaN && only.n == 1)
+    // Signed-zero pin: Spark's SQLOrderingUtil treats -0.0 == 0.0, so
+    // a group mixing both zeros must read ONE canonical zero for both
+    // extrema in either feed order (inputs normalize -0.0 → 0.0 at
+    // the door — an incumbent-wins tie rule would break the bit-wise
+    // commutativity checked above)
+    for (pair <- Seq(Seq(-0.0, 0.0), Seq(0.0, -0.0))) {
+      val z = acc2(pair)
+      assert(java.lang.Double.doubleToLongBits(z.mx) ==
+        java.lang.Double.doubleToLongBits(0.0), s"max of $pair kept -0.0")
+      assert(java.lang.Double.doubleToLongBits(z.mn) ==
+        java.lang.Double.doubleToLongBits(0.0), s"min of $pair kept -0.0")
+    }
   }
+
+  private def acc2(xs: Seq[Double]): MaxMinAcc =
+    xs.foldLeft(MaxMin.zero)((b, a) => MaxMin.reduce(b, a))
 
   test("SeqPattern.expand preserves step count under quantifiers") {
     checkProp(forAll { (reps: List[Int]) =>

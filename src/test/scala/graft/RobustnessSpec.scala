@@ -102,6 +102,59 @@ class RobustnessSpec extends SparkSpec {
       "emb_ivfpq", "emb_pca", "emb_sq8"))
   }
 
+  test("huge rows: 4096-dim vectors, 100k-token docs, 800-deep JSON complete (huge-value sweep)") {
+    // The HugeExec class (round 12): a production corpus contains
+    // pathological row SIZES — a 64×-nominal embedding from a bigger
+    // encoder, an un-split book, an adversarial metadata blob nested
+    // hundreds deep. Per-element kernels (shingle windows, vector
+    // folds) and size-derived index arithmetic must treat them as
+    // ordinary rows, not crash. Sizes here are the sweep's real ones
+    // on a few targeted rows so the test stays fast.
+    import org.apache.spark.sql.DataFrame
+    val pad = transform(sequence(lit(1), lit(4096) - size(col("embedding"))),
+      x => (pmod(x, lit(7)).cast("double") / 100.0).cast("float"))
+    val deepJson = concat(repeat(lit("{\"d\":"), 800), lit("1"),
+      repeat(lit("}"), 800))
+    val dir = cloneDir(40, Map(
+      "embeddings" -> ((df: DataFrame) => df.withColumn("embedding",
+        when(col("vec_id") % 13 === 2, concat(col("embedding"), pad))
+          .otherwise(col("embedding")))),
+      "documents" -> ((df: DataFrame) => df.withColumn("text",
+        when(col("doc_id") % 13 === 1,
+          repeat(concat(col("text"), lit(" ")),
+            (lit(500000) / (length(col("text")) + 1)).cast("int") + 1))
+          .otherwise(col("text")))),
+      "events" -> ((df: DataFrame) => df.withColumn("props",
+        when(col("event_id") % 13 === 3, deepJson).otherwise(col("props")))),
+      "part" -> ((df: DataFrame) => df.withColumn("p_name",
+        when(col("p_partkey") % 13 === 1,
+          repeat(concat(col("p_name"), lit(" ")), 2000))
+          .otherwise(col("p_name"))))))
+    mustRun(dir, Seq("emb_norms", "emb_knn", "emb_pq", "emb_semdedup",
+      "text_winnow", "dd_jaccard", "dd_minhash", "text_gopher",
+      "text_bpe", "fn_json", "fn_nested", "mm_features",
+      "mm_frame_sample", "pipe_chunk"))
+  }
+
+  test("duplicate-id dirty data: stand-in selection is partition-invariant (deterministic)") {
+    // ADVICE r11: a bare `.limit(K)` on a stand-in frame picks
+    // WHICH duplicate survives by scan order, so sweep row counts on
+    // dirty data weren't reproducible run-to-run. standIn now
+    // sort-then-limits on (vec_id, row-fingerprint); the same dirty
+    // corpus written under different file layouts must give the same
+    // result rows.
+    import org.apache.spark.sql.DataFrame
+    def dirtyDir(parts: Int): String = cloneDir(120,
+      Map("embeddings" -> ((df: DataFrame) =>
+        df.withColumn("vec_id", col("vec_id") % 3).repartition(parts))))
+    def run(dir: String, q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
+    for (q <- Seq("emb_mips", "emb_ivf_assign", "emb_rq")) {
+      assert(run(dirtyDir(1), q) == run(dirtyDir(7), q),
+        s"$q stand-in selection depends on partitioning under duplicate ids")
+    }
+  }
+
   test("null cells in every events column: the typed CEP boundary completes") {
     // The NullExec class: a NULL in key/ts/kind/value used to throw
     // NOT_NULL_ASSERT_VIOLATION from KeyedEvent's primitive-field

@@ -23,9 +23,10 @@ run NumExec       "graft.tools.NumExec"                                         
 run ComboExec     "graft.tools.ComboExec"                                              "\[comboexec\]"
 run SkewExec      "graft.tools.SkewExec"                                               "\[skewexec\]"
 run ShapeExec     "graft.tools.ShapeExec"                                              "\[shapeexec\]"
+run HugeExec      "graft.tools.HugeExec"                                               "\[hugeexec\]"
 run PartInvariance "graft.tools.PartInvariance"                                        "\[partinv\]"
 run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARITY.json" "parity|\[codegen"
-run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r11.json"        "\[fullexec\]"
+run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r12.json"        "\[fullexec\]"
 run ScalingProbe  "graft.tools.ScalingProbe"                                           "\[scaling|scaling.json"
 log "start: Bench sf0.1"
 # Capture to a temp file and test sbt's exit status and the metric line
