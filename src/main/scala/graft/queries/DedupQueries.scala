@@ -244,8 +244,11 @@ object DedupQueries extends GroupBase {
     // expression on the un-exploded row (ceil(n/8)), so the second
     // branch is a narrow pruned scan, not a second explode.
     "dd_chunk" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .withColumn("tk", TextOps.tokens(col("text")))
+      // tk via the Generate barrier: the chunk-hash lambda below
+      // CAPTURES tk (slice per position) — inlined tokenization would
+      // re-split the text once per chunk (O(len²) on a huge doc; see
+      // GroupBase.mat)
+      val docs = withTokens(t(s, d, "documents"))
         .filter(size(col("tk")) > 0)
       val ch = docs.select(col("doc_id"),
           explode(transform(
@@ -283,8 +286,14 @@ object DedupQueries extends GroupBase {
     // dd_chunk — no window, no all-pairs, scale shape unchanged.
     "dd_cdc" -> ((s, d) => {
       val W = 4; val MOD = 16
-      val docs = t(s, d, "documents")
-        .withColumn("tk", TextOps.tokens(col("text")))
+      // tk and cuts go behind Generate barriers: both are CAPTURED
+      // inside per-position lambdas below (slice(tk, ...) in the
+      // boundary scan and chunk hasher; element_at(cuts, j) in the
+      // chunk builder). Alias substitution into those lambdas
+      // re-derives the O(len) array once per element — O(len²) per
+      // row; a single 500 KB doc ground one task for 25 minutes in
+      // the huge-value sweep (see GroupBase.mat).
+      val docs0 = withTokens(t(s, d, "documents"))
         .filter(size(col("tk")) > 0)
         // boundary positions: i in [W, n] where the rolling hash of
         // tokens (i-W, i] divides MOD. sequence() descends when
@@ -297,10 +306,10 @@ object DedupQueries extends GroupBase {
                     slice(col("tk"), i - W + 1, lit(W)), " ")) % MOD === 0, i)),
               x => x.isNotNull))
             .otherwise(array().cast("array<int>")))
-        // cut points 0 = doc start .. n = doc end; chunk j spans
-        // (cuts[j], cuts[j+1]]. A boundary at exactly n would yield
-        // an empty trailing chunk — filtered by the span > 0 guard.
-        .withColumn("cuts",
+      // cut points 0 = doc start .. n = doc end; chunk j spans
+      // (cuts[j], cuts[j+1]]. A boundary at exactly n would yield
+      // an empty trailing chunk — filtered by the span > 0 guard.
+      val docs = mat(docs0, "cuts",
           concat(array(lit(0)), col("bpos"), array(size(col("tk")))))
         .withColumn("chs",
           filter(

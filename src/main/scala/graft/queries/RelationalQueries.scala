@@ -87,11 +87,20 @@ object RelationalQueries extends GroupBase {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // EXCEPT ALL — multiset (TabApiTest.scala:860-975)
+    // EXCEPT ALL — multiset (TabApiTest.scala:860-975). Sides chosen
+    // so the result is NON-empty at every SF: the original `ln <= 2
+    // minus ln > 2` was deterministically empty (line numbers are
+    // ~uniform over 1..7, so each flag's left count < right count and
+    // the max(0, nL - nR) clamp zeroed every value — a green row that
+    // never exercised multiset subtraction, the pat_fraud vacuity
+    // class found by the round-12 sweep-cell audit). `ln <= 2` vs
+    // `ln = 3` makes the subtraction real on every value: nL ≈ 2·nR
+    // per flag, so ~1/7 of the table survives as nL − nR copies
+    // (899 rows at sf0.001, 8684 at sf0.01).
     "rel_except_all" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       li.filter(col("l_linenumber") <= 2).select("l_returnflag")
-        .exceptAll(li.filter(col("l_linenumber") > 2).select("l_returnflag"))
+        .exceptAll(li.filter(col("l_linenumber") === 3).select("l_returnflag"))
         .orderBy("l_returnflag")
     }),
 
@@ -268,7 +277,7 @@ object RelationalQueries extends GroupBase {
     "rel_except_all" ->
       """SELECT l_returnflag FROM lineitem WHERE l_linenumber <= 2
          EXCEPT ALL
-         SELECT l_returnflag FROM lineitem WHERE l_linenumber > 2
+         SELECT l_returnflag FROM lineitem WHERE l_linenumber = 3
          ORDER BY l_returnflag""",
     "rel_inline_values" ->
       """SELECT r_name, tag FROM region

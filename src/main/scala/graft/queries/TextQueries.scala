@@ -953,8 +953,10 @@ object TextQueries extends GroupBase {
     //    whole-language window sort, which at 100 TB with a handful
     //    of languages would be the classic hot-partition cliff.
     "pipe_ccnet" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .withColumn("tk", TextOps.tokens(col("text")))
+      // tk behind the Generate barrier: the chunk-hash lambda below
+      // captures tk per position (GroupBase.mat — inlined tokenize
+      // would re-split once per chunk, O(len²) on huge docs)
+      val docs = withTokens(t(s, d, "documents"))
         .filter(size(col("tk")) > 0)
         .select(col("doc_id"), col("tk"),
           size(col("tk")).cast("long").as("ntok"),
@@ -1307,13 +1309,18 @@ object TextQueries extends GroupBase {
     "pipe_spancorrupt" -> ((s, d) => {
       def h(j: Column) = TextOps.hash32(concat(
         col("doc_id").cast("string"), lit(":"), j.cast("string")))
-      val base = t(s, d, "documents")
-        .withColumn("tk", TextOps.tokens(col("text")))
+      // tk, sl and fl all go behind Generate barriers: each is
+      // CAPTURED element-wise by the next level's lambda (fl reads
+      // sl per position through a nested exists; the masked/targets
+      // projections read fl and tk per position). Alias substitution
+      // into those lambdas re-derives each O(len) array per element —
+      // O(len²)–O(len³) per row on a huge doc (see GroupBase.mat).
+      val base0 = withTokens(t(s, d, "documents"))
         .filter(size(col("tk")) > 0)
         .withColumn("n", size(col("tk")))
-        .withColumn("sl", transform(sequence(lit(0), col("n") - 1),
+      val base1 = mat(base0, "sl", transform(sequence(lit(0), col("n") - 1),
           j => when(h(j) % 20 === 0, lit(2) + h(j) % 3).otherwise(lit(0L))))
-        .withColumn("fl", transform(sequence(lit(0), col("n") - 1),
+      val base = mat(base1, "fl", transform(sequence(lit(0), col("n") - 1),
           i => exists(sequence(greatest(i - 3, lit(0)), i),
             j => element_at(col("sl"), j + 1) > 0 &&
               (i - j) < element_at(col("sl"), j + 1))))

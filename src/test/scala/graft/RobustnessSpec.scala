@@ -133,7 +133,11 @@ class RobustnessSpec extends SparkSpec {
     mustRun(dir, Seq("emb_norms", "emb_knn", "emb_pq", "emb_semdedup",
       "text_winnow", "dd_jaccard", "dd_minhash", "text_gopher",
       "text_bpe", "fn_json", "fn_nested", "mm_features",
-      "mm_frame_sample", "pipe_chunk"))
+      "mm_frame_sample", "pipe_chunk",
+      // the O(len²) lambda-capture class (GroupBase.mat): these four
+      // ground for minutes-to-forever on one 500 KB doc before the
+      // Generate barriers — they must now complete in seconds
+      "dd_cdc", "dd_chunk", "pipe_ccnet", "pipe_spancorrupt"))
   }
 
   test("duplicate-id dirty data: stand-in selection is partition-invariant (deterministic)") {
