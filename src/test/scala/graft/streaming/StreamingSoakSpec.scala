@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, sum}
 import org.apache.spark.sql.streaming.OutputMode
 import scala.jdk.CollectionConverters._
 
@@ -87,6 +88,76 @@ class StreamingSoakSpec extends SparkSpec {
       assert(out.toArray.toList ==
         List((7L, List(1.0, 2.0, 3.0)), (8L, List(10.0, 20.0, 30.0))),
         s"match spanning two restarts must emit exactly once: ${out.toArray.toList}")
+    }
+  }
+
+  test("changelog retraction stream survives kill/restart without re-baselining (RocksDB)") {
+    // The rel_retract_log reconstruction (Changelog.attach) as a
+    // LONG-LIVED stream: the snapshot diff must roll forward across
+    // restarts — a lost/ignored snapshot would re-emit +I for every
+    // key after recovery (re-baselining), poisoning every downstream
+    // retract-aware consumer. Three query incarnations over one
+    // checkpoint + snapshot; op sequences asserted per key.
+    withRocksDB {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ckpt = Files.createTempDirectory("graft-soak-cl-ckpt").toString
+      val snap = Files.createTempDirectory("graft-soak-cl").toString + "/snap"
+      val clog = Files.createTempDirectory("graft-soak-cl").toString + "/clog"
+      val input = MemoryStream[KeyedEvent]
+      def start() = Changelog.attach(
+          input.toDS().groupBy("key")
+            .agg(count(lit(1)).as("cnt"), sum("value").as("sv")),
+          Seq("key"), snap, clog)
+        .option("checkpointLocation", ckpt).start()
+      def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+               es: KeyedEvent*): Unit =
+        es.foreach { e => input.addData(e); q.processAllAvailable() }
+
+      // cycle 1: two inserts, then an update of key 1
+      val q1 = start()
+      try feed(q1,
+        KeyedEvent(1L, ts(1000L), "e", 1.0),
+        KeyedEvent(2L, ts(2000L), "e", 10.0),
+        KeyedEvent(1L, ts(3000L), "e", 2.0))
+      finally q1.stop()
+
+      // cycle 2: key 2 updates (must be -U/+U, NOT a re-baselined +I)
+      // and a brand-new key 3 inserts
+      val q2 = start()
+      try feed(q2,
+        KeyedEvent(2L, ts(4000L), "e", 20.0),
+        KeyedEvent(3L, ts(5000L), "e", 100.0))
+      finally q2.stop()
+
+      // cycle 3: key 1 updates again after a second restart
+      val q3 = start()
+      try feed(q3, KeyedEvent(1L, ts(6000L), "e", 3.0))
+      finally q3.stop()
+
+      val log = s.read.parquet(clog)
+        .orderBy("batch_id", "op")
+        .select("op", "key", "cnt", "sv")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toList
+      def opsOf(k: Long) = log.filter(_._2 == k).map(_._1)
+      assert(opsOf(1L) == List("+I", "-U", "+U", "-U", "+U"),
+        s"key 1 op sequence across two restarts: $log")
+      assert(opsOf(2L) == List("+I", "-U", "+U"),
+        s"key 2 must update (not re-insert) after restart: $log")
+      assert(opsOf(3L) == List("+I"), s"key 3 single insert: $log")
+      // retract pairs carry the right values: key 2's -U retracts
+      // (1, 10.0), its +U asserts (2, 30.0)
+      assert(log.contains(("-U", 2L, 1L, 10.0)) &&
+        log.contains(("+U", 2L, 2L, 30.0)), s"key 2 retract pair: $log")
+      assert(log.contains(("-U", 1L, 2L, 3.0)) &&
+        log.contains(("+U", 1L, 3L, 6.0)), s"key 1 final retract pair: $log")
+      // the rolled-forward snapshot IS the true aggregate
+      val snapRows = s.read.parquet(snap).orderBy("key")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      assert(snapRows == List((1L, 3L, 6.0), (2L, 2L, 30.0), (3L, 1L, 100.0)),
+        s"snapshot after three cycles: $snapRows")
     }
   }
 
