@@ -28,8 +28,25 @@ object Changelog {
   /** Process one micro-batch of an UPDATE-mode aggregate: append
     * op-tagged rows to `changelogDir` and roll `snapshotDir` forward.
     * Returns the ops appended (for tests). */
-  def processBatch(batch: DataFrame, keys: Seq[String], batchId: Long,
+  def processBatch(batchIn: DataFrame, keys: Seq[String], batchId: Long,
                    snapshotDir: String, changelogDir: String): Unit = {
+    // Persist before the multiple actions below (changelog append +
+    // snapshot merge): each action re-executes an unpersisted
+    // foreachBatch frame from the stateful source, and under the
+    // RocksDB store the second execution cannot re-acquire the state
+    // instance the first still holds (CANNOT_LOAD_STATE_STORE
+    // UNRELEASED_THREAD_ERROR after its 120 s lock timeout — found by
+    // StreamingSoakSpec's kill/restart soak, round 12). One
+    // materialization also makes the diff and the rolled snapshot
+    // read the SAME batch rows by construction.
+    val batch = batchIn.persist()
+    try processPersisted(batch, keys, batchId, snapshotDir, changelogDir)
+    finally batch.unpersist()
+  }
+
+  private def processPersisted(batch: DataFrame, keys: Seq[String],
+                               batchId: Long, snapshotDir: String,
+                               changelogDir: String): Unit = {
     val spark = batch.sparkSession
     val valueCols = batch.columns.filterNot(keys.contains)
     // Only a MISSING snapshot (first batch) may fall back to None: a
@@ -95,8 +112,17 @@ object Changelog {
     * one full-outer-style diff join per batch, snapshot replaced
     * wholesale (it IS the batch).
     */
-  def processCompleteBatch(batch: DataFrame, keys: Seq[String], batchId: Long,
+  def processCompleteBatch(batchIn: DataFrame, keys: Seq[String], batchId: Long,
                            snapshotDir: String, changelogDir: String): Unit = {
+    // same persist-before-multi-action discipline as processBatch
+    val batch = batchIn.persist()
+    try processCompletePersisted(batch, keys, batchId, snapshotDir, changelogDir)
+    finally batch.unpersist()
+  }
+
+  private def processCompletePersisted(batch: DataFrame, keys: Seq[String],
+                                       batchId: Long, snapshotDir: String,
+                                       changelogDir: String): Unit = {
     val spark = batch.sparkSession
     val valueCols = batch.columns.filterNot(keys.contains)
     // Only a MISSING snapshot (first batch) may fall back to None: a

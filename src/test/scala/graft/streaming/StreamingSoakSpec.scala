@@ -136,11 +136,15 @@ class StreamingSoakSpec extends SparkSpec {
       try feed(q3, KeyedEvent(1L, ts(6000L), "e", 3.0))
       finally q3.stop()
 
+      // order within a batch is retract-before-upsert by CONVENTION
+      // (the reference prints -U before +U); the parquet rows carry no
+      // intra-batch order, so impose it by op rank when reading back
       val log = s.read.parquet(clog)
-        .orderBy("batch_id", "op")
-        .select("op", "key", "cnt", "sv")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getDouble(3))).toList
+        .select("batch_id", "op", "key", "cnt", "sv")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, if (t._2 == "-U") 0 else 1))
+        .map(t => (t._2, t._3, t._4, t._5)).toList
       def opsOf(k: Long) = log.filter(_._2 == k).map(_._1)
       assert(opsOf(1L) == List("+I", "-U", "+U", "-U", "+U"),
         s"key 1 op sequence across two restarts: $log")
