@@ -247,6 +247,30 @@ class PlanSpec extends SparkSpec {
       "emb_knn lost its broadcast-probe BNLJ — the pin's live-detector anchor")
   }
 
+  test("derived-array Generate barriers hold (tokenize not re-inlined per element)") {
+    // GroupBase.mat pins (round 12): the optimizer substitutes project
+    // aliases into HOF lambda bodies and pushed filter conditions, and
+    // HOFs are interpreted (CodegenFallback, no CSE) — so a lambda
+    // that captures a derived O(len) array re-derives it once per
+    // ELEMENT. dd_cdc's optimized plan carried 54 copies of the
+    // split() tokenizer before the barriers (one 500 KB doc = one
+    // 25-minute task in HUGE_EXEC); with tk/cuts/sl/fl behind
+    // explode(array(...)) generators it carries one copy per scan
+    // branch. Pin a small ceiling so a refactor that drops a barrier
+    // (or an optimizer rule that learns to cross Generate) fails here,
+    // not in a sweep grind. Ceilings are branch counts + slack, far
+    // below the per-element blowup (which multiplies copies ~10×).
+    for ((q, maxSplits) <- Seq("dd_cdc" -> 4, "dd_chunk" -> 4,
+        "pipe_ccnet" -> 16, "pipe_spancorrupt" -> 4)) {
+      val op = SparkEntry.queries(q)(spark, d)
+        .queryExecution.optimizedPlan.treeString
+      val n = "split\\(".r.findAllIn(op).size
+      assert(n >= 1 && n <= maxSplits,
+        s"$q optimized plan has $n split() copies (ceiling $maxSplits) — " +
+          "a Generate barrier was dropped or crossed")
+    }
+  }
+
   test("CARTESIAN/BNLJ detector strings match real formatted-plan text") {
     // the audit's string-match detectors are only alive if Spark's
     // formatted explain actually prints these node names — freeze that
