@@ -112,7 +112,38 @@ object Bench {
         if (best.isEmpty) -1.0 else best.min / CalRefProbes(k)
     }.filter(_ > 0).sorted
     if (ratios.isEmpty) -1.0
-    else ratios(ratios.size / 2) // median (upper for even n)
+    // true median: average the two middle elements for even n. The old
+    // upper-median meant a dead probe (2 ratios left) always surfaced
+    // the LARGER ratio — conservative for value_cal but anti-
+    // conservative for SkewExec's bounds, which divide by this scale
+    // (ADVICE r12).
+    else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+    else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+  }
+
+  /** Suspect-retime thresholds: a query is retimed when it ran slower
+    * than `SuspectFactor ×` its committed calm reference
+    * (host-scale-adjusted) AND exceeded it by an absolute slack (so a
+    * 0.05 s query tripling to 0.15 s of scheduler noise never
+    * triggers). `MaxRetimes` bounds the pass on a globally-melting
+    * host — excess sorted worst-first so the biggest outliers always
+    * get their second reading. */
+  private[graft] val SuspectFactor = 3.0
+  private[graft] val SuspectSlackSec = 0.75
+  private[graft] val MaxRetimes = 15
+
+  /** Names to re-time, worst absolute excess first. `scale` is the
+    * run's host_scale (floored at 1 internally — a fast host must not
+    * shrink the calm references). Unknown names (no committed ref) and
+    * failed queries (-1) are never suspects. */
+  private[graft] def suspectsOf(results: Seq[(String, Double)],
+                                scale: Double): Seq[String] = {
+    val floor = math.max(1.0, scale)
+    results.collect {
+      case (name, sec) if sec >= 0 && BenchRefs.calm.get(name).exists { ref =>
+        sec > SuspectFactor * ref * floor && sec > ref * floor + SuspectSlackSec
+      } => name -> (sec - BenchRefs.calm(name) * floor)
+    }.sortBy(-_._2).take(MaxRetimes).map(_._1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -193,6 +224,32 @@ object Bench {
     val calSumEnd = if (calOkE.nonEmpty) calOkE.sum else -1.0
     val scaleVsRef = hostScale(calStart, calEnd)
     val valueCal = if (scaleVsRef > 0) total / scaleVsRef else -1.0
+    // Suspect-retime pass (r12 verdict task #1): the calibration median
+    // protects the SUITE headline, but a single-query excursion in a
+    // flaky container — BENCH_r12's 18 s dd_tfidf_cos, really 3.8 s
+    // warm — is indistinguishable in the artifact from a real 8x
+    // regression. Any query slower than 3x its committed calm
+    // reference (BenchRefs.calm, host-scale-adjusted) re-runs ONCE,
+    // warm, same GC discipline, and BOTH readings ship: `queries`
+    // keeps the first reading, `retimed` carries the second, and
+    // `value_retimed` is the total with each suspect replaced by its
+    // better reading — a real regression reproduces in the retime, an
+    // environment excursion adjudicates itself.
+    val suspects = suspectsOf(results, scaleVsRef)
+    val retimed = suspects.map { name =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok = try { selected(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[bench] retimed $name: ${fmt3(sec)}s" +
+        (if (ok) "" else " (failed)"))
+      name -> (if (ok) sec else -1.0)
+    }
+    val retimedMap = retimed.toMap
+    val totalRetimed = results.collect { case (n, v) if v >= 0 =>
+      retimedMap.get(n).filter(r => r >= 0 && r < v).getOrElse(v)
+    }.sum
     val calJson = {
       val s = calStart.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       val e = calEnd.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
@@ -205,27 +262,37 @@ object Bench {
       }.mkString(",")
       s"""{"start":{$s},"end":{$e},"cal_total":${fmt(calSum)},"cal_total_end":${fmt(calSumEnd)},"probe_ratios":{$ratios},"cal_ref":${fmt(CalRef)},"host_scale":${fmt(scaleVsRef)},"value_cal":${fmt(valueCal)}}"""
     }
+    val retimedJson = retimed
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val retimeFields =
+      s""""retimed":$retimedJson,"value_retimed":${fmt(totalRetimed)}"""
     val allEntries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-    // full map → file (sorted by name)
+    // full map → file (sorted by name). Skipped under --only: a subset
+    // run must not overwrite the committed full-run artifact (a r12
+    // bisect session lost the calm run's file exactly this way).
     val prov = graft.core.Provenance.jsonFields
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":$calJson,"queries":${allEntries.mkString("{", ",", "}")},"sf":$sf,$prov}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      fullJson.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":$calJson,$retimeFields,"queries":${allEntries.mkString("{", ",", "}")},"sf":$sf,$prov}"""
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        fullJson.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     // compact line → stdout, slowest-first entries until the budget
     // (trimmed from 1500 when the ~300-byte calibration block joined
     // the line: the driver parses a ~2 KB stdout tail, and the full
     // map is in bench_full.json anyway)
-    val budget = 1200
+    // retime entries (usually none) spend from the same line budget so
+    // a 15-retime degraded run can't push the line past the driver's
+    // ~2 KB stdout-tail window and truncate it mid-JSON
+    val budget = math.max(400, 1200 - retimeFields.length)
     val bySlow = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val kept = new scala.collection.mutable.ListBuffer[String]
     var used = 0
     for (e <- bySlow if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":$calJson,"queries":${kept.mkString("{", ",", "}")},"sf":$sf,$prov}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":$calJson,$retimeFields,"queries":${kept.mkString("{", ",", "}")},"sf":$sf,$prov}"""
     println(line)
     spark.stop()
   }

@@ -26,24 +26,33 @@ object MaxMin extends Aggregator[java.lang.Double, MaxMinAcc, MaxMinOut] {
    * {1.0, NaN} is 1.0. Sentinels under that ordering: smallest value
    * (-Inf) for max, LARGEST value (NaN) for min — so a NaN-only group
    * reads min = NaN exactly like Spark's built-in min. */
+  /* Zero handling (ADVICE r12): Spark's SQLOrderingUtil treats ±0.0 as
+   * EQUAL while Double.compare orders -0.0 < 0.0, and the built-in
+   * Max/Min are incumbent-wins — order-dependent on mixed-zero groups
+   * but bit-exactly -0.0 on an all-(-0.0) group. Normalizing zeros at
+   * the door (the old fix) broke the latter case. Instead the raw
+   * value stays in the accumulator and MIXED-zero ties unify to +0.0
+   * inside gt/lt: primitive == is true exactly for equal values
+   * including -0.0 == 0.0 (and never for NaN), so an all-(-0.0)
+   * group keeps -0.0 like the built-ins while a mixed group reads the
+   * deterministic +0.0 for both extrema — bit-order-independent, so
+   * merge stays commutative/associative (PropertySpec's law). */
+  private def tie(x: Double, y: Double): Double =
+    if (java.lang.Double.doubleToRawLongBits(x) !=
+        java.lang.Double.doubleToRawLongBits(y)) 0.0
+    else x
   private def gt(x: Double, y: Double): Double =
-    if (java.lang.Double.compare(x, y) >= 0) x else y
+    if (x == y) tie(x, y)
+    else if (java.lang.Double.compare(x, y) >= 0) x else y
   private def lt(x: Double, y: Double): Double =
-    if (java.lang.Double.compare(x, y) <= 0) x else y
+    if (x == y) tie(x, y)
+    else if (java.lang.Double.compare(x, y) <= 0) x else y
   def zero: MaxMinAcc = MaxMinAcc(Double.NegativeInfinity, Double.NaN, 0L)
   def reduce(b: MaxMinAcc, a: java.lang.Double): MaxMinAcc =
     if (a == null) b // SQL aggregates skip NULL inputs
     else {
-      /* Normalize -0.0 to 0.0 on input: Spark's SQLOrderingUtil treats
-       * the two zeros as EQUAL while the raw Double.compare used here
-       * orders -0.0 < 0.0 — unnormalized, a group mixing both zeros
-       * reads min=-0.0/max=0.0 where the built-in min/max may surface
-       * the other zero, a bit-level mismatch under the bit-exact
-       * gates. Unifying zeros at the door keeps merge bit-wise
-       * commutative/associative (the partial-agg law PropertySpec
-       * checks), which an incumbent-wins tie rule would not. Primitive
-       * == is false for NaN, so NaN passes through untouched. */
-      val v = if (a.doubleValue() == 0.0) 0.0 else a.doubleValue()
+      // raw value in; zero unification happens on tie inside gt/lt
+      val v = a.doubleValue()
       MaxMinAcc(gt(b.mx, v), lt(b.mn, v), b.n + 1)
     }
   def merge(a: MaxMinAcc, b: MaxMinAcc): MaxMinAcc =

@@ -18,15 +18,25 @@ object CalProbe {
       c
     }
     // per-probe ratios vs the committed calm references + the median
-    // host_scale Bench now derives (robust to one misbehaving probe)
+    // host_scale Bench now derives (robust to one misbehaving probe).
+    // The displayed median is computed FROM those same all-runs-min
+    // ratios — feeding hostScale(head, last) here ignored run 2, so
+    // the two diagnostics on one line could disagree (ADVICE r12).
     val ratios = runs.head.map { case (k, _) =>
       val best = runs.flatMap(_.toMap.get(k)).filter(_ >= 0)
       k -> (if (best.isEmpty) -1.0
             else best.min / graft.Bench.CalRefProbes.getOrElse(k, 1.0))
     }
+    val rs = ratios.collect {
+      case (k, r) if r > 0 && graft.Bench.CalRefProbes.contains(k) => r
+    }.sorted
+    val median =
+      if (rs.isEmpty) -1.0
+      else if (rs.size % 2 == 1) rs(rs.size / 2)
+      else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0
     println("[calprobe] ratios " +
       ratios.map { case (k, r) => f"$k=$r%.3f" }.mkString(" ") +
-      f" host_scale(median)=${graft.Bench.hostScale(runs.head, runs.last)}%.3f")
+      f" host_scale(median)=$median%.3f")
     spark.stop()
   }
 }

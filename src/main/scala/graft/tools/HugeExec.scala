@@ -55,12 +55,17 @@ object HugeExec {
         val r = pmod(xxhash64(col("__fp"), lit(f.name)), lit(32))
         f.dataType match {
           case ArrayType(FloatType, _) =>
-            // pad to HugeDim with a deterministic small tail
+            // pad to HugeDim with a deterministic small tail. The
+            // already-wide guard matters: sequence(1, 0) DESCENDS to
+            // [1, 0] (Spark defaults step to -1 when start > stop), so
+            // an input at >= HugeDim dims would silently gain 2 pad
+            // elements without it (ADVICE r12; latent at nominal 64).
             val pad = transform(
-              sequence(lit(1), greatest(lit(0), lit(HugeDim) - size(col(f.name)))),
+              sequence(lit(1), lit(HugeDim) - size(col(f.name))),
               x => (pmod(x, lit(7)).cast("double") / 100.0).cast("float"))
             d.withColumn(f.name,
-              when(r === 0, concat(col(f.name), pad)).otherwise(col(f.name)))
+              when(r === 0 && size(col(f.name)) < HugeDim,
+                concat(col(f.name), pad)).otherwise(col(f.name)))
           case StringType if f.name == "text" || f.name == "p_name" =>
             val target = if (f.name == "text") HugeTextChars else HugeNameChars
             // repeat the row's own text (+ a space so tokens split)

@@ -103,9 +103,14 @@ object SkewExec {
 
     // host normalization for the wall-clock bounds: the same robust
     // median-of-probe-ratios scale Bench uses (floored at 1 — a
-    // faster-than-reference host never LOOSENS a bound)
-    val cal = graft.Bench.calibrate(spark)
-    val hostScale = math.max(1.0, graft.Bench.hostScale(cal, cal))
+    // faster-than-reference host never LOOSENS a bound). Two distinct
+    // calibrate() blocks, like Bench's own start/end usage: passing
+    // one block twice lost hostScale's min-of-two-blocks JIT/GC
+    // discard and inflated the scale ~1.5x in the r12 artifact,
+    // loosening every bound (ADVICE r12).
+    val cal1 = graft.Bench.calibrate(spark)
+    val cal2 = graft.Bench.calibrate(spark)
+    val hostScale = math.max(1.0, graft.Bench.hostScale(cal1, cal2))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -53,10 +53,11 @@ class PropertySpec extends AnyFunSuite {
     val only = MaxMin.reduce(MaxMin.zero, Double.NaN)
     assert(only.mn.isNaN && only.mx.isNaN && only.n == 1)
     // Signed-zero pin: Spark's SQLOrderingUtil treats -0.0 == 0.0, so
-    // a group mixing both zeros must read ONE canonical zero for both
-    // extrema in either feed order (inputs normalize -0.0 → 0.0 at
-    // the door — an incumbent-wins tie rule would break the bit-wise
-    // commutativity checked above)
+    // a group mixing both zeros must read ONE canonical zero (+0.0)
+    // for both extrema in either feed order — unified on TIE inside
+    // gt/lt (not at the door), which keeps the bit-wise commutativity
+    // checked above AND lets an all-(-0.0) group keep -0.0 exactly
+    // like the built-in incumbent-wins Max/Min do (ADVICE r12)
     for (pair <- Seq(Seq(-0.0, 0.0), Seq(0.0, -0.0))) {
       val z = acc2(pair)
       assert(java.lang.Double.doubleToLongBits(z.mx) ==
@@ -64,6 +65,17 @@ class PropertySpec extends AnyFunSuite {
       assert(java.lang.Double.doubleToLongBits(z.mn) ==
         java.lang.Double.doubleToLongBits(0.0), s"min of $pair kept -0.0")
     }
+    val allNeg = acc2(Seq(-0.0, -0.0, -0.0))
+    assert(java.lang.Double.doubleToLongBits(allNeg.mx) ==
+      java.lang.Double.doubleToLongBits(-0.0), "all-(-0.0) max must stay -0.0")
+    assert(java.lang.Double.doubleToLongBits(allNeg.mn) ==
+      java.lang.Double.doubleToLongBits(-0.0), "all-(-0.0) min must stay -0.0")
+    // and merging an all-(-0.0) partial with a +0.0 partial unifies
+    val m = MaxMin.merge(allNeg, acc2(Seq(0.0)))
+    assert(java.lang.Double.doubleToLongBits(m.mx) ==
+      java.lang.Double.doubleToLongBits(0.0) &&
+      java.lang.Double.doubleToLongBits(m.mn) ==
+        java.lang.Double.doubleToLongBits(0.0), "mixed-zero merge must read +0.0")
   }
 
   private def acc2(xs: Seq[Double]): MaxMinAcc =

@@ -30,17 +30,56 @@ class ToolingSpec extends SparkSpec {
     val warm = Bench.hostScale(probes(0.276, 0.268, 0.639),
       probes(0.092, 0.268, 0.639))
     assert(math.abs(warm - 1.0) < 1e-9, s"JIT-inflated start not discarded: $warm")
-    // a probe reporting -1 in BOTH blocks is excluded, not a poison pill
+    // a probe reporting -1 in BOTH blocks is excluded, not a poison
+    // pill; with 2 live ratios the median AVERAGES the middle pair —
+    // the old upper-median let the larger ratio always win in exactly
+    // the degraded case (ADVICE r12)
     val oneDead = Bench.hostScale(probes(-1.0, 0.536, 0.639),
       probes(-1.0, 0.536, 1.278))
-    assert(math.abs(oneDead - 2.0) < 1e-9,
-      s"dead probe should leave median of {2.0, 1.0}=2.0 (upper), got $oneDead")
+    assert(math.abs(oneDead - 1.5) < 1e-9,
+      s"dead probe should leave median of {2.0, 1.0}=1.5 (mean of pair), got $oneDead")
     // -1 in one block only: the live block's value is used
     val halfDead = Bench.hostScale(probes(0.092, -1.0, 0.639),
       probes(0.092, 0.536, 0.639))
     assert(math.abs(halfDead - 1.0) < 1e-9, s"half-dead probe mishandled: $halfDead")
     // all probes dead → -1 sentinel (Bench reports value_cal = -1)
     assert(Bench.hostScale(probes(-1, -1, -1), probes(-1, -1, -1)) == -1.0)
+  }
+
+  test("suspectsOf flags the r12 excursion, not calm noise") {
+    // replay: BENCH_r12's dd_tfidf_cos read 18.0 s at host_scale 1.498
+    // against a 2.624 s committed calm ref — must be retimed
+    val r12 = Seq("dd_tfidf_cos" -> 17.972, "dd_containment" -> 3.519)
+    assert(Bench.suspectsOf(r12, 1.498) == Seq("dd_tfidf_cos"))
+    // a query running AT its calm ref is never a suspect, nor is a
+    // failed one (-1), nor a name with no committed reference
+    assert(Bench.suspectsOf(Seq("dd_tfidf_cos" -> 2.624,
+      "dd_cdc" -> -1.0, "q_not_in_refs" -> 99.0), 1.0).isEmpty)
+    // absolute slack: a 0.129 s query tripling to 0.5 s is scheduler
+    // noise, not an excursion worth a retime slot
+    assert(Bench.suspectsOf(Seq("tw_windowall" -> 0.5), 1.0).isEmpty)
+    assert(Bench.suspectsOf(Seq("tw_windowall" -> 1.2), 1.0) ==
+      Seq("tw_windowall"), "0.129 s ref at 1.2 s is 9x AND past slack")
+    // host_scale scales the threshold (3x ref x 2.0): 14 s at scale
+    // 2.0 is under 2.624*3*2=15.7 — not a suspect; floored at 1 for a
+    // fast host so calm refs are never shrunk
+    assert(Bench.suspectsOf(Seq("dd_tfidf_cos" -> 14.0), 2.0).isEmpty)
+    assert(Bench.suspectsOf(Seq("dd_tfidf_cos" -> 14.0), 0.5) ==
+      Seq("dd_tfidf_cos"))
+    // worst-excess-first ordering and the MaxRetimes cap
+    val many = BenchRefs.calm.toSeq.sortBy(_._1).take(Bench.MaxRetimes + 5)
+      .zipWithIndex.map { case ((n, ref), i) => n -> (ref * 10 + i) }
+    val s = Bench.suspectsOf(many, 1.0)
+    assert(s.size == Bench.MaxRetimes, s"cap: ${s.size}")
+    val excess = many.toMap
+    assert(s == s.sortBy(n => -(excess(n) - BenchRefs.calm(n))), "worst first")
+  }
+
+  test("BenchRefs covers the full catalog") {
+    val missing = SparkEntry.queries.keySet -- BenchRefs.calm.keySet
+    assert(missing.isEmpty,
+      s"queries without a calm bench reference (regenerate BenchRefs " +
+        s"from a calm full run): ${missing.mkString(",")}")
   }
 
   test("HugeExec.corrupt inflates the advertised columns, deterministically") {
