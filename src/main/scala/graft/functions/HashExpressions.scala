@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
@@ -233,6 +233,105 @@ object HashKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Content-defined-chunking chunk hashes in one pass — dd_cdc's
+    * kernel. Contract identical to the HOF formulation the DuckDB
+    * oracle mirrors: boundary at position i in [w, n] when
+    * h32(space-joined toks[i-w..i-1]) % mod == 0; cut points are
+    * 0 :: boundaries :: n; each chunk's hash is h32 of its
+    * space-joined token span, with the empty trailing span a boundary
+    * at exactly n would create dropped. The interpreted per-position
+    * HOF version paid a slice copy + array_join + boxed md5 chain per
+    * position (and needed tk/cuts Generate barriers against
+    * lambda-capture re-derivation); this is one tight loop with a
+    * reused StringBuilder and no captured arrays. */
+  def cdcChunks(toks: ArrayData, w: Int, mod: Int): ArrayData = {
+    val n = toks.numElements()
+    val sb = new java.lang.StringBuilder(64)
+    def spanHash(start: Int, len: Int): Long = {
+      sb.setLength(0)
+      var j = start
+      val end = start + len
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      h32(sb.toString)
+    }
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int](8)
+    cuts += 0
+    if (n >= w) {
+      var i = w
+      while (i <= n) {
+        if (spanHash(i - w, w) % mod == 0) cuts += i
+        i += 1
+      }
+    }
+    cuts += n
+    val out = new scala.collection.mutable.ArrayBuffer[Any](cuts.length - 1)
+    var j = 0
+    while (j < cuts.length - 1) {
+      if (cuts(j + 1) > cuts(j)) out += spanHash(cuts(j), cuts(j + 1) - cuts(j))
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private val SpanEvery = 20  // span start fires when h % 20 == 0 (~5%)
+  private val SpanLook = 3    // max lookback: span length <= 4 covers [j, j+3]
+
+  /** T5 span-corruption stats + masked/targets rendering in one pass —
+    * pipe_spancorrupt's kernel. Contract identical to the HOF
+    * formulation the DuckDB oracle mirrors: the draw at position j is
+    * h = h32("docId:j"); a span starts where h % 20 == 0 and runs
+    * 2 + h % 3 tokens; position i is corrupted when any span starting
+    * in [i-3, i] still covers it; n_spans counts corrupted-run starts.
+    * Returns STRUCT<n_corr, n_spans, masked, targets>. The HOF
+    * version's nested exists-over-sl lambda forced sl and fl behind
+    * Generate barriers (captured-array re-derivation is O(len²)–
+    * O(len³) per row); here the whole doc is one native pass. */
+  def spanCorrupt(docId: org.apache.spark.unsafe.types.UTF8String,
+                  toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val idPrefix = docId.toString + ":"
+    val sl = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val h = h32(idPrefix + j)
+      sl(j) = if (h % SpanEvery == 0) 2 + h % 3 else 0L
+      j += 1
+    }
+    var nCorr = 0L
+    var nSpans = 0L
+    val masked = new java.lang.StringBuilder(32)
+    val targets = new java.lang.StringBuilder(32)
+    var prevCorrupted = false
+    var i = 0
+    while (i < n) {
+      var corrupted = false
+      var k = if (i - SpanLook > 0) i - SpanLook else 0
+      while (!corrupted && k <= i) {
+        if (sl(k) > 0 && (i - k) < sl(k)) corrupted = true
+        k += 1
+      }
+      val tok = toks.getUTF8String(i).toString
+      if (i > 0) masked.append(' ')
+      if (corrupted) {
+        nCorr += 1
+        if (!prevCorrupted) nSpans += 1
+        masked.append('_')
+        if (targets.length > 0) targets.append(' ')
+        targets.append(tok)
+      } else masked.append(tok)
+      prevCorrupted = corrupted
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nCorr, nSpans,
+      org.apache.spark.unsafe.types.UTF8String.fromString(masked.toString),
+      org.apache.spark.unsafe.types.UTF8String.fromString(targets.toString)))
+  }
 }
 
 private[functions] trait ShingleKernelExpr extends UnaryExpression {
@@ -366,6 +465,63 @@ case class ShingleSimHash(child: Expression, n: Int) extends ShingleKernelExpr {
 
   override protected def withNewChildInternal(c: Expression): ShingleSimHash =
     copy(child = c)
+}
+
+/** `cdc_chunks(tokens, w, mod)` → ARRAY<BIGINT> content-defined
+  * chunk hashes (see HashKernels.cdcChunks). */
+case class CdcChunks(child: Expression, w: Int, mod: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if w >= 1 && mod >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> tokens, w >= 1 and mod >= 1")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(toks: Any): Any =
+    HashKernels.cdcChunks(toks.asInstanceOf[ArrayData], w, mod)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.cdcChunks($a, $w, $mod);")
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
+/** `span_corrupt(doc_id_string, tokens)` →
+  * STRUCT<n_corr:BIGINT, n_spans:BIGINT, masked:STRING, targets:STRING>
+  * (see HashKernels.spanCorrupt). */
+case class SpanCorruptStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING doc id, ARRAY<STRING> tokens)")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_corr", LongType, nullable = false),
+    StructField("n_spans", LongType, nullable = false),
+    StructField("masked", StringType, nullable = false),
+    StructField("targets", StringType, nullable = false)))
+  override def prettyName: String = "span_corrupt"
+
+  override def nullSafeEval(id: Any, toks: Any): Any =
+    HashKernels.spanCorrupt(
+      id.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      toks.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.spanCorrupt($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCorruptStats =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `token_topcount(tokens)` → INT max per-token occurrence count —

@@ -285,6 +285,15 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new FunctionIdentifier("block_mean_code"),
       new ExpressionInfo(classOf[BlockMeanCode].getName, "block_mean_code"),
       (args: Seq[Expression]) => BlockMeanCode(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (args: Seq[Expression]) =>
+        CdcChunks(args(0), litInt(args(1)), litInt(args(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("span_corrupt"),
+      new ExpressionInfo(classOf[SpanCorruptStats].getName, "span_corrupt"),
+      (args: Seq[Expression]) => SpanCorruptStats(args(0), args(1))))
     ext.injectOptimizerRule(_ => graft.plans.ExistsRewriteRule)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectParser((session, delegate) =>
@@ -334,4 +343,15 @@ object VectorFunctions {
   def winnowFingerprints(hashes: Column, w: Int): Column =
     call_function("winnow_fingerprints", hashes,
       org.apache.spark.sql.functions.lit(w))
+
+  /** Codegen'd content-defined-chunking chunk hashes (single pass). */
+  def cdcChunks(toks: Column, w: Int, mod: Int): Column =
+    call_function("cdc_chunks", toks,
+      org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(mod))
+
+  /** Codegen'd T5 span-corruption struct (single pass):
+    * n_corr, n_spans, masked, targets. */
+  def spanCorrupt(docId: Column, toks: Column): Column =
+    call_function("span_corrupt", docId, toks)
 }

@@ -286,41 +286,19 @@ object DedupQueries extends GroupBase {
     // dd_chunk — no window, no all-pairs, scale shape unchanged.
     "dd_cdc" -> ((s, d) => {
       val W = 4; val MOD = 16
-      // tk and cuts go behind Generate barriers: both are CAPTURED
-      // inside per-position lambdas below (slice(tk, ...) in the
-      // boundary scan and chunk hasher; element_at(cuts, j) in the
-      // chunk builder). Alias substitution into those lambdas
-      // re-derives the O(len) array once per element — O(len²) per
-      // row; a single 500 KB doc ground one task for 25 minutes in
-      // the huge-value sweep (see GroupBase.mat).
-      val docs0 = withTokens(t(s, d, "documents"))
-        .filter(size(col("tk")) > 0)
-        // boundary positions: i in [W, n] where the rolling hash of
-        // tokens (i-W, i] divides MOD. sequence() descends when
-        // stop < start, so short docs get an explicit empty list.
-        .withColumn("bpos",
-          when(size(col("tk")) >= W,
-            filter(
-              transform(sequence(lit(W), size(col("tk"))),
-                i => when(TextOps.hash32(array_join(
-                    slice(col("tk"), i - W + 1, lit(W)), " ")) % MOD === 0, i)),
-              x => x.isNotNull))
-            .otherwise(array().cast("array<int>")))
-      // cut points 0 = doc start .. n = doc end; chunk j spans
-      // (cuts[j], cuts[j+1]]. A boundary at exactly n would yield
-      // an empty trailing chunk — filtered by the span > 0 guard.
-      val docs = mat(docs0, "cuts",
-          concat(array(lit(0)), col("bpos"), array(size(col("tk")))))
-        .withColumn("chs",
-          filter(
-            transform(sequence(lit(1), size(col("cuts")) - 1),
-              j => when(
-                element_at(col("cuts"), j + 1) > element_at(col("cuts"), j),
-                TextOps.hash32(array_join(
-                  slice(col("tk"), element_at(col("cuts"), j) + 1,
-                    element_at(col("cuts"), j + 1) - element_at(col("cuts"), j)),
-                  " ")))),
-            x => x.isNotNull))
+      // The whole boundary-scan + chunk-hash computation is ONE
+      // codegen kernel call per row (cdc_chunks — same
+      // md5-per-window contract the oracle mirrors). The r12 HOF
+      // formulation needed tk/cuts Generate barriers against
+      // lambda-capture re-derivation (O(len²)/row; one 500 KB doc =
+      // one 25-minute task, see GroupBase.mat) and still paid
+      // interpreted per-position slice+join+md5 chains; the kernel
+      // takes tokens as an expression ARGUMENT (evaluated once) and
+      // loops natively. tk stays behind its barrier, chs behind mat,
+      // so no consumer can re-inline either derivation.
+      val docs = mat(
+        withTokens(t(s, d, "documents")).filter(size(col("tk")) > 0),
+        "chs", graft.functions.VectorFunctions.cdcChunks(col("tk"), W, MOD))
       val ch = docs.select(col("doc_id"), explode(col("chs")).as("h"))
       val kept = ch.groupBy(col("h"))
         .agg(min(col("doc_id")).as("doc_id"))

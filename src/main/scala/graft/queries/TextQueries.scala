@@ -1307,36 +1307,28 @@ object TextQueries extends GroupBase {
     // whole operator is one embarrassingly-parallel projection scan —
     // the 100 TB shape of every real pretraining tokenizer pass.
     "pipe_spancorrupt" -> ((s, d) => {
-      def h(j: Column) = TextOps.hash32(concat(
-        col("doc_id").cast("string"), lit(":"), j.cast("string")))
-      // tk, sl and fl all go behind Generate barriers: each is
-      // CAPTURED element-wise by the next level's lambda (fl reads
-      // sl per position through a nested exists; the masked/targets
-      // projections read fl and tk per position). Alias substitution
-      // into those lambdas re-derives each O(len) array per element —
-      // O(len²)–O(len³) per row on a huge doc (see GroupBase.mat).
-      val base0 = withTokens(t(s, d, "documents"))
-        .filter(size(col("tk")) > 0)
-        .withColumn("n", size(col("tk")))
-      val base1 = mat(base0, "sl", transform(sequence(lit(0), col("n") - 1),
-          j => when(h(j) % 20 === 0, lit(2) + h(j) % 3).otherwise(lit(0L))))
-      val base = mat(base1, "fl", transform(sequence(lit(0), col("n") - 1),
-          i => exists(sequence(greatest(i - 3, lit(0)), i),
-            j => element_at(col("sl"), j + 1) > 0 &&
-              (i - j) < element_at(col("sl"), j + 1))))
+      // The span draw, coverage flags, run count and masked/targets
+      // rendering are ONE codegen kernel call per row (span_corrupt —
+      // same h32(doc:pos) contract the oracle mirrors). The r12 HOF
+      // formulation needed tk/sl/fl Generate barriers against
+      // lambda-capture re-derivation (O(len²)–O(len³)/row on a huge
+      // doc, see GroupBase.mat) and still ran interpreted per
+      // position; the kernel takes its inputs as expression ARGUMENTS
+      // (evaluated once) and loops natively. The struct goes behind
+      // mat so the five field reads below can't re-inline the kernel.
+      val base = mat(
+        withTokens(t(s, d, "documents"))
+          .filter(size(col("tk")) > 0)
+          .withColumn("n", size(col("tk"))),
+        "sc", graft.functions.VectorFunctions.spanCorrupt(
+          col("doc_id").cast("string"), col("tk")))
       base.select(col("doc_id"), col("n").cast("int").as("n_tok"),
-          size(filter(col("fl"), x => x)).cast("long").as("n_corr"),
-          size(filter(sequence(lit(0), col("n") - 1),
-            i => element_at(col("fl"), i + 1) &&
-              when(i === 0, lit(true)).otherwise(!element_at(col("fl"), i))))
-            .cast("long").as("n_spans"),
-          round(size(filter(col("fl"), x => x)).cast("double") /
+          col("sc.n_corr").as("n_corr"),
+          col("sc.n_spans").as("n_spans"),
+          round(col("sc.n_corr").cast("double") /
             col("n").cast("double"), 6).as("corrupt_ratio"),
-          concat_ws(" ", transform(sequence(lit(0), col("n") - 1),
-            i => when(element_at(col("fl"), i + 1), lit("_"))
-              .otherwise(element_at(col("tk"), i + 1)))).as("masked"),
-          concat_ws(" ", filter(col("tk"),
-            (x, i) => element_at(col("fl"), i + 1))).as("targets"))
+          col("sc.masked").as("masked"),
+          col("sc.targets").as("targets"))
         .orderBy("doc_id")
     }),
 

@@ -131,6 +131,119 @@ class HashKernelSpec extends SparkSpec {
     assert(short == 0)
   }
 
+  test("cdc_chunks == HOF boundary scan + cut points + chunk hashes") {
+    // the r12 HOF formulation of dd_cdc, kept here as the executable
+    // reference the codegen kernel must match token-for-token (the
+    // DuckDB oracle independently verifies the same contract)
+    val W = 4; val MOD = 16
+    val s = spark
+    import s.implicits._
+    val base = docs.filter(size(col("tk")) > 0).limit(200)
+      .select(col("doc_id"), col("tk"))
+      .unionByName(Seq(
+        (900001L, Seq("one")),                       // below W: one chunk
+        (900002L, Seq("a", "b", "c")),               // below W
+        (900003L, Seq.empty[String]))                 // no tokens: no chunk
+        .toDF("doc_id", "tk"))
+    val hof = base
+      .withColumn("bpos",
+        when(size(col("tk")) >= W,
+          filter(
+            transform(sequence(lit(W), size(col("tk"))),
+              i => when(TextOps.hash32(array_join(
+                  slice(col("tk"), i - W + 1, lit(W)), " ")) % MOD === 0, i)),
+            x => x.isNotNull))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("cuts",
+        concat(array(lit(0)), col("bpos"), array(size(col("tk")))))
+      .withColumn("chs",
+        filter(
+          transform(sequence(lit(1), size(col("cuts")) - 1),
+            j => when(
+              element_at(col("cuts"), j + 1) > element_at(col("cuts"), j),
+              TextOps.hash32(array_join(
+                slice(col("tk"), element_at(col("cuts"), j) + 1,
+                  element_at(col("cuts"), j + 1) - element_at(col("cuts"), j)),
+                " ")))),
+          x => x.isNotNull))
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("chs"), x => x.cast("string"))).as("r"))
+    val kern = base.select(col("doc_id"),
+      concat_ws(",", transform(
+        VectorFunctions.cdcChunks(col("tk"), W, MOD),
+        x => x.cast("string"))).as("r"))
+    assert(kern.count() == hof.count() && kern.count() > 3)
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+    // boundaries actually fire on the corpus (multi-chunk docs exist)
+    assert(kern.filter(col("r").contains(",")).count() > 0,
+      "no doc produced >1 chunk — the boundary branch is untested")
+  }
+
+  test("span_corrupt == HOF span draw + coverage + rendering") {
+    // the r12 HOF formulation of pipe_spancorrupt as the executable
+    // reference for all four struct fields
+    val s = spark
+    import s.implicits._
+    def h(j: org.apache.spark.sql.Column) = TextOps.hash32(concat(
+      col("doc_id").cast("string"), lit(":"), j.cast("string")))
+    val base = docs.filter(size(col("tk")) > 0).limit(200)
+      .select(col("doc_id"), col("tk"))
+      .unionByName(Seq(
+        (900001L, Seq("solo")),
+        (900002L, Seq("a", "b")))
+        .toDF("doc_id", "tk"))
+      .withColumn("n", size(col("tk")))
+    val hof = base
+      .withColumn("sl", transform(sequence(lit(0), col("n") - 1),
+        j => when(h(j) % 20 === 0, lit(2) + h(j) % 3).otherwise(lit(0L))))
+      .withColumn("fl", transform(sequence(lit(0), col("n") - 1),
+        i => exists(sequence(greatest(i - 3, lit(0)), i),
+          j => element_at(col("sl"), j + 1) > 0 &&
+            (i - j) < element_at(col("sl"), j + 1))))
+      .select(col("doc_id"),
+        size(filter(col("fl"), x => x)).cast("long").as("n_corr"),
+        size(filter(sequence(lit(0), col("n") - 1),
+          i => element_at(col("fl"), i + 1) &&
+            when(i === 0, lit(true)).otherwise(!element_at(col("fl"), i))))
+          .cast("long").as("n_spans"),
+        concat_ws(" ", transform(sequence(lit(0), col("n") - 1),
+          i => when(element_at(col("fl"), i + 1), lit("_"))
+            .otherwise(element_at(col("tk"), i + 1)))).as("masked"),
+        concat_ws(" ", filter(col("tk"),
+          (x, i) => element_at(col("fl"), i + 1))).as("targets"))
+    val kern = base
+      .withColumn("sc", VectorFunctions.spanCorrupt(
+        col("doc_id").cast("string"), col("tk")))
+      .select(col("doc_id"), col("sc.n_corr").as("n_corr"),
+        col("sc.n_spans").as("n_spans"), col("sc.masked").as("masked"),
+        col("sc.targets").as("targets"))
+    assert(kern.count() == hof.count() && kern.count() > 3)
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+    // spans actually fire on the corpus
+    assert(kern.filter(col("n_spans") > 0).count() > 0,
+      "no doc drew a span — the corruption branch is untested")
+  }
+
+  test("cdc/span kernels stay linear on a 500 KB document") {
+    // the r12 failure class: one 100k-token doc must cost ~100k md5
+    // calls (sub-second), not the O(len²) 25-minute grind the
+    // lambda-capture HOF path hit. Direct kernel calls — no Spark
+    // overhead in the bound.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = new GenericArrayData(
+      Array.tabulate[Any](100000)(i => UTF8String.fromString("w" + (i % 997))))
+    val t0 = System.nanoTime()
+    val chs = graft.functions.HashKernels.cdcChunks(toks, 4, 16)
+    val sc = graft.functions.HashKernels.spanCorrupt(
+      UTF8String.fromString("424242"), toks)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(chs.numElements() > 100, "a 100k-token doc should chunk richly")
+    assert(sc.getLong(0) > 0 && sc.getLong(1) > 0, "spans should fire")
+    assert(sec < 10.0, s"kernels took ${sec}s on one 100k-token doc — " +
+      "superlinear regression (r12's HOF cliff was 25 min)")
+  }
+
   test("winnow kernel == brute global-distinct model on ties-dense arrays") {
     // the kernel collapses CONSECUTIVE duplicate picks; the claim that
     // this equals a global distinct (a position's pick range is

@@ -39,7 +39,9 @@ class KernelParitySpec extends SparkSpec {
       V.tokenTopCount(col("tk")).as("tc"),
       call_function("winnow_fingerprints",
         V.shingleHashes(col("tk"), 3), lit(4)).as("wf"),
-      call_function("block_mean_code", col("text")).as("bm"))
+      call_function("block_mean_code", col("text")).as("bm"),
+      V.cdcChunks(col("tk"), 4, 16).as("cc"),
+      V.spanCorrupt(col("doc_id").cast("string"), col("tk")).as("sc"))
     val e = graft.core.Tables.load(spark, d, "embeddings").limit(64)
       .select(col("vec_id"), col("embedding"))
     val vecs = e.as("a").join(e.as("b"),
