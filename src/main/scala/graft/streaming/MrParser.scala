@@ -61,13 +61,18 @@ object MrParser {
   case class Compiled(steps: Seq[Step], withinMs: Long, skip: Skip,
                       greedy: Boolean)
 
-  private val PatternRe = """(?s)PATTERN\s*\(([^)]*)\)""".r
+  // keyword matching is case-insensitive END TO END: the SQL statement
+  // regex (MrSql.Re) is (?i), so `pattern (...) define ...` reaches
+  // this parser — PATTERN/DEFINE and the clause-split AS lookahead
+  // must accept it too (found by MrSqlRoundTripSpec's case fuzz, r13;
+  // WITHIN/AFTER MATCH/AS were already (?i))
+  private val PatternRe = """(?is)PATTERN\s*\(([^)]*)\)""".r
   private val WithinRe = """(?i)WITHIN\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\b""".r
   private val SkipRe =
     """(?i)AFTER\s+MATCH\s+(SKIP\s+PAST\s+LAST\s+ROW|SKIP\s+TO\s+NEXT\s+ROW|NO\s+SKIP)""".r
   private val SkipToVarRe =
     """(?i)AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""".r
-  private val DefineRe = """(?s)DEFINE\s+(.*)$""".r
+  private val DefineRe = """(?is)DEFINE\s+(.*)$""".r
   private val ElemRe =
     """(!?)([A-Za-z_][A-Za-z0-9_]*)(\{(\d+)(,(\d+)?)?\}|\+|\?|\*)?(\?)?""".r
 
@@ -117,7 +122,7 @@ object MrParser {
         case Some(m) =>
           // split on commas that start a new `SYM AS` clause (commas
           // inside IN (...) lists don't match the lookahead)
-          m.group(1).split(""",\s*(?=[A-Za-z_][A-Za-z0-9_]*\s+AS\s)""")
+          m.group(1).split(""",\s*(?=[A-Za-z_][A-Za-z0-9_]*\s+(?i:AS)\s)""")
             .map(parseDefine).toMap
       }
 

@@ -74,12 +74,21 @@ object MrSql {
     }).as(alias)
   }
 
-  def rewrite(session: SparkSession, text: String): Option[LogicalPlan] = {
+  /** The statement pieces before planning — exposed package-private so
+    * the round-trip property spec can compare the frontend's extraction
+    * (clause isolation, MEASURES compilation, pattern-tail capture)
+    * against a direct `MrParser.parse` of the same spec text without
+    * needing a table or a session. `spec` is the verbatim
+    * `PATTERN ... DEFINE ...` tail the statement regex captured. */
+  private[streaming] case class ParsedMr(
+      table: String, keyCol: String, tsCol: String,
+      kindCol: String, valCol: String,
+      measures: Seq[org.apache.spark.sql.Column],
+      spec: String, compiled: MrParser.Compiled)
+
+  private[streaming] def parseSpec(text: String): Option[ParsedMr] = {
     if (!text.toUpperCase.contains("MATCH_RECOGNIZE")) return None
     Re.findFirstMatchIn(text).map { m =>
-      val tbl = m.group(1)
-      val keyC = m.group(2)
-      val tsC = m.group(3)
       val kindC = Option(m.group(4)).getOrElse("event_type")
       val valC = Option(m.group(5)).getOrElse("value")
       val measures = Option(m.group(6)) match {
@@ -96,20 +105,26 @@ object MrSql {
           aggregate(col("values"), lit(0.0), (a, v) => a + v).as("sum_v"),
           size(col("values")).as("n"))
       }
-      val pat = MrParser.parse(m.group(7))
+      ParsedMr(m.group(1), m.group(2), m.group(3), kindC, valC,
+        measures, m.group(7), MrParser.parse(m.group(7)))
+    }
+  }
+
+  def rewrite(session: SparkSession, text: String): Option[LogicalPlan] =
+    parseSpec(text).map { p =>
       import session.implicits._
-      val ev = session.table(tbl).select(
-        col(keyC).cast("long").as("key"), col(tsC).as("ts"),
-        col(kindC).as("kind"), col(valC).cast("double").as("value"))
+      val pat = p.compiled
+      val ev = session.table(p.table).select(
+        col(p.keyCol).cast("long").as("key"), col(p.tsCol).as("ts"),
+        col(p.kindCol).as("kind"), col(p.valCol).cast("double").as("value"))
         .transform(KeyedEvent.ingest)
       SeqPattern.detect(ev, pat.steps, pat.withinMs, strict = true,
           pat.skip, pat.greedy, flushEnd = true)
         .toDF()
-        .select(Seq(col("key").as(keyC), col("startTs").as("m_start"),
-          col("endTs").as("m_end")) ++ measures: _*)
+        .select(Seq(col("key").as(p.keyCol), col("startTs").as("m_start"),
+          col("endTs").as("m_end")) ++ p.measures: _*)
         .queryExecution.logical
     }
-  }
 }
 
 class MrSqlParser(session: SparkSession, delegate: ParserInterface)

@@ -165,6 +165,82 @@ class StreamingSoakSpec extends SparkSpec {
     }
   }
 
+  test("complete-mode changelog emits -D drop-outs across kill/restart (RocksDB)") {
+    // attachComplete (the top-N flavor) got processBatch's persist fix
+    // in r12 but not its soak (r12 verdict #3): a key falling out of a
+    // complete-mode top-2 must emit -D with its LAST KNOWN values, a
+    // deleted key re-entering later must +I (not +U against a stale
+    // snapshot), and both must hold when the query is killed and
+    // restarted between the transitions — three incarnations over one
+    // checkpoint + snapshot.
+    withRocksDB {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ckpt = Files.createTempDirectory("graft-soak-cm-ckpt").toString
+      val base = Files.createTempDirectory("graft-soak-cm").toString
+      val snap = base + "/snap"
+      val clog = base + "/clog"
+      val input = MemoryStream[KeyedEvent]
+      def start() = Changelog.attachComplete(
+          input.toDS().groupBy("key")
+            .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+            .orderBy(org.apache.spark.sql.functions.col("sv").desc)
+            .limit(2),
+          Seq("key"), snap, clog)
+        .option("checkpointLocation", ckpt).start()
+      def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+               es: KeyedEvent*): Unit =
+        es.foreach { e => input.addData(e); q.processAllAvailable() }
+
+      // cycle 1: keys 1,2 fill the top-2; key 3 then knocks key 1 out
+      val q1 = start()
+      try {
+        feed(q1, KeyedEvent(1L, ts(1000L), "e", 10.0))
+        feed(q1, KeyedEvent(2L, ts(2000L), "e", 20.0))
+        feed(q1, KeyedEvent(3L, ts(3000L), "e", 30.0))
+      } finally q1.stop()
+
+      // cycle 2 (restart): key 1 re-enters at 35 — must be +I (it was
+      // deleted), and key 2 drops out — must be -D with (1, 20.0)
+      val q2 = start()
+      try feed(q2, KeyedEvent(1L, ts(4000L), "e", 25.0))
+      finally q2.stop()
+
+      // cycle 3 (second restart): key 3 grows 30 -> 40 in place — a
+      // plain -U/+U retract pair, no spurious -D for untouched key 1
+      val q3 = start()
+      try feed(q3, KeyedEvent(3L, ts(5000L), "e", 10.0))
+      finally q3.stop()
+
+      val log = s.read.parquet(clog)
+        .select("batch_id", "op", "key", "cnt", "sv")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, if (t._2 == "-U") 0 else 1))
+        .map(t => (t._2, t._3, t._4, t._5)).toList
+      def opsOf(k: Long) = log.filter(_._2 == k).map(_._1)
+      assert(opsOf(1L) == List("+I", "-D", "+I"),
+        s"key 1 must delete on drop-out and RE-INSERT on re-entry: $log")
+      assert(opsOf(2L) == List("+I", "-D"),
+        s"key 2 must -D across the restart, not re-baseline: $log")
+      assert(opsOf(3L) == List("+I", "-U", "+U"),
+        s"key 3 in-place growth is a retract pair, never -D: $log")
+      // -D rows carry the LAST KNOWN values at deletion time
+      assert(log.contains(("-D", 1L, 1L, 10.0)),
+        s"key 1 drop-out must retract (1, 10.0): $log")
+      assert(log.contains(("-D", 2L, 1L, 20.0)),
+        s"key 2 drop-out must retract (1, 20.0): $log")
+      assert(log.contains(("-U", 3L, 1L, 30.0)) &&
+        log.contains(("+U", 3L, 2L, 40.0)), s"key 3 retract pair: $log")
+      // the snapshot IS the final top-2 (deleted keys truly gone)
+      val snapRows = s.read.parquet(snap).orderBy("key")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      assert(snapRows == List((1L, 2L, 35.0), (3L, 2L, 40.0)),
+        s"snapshot after three cycles must be the live top-2: $snapRows")
+    }
+  }
+
   test("allowedLateness re-fire machine recovers firings + watermark (RocksDB)") {
     withRocksDB {
       val s = spark
