@@ -59,13 +59,13 @@ object SkewExec {
     *    chunk id compares the hot group pairwise; r11 measured
     *    17.9 s. Output-bounded, not state-bounded, so it completes —
     *    just slowly.
-    *  - dd_cdc: CDC materialization where 25% of keys collapse makes
-    *    one change-log group hold a quarter of the stream; the
-    *    per-key latest-wins window is linear in the group, r11
-    *    measured 12.6 s — near the default bound, whitelisted at 2×
-    *    its measured value so host jitter can't flip it. */
+    *  - dd_cdc: REMOVED r13. The r11 entry (12.6 s measured) covered
+    *    the pre-barrier HOF path; r12's Generate barrier brought the
+    *    skew time to ≤4 s and the r13 cdc_chunks codegen kernel is
+    *    strictly faster — the stale 40 s bound would have masked a
+    *    16× regression, so the query is back under the default. */
   private[graft] val BoundOverrides: Map[String, Double] = Map(
-    "join_inner_chain" -> 90.0, "pipe_ccnet" -> 55.0, "dd_cdc" -> 40.0)
+    "join_inner_chain" -> 90.0, "pipe_ccnet" -> 55.0)
 
   /** Collapse ~25% of each key column onto its per-column hot value
     * (the column minimum: always a legitimate, joinable id). */

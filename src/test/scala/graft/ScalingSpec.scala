@@ -70,6 +70,62 @@ class ScalingSpec extends SparkSpec {
         flagged.map(r => f"${r._1} (${r._4}%.1fx)").sorted.mkString(","))
   }
 
+  test("committed scaling30.json: zero flagged, selection rot-free (30x point)") {
+    val p = java.nio.file.Paths.get("scaling30.json")
+    assert(java.nio.file.Files.exists(p),
+      "scaling30.json missing — run `sbt \"runMain graft.tools.Scaling30\"`")
+    val txt = java.nio.file.Files.readString(p)
+    val dataRatio = """"data_ratio":([0-9.eE+]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      .getOrElse(fail("scaling30.json has no data_ratio field"))
+    assert(math.abs(dataRatio - 30.0) < 1e-6, s"expected 30x, got $dataRatio")
+    assert(txt.contains("\"synthetic\""),
+      "the non-driver data marking is part of the artifact contract")
+    val entry =
+      """"([A-Za-z0-9_]+)":\{"small":(-?[0-9.]+),"large30":(-?[0-9.]+),"ratio":(-?[0-9.]+)\}""".r
+    val rows = entry.findAllMatchIn(txt).map { m =>
+      (m.group(1), m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble)
+    }.toSeq
+    assert(rows.nonEmpty, "scaling30.json parsed to zero query rows")
+
+    // rot: artifact set == the tool's live selection (which itself must
+    // stay inside the catalog, and every exclusion must name a live
+    // query — a dead exclusion means the family list rotted)
+    val sel = graft.tools.Scaling30.selected.toSet
+    assert(sel.subsetOf(SparkEntry.queries.keySet))
+    assert(graft.tools.Scaling30.PairMathExclusions
+      .subsetOf(SparkEntry.queries.keySet),
+      "Scaling30.PairMathExclusions names a query no longer in the catalog")
+    val inArtifact = rows.map(_._1).toSet
+    assert((sel -- inArtifact).isEmpty,
+      s"selected queries never swept (regenerate scaling30.json): ${(sel -- inArtifact).toSeq.sorted.mkString(",")}")
+    assert((inArtifact -- sel).isEmpty,
+      s"stale rows for queries outside the live selection: ${(inArtifact -- sel).toSeq.sorted.mkString(",")}")
+
+    val failed = rows.filter(r => r._2 < 0 || r._3 < 0)
+    assert(failed.isEmpty,
+      s"queries failed during the 30x sweep: ${failed.map(_._1).sorted.mkString(",")}")
+    val flagged = rows.filter(r => ScalingProbe.isFlagged(r._4, r._3, dataRatio))
+    assert(flagged.isEmpty,
+      s"SUPERLINEAR queries at 30x data: " +
+        flagged.map(r => f"${r._1} (${r._4}%.1fx)").sorted.mkString(","))
+  }
+
+  test("Scaling30.extend triples rows with unique, FK-aligned keys") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k1", "k2", "v")
+    val ext = graft.tools.Scaling30.extend(df, Seq("k1", "k2"), 3).collect()
+    assert(ext.length == 6)
+    assert(ext.map(_.getLong(0)).distinct.length == 6, "k1 must stay unique")
+    // FK alignment: both key columns land in the SAME per-copy band
+    val off = graft.tools.Scaling30.KeyOffset
+    assert(ext.forall(r => r.getLong(0) / off == r.getLong(1) / off),
+      s"k1/k2 copy bands diverged: ${ext.toList}")
+    assert(ext.map(_.getLong(0) / off).groupBy(identity)
+      .forall(_._2.length == 2), "each copy must carry every original row")
+  }
+
   test("deliberately quadratic probe trips the detector; equal-work linear control does not") {
     val dataRatio = 4.0
     // pair-work that count() cannot prune: the filter forces the hash

@@ -26,8 +26,9 @@ run ShapeExec     "graft.tools.ShapeExec"                                       
 run HugeExec      "graft.tools.HugeExec"                                               "\[hugeexec\]"
 run PartInvariance "graft.tools.PartInvariance"                                        "\[partinv\]"
 run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARITY.json" "parity|\[codegen"
-run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r12.json"        "\[fullexec\]"
+run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r13.json"        "\[fullexec\]"
 run ScalingProbe  "graft.tools.ScalingProbe"                                           "\[scaling|scaling.json"
+run Scaling30     "graft.tools.Scaling30"                                              "\[scaling30\]"
 log "start: Bench sf0.1"
 # Capture to a temp file and test sbt's exit status and the metric line
 # separately — `| grep | head -1` under pipefail can record a SPURIOUS
