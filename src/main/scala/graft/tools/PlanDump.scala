@@ -71,7 +71,8 @@ object PlanDump {
     "graph_ppr" -> "personalized PageRank: per-round edge join + agg, seed-restart vector, 1-row scalar broadcasts",
     "agg_cuped" -> "CUPED: one user-keyed agg, 1-row pooled-stat broadcasts, bounded second pass",
     "emb_purity" -> "purity/NMI eval: one assignment pass, bounded contingency arithmetic",
-    "pipe_spancorrupt" -> "span corruption: single projection scan, bounded 4-position lookback",
+    "pipe_spancorrupt" -> "span corruption: one span_corrupt codegen kernel call per row behind a Generate barrier, single scan",
+    "dd_cdc" -> "content-defined chunking: one cdc_chunks codegen kernel call per row, then the dd_chunk keeper shape (two hash-aggs, no window)",
     "emb_mmr" -> "MMR selection: K greedy rounds, <=K-row selected-set broadcasts, max_by argmax (no sort)",
     "emb_kcenter" -> "k-center coreset: same bounded-round shape, codegen vec_d2 scoring",
     "tw_rollup" -> "cascading rollup: hour level re-aggregates minute partials, raw table scanned once",

@@ -11,7 +11,11 @@ import graft.sources.{Readers, Writers}
   * needing an external database.
   */
 class JdbcSpec extends SparkSpec {
-  private val url = "jdbc:derby:memory:graftjdbc;create=true"
+  // unique in-memory db per suite instance: a retried/parallel run
+  // must never see tables left by an earlier instance (the historical
+  // "flakes once under parallel suites, green isolated" signature)
+  private val url =
+    s"jdbc:derby:memory:graftjdbc${System.nanoTime()};create=true"
 
   test("JDBC round-trip: Spark write, partitioned parallel read") {
     import spark.implicits._
