@@ -269,6 +269,21 @@ class PlanSpec extends SparkSpec {
         s"$q optimized plan has $n split() copies (ceiling $maxSplits) — " +
           "a Generate barrier was dropped or crossed")
     }
+    // kernel single-eval (round 13): the cdc_chunks / span_corrupt
+    // kernels live behind mat barriers too, so each SCAN BRANCH
+    // evaluates them once — dropping the barrier would re-inline
+    // span_corrupt into all five field reads (5 md5 passes per row,
+    // silent) and cdc_chunks into both consumers
+    for ((q, kernel, maxCopies) <- Seq(
+        ("dd_cdc", "cdc_chunks(", 2),          // two branches of the self-join DAG
+        ("pipe_spancorrupt", "span_corrupt(", 1))) {
+      val op = SparkEntry.queries(q)(spark, d)
+        .queryExecution.optimizedPlan.treeString
+      val n = op.split(java.util.regex.Pattern.quote(kernel), -1).length - 1
+      assert(n >= 1 && n <= maxCopies,
+        s"$q optimized plan has $n $kernel copies (ceiling $maxCopies) — " +
+          "the kernel's mat barrier was dropped or crossed")
+    }
   }
 
   test("CARTESIAN/BNLJ detector strings match real formatted-plan text") {
