@@ -13,7 +13,14 @@ package graft
   * Maintenance: regenerate from a calm full run's bench_full.json
   * whenever a deliberate perf change moves a query's steady state
   * (the retime pass only fires above 3x, so ordinary drift never
-  * requires an update).
+  * requires an update). Round-13 updates under that policy: dd_cdc,
+  * pipe_spancorrupt and pipe_ccnet moved deliberately (codegen
+  * kernels replacing interpreted HOFs behind the Generate barriers);
+  * their entries are the r13 refresh run's raw values normalized by
+  * its host_scale 1.267 (0.286/0.213/1.309 -> 0.226/0.168/1.033) —
+  * keeping the r12 values would have let a 3x regression of the NEW
+  * steady state pass unretimed under thresholds sized for the old
+  * one.
   */
 object BenchRefs {
   val calm: Map[String, Double] = Map(
@@ -30,7 +37,7 @@ object BenchRefs {
     "agg_pricing_summary"->0.202, "agg_qsketch"->0.182, "agg_retention"->0.468,
     "agg_rollup"->0.281, "agg_srm"->0.087, "agg_string_agg"->0.117,
     "agg_survival"->0.392, "agg_top3_emit"->0.177, "agg_udaf_maxmin"->0.126,
-    "agg_weighted_avg"->0.214, "dd_cdc"->0.633, "dd_chunk"->0.159,
+    "agg_weighted_avg"->0.214, "dd_cdc"->0.226, "dd_chunk"->0.159,
     "dd_cluster"->0.252, "dd_containment"->1.570, "dd_crossrc"->1.092,
     "dd_exact"->0.260, "dd_incremental"->0.208, "dd_jaccard"->1.255,
     "dd_minhash"->0.956, "dd_recall"->1.237, "dd_simhash"->0.904,
@@ -68,14 +75,14 @@ object BenchRefs {
     "pat_mr_reluctant"->0.325, "pat_mr_sql"->0.343, "pat_mr_updown"->0.302,
     "pat_nfails"->0.196, "pat_or_cond"->0.352, "pat_seq_within"->0.278,
     "pat_timeout"->0.266, "pat_until"->0.275, "pipe_budget"->0.222,
-    "pipe_ccnet"->1.571, "pipe_chunk"->0.122, "pipe_classify"->0.070,
+    "pipe_ccnet"->1.033, "pipe_chunk"->0.122, "pipe_classify"->0.070,
     "pipe_classify_train"->0.368, "pipe_cloze"->0.367, "pipe_curation"->1.541,
     "pipe_curriculum"->0.085, "pipe_decontam"->0.417, "pipe_dsir"->1.214,
     "pipe_epochs"->0.180, "pipe_gate"->0.330, "pipe_groupsplit"->0.186,
     "pipe_interleave"->0.153, "pipe_keepset"->0.296, "pipe_ksample"->0.176,
     "pipe_lenbucket"->0.197, "pipe_mix"->0.123, "pipe_pack"->0.188,
     "pipe_profile"->0.113, "pipe_sample"->0.087, "pipe_shard"->0.071,
-    "pipe_spancorrupt"->0.662, "pipe_split"->0.145, "pipe_unimax"->0.148,
+    "pipe_spancorrupt"->0.168, "pipe_split"->0.145, "pipe_unimax"->0.148,
     "pipe_urlnorm"->0.312, "pipe_wsample"->0.169, "pipe_zorder"->0.071,
     "rel_case_when"->0.143, "rel_cdc_materialize"->0.227, "rel_distinct"->0.188,
     "rel_except"->0.193, "rel_except_all"->0.272, "rel_filter_project"->0.082,
