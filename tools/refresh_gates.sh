@@ -25,6 +25,13 @@ run SkewExec      "graft.tools.SkewExec"                                        
 run ShapeExec     "graft.tools.ShapeExec"                                              "\[shapeexec\]"
 run HugeExec      "graft.tools.HugeExec"                                               "\[hugeexec\]"
 run PartInvariance "graft.tools.PartInvariance"                                        "\[partinv\]"
+run ConcExec      "graft.tools.ConcExec"                                               "\[concexec\]"
+log "start: MemExec (2g heap, 8 cores)"
+if ! SPARK_DRIVER_MEM=2g SPARK_GRAFT_CPUS=8 \
+  sbt -batch "runMain graft.tools.MemExec" 2>&1 | grep -E "\[memexec\]"; then
+  FAILED+=("MemExec"); log "FAILED: MemExec"
+fi
+log "done: MemExec"
 run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARITY.json" "parity|\[codegen"
 run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r13.json"        "\[fullexec\]"
 run ScalingProbe  "graft.tools.ScalingProbe"                                           "\[scaling|scaling.json"
