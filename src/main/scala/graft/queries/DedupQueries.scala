@@ -516,14 +516,22 @@ object DedupQueries extends GroupBase {
     "dd_tfidf_cos" -> ((s, d) => {
       import graft.core.Exact
       val docs = t(s, d, "documents")
-      val post = docs
-        .withColumn("tk", TextOps.tokens(col("text")))
+      // tokenize ONCE into a materialized base: postings, the doc
+      // count, and the shingle candidate branch all re-scan the
+      // tokenized corpus otherwise (three tokenize passes + AQE
+      // re-derivations) — measured 3.26 s -> 2.55 s warm / 6.5 s ->
+      // 3.7 s cold at sf0.1. At deployment this is the tokenized
+      // corpus a production pipeline materializes before any
+      // postings/signature math.
+      val base = docs.withColumn("tk", TextOps.tokens(col("text")))
         .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"))
+        .localCheckpoint()
+      val post = base
         .select(col("doc_id"), explode(col("tk")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val dfr = post.groupBy("w").agg(count(lit(1)).as("df"))
-      val nd = docs.withColumn("tk", TextOps.tokens(col("text")))
-        .filter(size(col("tk")) > 0).agg(count(lit(1)).as("nd"))
+      val nd = base.agg(count(lit(1)).as("nd"))
       // materialize the weighted postings ONCE (localCheckpoint → a
       // LogicalRDD): wp feeds FOUR consumers (norms + both sides of
       // the pair dot) and its lineage re-runs the tokenize+count
@@ -539,8 +547,7 @@ object DedupQueries extends GroupBase {
         .localCheckpoint()
       val nrm = wp.groupBy("doc_id")
         .agg(sqrt(Exact.fsum(col("w8") * col("w8"))).as("nrm"))
-      val sh = graft.operators.ShingleDf.capRare(docs
-        .withColumn("tk", TextOps.tokens(col("text")))
+      val sh = graft.operators.ShingleDf.capRare(base
         .withColumn("hs",
           array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
         .filter(col("hs").isNotNull)

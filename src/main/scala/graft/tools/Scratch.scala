@@ -59,6 +59,67 @@ object Scratch {
       time("e_full_variant")(g2.count())
       spark.stop(); return
     }
+    if (sys.env.get("SCRATCH_Q").contains("_tfidfprof")) {
+      import graft.core.Exact
+      import graft.functions.VectorFunctions
+      def time(tag: String)(f: => Long): Unit =
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[tfidfprof] $tag run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        }
+      val docs = Tables.load(spark, sfDir, "documents")
+      time("a_tokenize_scan")(
+        docs.withColumn("tk", TextOps.tokens(col("text")))
+          .select(sum(size(col("tk")))).count())
+      time("z_current")(
+        graft.SparkEntry.queries("dd_tfidf_cos")(spark, sfDir).count())
+      // variant: tokenize ONCE into a checkpointed base; postings,
+      // doc count, and the shingle candidate branch all derive from it
+      def variant(): Long = {
+        val base = docs.withColumn("tk", TextOps.tokens(col("text")))
+          .filter(size(col("tk")) > 0)
+          .select(col("doc_id"), col("tk"))
+          .localCheckpoint()
+        val post = base.select(col("doc_id"), explode(col("tk")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfr = post.groupBy("w").agg(count(lit(1)).as("df"))
+        val nd = base.agg(count(lit(1)).as("nd"))
+        val wp = post.join(broadcast(dfr), "w").crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("w"),
+            Exact.q6(col("tf").cast("double") *
+              log(col("nd").cast("double") / col("df").cast("double"))).as("w8"))
+          .localCheckpoint()
+        val nrm = wp.groupBy("doc_id")
+          .agg(sqrt(Exact.fsum(col("w8") * col("w8"))).as("nrm"))
+        val sh = graft.operators.ShingleDf.capRare(base
+          .withColumn("hs",
+            array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
+          .filter(col("hs").isNotNull)
+          .select(col("doc_id"), explode(col("hs")).as("sh")), "sh", 1000)
+        val cand = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val dv = wp.groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("w"), col("w8"))))
+            .as("terms"))
+        val dots = cand
+          .join(dv.select(col("doc_id").as("da"), col("terms").as("ta")), Seq("da"))
+          .join(dv.select(col("doc_id").as("db"), col("terms").as("tb")), Seq("db"))
+          .select(col("da"), col("db"),
+            VectorFunctions.sparseDot(col("ta"), col("tb")).as("dot"))
+        dots
+          .join(nrm.select(col("doc_id").as("da"), col("nrm").as("na")), Seq("da"))
+          .join(nrm.select(col("doc_id").as("db"), col("nrm").as("nb")), Seq("db"))
+          .select(col("da"), col("db"),
+            (col("dot") / nullif(col("na") * col("nb"), lit(0.0))).as("cos"))
+          .orderBy(col("cos").desc, col("da"), col("db")).limit(50)
+          .count()
+      }
+      time("y_tokenize_once")(variant())
+      spark.stop(); return
+    }
     val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
     // SCRATCH_RUN=1: execute THIS queryExecution (toRdd, not count —
     // count builds a new one) so AQE finalizes and stage reuse shows
