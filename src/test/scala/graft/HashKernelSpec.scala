@@ -95,6 +95,36 @@ class HashKernelSpec extends SparkSpec {
     assert(h >= 0 && h <= 0xffffffffL)
   }
 
+  test("kernel/HOF parity holds on hostile and ILL-FORMED UTF-8 tokens") {
+    // The kernels hash through Java String (toString -> UTF-8 bytes);
+    // the HOF path hashes Spark md5 over raw UTF8String bytes. For
+    // well-formed UTF-8 the two byte streams are identical; for
+    // ill-formed bytes (real crawls contain them) toString substitutes
+    // U+FFFD — but the upstream tokenizer (Java-regex split) performs
+    // the SAME substitution for both paths, so parity must still hold.
+    // Probed live round 13 (0xC3 0x28 truncated sequence: hashes
+    // equal); pinned here over the full hostile pool + raw bytes.
+    val s = spark
+    import s.implicits._
+    val hostile = graft.tools.TextExec.pool.map(p => s"w1 $p w3 w4")
+    val raw = Seq(Array[Byte](0x61, 0xC3.toByte, 0x28, 0x62, 0x20,
+      0x74, 0x6F, 0x6B, 0x20, 0x77, 0x32, 0x20, 0x77, 0x33))
+      .toDF("b").selectExpr("CAST(b AS STRING) AS text")
+    val df = hostile.toDF("text").union(raw)
+      .withColumn("tk", TextOps.tokens(col("text")))
+    val hof = df
+      .withColumn("sh", TextOps.shingles(col("tk"), 3))
+      .filter(size(col("sh")) > 0)
+      .select(explode(col("sh")).as("sh"))
+      .select(TextOps.hash32(col("sh")).as("h"))
+    val kern = df
+      .select(VectorFunctions.shingleHashes(col("tk"), 3).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(explode(col("hs")).as("h"))
+    assert(kern.count() == hof.count() && kern.count() > 0)
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+  }
+
   test("winnow_fingerprints == HOF per-window rightmost-min + distinct") {
     val W = 4
     val hs = col("hs")
