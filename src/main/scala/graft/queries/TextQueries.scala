@@ -953,15 +953,22 @@ object TextQueries extends GroupBase {
     //    whole-language window sort, which at 100 TB with a handful
     //    of languages would be the classic hot-partition cliff.
     "pipe_ccnet" -> ((s, d) => {
-      // tk behind the Generate barrier: the chunk-hash lambda below
-      // captures tk per position (GroupBase.mat — inlined tokenize
-      // would re-split once per chunk, O(len²) on huge docs)
+      // tokenized base materialized ONCE (localCheckpoint): it feeds
+      // the chunk-dedup branch AND the post-gate LM branch, which
+      // otherwise re-run the tokenize lineage each (round 13 —
+      // measured 1.79 -> 1.58 s warm / 8.0 -> 3.0 s cold at sf0.1).
+      // The physical materialization is also a STRONGER barrier than
+      // GroupBase.mat against the lambda-capture re-derivation class
+      // (the chunk-hash lambda below captures tk per position): no
+      // optimizer rule can substitute into an ExistingRDD. PlanSpec
+      // pins the plan at zero split() copies + a LogicalRDD scan.
       val docs = withTokens(t(s, d, "documents"))
         .filter(size(col("tk")) > 0)
         .select(col("doc_id"), col("tk"),
           size(col("tk")).cast("long").as("ntok"),
           when(size(filter(col("tk"), t => t.isInCollection(stopwords))) > 0,
             "en").otherwise("unk").as("lang_guess"))
+        .localCheckpoint()
       val ch = docs.select(col("doc_id"),
         explode(transform(
           sequence(lit(0), ceil(size(col("tk")).cast("double") / 8.0)

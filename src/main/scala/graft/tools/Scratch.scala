@@ -120,6 +120,74 @@ object Scratch {
       time("y_tokenize_once")(variant())
       spark.stop(); return
     }
+    if (sys.env.get("SCRATCH_Q").contains("_ccnetprof")) {
+      def time(tag: String)(f: => Long): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[ccnetprof] $tag run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        }
+      time("z_current")(
+        graft.SparkEntry.queries("pipe_ccnet")(spark, sfDir).count())
+      def variant(): Long = {
+        val stopwords = Seq("the", "a", "and", "of") // = TextQueries.stopwords
+        val docs = Tables.load(spark, sfDir, "documents")
+          .withColumn("tk", TextOps.tokens(col("text")))
+          .filter(size(col("tk")) > 0)
+          .select(col("doc_id"), col("tk"),
+            size(col("tk")).cast("long").as("ntok"),
+            when(size(filter(col("tk"), t => t.isInCollection(stopwords))) > 0,
+              "en").otherwise("unk").as("lang_guess"))
+          .localCheckpoint()
+        val ch = docs.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), ceil(size(col("tk")).cast("double") / 8.0)
+              .cast("int") - 1),
+            i => TextOps.hash32(array_join(
+              slice(col("tk"), i * 8 + 1, lit(8)), " ")))).as("h"))
+        val kept = ch.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+        val gated = docs.join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .filter(coalesce(col("n_kept"), lit(0L)) * 2 >=
+            ceil(col("ntok").cast("double") / 8.0).cast("long"))
+          .select(col("doc_id"), col("tk"), col("ntok"), col("lang_guess"))
+        val tf = gated.select(col("doc_id"), col("lang_guess"), col("ntok"),
+            explode(col("tk")).as("tok"))
+          .groupBy("doc_id", "lang_guess", "ntok", "tok")
+          .agg(count(lit(1)).as("m"))
+        val freq = tf.filter(col("m") >= 1)
+          .groupBy("tok").agg(sum(col("m")).as("cnt"))
+        val total = freq.agg(sum(col("cnt")).as("n"))
+        val scored = tf.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+          .select(col("doc_id"), col("lang_guess"), col("ntok"), col("m"),
+            (col("m").cast("double") *
+              log(col("cnt").cast("double") / col("n").cast("double")))
+              .as("mlnp"))
+          .groupBy("doc_id", "lang_guess", "ntok")
+          .agg(round(-(aggregate(sort_array(collect_list(col("mlnp"))),
+              lit(0.0), (a, v) => a + v) / sum(col("m")).cast("double")), 6)
+            .as("nll"))
+          .withColumn("nll_u", round(col("nll") * 1e6, 0).cast("long"))
+        val means = scored.groupBy("lang_guess")
+          .agg((sum(col("nll_u")).cast("double") /
+            count(lit(1)).cast("double") / 1e6).as("mean_nll"))
+        scored.join(broadcast(means), Seq("lang_guess"))
+          .withColumn("bucket",
+            when(col("nll") <= col("mean_nll") * 0.99, "head")
+              .when(col("nll") >= col("mean_nll") * 1.01, "tail")
+              .otherwise("middle"))
+          .groupBy("lang_guess", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            round(sum(col("nll_u")).cast("double") /
+              count(lit(1)).cast("double") / 1e6, 6).as("avg_nll"))
+          .orderBy("lang_guess", "bucket")
+          .count()
+      }
+      time("y_checkpoint_base")(variant())
+      spark.stop(); return
+    }
     val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
     // SCRATCH_RUN=1: execute THIS queryExecution (toRdd, not count —
     // count builds a new one) so AQE finalizes and stage reuse shows

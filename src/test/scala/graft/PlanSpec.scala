@@ -261,13 +261,26 @@ class PlanSpec extends SparkSpec {
     // not in a sweep grind. Ceilings are branch counts + slack, far
     // below the per-element blowup (which multiplies copies ~10×).
     for ((q, maxSplits) <- Seq("dd_cdc" -> 4, "dd_chunk" -> 4,
-        "pipe_ccnet" -> 16, "pipe_spancorrupt" -> 4)) {
+        "pipe_spancorrupt" -> 4)) {
       val op = SparkEntry.queries(q)(spark, d)
         .queryExecution.optimizedPlan.treeString
       val n = "split\\(".r.findAllIn(op).size
       assert(n >= 1 && n <= maxSplits,
         s"$q optimized plan has $n split() copies (ceiling $maxSplits) — " +
           "a Generate barrier was dropped or crossed")
+    }
+    // pipe_ccnet (round 13) upgraded its barrier to a localCheckpoint
+    // of the tokenized base: the optimized plan must carry ZERO
+    // split() copies (the tokenize ran once, at checkpoint build) and
+    // scan the materialized RDD. A refactor that drops the checkpoint
+    // re-inlines the tokenizer into both consumer branches.
+    {
+      val op = SparkEntry.queries("pipe_ccnet")(spark, d)
+        .queryExecution.optimizedPlan.treeString
+      assert("split\\(".r.findAllIn(op).isEmpty,
+        "pipe_ccnet re-inlined the tokenizer — the checkpointed base was dropped")
+      assert(op.contains("LogicalRDD") || op.contains("ExistingRDD"),
+        "pipe_ccnet lost its materialized tokenized base")
     }
     // kernel single-eval (round 13): the cdc_chunks / span_corrupt
     // kernels live behind mat barriers too, so each SCAN BRANCH
