@@ -128,17 +128,21 @@ object TextQueries extends GroupBase {
     "text_langid_nb" -> ((s, d) => {
       // every model table folds out of the ONE (doc,lang,token) count
       // table (dtm): lt re-aggregates its counts, vocab and priors are
-      // its projections — no branch goes back to the raw text, so the
-      // tokenizer's split() cost is paid per consumer of dtm, not per
-      // model statistic. (Measured: persisting dtm is a LOSS at bench
-      // scale — columnar materialization breaks the codegen pipeline
-      // and costs more than the rescans; a 100 TB deployment would
-      // checkpoint dtm to parquet once and derive all model tables
-      // from the checkpoint, which this lineage shape makes a one-line
-      // change.)
+      // its projections — no branch goes back to the raw text. The
+      // tokenized BASE is materialized once (localCheckpoint): column
+      // pruning specializes dtm's subplan per consumer, which defeats
+      // runtime exchange reuse (AQE-finalized plan read 11 documents
+      // scans, 1 reused exchange), so without the barrier the
+      // tokenizer ran per model statistic. Measured at sf0.1 (r13):
+      // 1.98 -> 1.71 s steady; checkpointing dtm itself was also
+      // tried — bigger state for less win (the explode+partial-agg
+      // below the dtm exchange is cheap; the split() above it is not).
+      // An InMemoryRelation persist stays a LOSS (blocks AQE).
       val dtm = t(s, d, "documents")
         .withColumn("tk", TextOps.tokens(col("text")))
         .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("lang"), col("tk"))
+        .localCheckpoint()
         .select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
         .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("m"))
       val lt = dtm.groupBy(col("lang").as("l"), col("w")).agg(sum(col("m")).as("c"))

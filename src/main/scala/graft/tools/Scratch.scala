@@ -188,6 +188,58 @@ object Scratch {
       time("y_checkpoint_base")(variant())
       spark.stop(); return
     }
+    if (sys.env.get("SCRATCH_Q").contains("_langidprof")) {
+      def time(tag: String)(f: => Long): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[langidprof] $tag run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        }
+      time("z_current")(
+        graft.SparkEntry.queries("text_langid_nb")(spark, sfDir).count())
+      def variant(ckBase: Boolean, ckDtm: Boolean): Long = {
+        val base0 = Tables.load(spark, sfDir, "documents")
+          .withColumn("tk", TextOps.tokens(col("text")))
+          .filter(size(col("tk")) > 0)
+          .select(col("doc_id"), col("lang"), col("tk"))
+        val base = if (ckBase) base0.localCheckpoint() else base0
+        val dtm0 = base
+          .select(col("doc_id"), col("lang"), explode(col("tk")).as("w"))
+          .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("m"))
+        val dtm = if (ckDtm) dtm0.localCheckpoint() else dtm0
+        val lt = dtm.groupBy(col("lang").as("l"), col("w")).agg(sum(col("m")).as("c"))
+        val tl = lt.groupBy("l").agg(sum(col("c")).as("t"))
+        val vs = lt.agg(countDistinct(col("w")).as("v"))
+        val docLang = dtm.select("doc_id", "lang").distinct()
+        val pri = docLang.groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+        val nda = pri.agg(sum(col("nd")).as("ndall"))
+        val langs = tl.join(pri, "l").crossJoin(broadcast(nda))
+          .crossJoin(broadcast(vs))
+        val terms = dtm.crossJoin(broadcast(langs))
+          .join(broadcast(lt), Seq("l", "w"), "left")
+          .select(col("doc_id"), col("lang"), col("l"),
+            (col("m").cast("double") *
+              log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+                (col("t") + col("v")).cast("double"))).as("term"),
+            col("nd"), col("ndall"))
+        val pl = terms
+          .groupBy(col("doc_id"), col("lang"), col("l"), col("nd"), col("ndall"))
+          .agg(round(
+            graft.core.Exact.fsum(col("term") / lit(4.0)) * lit(4.0) +
+              log(col("nd").cast("double") / col("ndall").cast("double")), 6)
+            .as("w8"))
+        pl.groupBy("doc_id", "lang")
+          .agg(min(struct(negate(col("w8")).as("nw"), col("l").as("g"))).as("mm"))
+          .select(col("lang"), col("mm.g").as("guess"))
+          .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "guess")
+          .count()
+      }
+      time("y_ck_dtm")(variant(ckBase = false, ckDtm = true))
+      time("x_ck_base")(variant(ckBase = true, ckDtm = false))
+      time("w_ck_both")(variant(ckBase = true, ckDtm = true))
+      spark.stop(); return
+    }
     val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
     // SCRATCH_RUN=1: execute THIS queryExecution (toRdd, not count —
     // count builds a new one) so AQE finalizes and stage reuse shows
