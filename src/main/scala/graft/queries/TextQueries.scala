@@ -1368,8 +1368,16 @@ object TextQueries extends GroupBase {
         .select(col("doc_id"), col("source"), explode(col("fs")).as("h"))
         .select(col("doc_id"), col("source"),
           pmod(col("h"), lit(NB.toLong)).as("f"))
+      // materialized ONCE: dfb feeds the target distribution, the raw
+      // distribution, and the per-doc scoring branch; column pruning
+      // specializes each consumer's subplan (tgt/raw drop doc_id), so
+      // exchange reuse can't dedup them and the tokenize+shingle scan
+      // re-ran per consumer (r13, the text_langid_nb lesson: 1.39 ->
+      // 1.18 s steady at sf0.1). State is ≤64 longs per doc — the
+      // feature table a production DSIR job writes before scoring.
       val dfb = feats.groupBy("doc_id", "source", "f")
         .agg(count(lit(1)).as("m"))
+        .localCheckpoint()
       // full bucket spine so smoothing covers buckets absent from one
       // side (matters at smoke scale; free at 64 rows)
       val spine = s.range(0, NB).select(col("id").as("f"))
