@@ -269,18 +269,25 @@ class PlanSpec extends SparkSpec {
         s"$q optimized plan has $n split() copies (ceiling $maxSplits) — " +
           "a Generate barrier was dropped or crossed")
     }
-    // pipe_ccnet (round 13) upgraded its barrier to a localCheckpoint
-    // of the tokenized base: the optimized plan must carry ZERO
-    // split() copies (the tokenize ran once, at checkpoint build) and
-    // scan the materialized RDD. A refactor that drops the checkpoint
-    // re-inlines the tokenizer into both consumer branches.
-    {
-      val op = SparkEntry.queries("pipe_ccnet")(spark, d)
+    // Checkpointed-base queries (round 13): pipe_ccnet upgraded its
+    // barrier to a localCheckpoint of the tokenized base, and
+    // dd_tfidf_cos / text_langid_nb / pipe_dsir materialize their
+    // multi-consumer derived table the same way (column pruning
+    // specializes each consumer's subplan, defeating runtime exchange
+    // reuse — the tokenizer otherwise re-runs per consumer). The
+    // optimized plan must carry ZERO split() copies (the tokenize ran
+    // once, at checkpoint build) and scan the materialized RDD. A
+    // refactor that drops the checkpoint re-inlines the tokenizer
+    // into every consumer branch — for pipe_ccnet that also re-opens
+    // the lambda-capture re-derivation class.
+    for (q <- Seq("pipe_ccnet", "dd_tfidf_cos", "text_langid_nb",
+        "pipe_dsir")) {
+      val op = SparkEntry.queries(q)(spark, d)
         .queryExecution.optimizedPlan.treeString
       assert("split\\(".r.findAllIn(op).isEmpty,
-        "pipe_ccnet re-inlined the tokenizer — the checkpointed base was dropped")
+        s"$q re-inlined the tokenizer — the checkpointed base was dropped")
       assert(op.contains("LogicalRDD") || op.contains("ExistingRDD"),
-        "pipe_ccnet lost its materialized tokenized base")
+        s"$q lost its materialized base")
     }
     // kernel single-eval (round 13): the cdc_chunks / span_corrupt
     // kernels live behind mat barriers too, so each SCAN BRANCH
