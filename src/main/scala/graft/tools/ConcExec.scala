@@ -64,10 +64,22 @@ object ConcExec {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(4, TimeUnit.HOURS)
-
+    // a query that DEADLOCKS under concurrency is exactly the bug
+    // class this gate hunts — it must fail the gate, not hang it:
+    // bound the drain, then bound each get() (0 is fine once the pool
+    // drained; it only bites for the stuck stragglers).
+    val drained = pool.awaitTermination(1, TimeUnit.HOURS)
     val results = futures.map { case (name, fut) =>
-      val status = (serial(name), fut.get()) match {
+      val conc: Either[String, Seq[Row]] =
+        try fut.get(if (drained) 60 else 0, TimeUnit.SECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            fut.cancel(true)
+            Left("TIMEOUT: still running when the pool deadline passed")
+          case e: java.util.concurrent.ExecutionException =>
+            Left(errMsg(e.getCause))
+        }
+      val status = (serial(name), conc) match {
         case (Right(a), Right(b)) => PartInvariance.compare(a, b)
         case (Left(e), _) => s"error(serial): $e"
         case (_, Left(e)) => s"error(concurrent): $e"

@@ -130,7 +130,7 @@ object Scratch {
       time("z_current")(
         graft.SparkEntry.queries("pipe_ccnet")(spark, sfDir).count())
       def variant(): Long = {
-        val stopwords = Seq("the", "a", "and", "of") // = TextQueries.stopwords
+        val stopwords = graft.queries.TextQueries.stopwords
         val docs = Tables.load(spark, sfDir, "documents")
           .withColumn("tk", TextOps.tokens(col("text")))
           .filter(size(col("tk")) > 0)
