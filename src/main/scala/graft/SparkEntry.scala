@@ -30,7 +30,21 @@ object SparkEntry {
     TimeWindowQueries.queries("tw_spendreport")(spark,
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Catalog contract (ADVICE r13): a query CONSTRUCTOR may execute
+    * Spark jobs. Four queries (dd_tfidf_cos, pipe_ccnet,
+    * text_langid_nb, pipe_dsir) materialize a shared derived table via
+    * `localCheckpoint()` INSIDE the constructor — column pruning
+    * re-specializes a multi-consumer subplan per consumer, which
+    * defeats AQE exchange reuse, so the barrier must exist before the
+    * plan is handed back. Consequences for tooling: (a) constructing
+    * such a query without acting on it still runs the checkpoint job
+    * (plan-only tools like PlanDump/PLANS.md regeneration pay it);
+    * (b) the checkpointed plan holds a LogicalRDD whose blocks are
+    * NOT fault-tolerant on a real cluster (executor loss fails the
+    * query and the caller re-submits — acceptable: the intermediate
+    * is one a production pipeline would persist to storage anyway). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.flatMap(_.queries).toMap
 

@@ -56,11 +56,17 @@ object ConcExec {
     // session. Submission order is the sorted name order (determinism
     // of the submission itself); interleaving is the scheduler's.
     val pool = Executors.newFixedThreadPool(threads)
+    // which queries actually ENTERED a worker: on a deadlock, futures
+    // still queued behind the stuck ones never ran at all — labeling
+    // them TIMEOUT too would bury the actually-hung query (ADVICE r13)
+    val started = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val futures = names.map { name =>
       name -> pool.submit(new Callable[Either[String, Seq[Row]]] {
-        override def call(): Either[String, Seq[Row]] =
+        override def call(): Either[String, Seq[Row]] = {
+          started.add(name)
           try Right(SparkEntry.queries(name)(spark, sfDir).collect().toSeq)
           catch { case e: Throwable => Left(errMsg(e)) }
+        }
       })
     }
     pool.shutdown()
@@ -69,13 +75,20 @@ object ConcExec {
     // bound the drain, then bound each get() (0 is fine once the pool
     // drained; it only bites for the stuck stragglers).
     val drained = pool.awaitTermination(1, TimeUnit.HOURS)
+    // fut.cancel(true) below only interrupts the worker THREAD; the
+    // Spark jobs it already submitted keep burning executors — kill
+    // them at the scheduler so the post-mortem JVM is quiet
+    if (!drained) spark.sparkContext.cancelAllJobs()
     val results = futures.map { case (name, fut) =>
       val conc: Either[String, Seq[Row]] =
         try fut.get(if (drained) 60 else 0, TimeUnit.SECONDS)
         catch {
           case _: java.util.concurrent.TimeoutException =>
             fut.cancel(true)
-            Left("TIMEOUT: still running when the pool deadline passed")
+            Left(if (started.contains(name))
+              "TIMEOUT: still running when the pool deadline passed"
+            else
+              "TIMEOUT: never started (queued behind the stuck queries)")
           case e: java.util.concurrent.ExecutionException =>
             Left(errMsg(e.getCause))
         }
