@@ -49,6 +49,26 @@ package graft
   * retime trigger.
   */
 object BenchRefs {
+  /** Drift rot-gate predicate (r13 verdict #4): calm refs that have
+    * silently drifted from the engine's committed steady state.
+    * `normalized` is the committed bench_full.json per-query map
+    * divided by its host_scale. A side more than `factor`x the other
+    * PLUS an absolute slack is an outlier: either a perf change landed
+    * without a ref update, or a re-pin went stale — both mis-arm
+    * Bench's retime trigger (a stale-high ref lets a real regression
+    * pass unretimed; a stale-low one burns retime slots on noise).
+    * The additive slack ignores sub-second scheduler noise, same
+    * reasoning as suspectsOf's 0.75 s slack: a ref that small cannot
+    * mis-adjudicate the 3x-class excursions the trigger exists for.
+    * ToolingSpec runs this against the committed artifact and proves
+    * it fires on a 5x perturbation in either direction. */
+  def driftOutliers(normalized: Map[String, Double],
+                    factor: Double = 3.0, slackSec: Double = 0.3): Seq[String] =
+    calm.toSeq.sortBy(_._1).collect {
+      case (n, ref) if normalized.get(n).exists(v =>
+        v > 0 && math.max(ref, v) > factor * math.min(ref, v) + slackSec) => n
+    }
+
   val calm: Map[String, Double] = Map(
     "agg_ab"->0.208, "agg_anova"->0.147, "agg_approx_distinct"->0.169,
     "agg_auc"->0.380, "agg_bloom"->0.400, "agg_bootstrap"->0.383,
