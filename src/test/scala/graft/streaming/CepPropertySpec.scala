@@ -276,4 +276,53 @@ class CepPropertySpec extends AnyFunSuite {
       got(runPure(es, steps, w, strict = false, SkipPastLastRow)) == expect.toSet
     })
   }
+
+  // ---- state-bound flood gates (r13 verdict #2) -------------------
+  // The scaladoc claims the live-partial set is bounded by horizon
+  // DENSITY (events inside the WITHIN window), independent of stream
+  // length — with one extra density factor per anyMatch step. These
+  // floods push one key far past the horizon and assert the ceiling
+  // on SeqPattern.maxLivePartials, the actual per-key state size.
+
+  private def flood(n: Int)(kind: Int => String): Seq[KeyedEvent] =
+    (0 until n).map(i =>
+      KeyedEvent(1L, new Timestamp((i + 1) * 1000L), kind(i), i.toDouble))
+
+  test("flood: deterministic steps hold O(horizon density) partials") {
+    // 6000 starts, horizon holds 300 — a linear-in-stream NFA would
+    // reach ~6000 live partials; the horizon prune caps it at ~301
+    val steps = Seq(Step("a", Set("A")), Step("b", Set("B")),
+      Step("c", Set("C")))
+    val mx = maxLivePartials(flood(6000)(_ => "A"), steps,
+      withinMs = 300000L, strict = false, NoSkip)
+    assert(mx <= 310, s"deterministic flood ceiling breached: $mx > 310")
+    assert(mx >= 290, s"flood did not fill the horizon: $mx — test rotten")
+  }
+
+  test("flood: one followedByAny step holds O(density^2), not exponential") {
+    // anchors (A) every 100 s, B flood between them, WITHIN 200 s:
+    // <= 3 live anchors x <= 200 branch partials each (one per B the
+    // anchor has seen — followedByAny keeps every branch by design,
+    // CepPropertySpec's subsequence law above) + the anchors
+    // themselves: ceiling ~603 across a 5000-event stream.
+    val steps = Seq(Step("a", Set("A")), Step("b", Set("B")).any,
+      Step("c", Set("C")))
+    val mx = maxLivePartials(flood(5000)(i => if (i % 100 == 0) "A" else "B"),
+      steps, withinMs = 200000L, strict = false, NoSkip)
+    assert(mx <= 700, s"followedByAny flood ceiling breached: $mx > 700")
+    assert(mx >= 250, s"flood did not exercise branch-keeping: $mx")
+  }
+
+  test("flood: allowCombinations holds O(density^2) and is stream-length independent") {
+    // combinationsUpTo(2) legitimately tracks every in-horizon PAIR
+    // (its match set IS all combinations); with WITHIN holding ~50
+    // events the pair count is ~50*50/2 + 50 singles ~ 1300. A prune
+    // failure would track all C(400,2) = 79800 pairs.
+    val steps = Step("a", Set("A")).combinationsUpTo(2) :+
+      Step("d", Set("D"))
+    val mx = maxLivePartials(flood(400)(_ => "A"), steps,
+      withinMs = 50000L, strict = false, NoSkip)
+    assert(mx <= 2000, s"allowCombinations flood ceiling breached: $mx > 2000")
+    assert(mx >= 600, s"flood did not build combinatorial pairs: $mx")
+  }
 }
