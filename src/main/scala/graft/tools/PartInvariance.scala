@@ -92,15 +92,23 @@ object PartInvariance {
   }
 
   /** "exact" | "tol" | "DIFF: <detail>" */
-  def compare(a: Seq[Row], b: Seq[Row]): String = {
-    if (a.length != b.length)
-      return s"DIFF: row count ${a.length} vs ${b.length}"
-    val ea = a.map(r => exactKey(normalize(r))).sorted
-    val eb = b.map(r => exactKey(normalize(r))).sorted
+  def compare(a: Seq[Row], b: Seq[Row]): String =
+    compareNormalized(a.map(normalize), b.map(normalize))
+
+  /** `compare` on ALREADY-normalized value trees — the entry point for
+    * callers that hold results in (or spill them to disk in) canonical
+    * form rather than as Rows: ConcExec's bench-scale contention mode
+    * serializes the serial pass per query so its capped heap never
+    * holds the whole catalog's results at once. */
+  def compareNormalized(na: Seq[Any], nb: Seq[Any]): String = {
+    if (na.length != nb.length)
+      return s"DIFF: row count ${na.length} vs ${nb.length}"
+    val ea = na.map(exactKey).sorted
+    val eb = nb.map(exactKey).sorted
     if (ea == eb) return "exact"
     // pair rows by rounded key, then compare numerics at 1e-9 relative
-    val sa = a.map(normalize).sortBy(roundedKey)
-    val sb = b.map(normalize).sortBy(roundedKey)
+    val sa = na.sortBy(roundedKey)
+    val sb = nb.sortBy(roundedKey)
     val bad = sa.zip(sb).indexWhere { case (x, y) => !tolEq(x, y) }
     if (bad < 0) "tol"
     else {
