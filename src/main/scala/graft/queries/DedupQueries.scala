@@ -19,6 +19,22 @@ object DedupQueries extends GroupBase {
   private val B = 4
   private val R = 4
 
+  /** dd_jaccard / dd_containment's blocked (doc_id, n, sh) relation,
+    * factored out so ScalingPair's candidate-growth gate measures the
+    * SAME generator the queries run (shared shingle width and
+    * rare-shingle cap — a change here moves query and gate together,
+    * so the gate can never silently attest a stale generator). */
+  private[graft] val ShingleN = 3
+  private[graft] val ShingleCap = 1000
+  private[graft] def blockedShingles(s: SparkSession, d: String): DataFrame =
+    graft.operators.ShingleDf.capRare(t(s, d, "documents")
+      .withColumn("tk", TextOps.tokens(col("text")))
+      .withColumn("hs",
+        array_distinct(VectorFunctions.shingleHashes(col("tk"), ShingleN)))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("sh")), "sh", ShingleCap)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup by content hash: kept = first doc_id per md5 group.
     // Keeper.withKeeper = two-phase hash-agg min + null-safe
@@ -37,7 +53,6 @@ object DedupQueries extends GroupBase {
     // a shingle appearing in >1000 docs generates no candidates —
     // the safety valve that keeps 100 TB from going quadratic)
     "dd_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents")
       // the (doc, shingle) relation carries h32 HASHES, not strings:
       // the join/count shuffles move BIGINTs (~4× fewer bytes), and
       // both engines hash identically so Jaccard over distinct hashes
@@ -57,13 +72,7 @@ object DedupQueries extends GroupBase {
       // scaladoc for why the one-scan window variant loses at 100 TB.
       // Both candidate-side exchanges ARE reused across the self-join
       // (ReusedExchange x2, verified in PLANS.md).
-      val sh = graft.operators.ShingleDf.capRare(docs
-        .withColumn("tk", TextOps.tokens(col("text")))
-        .withColumn("hs",
-          array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
-        .filter(col("hs").isNotNull)
-        .select(col("doc_id"), size(col("hs")).as("n"),
-          explode(col("hs")).as("sh")), "sh", 1000)
+      val sh = blockedShingles(s, d)
       sh.as("a").join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -90,14 +99,7 @@ object DedupQueries extends GroupBase {
     // score is asymmetric) and the denominator is the SOURCE side's
     // shingle count only.
     "dd_containment" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val sh = graft.operators.ShingleDf.capRare(docs
-        .withColumn("tk", TextOps.tokens(col("text")))
-        .withColumn("hs",
-          array_distinct(VectorFunctions.shingleHashes(col("tk"), 3)))
-        .filter(col("hs").isNotNull)
-        .select(col("doc_id"), size(col("hs")).as("n"),
-          explode(col("hs")).as("sh")), "sh", 1000)
+      val sh = blockedShingles(s, d)
       sh.as("a").join(sh.as("b").hint("shuffle_hash"),
           col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),

@@ -1,0 +1,196 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 30× scaling point for the PAIR-MATH families — dd_*, emb_*, plus
+  * Scaling30's two exclusions text_winnow and mm_dedup (r13 verdict
+  * #1). Scaling30 deliberately skips these: its content-identical
+  * copies turn every document into a true 3-way exact duplicate,
+  * which QUADRATICALLY inflates candidate pairs — measuring twin
+  * pairing, not corpus growth. This probe builds a corpus whose
+  * copies are content-DISJOINT where the linear-candidates claim
+  * lives, and content-IDENTICAL where the quadratic density model is
+  * the honest claim:
+  *
+  *   - `documents`: each extra copy token-remaps the text (every
+  *     whitespace token t -> "t~k", injective, '~'-free corpus
+  *     verified) and offsets doc_id. Within a copy, token/shingle
+  *     statistics are ISOMORPHIC to the base (so shingle df
+  *     distributions and the capRare(1000) blocking behave exactly as
+  *     at base scale); across copies, shingle sets are disjoint — the
+  *     realistic "corpus grew by new documents with the same
+  *     statistics" shape. Blocked candidates must therefore grow
+  *     ~LINEARLY (×copies), which this probe ASSERTS on the candidate
+  *     counts themselves, not just on wall time.
+  *   - `embeddings`: copies are identical vectors under offset
+  *     vec_ids. The emb family's blocked self-joins (4 fixed random
+  *     hyperplanes -> 16 buckets) are QUADRATIC in per-bucket density
+  *     by construction — the production scale path grows the plane /
+  *     cell count with the corpus (planes ~ log N, IVF cells ~ sqrt N),
+  *     a parameter choice, not a plan property. Identical copies make
+  *     that model exactly testable: bucket populations triple, so
+  *     bucket-blocked candidate pairs must grow ~9× (copies²) — also
+  *     asserted. Per-query top-k / argmax work stays linear.
+  *
+  * Growth gates (exit 1 on violation, plus the standard time flag):
+  *   shingle_cand  sum C(df,2) over dd_jaccard's capRare'd (doc,
+  *                 shingle) relation — must be ~3× (rare-shingle cap
+  *                 holds under growth: the 100 TB linearity claim)
+  *   band_cand     dd_minhash's LSH band-blocked pair count — ~3×
+  *   bucket_cand   sum C(n,2) over emb_lsh_buckets' hyperplane
+  *                 buckets — ~9× (the fixed-plane density model)
+  *
+  * Run: sbt "runMain graft.tools.ScalingPair [smallDir baseDir]"
+  *   (defaults /root/testdata/sf0.01 and /root/testdata/sf0.1)
+  * Output: scaling_pair.json; flagged table on stdout; exit 1 on any
+  * time flag (ScalingProbe.isFlagged, dataRatio 30) or growth-bound
+  * violation.
+  */
+object ScalingPair {
+  private[graft] val Copies = 3
+  private[graft] val KeyOffset = 1000000000L
+
+  private[graft] def selected: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.startsWith("dd_") || n.startsWith("emb_")) ++
+      Seq("text_winnow", "mm_dedup")
+
+  /** Token-remapped copy k of the documents table: doc_id offset,
+    * every token suffixed "~k" (k=0 = the base, untouched). */
+  private[graft] def remapDocuments(df: DataFrame, k: Int): DataFrame =
+    if (k == 0) df
+    else df
+      .withColumn("doc_id", col("doc_id") + lit(k * KeyOffset))
+      .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1~" + k))
+
+  /** Identical-content copy k of the embeddings table (vec_id offset
+    * only — see scaladoc for why identity is the honest choice). */
+  private[graft] def remapEmbeddings(df: DataFrame, k: Int): DataFrame =
+    if (k == 0) df else df.withColumn("vec_id", col("vec_id") + lit(k * KeyOffset))
+
+  private[graft] def extendTable(df: DataFrame, tbl: String): DataFrame =
+    tbl match {
+      case "documents" =>
+        (0 until Copies).map(remapDocuments(df, _)).reduce(_ unionByName _)
+      case "embeddings" =>
+        (0 until Copies).map(remapEmbeddings(df, _)).reduce(_ unionByName _)
+      case _ => Scaling30.KeyCols.get(tbl) match {
+        case Some(ks) => Scaling30.extend(df, ks, Copies)
+        case None => df // dimension tables stay fixed
+      }
+    }
+
+  /** sum C(df,2) over dd_jaccard's blocked (doc, shingle) relation —
+    * the query's OWN generator (DedupQueries.blockedShingles, shared
+    * constants), so the growth metric can never diverge from what the
+    * query actually runs. */
+  private[graft] def shingleCand(s: SparkSession, d: String): Long =
+    graft.queries.DedupQueries.blockedShingles(s, d)
+      .groupBy("sh").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1)).as("c2"))
+      .collect()(0).getLong(0) / 2
+
+  private[graft] def bandCand(s: SparkSession, d: String): Long =
+    SparkEntry.queries("dd_minhash")(s, d).count()
+
+  private[graft] def bucketCand(s: SparkSession, d: String): Long =
+    SparkEntry.queries("emb_lsh_buckets")(s, d)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1)).as("c2"))
+      .collect()(0).getLong(0) / 2
+
+  private[graft] case class Growth(name: String, base: Long, ext: Long,
+                                   lo: Double, hi: Double, model: String) {
+    def ratio: Double = if (base > 0) ext.toDouble / base else -1.0
+    def ok: Boolean = ratio >= lo && ratio <= hi
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val dataRatio = (graft.Bench.sfOf(small), graft.Bench.sfOf(base)) match {
+      case (Some(s), Some(l)) => Copies * l / s
+      case _ => sys.error(s"cannot parse scale factors from '$small' / '$base'")
+    }
+    val spark = Sessions.build("graft-scaling-pair")
+    graft.Bench.warmJvm(spark)
+
+    // the remap's injectivity and cross-copy disjointness REQUIRE a
+    // '~'-free corpus (a base token "a~1" would collide with copy 1's
+    // remap of "a") — self-check the precondition instead of trusting
+    // the testdata generator forever
+    val tildeDocs = spark.read.parquet(s"$base/documents.parquet")
+      .filter(col("text").contains("~")).count()
+    require(tildeDocs == 0,
+      s"$tildeDocs documents contain '~' — pick a different remap suffix")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-scpair").toString
+    EdgeExec.tables.foreach { tbl =>
+      val src = spark.read.parquet(s"$base/$tbl.parquet")
+      extendTable(src, tbl).write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
+    }
+
+    // ---- growth gates on the CANDIDATE COUNTS (base sf0.1 vs 3×) ----
+    val growth = Seq(
+      Growth("shingle_cand", shingleCand(spark, base), shingleCand(spark, dir),
+        2.7, 3.3, "content-disjoint copies: blocked candidates linear in corpus " +
+          "while capRare(1000) holds (within-copy df isomorphic to base)"),
+      Growth("band_cand", bandCand(spark, base), bandCand(spark, dir),
+        2.5, 3.5, "MinHash band buckets are content-keyed: disjoint copies " +
+          "add bucket members only within a copy"),
+      Growth("bucket_cand", bucketCand(spark, base), bucketCand(spark, dir),
+        8.0, 10.0, "fixed 4-hyperplane buckets with identical copies: density " +
+          "triples, pairs grow copies^2 = 9x — the documented reason plane/cell " +
+          "counts must scale with the corpus in production"))
+    growth.foreach { g =>
+      val mark = if (g.ok) "ok" else "  << OUT OF BOUNDS"
+      println(f"[scalingpair] growth ${g.name}%-13s ${g.base}%9d -> ${g.ext}%9d  ratio ${g.ratio}%5.2fx (bound ${g.lo}-${g.hi})$mark")
+    }
+
+    // ---- per-query wall-clock, small sf0.01 vs extended (30×) ----
+    val names = selected
+    println(s"[scalingpair] ${names.size} pair-math queries, data ratio " +
+      s"${dataRatio.toInt}x (3x-extended $base — SYNTHETIC, docs token-remapped)")
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = ScalingProbe.timeOnce(fn(spark, small))
+      val tl = ScalingProbe.timeOnce(fn(spark, dir))
+      val ratio = if (ts > 0 && tl > 0) tl / ts else -1.0
+      (name, ts, tl, ratio)
+    }
+    def f(v: Double) = graft.Bench.fmt3(v)
+    val flagged = rows.filter { case (_, _, tl, r) =>
+      ScalingProbe.isFlagged(r, tl, dataRatio) }
+    val growthBad = growth.filterNot(_.ok)
+    val qJson = rows.map { case (n, ts, tl, r) =>
+      s""""$n":{"small":${f(ts)},"large30":${f(tl)},"ratio":${f(r)}}"""
+    }.mkString("{", ",", "}")
+    val gJson = growth.map { g =>
+      s""""${g.name}":{"base":${g.base},"extended":${g.ext},"ratio":${f(g.ratio)},"bound":[${g.lo},${g.hi}],"ok":${g.ok},"model":"${SweepJson.esc(g.model)}"}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scaling_pair.json"),
+      s"""{"action":"30x-pair-math-scaling-probe","synthetic":"large side is $base x3: documents token-remapped per copy (cross-copy shingle-disjoint), embeddings identical per copy (density model), fact keys offset, dims fixed","data_ratio":${f(dataRatio)},"n_queries":${rows.size},"n_flagged":${flagged.size},"n_growth_violations":${growthBad.size},"growth":$gJson,"queries":$qJson,${graft.core.Provenance.jsonFields}}""")
+    rows.sortBy(-_._4).take(15).foreach { case (n, ts, tl, r) =>
+      val mark = if (flagged.exists(_._1 == n)) "  << SUPERLINEAR" else ""
+      println(f"[scalingpair] $n%-22s ${ts}%7.3fs -> ${tl}%7.3fs  ratio ${r}%6.2fx$mark")
+    }
+    println(s"[scalingpair] flagged: ${flagged.size}/${rows.size}; growth violations: ${growthBad.size}/3")
+    spark.stop()
+    // the extended corpus is ~3x sf0.1 of parquet per run — delete it
+    // (refresh_gates runs this every round; /tmp must not accumulate)
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    if (flagged.nonEmpty || growthBad.nonEmpty) {
+      if (flagged.nonEmpty)
+        System.err.println(s"[scalingpair] FLAGGED: ${flagged.map(_._1).mkString(",")}")
+      growthBad.foreach(g => System.err.println(
+        s"[scalingpair] GROWTH OUT OF BOUNDS: ${g.name} ratio ${g.ratio}"))
+      sys.exit(1)
+    }
+  }
+}

@@ -111,6 +111,80 @@ class ScalingSpec extends SparkSpec {
         flagged.map(r => f"${r._1} (${r._4}%.1fx)").sorted.mkString(","))
   }
 
+  test("committed scaling_pair.json: zero flagged, growth bounds hold, selection rot-free") {
+    val p = java.nio.file.Paths.get("scaling_pair.json")
+    assert(java.nio.file.Files.exists(p),
+      "scaling_pair.json missing — run `sbt \"runMain graft.tools.ScalingPair\"`")
+    val txt = java.nio.file.Files.readString(p)
+    val dataRatio = """"data_ratio":([0-9.eE+]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      .getOrElse(fail("scaling_pair.json has no data_ratio field"))
+    assert(math.abs(dataRatio - 30.0) < 1e-6, s"expected 30x, got $dataRatio")
+    assert(txt.contains("\"synthetic\""),
+      "the non-driver data marking is part of the artifact contract")
+    val entry =
+      """"([A-Za-z0-9_]+)":\{"small":(-?[0-9.]+),"large30":(-?[0-9.]+),"ratio":(-?[0-9.]+)\}""".r
+    val rows = entry.findAllMatchIn(txt).map { m =>
+      (m.group(1), m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble)
+    }.toSeq
+    assert(rows.nonEmpty, "scaling_pair.json parsed to zero query rows")
+
+    // rot: artifact set == the tool's live selection, inside the catalog
+    val sel = graft.tools.ScalingPair.selected.toSet
+    assert(sel.subsetOf(SparkEntry.queries.keySet),
+      "ScalingPair.selected names a query no longer in the catalog")
+    val inArtifact = rows.map(_._1).toSet
+    assert((sel -- inArtifact).isEmpty,
+      s"selected queries never swept (regenerate scaling_pair.json): ${(sel -- inArtifact).toSeq.sorted.mkString(",")}")
+    assert((inArtifact -- sel).isEmpty,
+      s"stale rows for queries outside the live selection: ${(inArtifact -- sel).toSeq.sorted.mkString(",")}")
+
+    val failed = rows.filter(r => r._2 < 0 || r._3 < 0)
+    assert(failed.isEmpty,
+      s"queries failed during the pair-math 30x sweep: ${failed.map(_._1).sorted.mkString(",")}")
+    val flagged = rows.filter(r => ScalingProbe.isFlagged(r._4, r._3, dataRatio))
+    assert(flagged.isEmpty,
+      s"SUPERLINEAR pair-math queries at 30x data: " +
+        flagged.map(r => f"${r._1} (${r._4}%.1fx)").sorted.mkString(","))
+
+    // the three candidate-count growth gates must be present and ok —
+    // this is the "assert candidates, not wall time" half of the gate
+    Seq("shingle_cand", "band_cand", "bucket_cand").foreach { g =>
+      val ok = (""""""" + g + """":\{[^}]*"ok":(true|false)""").r
+        .findFirstMatchIn(txt).map(_.group(1))
+      assert(ok.contains("true"),
+        s"growth gate $g missing or violated in scaling_pair.json: $ok")
+    }
+    assert(txt.contains("\"n_growth_violations\":0"),
+      "scaling_pair.json records growth violations")
+  }
+
+  test("ScalingPair.remapDocuments: copies token-disjoint, isomorphic, key-banded") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "the cat sat"), (2L, "the dog sat"))
+      .toDF("doc_id", "text")
+    def toks(df: DataFrame): Seq[String] =
+      df.select(explode(split(col("text"), " "))).as[String].collect().toSeq
+    val c0 = graft.tools.ScalingPair.remapDocuments(base, 0)
+    val c1 = graft.tools.ScalingPair.remapDocuments(base, 1)
+    val c2 = graft.tools.ScalingPair.remapDocuments(base, 2)
+    // copy 0 IS the base
+    assert(c0.collect().toList == base.collect().toList)
+    // cross-copy token spaces are disjoint (the linear-candidates
+    // construction: no shingle can ever bridge two copies)
+    assert(toks(c1).toSet.intersect(toks(c0).toSet).isEmpty)
+    assert(toks(c1).toSet.intersect(toks(c2).toSet).isEmpty)
+    // within-copy statistics are ISOMORPHIC to the base: the suffix
+    // map is injective, so token df distributions are identical
+    assert(toks(c1).map(t => t.stripSuffix("~1")).sorted == toks(base).sorted,
+      s"copy-1 tokens are not a suffix-rename of the base: ${toks(c1)}")
+    assert(toks(c1).forall(_.endsWith("~1")))
+    // doc_ids land in the per-copy band
+    val off = graft.tools.ScalingPair.KeyOffset
+    assert(c2.select("doc_id").as[Long].collect().forall(_ / off == 2))
+  }
+
   test("Scaling30.extend triples rows with unique, FK-aligned keys") {
     val s = spark
     import s.implicits._
