@@ -30,18 +30,31 @@ object Changelog {
     * Returns the ops appended (for tests). */
   def processBatch(batchIn: DataFrame, keys: Seq[String], batchId: Long,
                    snapshotDir: String, changelogDir: String): Unit = {
-    // Persist before the multiple actions below (changelog append +
-    // snapshot merge): each action re-executes an unpersisted
-    // foreachBatch frame from the stateful source, and under the
-    // RocksDB store the second execution cannot re-acquire the state
-    // instance the first still holds (CANNOT_LOAD_STATE_STORE
+    // MATERIALIZE once before the multiple actions below (changelog
+    // append + snapshot merge): each action re-executes an
+    // unmaterialized foreachBatch frame from the stateful source, and
+    // under the RocksDB store the second execution cannot re-acquire
+    // the state instance the first still holds (CANNOT_LOAD_STATE_STORE
     // UNRELEASED_THREAD_ERROR after its 120 s lock timeout — found by
     // StreamingSoakSpec's kill/restart soak, round 12). One
     // materialization also makes the diff and the rolled snapshot
     // read the SAME batch rows by construction.
-    val batch = batchIn.persist()
-    try processPersisted(batch, keys, batchId, snapshotDir, changelogDir)
-    finally batch.unpersist()
+    //
+    // localCheckpoint, NOT persist (round 14, found by the StateSize
+    // gate): persist() on the foreachBatch frame does not stop the
+    // downstream multi-branch union from re-executing the stateful
+    // scan — the branch subtrees do not resolve to the registered
+    // cache (measured: numRowsTotal/numRowsUpdated x(union branches)
+    // per trigger, 4x in the complete path, even with the cache
+    // force-materialized first). localCheckpoint runs the streaming
+    // plan EXACTLY once and rebases every downstream action on a
+    // plain LogicalRDD, so no action can reach the state store again.
+    // Blocks are freed by the ContextCleaner once the batch's RDD is
+    // unreachable (end of this call); not fault-tolerant to executor
+    // loss, which is fine here — a failed foreachBatch fails the
+    // trigger and Structured Streaming retries the whole batch.
+    val batch = batchIn.localCheckpoint()
+    processPersisted(batch, keys, batchId, snapshotDir, changelogDir)
   }
 
   private def processPersisted(batch: DataFrame, keys: Seq[String],
@@ -114,10 +127,9 @@ object Changelog {
     */
   def processCompleteBatch(batchIn: DataFrame, keys: Seq[String], batchId: Long,
                            snapshotDir: String, changelogDir: String): Unit = {
-    // same persist-before-multi-action discipline as processBatch
-    val batch = batchIn.persist()
-    try processCompletePersisted(batch, keys, batchId, snapshotDir, changelogDir)
-    finally batch.unpersist()
+    // same materialize-before-multi-action discipline as processBatch
+    val batch = batchIn.localCheckpoint()
+    processCompletePersisted(batch, keys, batchId, snapshotDir, changelogDir)
   }
 
   private def processCompletePersisted(batch: DataFrame, keys: Seq[String],
