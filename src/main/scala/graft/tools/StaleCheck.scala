@@ -26,7 +26,8 @@ object StaleCheck {
     "NAN_EXEC.json", "TEXT_EXEC.json", "NUM_EXEC.json", "COMBO_EXEC.json",
     "SKEW_EXEC.json", "SHAPE_EXEC.json", "HUGE_EXEC.json",
     "PART_INVARIANCE.json", "CODEGEN_PARITY.json", "scaling.json",
-    "scaling30.json", "bench_full.json", "CONC_EXEC.json", "MEM_EXEC.json")
+    "scaling30.json", "scaling_pair.json", "STATE_SIZE.json",
+    "bench_full.json", "CONC_EXEC.json", "MEM_EXEC.json")
 
   private def sh(cmd: String*): (Int, String) = {
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()

@@ -25,7 +25,12 @@ run SkewExec      "graft.tools.SkewExec"                                        
 run ShapeExec     "graft.tools.ShapeExec"                                              "\[shapeexec\]"
 run HugeExec      "graft.tools.HugeExec"                                               "\[hugeexec\]"
 run PartInvariance "graft.tools.PartInvariance"                                        "\[partinv\]"
-run ConcExec      "graft.tools.ConcExec"                                               "\[concexec\]"
+log "start: ConcExec (4g heap, 8 cores, determinism+contention)"
+if ! SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 \
+  sbt -batch "runMain graft.tools.ConcExec" 2>&1 | grep -E "\[concexec\]"; then
+  FAILED+=("ConcExec"); log "FAILED: ConcExec"
+fi
+log "done: ConcExec"
 log "start: MemExec (2g heap, 8 cores)"
 if ! SPARK_DRIVER_MEM=2g SPARK_GRAFT_CPUS=8 \
   sbt -batch "runMain graft.tools.MemExec" 2>&1 | grep -E "\[memexec\]"; then
@@ -36,6 +41,8 @@ run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARIT
 run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r13.json"        "\[fullexec\]"
 run ScalingProbe  "graft.tools.ScalingProbe"                                           "\[scaling|scaling.json"
 run Scaling30     "graft.tools.Scaling30"                                              "\[scaling30\]"
+run ScalingPair   "graft.tools.ScalingPair"                                            "\[scalingpair\]"
+run StateSize     "graft.tools.StateSize"                                              "\[statesize\]"
 log "start: Bench sf0.1"
 # Capture to a temp file and test sbt's exit status and the metric line
 # separately — `| grep | head -1` under pipefail can record a SPURIOUS
