@@ -30,8 +30,9 @@ import graft.core.Sessions
   * roomy heap, so the artifact can only ever attest concurrent AND
   * bounded together. The serial pass spills each query's normalized
   * result to disk (Java serialization of the canonical value trees),
-  * so the heap holds at most `threads` result sets at any moment —
-  * never the whole catalog's.
+  * so the heap holds at most 2 x `threads` result sets at any moment
+  * (each worker holds its concurrent result PLUS the deserialized
+  * serial reference while comparing) — never the whole catalog's.
   *
   *   SPARK_DRIVER_MEM=4g SPARK_GRAFT_CPUS=8 \
   *     sbt "runMain graft.tools.ConcExec [outJson] [capMb] [smallDir] [benchDir]"
@@ -47,6 +48,18 @@ object ConcExec {
                       threads: Int): Seq[(String, String)] = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val spill = java.nio.file.Files.createTempDirectory(s"graft-conc-$mode")
+    try runModeSpilled(spark, mode, sfDir, threads, names, spill)
+    finally {
+      // bench-scale serial results are not small — clean up even when
+      // a pass throws (refresh_gates reruns this every round)
+      names.foreach(n => java.nio.file.Files.deleteIfExists(spill.resolve(n)))
+      java.nio.file.Files.deleteIfExists(spill)
+    }
+  }
+
+  private def runModeSpilled(spark: SparkSession, mode: String, sfDir: String,
+                             threads: Int, names: Seq[String],
+                             spill: java.nio.file.Path): Seq[(String, String)] = {
 
     def normalized(name: String): Vector[Any] =
       SparkEntry.queries(name)(spark, sfDir).collect().toVector
@@ -122,9 +135,6 @@ object ConcExec {
         System.err.println(s"[concexec] $mode/$name: $status")
       name -> status
     }
-    // spill cleanup — bench-scale serial results are not small
-    names.foreach(n => java.nio.file.Files.deleteIfExists(spill.resolve(n)))
-    java.nio.file.Files.deleteIfExists(spill)
     results
   }
 

@@ -50,8 +50,11 @@ import org.apache.spark.sql.functions._
   * violation.
   */
 object ScalingPair {
-  private[graft] val Copies = 3
-  private[graft] val KeyOffset = 1000000000L
+  // SHARED with Scaling30 (aliases, not copies): the two probes must
+  // build key-band-compatible corpora — a retune of either constant
+  // moves both tools together (review finding r14)
+  private[graft] val Copies = Scaling30.Copies
+  private[graft] val KeyOffset = Scaling30.KeyOffset
 
   private[graft] def selected: Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted
@@ -90,7 +93,7 @@ object ScalingPair {
   private[graft] def shingleCand(s: SparkSession, d: String): Long =
     graft.queries.DedupQueries.blockedShingles(s, d)
       .groupBy("sh").agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1)).as("c2"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("c2"))
       .collect()(0).getLong(0) / 2
 
   private[graft] def bandCand(s: SparkSession, d: String): Long =
@@ -99,7 +102,7 @@ object ScalingPair {
   private[graft] def bucketCand(s: SparkSession, d: String): Long =
     SparkEntry.queries("emb_lsh_buckets")(s, d)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1)).as("c2"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("c2"))
       .collect()(0).getLong(0) / 2
 
   private[graft] case class Growth(name: String, base: Long, ext: Long,
@@ -128,6 +131,19 @@ object ScalingPair {
       s"$tildeDocs documents contain '~' — pick a different remap suffix")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-scpair").toString
+    try runProbe(spark, small, base, dir, dataRatio)
+    finally {
+      // the extended corpus is ~3x sf0.1 of parquet per run — delete
+      // it even on a failing gate (refresh_gates runs this every
+      // round; /tmp must not accumulate)
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(pp => java.nio.file.Files.deleteIfExists(pp))
+    }
+  }
+
+  private def runProbe(spark: SparkSession, small: String, base: String,
+                       dir: String, dataRatio: Double): Unit = {
     EdgeExec.tables.foreach { tbl =>
       val src = spark.read.parquet(s"$base/$tbl.parquet")
       extendTable(src, tbl).write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
@@ -180,11 +196,6 @@ object ScalingPair {
     }
     println(s"[scalingpair] flagged: ${flagged.size}/${rows.size}; growth violations: ${growthBad.size}/3")
     spark.stop()
-    // the extended corpus is ~3x sf0.1 of parquet per run — delete it
-    // (refresh_gates runs this every round; /tmp must not accumulate)
-    val root = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
     if (flagged.nonEmpty || growthBad.nonEmpty) {
       if (flagged.nonEmpty)
         System.err.println(s"[scalingpair] FLAGGED: ${flagged.map(_._1).mkString(",")}")

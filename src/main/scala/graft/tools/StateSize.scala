@@ -42,6 +42,22 @@ object StateSize {
   private val Keys = 50
   private val Batches = 40
 
+  /** Temp dirs (streaming checkpoints with RocksDB SSTs, snapshot and
+    * changelog parquet) — registered here and deleted in main's
+    * finally, so refresh_gates reruns don't accumulate in /tmp. */
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    tmpDirs += d
+    d
+  }
+  private def cleanupTmp(): Unit = tmpDirs.foreach { d =>
+    val root = java.nio.file.Paths.get(d)
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+  }
+
   private case class OpStats(maxRows: Long, finalRows: Long, maxMem: Long)
 
   /** Drive `batches` feed rounds, recording stateOperators totals. */
@@ -75,7 +91,7 @@ object StateSize {
       steps, withinMs = 60000L, strict = false)
       .writeStream.format("noop")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ss-seq").toString)
+        tmp("graft-ss-seq"))
       .outputMode(OutputMode.Append()).start()
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val stats = drive(q, { b =>
@@ -106,7 +122,7 @@ object StateSize {
       delayMs = 5000L, latenessMs = 30000L)
       .writeStream.format("noop")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ss-late").toString)
+        tmp("graft-ss-late"))
       .outputMode(OutputMode.Update()).start()
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val stats = drive(q, { b =>
@@ -133,10 +149,10 @@ object StateSize {
       .groupBy(pmod(col("key"), lit(20)).as("k"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
     val q = Changelog.attachComplete(agg, Seq("k"),
-      Files.createTempDirectory("graft-ss-snap").toString,
-      Files.createTempDirectory("graft-ss-log").toString)
+      tmp("graft-ss-snap"),
+      tmp("graft-ss-log"))
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-ss-cl").toString)
+        tmp("graft-ss-cl"))
       .start()
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val stats = drive(q, { b =>
@@ -158,14 +174,14 @@ object StateSize {
       ("seqpattern", () => seqpattern(spark), 150L, 5L),
       ("latewindow", () => latewindow(spark), 250L, 5L),
       ("changelog_complete", () => changelogComplete(spark), 25L, 25L))
-    val results = ops.map { case (name, run, boundMax, boundFinal) =>
+    val results = try ops.map { case (name, run, boundMax, boundFinal) =>
       val st = run()
       val ok = st.maxRows <= boundMax && st.finalRows <= boundFinal
       println(f"[statesize] $name%-19s max_rows ${st.maxRows}%5d (bound $boundMax) " +
         f"final ${st.finalRows}%5d (bound $boundFinal) max_mem ${st.maxMem}%9d B " +
         (if (ok) "ok" else " << BOUND VIOLATED"))
       (name, st, boundMax, boundFinal, ok)
-    }
+    } finally cleanupTmp()
     val failed = results.count(!_._5)
     val entries = results.map { case (n, st, bm, bf, ok) =>
       s""""$n":{"batches":$Batches,"keys":$Keys,"max_rows":${st.maxRows},"final_rows":${st.finalRows},"max_mem_bytes":${st.maxMem},"bound_max_rows":$bm,"bound_final_rows":$bf,"ok":$ok}"""

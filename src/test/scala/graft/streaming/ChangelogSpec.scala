@@ -114,4 +114,30 @@ class ChangelogSpec extends SparkSpec {
       } finally consumed.stop()
     } finally q.stop()
   }
+
+  test("processBatch frees its localCheckpoint blocks per batch (no pile-up)") {
+    // round-14 review finding: localCheckpoint blocks are otherwise
+    // only reclaimed at the ContextCleaner's periodic GC (~30 min) —
+    // a fast-trigger stream would pile up every batch's materialized
+    // rows in the block manager. freeCheckpoint must release them
+    // deterministically, so the persistent-RDD census stays flat
+    // across many batches.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cl-free").toString
+    val before = s.sparkContext.getPersistentRDDs.size
+    (0 until 6).foreach { b =>
+      val batch = Seq((1L, b.toDouble), (2L, b + 0.5)).toDF("key", "v")
+      Changelog.processBatch(batch, Seq("key"), b.toLong,
+        s"$base/snap", s"$base/log")
+    }
+    val after = s.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"persistent RDDs grew $before -> $after across 6 batches — " +
+        "localCheckpoint blocks are not being freed")
+    // and the changelog itself is intact: 2 inserts + 5x2 update pairs
+    val ops = s.read.parquet(s"$base/log").groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops == Map("+I" -> 2L, "-U" -> 10L, "+U" -> 10L), ops.toString)
+  }
 }
