@@ -92,9 +92,15 @@ object BenchRefs {
     "emb_ch_index"->0.642, "emb_decontam"->0.201, "emb_drift"->0.270,
     "emb_hardneg"->0.388, "emb_ivf_assign"->0.223, "emb_ivf_knn"->0.385,
     "emb_ivfpq"->0.695, "emb_kcenter"->0.722, "emb_kmeans"->0.370,
-    "emb_knn"->0.234, "emb_knn_graph"->0.537, "emb_lsh_buckets"->0.087,
+    // emb_lsh_buckets / emb_neardup re-pinned round 15 (deliberate
+    // move: the occupancy-capped bucketer adds an occupancy agg +
+    // broadcast join + rank-pack window to the old pure-scan
+    // assignment); values are warm timeOnce readings on the builder
+    // host at the change commit — within the 3x drift-gate tolerance
+    // of any calm run, re-pin from the next calm bench_full if needed
+    "emb_knn"->0.234, "emb_knn_graph"->0.537, "emb_lsh_buckets"->0.233,
     "emb_matryoshka"->0.424, "emb_mips"->0.201, "emb_mmr"->0.986,
-    "emb_mrr"->1.041, "emb_neardup"->0.336, "emb_norms"->0.058,
+    "emb_mrr"->1.041, "emb_neardup"->0.406, "emb_norms"->0.058,
     "emb_pca"->0.699, "emb_pca_scores"->0.788, "emb_pq"->0.407,
     "emb_probe"->1.345, "emb_purity"->0.725, "emb_recall"->0.706,
     "emb_rq"->0.266, "emb_semdedup"->0.210, "emb_sq8"->0.206,

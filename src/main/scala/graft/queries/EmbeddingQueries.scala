@@ -80,6 +80,78 @@ object EmbeddingQueries extends GroupBase {
   private def plane(i: Int): Column =
     array((0 until Dim).map(j => lit(weight(i, j).toFloat)): _*)
 
+  /** Per-bucket candidate cap for the assignment query (emb_lsh_buckets)
+    * and for the pair-generating consumers (emb_neardup, emb_knn_graph).
+    * The assignment query uses a tight cap so the scaling_pair growth
+    * gate exercises the split-dominated regime; the consumers use a
+    * looser cap — a recall knob: pairs across sub-buckets of the same
+    * geometric bucket are deliberately not candidates. */
+  private[graft] val SplitCap = 4
+  private[graft] val ConsumerCap = 64
+  /** Level-1 fan: a rank-pack window partition never exceeds
+    * cap × CoarseFan rows (see cappedBucket). */
+  private[graft] val CoarseFan = 1024
+  private[graft] val MixA = 2654435761L // Knuth multiplicative hash
+  private[graft] val MixM = 4294967296L // 2^32
+
+  /** Occupancy-capped LSH bucketer — the mechanized form of the r14
+    * scaling_pair finding that FIXED hyperplane buckets are quadratic
+    * in density ("plane/cell counts must scale with the corpus in
+    * production", bucket_cand 9.25× at 3× identical copies). Growing
+    * the plane count ~log N keeps EXPECTED occupancy flat but cannot
+    * bound it: exact/near-duplicate clusters co-bucket under ANY
+    * number of planes (geometry cannot separate identical vectors),
+    * and integer plane counts quantize growth in ×2 jumps. So the cap
+    * is enforced directly, the way ShingleDf.capRare bounds the
+    * shingle side:
+    *
+    *   1. geometric bucket gb = sign pattern of `planes` fixed
+    *      integer hyperplanes (unchanged coarse partitioning);
+    *   2. occupancy n per gb from one hash-agg (≤ 2^planes rows —
+    *      broadcast back, no corpus shuffle);
+    *   3. hot buckets (n > cap·coarse) pre-split into
+    *      m1 = ceil(n/(cap·coarse)) cells by a Knuth-mixed vec_id —
+    *      scalar math, no shuffle — so no rank partition ever holds
+    *      more than cap·coarse rows regardless of corpus size;
+    *   4. inside each (gb, s1) cell, members are rank-PACKED into
+    *      chunks of exactly `cap` (row_number div cap): per-chunk
+    *      pair count saturates at C(cap,2), so total candidates are
+    *      ≤ N·(cap−1)/2 — LINEAR in the corpus even when every
+    *      vector is an exact duplicate. Packing (not mod-splitting)
+    *      keeps chunks full, so the linear bound is tight and the
+    *      scaling_pair growth gate can assert ~3× at 3× density.
+    *
+    * Bucket id = gb·2^40 + s1·2^20 + chunk (fields documented: s1 and
+    * chunk both < 2^20 given step 3's cell bound). Determinism: the
+    * pack order is (vec_id, row-fingerprint) — ties only between
+    * bit-identical rows, which are interchangeable, so the assignment
+    * is partition-invariant even on dirty duplicate-id data (the
+    * standIn discipline). The oracle mirrors the arithmetic exactly;
+    * on clean data vec_id is unique and the fingerprint never decides.
+    * Reference behavior: flink-demo's ANN/dedup demos block on fixed
+    * hash buckets; the cap is this engine's 100 TB discipline on top. */
+  private[graft] def cappedBucket(e: DataFrame, planes: Int, cap: Int,
+                                  coarse: Int = CoarseFan): DataFrame = {
+    val gb = (0 until planes).map(i =>
+      when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
+      .reduce(_ + _)
+    val g = e.select(col("vec_id"), col("embedding"), gb.as("gb"))
+    val occ = g.groupBy("gb").agg(count(lit(1)).as("n"))
+    val capG = cap.toLong * coarse
+    val cells = g.join(broadcast(occ), "gb")
+      .withColumn("m1", expr(s"(n + ${capG - 1}L) div ${capG}L"))
+      .withColumn("s1",
+        pmod(pmod(col("vec_id") * lit(MixA), lit(MixM)), col("m1")))
+    val w = Window.partitionBy("gb", "s1")
+      .orderBy(col("vec_id"), xxhash64(col("vec_id"), col("embedding")))
+    cells
+      .withColumn("chunk",
+        floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"))
+      .select(col("vec_id"), col("embedding"),
+        (col("gb") * lit(1L << 40) + col("s1") * lit(1L << 20) +
+          col("chunk")).as("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vector norms + dims — the plumbing op (schema/typed-array path)
     "emb_norms" -> ((s, d) =>
@@ -445,15 +517,15 @@ object EmbeddingQueries extends GroupBase {
     }),
 
     // random-hyperplane LSH bucket assignment (the ANN scale path:
-    // equal buckets → candidate; 8 planes → 256-way partitioning)
-    "emb_lsh_buckets" -> ((s, d) => {
-      val bucket = (0 until Planes).map(i =>
-        when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
-        .reduce(_ + _)
-      t(s, d, "embeddings")
-        .select(col("vec_id"), bucket.as("bucket"))
-        .orderBy("vec_id")
-    }),
+    // equal buckets → candidate; 8 planes → 256-way coarse
+    // partitioning), occupancy-capped via cappedBucket so per-bucket
+    // candidate pairs stay ≤ N·(SplitCap−1)/2 — linear in the corpus
+    // even under exact-duplicate floods (see cappedBucket scaladoc;
+    // the scaling_pair bucket_cand gate asserts ~3× at 3× density)
+    "emb_lsh_buckets" -> ((s, d) =>
+      cappedBucket(t(s, d, "embeddings"), Planes, SplitCap)
+        .select("vec_id", "bucket")
+        .orderBy("vec_id")),
 
     // int8 scalar quantization (the storage side of the ANN scale
     // path: 64 floats -> 64 bytes, 4x smaller than PQ-free float32
@@ -619,17 +691,17 @@ object EmbeddingQueries extends GroupBase {
 
     // k-NN GRAPH construction (the substrate for graph-based dedup,
     // diversity sampling, and label propagation): every vector's top-3
-    // cosine neighbors among its LSH bucket-mates. Same 16-way
-    // 4-plane blocking as emb_neardup — the self-join's sides are
-    // plan-identical (ReuseExchange computes the bucketed table once)
-    // and the per-source top-k goes through WindowGroupLimit, so
-    // partitions stream; never all-pairs at scale.
+    // cosine neighbors among its LSH bucket-mates. Same 4-plane
+    // OCCUPANCY-CAPPED blocking as emb_neardup (cappedBucket,
+    // ConsumerCap=64: candidate fan-in per vector is bounded by the
+    // cap, not by bucket density — the recall knob is documented at
+    // the cap's definition) — the self-join's sides are plan-identical
+    // (ReuseExchange computes the capped-bucket table once) and the
+    // per-source top-k goes through WindowGroupLimit, so partitions
+    // stream; never all-pairs at scale, even on duplicate floods.
     "emb_knn_graph" -> ((s, d) => {
-      val bucket = (0 until 4).map(i =>
-        when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
-        .reduce(_ + _)
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"), bucket.as("bkt"))
+      val e = cappedBucket(t(s, d, "embeddings"), 4, ConsumerCap)
+        .withColumnRenamed("bucket", "bkt")
       val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
       e.as("x").join(e.as("y"),
           col("x.bkt") === col("y.bkt") && col("x.vec_id") =!= col("y.vec_id"))
@@ -672,16 +744,16 @@ object EmbeddingQueries extends GroupBase {
     }),
 
     // embedding-cosine near-dup PAIRS, LSH-blocked: candidates share a
-    // 4-plane bucket (16-way blocking — the recall/candidate-count
-    // knob), then the exact cosine filter runs only inside buckets.
-    // The self-join's two sides are plan-identical → ReuseExchange
-    // computes the bucketed table once; never all-pairs at scale.
+    // 4-plane OCCUPANCY-CAPPED bucket (cappedBucket, ConsumerCap=64 —
+    // the recall/candidate-count knob: pairs split across chunks of
+    // one hot bucket are not candidates, bounding per-bucket pair
+    // work at C(64,2) no matter how dense a duplicate cluster gets),
+    // then the exact cosine filter runs only inside buckets. The
+    // self-join's two sides are plan-identical → ReuseExchange
+    // computes the capped-bucket table once; never all-pairs at scale.
     "emb_neardup" -> ((s, d) => {
-      val bucket = (0 until 4).map(i =>
-        when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
-        .reduce(_ + _)
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"), bucket.as("bkt"))
+      val e = cappedBucket(t(s, d, "embeddings"), 4, ConsumerCap)
+        .withColumnRenamed("bucket", "bkt")
       e.as("x").join(e.as("y"),
           col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"),
@@ -1308,6 +1380,31 @@ object EmbeddingQueries extends GroupBase {
   private def planeSql(i: Int): String =
     (0 until Dim).map(j => s"${weight(i, j)}.0").mkString("[", ", ", "]")
 
+  /** Oracle mirror of `cappedBucket` as WITH-clause members ending in
+    * relation cb(vec_id, embedding, bucket). Clean gate data has
+    * unique non-null vec_ids, so ORDER BY vec_id alone reproduces the
+    * Spark side's (vec_id, fingerprint) pack order. */
+  private def cappedBucketSql(planes: Int, cap: Int,
+                              coarse: Int = CoarseFan): String = {
+    val terms = (0 until planes).map(i =>
+      s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val capG = cap.toLong * coarse
+    s"""g AS (SELECT vec_id, embedding, CAST($terms AS BIGINT) AS gb
+              FROM embeddings),
+        o AS (SELECT gb, count(*) AS n FROM g GROUP BY gb),
+        sp AS (SELECT vec_id, embedding, gb,
+                      ((vec_id * $MixA) % $MixM) %
+                        ((n + ${capG - 1}) // $capG) AS s1
+               FROM g JOIN o USING (gb)),
+        cb AS (SELECT vec_id, embedding,
+                      gb * ${1L << 40} + s1 * ${1L << 20} +
+                        (row_number() OVER (PARTITION BY gb, s1
+                                            ORDER BY vec_id) - 1) // $cap
+                        AS bucket
+               FROM sp)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "emb_norms" ->
       s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim, ${normSql("embedding")} AS l2
@@ -1488,13 +1585,9 @@ object EmbeddingQueries extends GroupBase {
             FROM approx) x
           WHERE rank <= 3 ORDER BY qid, rank"""
     },
-    "emb_lsh_buckets" -> {
-      val terms = (0 until Planes).map(i =>
-        s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"""SELECT vec_id, CAST($terms AS BIGINT) AS bucket
-          FROM embeddings ORDER BY vec_id"""
-    },
+    "emb_lsh_buckets" ->
+      s"""WITH ${cappedBucketSql(Planes, SplitCap)}
+          SELECT vec_id, bucket FROM cb ORDER BY vec_id""",
     "emb_sq8" ->
       s"""WITH ex AS (SELECT vec_id, i - 1 AS pos,
                              CAST(embedding[i] AS DOUBLE) AS x
@@ -1611,23 +1704,19 @@ object EmbeddingQueries extends GroupBase {
                  round(CAST(2.0 AS DOUBLE) * mi / (hc + hl), 6) AS nmi
           FROM pur CROSS JOIN mi CROSS JOIN hcv CROSS JOIN hlv"""
     },
-    "emb_knn_graph" -> {
-      val terms = (0 until 4).map(i =>
-        s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding, $terms AS bkt FROM embeddings),
+    "emb_knn_graph" ->
+      s"""WITH ${cappedBucketSql(4, ConsumerCap)},
           scored AS (
             SELECT x.vec_id AS src, y.vec_id AS dst,
                    ${dotSql("x.embedding", "y.embedding")} /
                      (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
-            FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id <> y.vec_id)
+            FROM cb x JOIN cb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
           SELECT src, dst, CAST(rank AS INT) AS rank, cos FROM (
             SELECT src, dst, cos,
                    row_number() OVER (PARTITION BY src
                                       ORDER BY cos DESC, dst) AS rank
             FROM scored) x
-          WHERE rank <= 3 ORDER BY src, rank"""
-    },
+          WHERE rank <= 3 ORDER BY src, rank""",
     "emb_semdedup" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
                          WHERE vec_id < 8),
@@ -1652,20 +1741,16 @@ object EmbeddingQueries extends GroupBase {
           SELECT a.vec_id, a.cell,
                  a.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
           FROM assign a ORDER BY a.vec_id""",
-    "emb_neardup" -> {
-      val terms = (0 until 4).map(i =>
-        s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding, $terms AS bkt FROM embeddings)
+    "emb_neardup" ->
+      s"""WITH ${cappedBucketSql(4, ConsumerCap)}
           SELECT x.vec_id AS da, y.vec_id AS db,
                  ${dotSql("x.embedding", "y.embedding")} /
                    (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
-          FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+          FROM cb x JOIN cb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
           WHERE ${dotSql("x.embedding", "y.embedding")} /
                   (${normSql("x.embedding")} * ${normSql("y.embedding")})
                 >= CAST(0.35 AS DOUBLE)
-          ORDER BY da, db"""
-    },
+          ORDER BY da, db""",
     // greedy rounds unrolled as CTEs (the emb_kmeans convention):
     // p_r = round-r pick, c_r = remaining candidates rescored against
     // the picks so far. greatest()/least() over the per-pick scores

@@ -38,7 +38,8 @@ object PlanDump {
     "tw_gapfill" -> "gap-fill: 1-row span broadcast builds the spine, keyed left join, per-series window",
     "dd_substr" -> "duplicated-substring measure: singleton-inversion ndup, every shuffle pre-aggregated, no window",
     "emb_sq8" -> "int8 scalar quantization: 64-row per-dim stats broadcast back, element-wise error",
-    "emb_knn_graph" -> "kNN graph: LSH-bucketed self-join (ReusedExchange), top-k via WindowGroupLimit",
+    "emb_knn_graph" -> "kNN graph: occupancy-capped LSH self-join (ReusedExchange), top-k via WindowGroupLimit",
+    "emb_lsh_buckets" -> "capped LSH assignment: occupancy agg broadcast back, rank-pack window per (gb,s1) cell",
     "text_bpe_train" -> "BPE training: one corpus scan, vocab exchange reused by all 3 merge rounds",
     "pipe_ksample" -> "exactly-k-per-stratum sample: WindowGroupLimit streaming top-k per stratum",
     "tw_session_dynamic" -> "dynamic-gap sessions: per-row gap expression, same one-shuffle sessionization",

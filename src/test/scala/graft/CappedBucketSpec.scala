@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.EmbeddingQueries
+
+/** EmbeddingQueries.cappedBucket — the occupancy-capped LSH bucketer
+  * that mechanizes r14's "plane/cell counts must scale with the
+  * corpus" finding. The load-bearing invariants:
+  *
+  *   1. no final bucket ever holds more than `cap` rows (the linear
+  *      candidate bound follows: pairs ≤ N·(cap−1)/2);
+  *   2. the level-1 pre-split activates on hot buckets (no rank
+  *      window partition exceeds cap·coarse rows) — exercised with a
+  *      tiny coarse, since test corpora never reach the default;
+  *   3. the assignment is partition-invariant, including under
+  *      duplicate ids over identical vectors (the standIn tie rule:
+  *      ties only between interchangeable rows).
+  */
+class CappedBucketSpec extends SparkSpec {
+
+  private def buckets(cap: Int, coarse: Int = 1024) =
+    EmbeddingQueries.cappedBucket(
+      graft.core.Tables.load(spark, TestSpark.sf0001, "embeddings"),
+      8, cap, coarse)
+
+  test("no bucket exceeds cap; candidate pairs <= N(cap-1)/2") {
+    val b = buckets(4)
+    val n = b.count()
+    val occ = b.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val maxOcc = occ.agg(max("c")).collect()(0).getLong(0)
+    assert(maxOcc <= 4, s"bucket occupancy $maxOcc exceeds cap 4")
+    val pairs = occ.agg(sum(expr("c * (c - 1)")).cast("long"))
+      .collect()(0).getLong(0) / 2
+    assert(pairs <= n * 3 / 2, s"pairs $pairs exceed N(cap-1)/2 = ${n * 3 / 2}")
+  }
+
+  test("identical-vector flood: level-1 pre-split bounds window partitions") {
+    import spark.implicits._
+    // 100 copies of ONE vector → one geometric bucket, the exact
+    // input where more hyperplanes cannot help. cap=2, coarse=4 →
+    // capG=8 → m1=ceil(100/8)=13 mix cells, so the rank window never
+    // sees more than 8 rows, and every final bucket holds ≤ 2.
+    val e = (0 until 100)
+      .map(i => (i.toLong, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = EmbeddingQueries.cappedBucket(e, 8, 2, 4)
+    val occ = b.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    assert(occ.max <= 2, s"flood bucket occupancy ${occ.max} exceeds cap 2")
+    // the s1 field (bits 20-39) must actually spread across cells
+    val s1s = b.select(pmod(col("bucket") / lit(1L << 20), lit(1L << 20))
+        .cast("long").as("s1")).distinct().count()
+    assert(s1s > 1, "level-1 pre-split never activated on a 100-row hot bucket")
+    // linear bound under the flood: 100 rows → ≤ 50 chunk pairs
+    val pairs = occ.map(c => c * (c - 1) / 2).sum
+    assert(pairs <= 50, s"flood pairs $pairs exceed N(cap-1)/2 = 50")
+  }
+
+  test("partition-invariant, even with duplicate ids on identical rows") {
+    import spark.implicits._
+    val rows = (0 until 60).map(i => ((i % 7).toLong,
+      Array.tabulate(64)(j => ((i % 3) * j).toFloat)))
+    val a = EmbeddingQueries.cappedBucket(
+      rows.toDF("vec_id", "embedding"), 8, 3, 4)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = EmbeddingQueries.cappedBucket(
+      rows.toDF("vec_id", "embedding").repartition(13), 8, 3, 4)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq == b.toSeq,
+      "bucket assignment depends on input partitioning")
+  }
+
+  test("self-join consumers reuse the bucketed exchange at runtime") {
+    val df = SparkEntry.queries("emb_neardup")(spark, TestSpark.sf0001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      "emb_neardup's self-join recomputes the capped-bucket table")
+  }
+}
