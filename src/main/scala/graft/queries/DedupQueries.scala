@@ -35,6 +35,50 @@ object DedupQueries extends GroupBase {
       .select(col("doc_id"), size(col("hs")).as("n"),
         explode(col("hs")).as("sh")), "sh", ShingleCap)
 
+  /** dd_tfidf_cos's MATERIALIZATION stage, factored out so
+    * ScalingPair's two-point curve can attribute the query's wall
+    * between checkpoint build and pair math (r14 verdict #4). Builds
+    * and EAGERLY localCheckpoints:
+    *
+    *  - `base` — the tokenized corpus: postings, the doc count, and
+    *    the shingle candidate branch all re-scan the tokenized corpus
+    *    otherwise (three tokenize passes + AQE re-derivations) —
+    *    measured 3.26 s -> 2.55 s warm / 6.5 s -> 3.7 s cold at
+    *    sf0.1. At deployment this is the tokenized corpus a
+    *    production pipeline materializes before any
+    *    postings/signature math.
+    *  - `wp` — the idf-weighted postings (localCheckpoint → a
+    *    LogicalRDD): wp feeds FOUR consumers (norms + both sides of
+    *    the pair dot) and its lineage re-runs the tokenize+count
+    *    shuffle per consumer otherwise — at deployment this is the
+    *    postings table a production pipeline writes to parquet before
+    *    any pair math. (.cache() is deliberately NOT used: an
+    *    InMemoryRelation blocks AQE's runtime re-planning through the
+    *    downstream joins — measured 2.6x worse on graph_domainrank.)
+    *
+    * Calling this CONSTRUCTS AND EXECUTES both checkpoints (the
+    * SparkEntry catalog's constructor-executes contract) — callers
+    * that only need the timing should unpersist both frames after. */
+  private[graft] def tfidfCheckpoints(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.core.Exact
+    val docs = t(s, d, "documents")
+    val base = docs.withColumn("tk", TextOps.tokens(col("text")))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"))
+      .localCheckpoint()
+    val post = base
+      .select(col("doc_id"), explode(col("tk")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfr = post.groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = base.agg(count(lit(1)).as("nd"))
+    val wp = post.join(broadcast(dfr), "w").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("w"),
+        Exact.q6(col("tf").cast("double") *
+          log(col("nd").cast("double") / col("df").cast("double"))).as("w8"))
+      .localCheckpoint()
+    (base, wp)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup by content hash: kept = first doc_id per md5 group.
     // Keeper.withKeeper = two-phase hash-agg min + null-safe
@@ -517,36 +561,7 @@ object DedupQueries extends GroupBase {
     // arithmetic on both engines and the rank order is bit-stable.
     "dd_tfidf_cos" -> ((s, d) => {
       import graft.core.Exact
-      val docs = t(s, d, "documents")
-      // tokenize ONCE into a materialized base: postings, the doc
-      // count, and the shingle candidate branch all re-scan the
-      // tokenized corpus otherwise (three tokenize passes + AQE
-      // re-derivations) — measured 3.26 s -> 2.55 s warm / 6.5 s ->
-      // 3.7 s cold at sf0.1. At deployment this is the tokenized
-      // corpus a production pipeline materializes before any
-      // postings/signature math.
-      val base = docs.withColumn("tk", TextOps.tokens(col("text")))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), col("tk"))
-        .localCheckpoint()
-      val post = base
-        .select(col("doc_id"), explode(col("tk")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfr = post.groupBy("w").agg(count(lit(1)).as("df"))
-      val nd = base.agg(count(lit(1)).as("nd"))
-      // materialize the weighted postings ONCE (localCheckpoint → a
-      // LogicalRDD): wp feeds FOUR consumers (norms + both sides of
-      // the pair dot) and its lineage re-runs the tokenize+count
-      // shuffle per consumer otherwise — at deployment this is the
-      // postings table a production pipeline writes to parquet before
-      // any pair math. (.cache() is deliberately NOT used: an
-      // InMemoryRelation blocks AQE's runtime re-planning through the
-      // downstream joins — measured 2.6x worse on graph_domainrank.)
-      val wp = post.join(broadcast(dfr), "w").crossJoin(broadcast(nd))
-        .select(col("doc_id"), col("w"),
-          Exact.q6(col("tf").cast("double") *
-            log(col("nd").cast("double") / col("df").cast("double"))).as("w8"))
-        .localCheckpoint()
+      val (base, wp) = tfidfCheckpoints(s, d)
       val nrm = wp.groupBy("doc_id")
         .agg(sqrt(Exact.fsum(col("w8") * col("w8"))).as("nrm"))
       val sh = graft.operators.ShingleDf.capRare(base

@@ -26,22 +26,22 @@ import org.apache.spark.sql.functions._
   *     ~LINEARLY (×copies), which this probe ASSERTS on the candidate
   *     counts themselves, not just on wall time.
   *   - `embeddings`: copies are identical vectors under offset
-  *     vec_ids. The emb family's blocked self-joins (4 fixed random
-  *     hyperplanes -> 16 buckets) are QUADRATIC in per-bucket density
-  *     by construction — the production scale path grows the plane /
-  *     cell count with the corpus (planes ~ log N, IVF cells ~ sqrt N),
-  *     a parameter choice, not a plan property. Identical copies make
-  *     that model exactly testable: bucket populations triple, so
-  *     bucket-blocked candidate pairs must grow ~9× (copies²) — also
-  *     asserted. Per-query top-k / argmax work stays linear.
+  *     vec_ids — the hardest density model for an LSH bucketer, since
+  *     NO plane count separates identical vectors. r14 measured the
+  *     then-fixed 4-hyperplane buckets at 9.25× candidate growth
+  *     (copies²) under this model; round 15 mechanized the documented
+  *     fix as EmbeddingQueries.cappedBucket (occupancy-capped
+  *     rank-pack chunks, candidates ≤ N·(cap−1)/2), so bucket-blocked
+  *     pairs must now grow ~LINEARLY (~3×) — asserted below. Per-query
+  *     top-k / argmax work stays linear.
   *
   * Growth gates (exit 1 on violation, plus the standard time flag):
   *   shingle_cand  sum C(df,2) over dd_jaccard's capRare'd (doc,
   *                 shingle) relation — must be ~3× (rare-shingle cap
   *                 holds under growth: the 100 TB linearity claim)
   *   band_cand     dd_minhash's LSH band-blocked pair count — ~3×
-  *   bucket_cand   sum C(n,2) over emb_lsh_buckets' hyperplane
-  *                 buckets — ~9× (the fixed-plane density model)
+  *   bucket_cand   sum C(n,2) over emb_lsh_buckets' occupancy-capped
+  *                 buckets — ~3× (was ~9× before cappedBucket)
   *
   * Run: sbt "runMain graft.tools.ScalingPair [smallDir baseDir]"
   *   (defaults /root/testdata/sf0.01 and /root/testdata/sf0.1)
@@ -131,19 +131,30 @@ object ScalingPair {
       s"$tildeDocs documents contain '~' — pick a different remap suffix")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-scpair").toString
-    try runProbe(spark, small, base, dir, dataRatio)
-    finally {
-      // the extended corpus is ~3x sf0.1 of parquet per run — delete
-      // it even on a failing gate (refresh_gates runs this every
-      // round; /tmp must not accumulate)
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(pp => java.nio.file.Files.deleteIfExists(pp))
-    }
+    // runProbe RETURNS the pass/fail verdict instead of exiting: a
+    // sys.exit inside the try would begin JVM shutdown WITHOUT
+    // unwinding the stack, so this finally would never run and the
+    // ~3x+9x sf0.1 extended parquet corpus would leak in /tmp on
+    // every failing gate (ADVICE r14; ConcExec/StateSize exit only
+    // after their cleanup for the same reason).
+    val ok =
+      try runProbe(spark, small, base, dir, dataRatio)
+      finally {
+        // the extended corpus is several sf0.1-multiples of parquet
+        // per run — delete it even on a failing gate (refresh_gates
+        // runs this every round; /tmp must not accumulate)
+        val root = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(pp => java.nio.file.Files.deleteIfExists(pp))
+      }
+    if (!ok) sys.exit(1)
   }
 
+  /** Runs the full probe; returns false when any time flag or growth
+    * bound fired (main exits 1 AFTER temp cleanup). */
   private def runProbe(spark: SparkSession, small: String, base: String,
-                       dir: String, dataRatio: Double): Unit = {
+                       parent: String, dataRatio: Double): Boolean = {
+    val dir = s"$parent/x3"
     EdgeExec.tables.foreach { tbl =>
       val src = spark.read.parquet(s"$base/$tbl.parquet")
       extendTable(src, tbl).write.mode("overwrite").parquet(s"$dir/$tbl.parquet")
@@ -158,9 +169,11 @@ object ScalingPair {
         2.5, 3.5, "MinHash band buckets are content-keyed: disjoint copies " +
           "add bucket members only within a copy"),
       Growth("bucket_cand", bucketCand(spark, base), bucketCand(spark, dir),
-        8.0, 10.0, "fixed 4-hyperplane buckets with identical copies: density " +
-          "triples, pairs grow copies^2 = 9x — the documented reason plane/cell " +
-          "counts must scale with the corpus in production"))
+        2.5, 3.5, "occupancy-capped buckets (cappedBucket rank-pack, cap=4): " +
+          "chunks saturate at C(cap,2) pairs, so candidates are <= N(cap-1)/2 " +
+          "— LINEAR in density even for identical copies, which r14's fixed " +
+          "buckets grew at copies^2 = 9.25x. Residual ~7% over 3x is pack " +
+          "remainder at the demo occupancies (chunks not all full)"))
     growth.foreach { g =>
       val mark = if (g.ok) "ok" else "  << OUT OF BOUNDS"
       println(f"[scalingpair] growth ${g.name}%-13s ${g.base}%9d -> ${g.ext}%9d  ratio ${g.ratio}%5.2fx (bound ${g.lo}-${g.hi})$mark")
@@ -181,6 +194,47 @@ object ScalingPair {
     val flagged = rows.filter { case (_, _, tl, r) =>
       ScalingProbe.isFlagged(r, tl, dataRatio) }
     val growthBad = growth.filterNot(_.ok)
+
+    // ---- two-point curve for the worst pair-math query (r14 #4):
+    // dd_tfidf_cos's 30x wall-ratio was 11.3x — sublinear but 3.5x
+    // worse than its family. A second scale point (x9 = 3x on the 3x,
+    // documents only: the query reads nothing else) shows whether the
+    // curve bends toward linear, and the factored-out checkpoint
+    // stage (DedupQueries.tfidfCheckpoints) attributes each point's
+    // wall between materialization and pair math. Record-only — no
+    // gate: the standard isFlagged time flag already covers the x3
+    // point, and a one-query x9 wall on a noisy host is not a bound
+    // you can assert tightly without flaking the whole refresh.
+    val dir9 = s"$parent/x9"
+    val ext3docs = spark.read.parquet(s"$dir/documents.parquet")
+    // second remap pass with suffix ids {0,3,6}: combined suffixes
+    // ("", ~1, ~2) x ("", ~3, ~6) are 9 distinct strings, so all 9
+    // copies stay pairwise token-disjoint (a ~1-then-~1 scheme would
+    // collide copy (1,0) with copy (0,1)); doc_id bands [0,3K) +
+    // {0,3K,6K} stay disjoint for the same reason.
+    (0 until Copies).map(j => remapDocuments(ext3docs, 3 * j))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir9/documents.parquet")
+    def ckptSec(p: String): Double = {
+      val t0 = System.nanoTime()
+      val (b, wp) = graft.queries.DedupQueries.tfidfCheckpoints(spark, p)
+      val sec = (System.nanoTime() - t0) / 1e9
+      b.unpersist(); wp.unpersist()
+      sec
+    }
+    val tfidf3 = rows.collectFirst { case ("dd_tfidf_cos", _, tl, _) => tl }
+      .getOrElse(-1.0)
+    val tfidf9 = ScalingProbe.timeOnce(
+      SparkEntry.queries("dd_tfidf_cos")(spark, dir9))
+    val ckpt3 = ckptSec(dir)
+    val ckpt9 = ckptSec(dir9)
+    val ratio93 = if (tfidf3 > 0 && tfidf9 > 0) tfidf9 / tfidf3 else -1.0
+    println(f"[scalingpair] tfidf curve: x3 ${tfidf3}%.3fs (ckpt ${ckpt3}%.3fs) " +
+      f"-> x9 ${tfidf9}%.3fs (ckpt ${ckpt9}%.3fs), x9/x3 ${ratio93}%.2fx " +
+      "(linear would be 3x)")
+    val curveJson =
+      s"""{"x3_total":${f(tfidf3)},"x9_total":${f(tfidf9)},"ratio_9_over_3":${f(ratio93)},"x3_ckpt":${f(ckpt3)},"x9_ckpt":${f(ckpt9)},"x3_pair":${f(tfidf3 - ckpt3)},"x9_pair":${f(tfidf9 - ckpt9)}}"""
+
     val qJson = rows.map { case (n, ts, tl, r) =>
       s""""$n":{"small":${f(ts)},"large30":${f(tl)},"ratio":${f(r)}}"""
     }.mkString("{", ",", "}")
@@ -189,19 +243,17 @@ object ScalingPair {
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("scaling_pair.json"),
-      s"""{"action":"30x-pair-math-scaling-probe","synthetic":"large side is $base x3: documents token-remapped per copy (cross-copy shingle-disjoint), embeddings identical per copy (density model), fact keys offset, dims fixed","data_ratio":${f(dataRatio)},"n_queries":${rows.size},"n_flagged":${flagged.size},"n_growth_violations":${growthBad.size},"growth":$gJson,"queries":$qJson,${graft.core.Provenance.jsonFields}}""")
+      s"""{"action":"30x-pair-math-scaling-probe","synthetic":"large side is $base x3: documents token-remapped per copy (cross-copy shingle-disjoint), embeddings identical per copy (density model), fact keys offset, dims fixed; tfidf_curve adds a x9 documents-only point (3x remap of the x3)","data_ratio":${f(dataRatio)},"n_queries":${rows.size},"n_flagged":${flagged.size},"n_growth_violations":${growthBad.size},"growth":$gJson,"tfidf_curve":$curveJson,"queries":$qJson,${graft.core.Provenance.jsonFields}}""")
     rows.sortBy(-_._4).take(15).foreach { case (n, ts, tl, r) =>
       val mark = if (flagged.exists(_._1 == n)) "  << SUPERLINEAR" else ""
       println(f"[scalingpair] $n%-22s ${ts}%7.3fs -> ${tl}%7.3fs  ratio ${r}%6.2fx$mark")
     }
     println(s"[scalingpair] flagged: ${flagged.size}/${rows.size}; growth violations: ${growthBad.size}/3")
     spark.stop()
-    if (flagged.nonEmpty || growthBad.nonEmpty) {
-      if (flagged.nonEmpty)
-        System.err.println(s"[scalingpair] FLAGGED: ${flagged.map(_._1).mkString(",")}")
-      growthBad.foreach(g => System.err.println(
-        s"[scalingpair] GROWTH OUT OF BOUNDS: ${g.name} ratio ${g.ratio}"))
-      sys.exit(1)
-    }
+    if (flagged.nonEmpty)
+      System.err.println(s"[scalingpair] FLAGGED: ${flagged.map(_._1).mkString(",")}")
+    growthBad.foreach(g => System.err.println(
+      s"[scalingpair] GROWTH OUT OF BOUNDS: ${g.name} ratio ${g.ratio}"))
+    flagged.isEmpty && growthBad.isEmpty
   }
 }

@@ -157,6 +157,13 @@ class ScalingSpec extends SparkSpec {
     }
     assert(txt.contains("\"n_growth_violations\":0"),
       "scaling_pair.json records growth violations")
+
+    // the r15 two-point dd_tfidf_cos curve (x3 and x9 documents
+    // points + checkpoint/pair attribution) must stay in the artifact
+    val curve = """"tfidf_curve":\{[^}]*"ratio_9_over_3":(-?[0-9.]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      .getOrElse(fail("scaling_pair.json lost the tfidf_curve block"))
+    assert(curve > 0, s"tfidf curve x9 point failed to time (ratio $curve)")
   }
 
   test("ScalingPair.remapDocuments: copies token-disjoint, isomorphic, key-banded") {
