@@ -25,7 +25,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   *     60 s. State rows = keys with live state; quiet keys must be
   *     state.remove()'d by the event-time timer. Bound 150 (50 keys
   *     + removal lagging a couple watermark updates); final <= 5
-  *     after a quiet advance past every horizon.
+  *     after a quiet advance past every horizon. A SECOND point at
+  *     5,000 keys x 12 batches (r14 verdict #5) gates max_rows
+  *     ratio ~100x — linear in keys while the batch axis shrank, so
+  *     "state = O(keys x horizon), independent of stream length" is
+  *     a measured two-point claim.
   *   - latewindow: LateWindow.tumbling 60 s windows, 5 s delay, 30 s
   *     allowedLateness, same key/batch shape. State rows = OPEN
   *     (key, window) groups — <= ~3 windows/key inside the lateness
@@ -51,12 +55,17 @@ object StateSize {
     tmpDirs += d
     d
   }
-  private def cleanupTmp(): Unit = tmpDirs.foreach { d =>
-    val root = java.nio.file.Paths.get(d)
-    if (Files.exists(root))
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-  }
+  private def cleanupTmp(): Unit =
+    // Changelog.attachComplete derives a `<snapshotDir>__staged`
+    // SIBLING for its atomic snapshot roll — it is not a registered
+    // dir itself, so delete the sibling alongside each registered
+    // root (ADVICE r14: ~4 KB of staged parquet leaked per run).
+    tmpDirs.flatMap(d => Seq(d, d + "__staged")).foreach { d =>
+      val root = java.nio.file.Paths.get(d)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+    }
 
   private case class OpStats(maxRows: Long, finalRows: Long, maxMem: Long)
 
@@ -79,7 +88,13 @@ object StateSize {
     OpStats(maxRows, fin, maxMem)
   }
 
-  private def seqpattern(spark: SparkSession): OpStats = {
+  /** Parameterized over `keys`/`batches` so the key axis can be
+    * scaled independently of stream length (r14 verdict #5): the
+    * 5,000-key point runs FEWER batches than the 50-key base, so a
+    * max_rows ratio that still tracks keys (and only keys) pins the
+    * two-point claim "state = O(keys × horizon), independent of
+    * batch count" empirically. */
+  private def seqpattern(spark: SparkSession, keys: Int, batches: Int): OpStats = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import SeqPattern._
@@ -98,16 +113,16 @@ object StateSize {
       // never anchor at epoch 0: Spark drops rows at-or-before the
       // INITIAL watermark 0 (SeqPattern.detectOrdered scaladoc)
       val base = 100000L + b * 30000L
-      input.addData((0 until Keys).flatMap { k =>
+      input.addData((0 until keys).flatMap { k =>
         KeyedEvent(k.toLong, ts(base), "A", b * 100.0 + k) +:
           (1 to 3).map(i =>
             KeyedEvent(k.toLong, ts(base + i * 5000L), "B", b * 100.0 + k + i))
       })
-    }, Batches)
+    }, batches)
     // quiet advance past every horizon so live keys' timers fire
-    input.addData(KeyedEvent(9999L, ts(100000L + Batches * 30000L + 900000L), "N", 0.0))
+    input.addData(KeyedEvent(-1L, ts(100000L + batches * 30000L + 900000L), "N", 0.0))
     q.processAllAvailable()
-    input.addData(KeyedEvent(9999L, ts(100000L + Batches * 30000L + 910000L), "N", 0.0))
+    input.addData(KeyedEvent(-1L, ts(100000L + batches * 30000L + 910000L), "N", 0.0))
     q.processAllAvailable()
     val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
     q.stop()
@@ -164,32 +179,70 @@ object StateSize {
     stats
   }
 
+  /** Key-axis scale point (r14 verdict #5): 100× the keys at ~1/3 the
+    * batches. Its own max_rows bound scales linearly from the base
+    * bound (150 → 15000), and the cross-point ratio gate below pins
+    * linearity in keys directly. */
+  private val ScaledKeys = 5000
+  private val ScaledBatches = 12
+  /** max_rows(5000 keys) / max_rows(50 keys) must read ~keys-ratio
+    * (100×): well under it would mean the base point was measuring an
+    * artifact; over it would mean super-linear state in keys. The base
+    * run plateaus at exactly its keyspace (all keys hold one live
+    * partial between watermark advances), so the honest bound is tight
+    * around 100 with room for removal-lag jitter only. */
+  private val KeyRatioLo = 80.0
+  private val KeyRatioHi = 120.0
+
   def main(args: Array[String]): Unit = {
     val outJson = if (args.length > 0) args(0) else "STATE_SIZE.json"
     val spark = Sessions.build("graft-statesize")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+    // per-op keyspace recorded per entry (ADVICE r14: the shared
+    // Keys=50 constant mislabeled changelog_complete, whose true
+    // keyspace — and the parameter its bound 25 is keyed to — is the
+    // pmod(key, 20) = 20-group aggregate, not the 50 input keys)
     val ops = Seq(
-      ("seqpattern", () => seqpattern(spark), 150L, 5L),
-      ("latewindow", () => latewindow(spark), 250L, 5L),
-      ("changelog_complete", () => changelogComplete(spark), 25L, 25L))
-    val results = try ops.map { case (name, run, boundMax, boundFinal) =>
+      ("seqpattern", () => seqpattern(spark, Keys, Batches),
+        Keys, Batches, 150L, 5L),
+      (s"seqpattern_keys$ScaledKeys",
+        () => seqpattern(spark, ScaledKeys, ScaledBatches),
+        ScaledKeys, ScaledBatches, 15000L, 5L),
+      ("latewindow", () => latewindow(spark), Keys, Batches, 250L, 5L),
+      ("changelog_complete", () => changelogComplete(spark), 20, Batches, 25L, 25L))
+    val results = try ops.map { case (name, run, keys, batches, boundMax, boundFinal) =>
       val st = run()
       val ok = st.maxRows <= boundMax && st.finalRows <= boundFinal
-      println(f"[statesize] $name%-19s max_rows ${st.maxRows}%5d (bound $boundMax) " +
+      println(f"[statesize] $name%-19s keys $keys%5d batches $batches%3d max_rows ${st.maxRows}%6d (bound $boundMax) " +
         f"final ${st.finalRows}%5d (bound $boundFinal) max_mem ${st.maxMem}%9d B " +
         (if (ok) "ok" else " << BOUND VIOLATED"))
-      (name, st, boundMax, boundFinal, ok)
+      (name, st, keys, batches, boundMax, boundFinal, ok)
     } finally cleanupTmp()
-    val failed = results.count(!_._5)
-    val entries = results.map { case (n, st, bm, bf, ok) =>
-      s""""$n":{"batches":$Batches,"keys":$Keys,"max_rows":${st.maxRows},"final_rows":${st.finalRows},"max_mem_bytes":${st.maxMem},"bound_max_rows":$bm,"bound_final_rows":$bf,"ok":$ok}"""
+    // two-point key-linearity gate: max_rows must track the key axis
+    // (100×) while the batch axis SHRANK (40 → 12) — state is
+    // keyspace-bounded, not stream-length-bounded, as a measured
+    // two-point claim rather than a single plateau reading
+    val keyRatio = (for {
+      b <- results.find(_._1 == "seqpattern")
+      sPt <- results.find(_._1 == s"seqpattern_keys$ScaledKeys")
+      if b._2.maxRows > 0
+    } yield sPt._2.maxRows.toDouble / b._2.maxRows).getOrElse(-1.0)
+    val keyRatioOk = keyRatio >= KeyRatioLo && keyRatio <= KeyRatioHi
+    println(f"[statesize] key-scaling max_rows ratio ${keyRatio}%.1fx at " +
+      f"${ScaledKeys / Keys}x keys, ${ScaledBatches}/${Batches} batches " +
+      f"(bound $KeyRatioLo-$KeyRatioHi) " + (if (keyRatioOk) "ok" else " << BOUND VIOLATED"))
+    val failed = results.count(!_._7) + (if (keyRatioOk) 0 else 1)
+    val entries = results.map { case (n, st, keys, batches, bm, bf, ok) =>
+      s""""$n":{"batches":$batches,"keys":$keys,"max_rows":${st.maxRows},"final_rows":${st.finalRows},"max_mem_bytes":${st.maxMem},"bound_max_rows":$bm,"bound_final_rows":$bf,"ok":$ok}"""
     }.mkString("{", ",", "}")
+    val keyJson =
+      s"""{"base_keys":$Keys,"scaled_keys":$ScaledKeys,"base_batches":$Batches,"scaled_batches":$ScaledBatches,"max_rows_ratio":${graft.Bench.fmt3(keyRatio)},"bound":[$KeyRatioLo,$KeyRatioHi],"ok":$keyRatioOk}"""
     val json =
-      s"""{"action":"streaming-state-size","store":"rocksdb","n_failed":$failed,"ops":$entries,${graft.core.Provenance.jsonFields}}"""
+      s"""{"action":"streaming-state-size","store":"rocksdb","n_failed":$failed,"key_scaling":$keyJson,"ops":$entries,${graft.core.Provenance.jsonFields}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson), json.getBytes("UTF-8"))
-    println(s"[statesize] ${results.size - failed}/${results.size} ops within bounds -> $outJson")
+    println(s"[statesize] ${results.size - results.count(!_._7)}/${results.size} ops within bounds -> $outJson")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
