@@ -192,8 +192,25 @@ object Bench {
     // compiled plan no matter how the cache is sized.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     val doWarm = new java.io.File(warmDir).isDirectory
-    val calStart = calibrate(spark)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved calibration (r14 verdict #3): the window-probe
+    // pathology recurred four rounds running (one probe degrading
+    // 4-9x between the start and end blocks), and two end-point
+    // blocks cannot localize WHEN the host degraded — the whole-run
+    // host_scale absorbs the error (r14: 67.0 value_cal vs 74.8/82.4
+    // same-code). A ~2 s probe block every `SegmentEvery` queries
+    // splits the run into segments, each normalized by its OWN
+    // bracketing blocks (min-of-endpoints per probe, median across
+    // probes — the hostScale discipline), so a mid-run excursion
+    // re-prices only the queries it actually co-ran with.
+    // `value_cal` keeps its historical definition (start/end blocks
+    // only) for cross-round comparability; `value_cal_seg` is the
+    // segment-localized headline.
+    val SegmentEvery = 50
+    val calBlocks =
+      scala.collection.mutable.ListBuffer.empty[(Int, Seq[(String, Double)])]
+    calBlocks += 0 -> calibrate(spark)
+    val ordered = selected.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (doWarm)
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       // Pay accumulated GC debt OUTSIDE the timed window: with one
@@ -208,9 +225,24 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
+      if ((i + 1) % SegmentEvery == 0 && (i + 1) < ordered.size)
+        calBlocks += (i + 1) -> calibrate(spark)
       name -> (if (ok) sec else -1.0)
     }
-    val calEnd = calibrate(spark)
+    calBlocks += ordered.size -> calibrate(spark)
+    val calStart = calBlocks.head._2
+    val calEnd = calBlocks.last._2
+    // per-segment scales: segment k spans queries [from, to) and is
+    // normalized by its two bracketing probe blocks
+    val segScales = calBlocks.toSeq.sliding(2).collect {
+      case Seq((a, pa), (b, pb)) if b > a =>
+        val segTotal = results.slice(a, b).collect { case (_, v) if v >= 0 => v }.sum
+        (a, b, hostScale(pa, pb), segTotal)
+    }.toSeq
+    val valueCalSeg =
+      if (segScales.nonEmpty && segScales.forall(_._3 > 0))
+        segScales.map { case (_, _, sc, st) => st / sc }.sum
+      else -1.0
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sf = sfOf(sfDir).map(_.toString).getOrElse("0.1")
     def fmt(v: Double) = fmt3(v)
@@ -260,7 +292,19 @@ object Bench {
           val r = if (best.isEmpty) -1.0 else best.min / CalRefProbes(k)
           "\"" + k + "\":" + fmt(r)
       }.mkString(",")
-      s"""{"start":{$s},"end":{$e},"cal_total":${fmt(calSum)},"cal_total_end":${fmt(calSumEnd)},"probe_ratios":{$ratios},"cal_ref":${fmt(CalRef)},"host_scale":${fmt(scaleVsRef)},"value_cal":${fmt(valueCal)}}"""
+      s"""{"start":{$s},"end":{$e},"cal_total":${fmt(calSum)},"cal_total_end":${fmt(calSumEnd)},"probe_ratios":{$ratios},"cal_ref":${fmt(CalRef)},"host_scale":${fmt(scaleVsRef)},"value_cal":${fmt(valueCal)},"value_cal_seg":${fmt(valueCalSeg)},"n_cal_blocks":${calBlocks.size}}"""
+    }
+    // full per-block probes + per-segment scales (bench_full.json
+    // only: the stdout line is budget-capped and the driver needs only
+    // the headline; humans read the segment table from the file)
+    val segJson = {
+      val blocks = calBlocks.map { case (n, ps) =>
+        s"""{"after_n":$n,"probes":{${ps.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")}}}"""
+      }.mkString("[", ",", "]")
+      val segs = segScales.map { case (a, b, sc, st) =>
+        s"""{"from":$a,"to":$b,"scale":${fmt(sc)},"seg_total":${fmt(st)},"seg_cal":${fmt(if (sc > 0) st / sc else -1.0)}}"""
+      }.mkString("[", ",", "]")
+      s""""cal_blocks":$blocks,"segments":$segs"""
     }
     val retimedJson = retimed
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -272,7 +316,7 @@ object Bench {
     // bisect session lost the calm run's file exactly this way).
     val prov = graft.core.Provenance.jsonFields
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":$calJson,$retimeFields,"queries":${allEntries.mkString("{", ",", "}")},"sf":$sf,$prov}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":$calJson,$segJson,$retimeFields,"queries":${allEntries.mkString("{", ",", "}")},"sf":$sf,$prov}"""
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
