@@ -38,7 +38,7 @@ if ! SPARK_DRIVER_MEM=2g SPARK_GRAFT_CPUS=8 \
 fi
 log "done: MemExec"
 run CodegenParity "graft.tools.CodegenParity /root/testdata/sf0.01 CODEGEN_PARITY.json" "parity|\[codegen"
-run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r14.json"        "\[fullexec\]"
+run FullExec      "graft.tools.FullExec /root/testdata/sf0.1 FULLEXEC_r15.json"        "\[fullexec\]"
 run ScalingProbe  "graft.tools.ScalingProbe"                                           "\[scaling|scaling.json"
 run Scaling30     "graft.tools.Scaling30"                                              "\[scaling30\]"
 run ScalingPair   "graft.tools.ScalingPair"                                            "\[scalingpair\]"
