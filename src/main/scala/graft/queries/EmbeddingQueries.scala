@@ -93,6 +93,13 @@ object EmbeddingQueries extends GroupBase {
   private[graft] val CoarseFan = 1024
   private[graft] val MixA = 2654435761L // Knuth multiplicative hash
   private[graft] val MixM = 4294967296L // 2^32
+  /** Ids are masked into [0, 2^31) BEFORE the Knuth multiply: an
+    * unmasked int64-boundary id (corrupt ingest, a sentinel primary
+    * key — the NumExec sweep class) times MixA overflows Long and
+    * ANSI mode (the session default) throws mid-scan. (2^31−1)·MixA
+    * ≈ 5.7e18 stays inside Long; ids below 2^31 — every real corpus
+    * here — mix identically to the unmasked form. */
+  private[graft] val MixMask = 2147483648L // 2^31
 
   /** Occupancy-capped LSH bucketer — the mechanized form of the r14
     * scaling_pair finding that FIXED hyperplane buckets are quadratic
@@ -141,7 +148,8 @@ object EmbeddingQueries extends GroupBase {
     val cells = g.join(broadcast(occ), "gb")
       .withColumn("m1", expr(s"(n + ${capG - 1}L) div ${capG}L"))
       .withColumn("s1",
-        pmod(pmod(col("vec_id") * lit(MixA), lit(MixM)), col("m1")))
+        pmod(pmod(pmod(col("vec_id"), lit(MixMask)) * lit(MixA), lit(MixM)),
+          col("m1")))
     val w = Window.partitionBy("gb", "s1")
       .orderBy(col("vec_id"), xxhash64(col("vec_id"), col("embedding")))
     cells
@@ -1394,7 +1402,7 @@ object EmbeddingQueries extends GroupBase {
               FROM embeddings),
         o AS (SELECT gb, count(*) AS n FROM g GROUP BY gb),
         sp AS (SELECT vec_id, embedding, gb,
-                      ((vec_id * $MixA) % $MixM) %
+                      (((vec_id % $MixMask) * $MixA) % $MixM) %
                         ((n + ${capG - 1}) // $capG) AS s1
                FROM g JOIN o USING (gb)),
         cb AS (SELECT vec_id, embedding,

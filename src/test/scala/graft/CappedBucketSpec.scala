@@ -72,6 +72,17 @@ class CappedBucketSpec extends SparkSpec {
       "bucket assignment depends on input partitioning")
   }
 
+  test("int64-boundary ids don't overflow the Knuth mix under ANSI") {
+    import spark.implicits._
+    // the NumExec sentinel class: an unmasked boundary id times MixA
+    // overflows Long and ANSI (session default) throws mid-scan —
+    // cappedBucket masks ids into [0, 2^31) before the multiply
+    val e = Seq(Long.MaxValue, Long.MinValue, -1L, 0L, 42L)
+      .map(id => (id, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val out = EmbeddingQueries.cappedBucket(e, 8, 2, 4).collect()
+    assert(out.length == 5)
+  }
+
   test("self-join consumers reuse the bucketed exchange at runtime") {
     val df = SparkEntry.queries("emb_neardup")(spark, TestSpark.sf0001)
     df.collect()
