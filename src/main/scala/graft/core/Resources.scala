@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared resource-release idioms for tools and operators — each was
+  * duplicated inline at least twice before landing here (review
+  * finding r15), and each has a subtlety worth centralizing:
+  *
+  *  - localCheckpoint blocks are NOT CacheManager entries, so
+  *    `Dataset.unpersist()` is a silent no-op on them; the blocks
+  *    otherwise wait for the ContextCleaner's periodic GC (~30 min).
+  *    Deterministic release goes through the plan's LogicalRDD leaf.
+  *  - recursive temp-dir deletion must walk depth-first and tolerate
+  *    paths that never got created (a tool that failed early).
+  */
+object Resources {
+
+  /** Deterministically free a localCheckpoint'ed frame's storage
+    * blocks (the Changelog r14 idiom): find the LogicalRDD leaf the
+    * checkpoint rebased the plan onto and unpersist its RDD.
+    * Harmless no-op on frames that aren't checkpoint-rooted. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Depth-first recursive delete; absent paths are a no-op. */
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+}

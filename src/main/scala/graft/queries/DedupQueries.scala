@@ -58,7 +58,10 @@ object DedupQueries extends GroupBase {
     *
     * Calling this CONSTRUCTS AND EXECUTES both checkpoints (the
     * SparkEntry catalog's constructor-executes contract) — callers
-    * that only need the timing should unpersist both frames after. */
+    * that only need the timing should release both frames after via
+    * core.Resources.freeCheckpoint (NOT Dataset.unpersist, which is a
+    * silent no-op on checkpoint blocks — they live outside the
+    * CacheManager). */
   private[graft] def tfidfCheckpoints(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.core.Exact
     val docs = t(s, d, "documents")

@@ -118,8 +118,13 @@ object EmbeddingQueries extends GroupBase {
     *      broadcast back, no corpus shuffle);
     *   3. hot buckets (n > cap·coarse) pre-split into
     *      m1 = ceil(n/(cap·coarse)) cells by a Knuth-mixed vec_id —
-    *      scalar math, no shuffle — so no rank partition ever holds
-    *      more than cap·coarse rows regardless of corpus size;
+    *      scalar math, no shuffle. For DISTINCT ids this keeps rank
+    *      partitions near cap·coarse rows (a hash expectation, not a
+    *      hard bound); rows sharing ONE id co-locate by construction
+    *      — the same hot-key concentration as any key-partitioned
+    *      operator, and the id is the only oracle-expressible
+    *      deterministic split key (a row fingerprint would
+    *      desynchronize the DuckDB mirror);
     *   4. inside each (gb, s1) cell, members are rank-PACKED into
     *      chunks of exactly `cap` (row_number div cap): per-chunk
     *      pair count saturates at C(cap,2), so total candidates are
@@ -128,9 +133,14 @@ object EmbeddingQueries extends GroupBase {
     *      keeps chunks full, so the linear bound is tight and the
     *      scaling_pair growth gate can assert ~3× at 3× density.
     *
-    * Bucket id = gb·2^40 + s1·2^20 + chunk (fields documented: s1 and
-    * chunk both < 2^20 given step 3's cell bound). Determinism: the
-    * pack order is (vec_id, row-fingerprint) — ties only between
+    * Bucket id = gb·2^44 + s1·2^24 + chunk. Field ceilings are
+    * ENFORCED, not assumed: s1 ≥ 2^20 (one geometric bucket holding
+    * > cap·coarse·2^20 ≈ 4×10^9 rows) or chunk ≥ 2^24 (> cap·2^24
+    * rows landing in ONE mix cell — an identical-id flood past ~10^7
+    * rows) raises a labeled error instead of silently merging
+    * buckets and voiding the linear-candidate bound the scaling_pair
+    * gate certifies (review finding r15). Determinism: the pack
+    * order is (vec_id, row-fingerprint) — ties only between
     * bit-identical rows, which are interchangeable, so the assignment
     * is partition-invariant even on dirty duplicate-id data (the
     * standIn discipline). The oracle mirrors the arithmetic exactly;
@@ -145,18 +155,26 @@ object EmbeddingQueries extends GroupBase {
     val g = e.select(col("vec_id"), col("embedding"), gb.as("gb"))
     val occ = g.groupBy("gb").agg(count(lit(1)).as("n"))
     val capG = cap.toLong * coarse
+    // loud ceiling guard: a value past its encoding field would
+    // silently merge buckets (see scaladoc); `when(over, raise)` adds
+    // one codegen branch per row and never fires below the ceilings
+    def guarded(c: Column, lim: Long, label: String): Column =
+      when(c >= lim, raise_error(concat(lit(s"cappedBucket: $label "),
+        c.cast("string"), lit(s" >= field ceiling $lim"))).cast("long"))
+        .otherwise(c)
     val cells = g.join(broadcast(occ), "gb")
       .withColumn("m1", expr(s"(n + ${capG - 1}L) div ${capG}L"))
-      .withColumn("s1",
+      .withColumn("s1", guarded(
         pmod(pmod(pmod(col("vec_id"), lit(MixMask)) * lit(MixA), lit(MixM)),
-          col("m1")))
+          col("m1")), 1L << 20, "s1"))
     val w = Window.partitionBy("gb", "s1")
       .orderBy(col("vec_id"), xxhash64(col("vec_id"), col("embedding")))
     cells
-      .withColumn("chunk",
-        floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"))
+      .withColumn("chunk", guarded(
+        floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"),
+        1L << 24, "chunk"))
       .select(col("vec_id"), col("embedding"),
-        (col("gb") * lit(1L << 40) + col("s1") * lit(1L << 20) +
+        (col("gb") * lit(1L << 44) + col("s1") * lit(1L << 24) +
           col("chunk")).as("bucket"))
   }
 
@@ -1389,9 +1407,13 @@ object EmbeddingQueries extends GroupBase {
     (0 until Dim).map(j => s"${weight(i, j)}.0").mkString("[", ", ", "]")
 
   /** Oracle mirror of `cappedBucket` as WITH-clause members ending in
-    * relation cb(vec_id, embedding, bucket). Clean gate data has
-    * unique non-null vec_ids, so ORDER BY vec_id alone reproduces the
-    * Spark side's (vec_id, fingerprint) pack order. */
+    * relation cb(vec_id, embedding, bucket). The `(x % m + m) % m`
+    * form mirrors Spark's pmod for NEGATIVE ids too (DuckDB's bare %
+    * keeps the sign — a silent bucket divergence on dirty ids
+    * otherwise, review finding r15). Clean gate data has unique
+    * non-null vec_ids, so ORDER BY vec_id alone reproduces the Spark
+    * side's (vec_id, fingerprint) pack order; the field-ceiling
+    * guards never fire at oracle scales and are omitted here. */
   private def cappedBucketSql(planes: Int, cap: Int,
                               coarse: Int = CoarseFan): String = {
     val terms = (0 until planes).map(i =>
@@ -1402,11 +1424,12 @@ object EmbeddingQueries extends GroupBase {
               FROM embeddings),
         o AS (SELECT gb, count(*) AS n FROM g GROUP BY gb),
         sp AS (SELECT vec_id, embedding, gb,
-                      (((vec_id % $MixMask) * $MixA) % $MixM) %
+                      ((((vec_id % $MixMask + $MixMask) % $MixMask) * $MixA)
+                        % $MixM) %
                         ((n + ${capG - 1}) // $capG) AS s1
                FROM g JOIN o USING (gb)),
         cb AS (SELECT vec_id, embedding,
-                      gb * ${1L << 40} + s1 * ${1L << 20} +
+                      gb * ${1L << 44} + s1 * ${1L << 24} +
                         (row_number() OVER (PARTITION BY gb, s1
                                             ORDER BY vec_id) - 1) // $cap
                         AS bucket

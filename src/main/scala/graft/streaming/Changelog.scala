@@ -64,11 +64,11 @@ object Changelog {
   /** Release a localCheckpoint'd frame's blocks NOW instead of at the
     * ContextCleaner's next periodic GC: the checkpointed data IS the
     * cached RDD behind the plan's LogicalRDD leaf. Safe post-use — no
-    * later action references the batch. */
+    * later action references the batch. (Shared idiom — see
+    * core.Resources.freeCheckpoint; ScalingPair's tfidf curve uses
+    * the same release for its checkpoint-cost probes.) */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    graft.core.Resources.freeCheckpoint(df)
 
   private def processPersisted(batch: DataFrame, keys: Seq[String],
                                batchId: Long, snapshotDir: String,

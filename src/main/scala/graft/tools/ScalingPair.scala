@@ -139,14 +139,11 @@ object ScalingPair {
     // after their cleanup for the same reason).
     val ok =
       try runProbe(spark, small, base, dir, dataRatio)
-      finally {
+      finally
         // the extended corpus is several sf0.1-multiples of parquet
         // per run — delete it even on a failing gate (refresh_gates
         // runs this every round; /tmp must not accumulate)
-        val root = java.nio.file.Paths.get(dir)
-        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(pp => java.nio.file.Files.deleteIfExists(pp))
-      }
+        graft.core.Resources.deleteRecursively(dir)
     if (!ok) sys.exit(1)
   }
 
@@ -219,7 +216,12 @@ object ScalingPair {
       val t0 = System.nanoTime()
       val (b, wp) = graft.queries.DedupQueries.tfidfCheckpoints(spark, p)
       val sec = (System.nanoTime() - t0) / 1e9
-      b.unpersist(); wp.unpersist()
+      // Dataset.unpersist is a silent NO-OP on localCheckpoint blocks
+      // (they are not CacheManager entries) — release through the
+      // LogicalRDD leaf so the x3 probe's blocks don't inflate the
+      // x9 probe's memory/GC pressure (review finding r15)
+      graft.core.Resources.freeCheckpoint(b)
+      graft.core.Resources.freeCheckpoint(wp)
       sec
     }
     val tfidf3 = rows.collectFirst { case ("dd_tfidf_cos", _, tl, _) => tl }

@@ -60,12 +60,8 @@ object StateSize {
     // SIBLING for its atomic snapshot roll — it is not a registered
     // dir itself, so delete the sibling alongside each registered
     // root (ADVICE r14: ~4 KB of staged parquet leaked per run).
-    tmpDirs.flatMap(d => Seq(d, d + "__staged")).foreach { d =>
-      val root = java.nio.file.Paths.get(d)
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-    }
+    tmpDirs.flatMap(d => Seq(d, d + "__staged"))
+      .foreach(graft.core.Resources.deleteRecursively)
 
   private case class OpStats(maxRows: Long, finalRows: Long, maxMem: Long)
 

@@ -38,8 +38,10 @@ class CappedBucketSpec extends SparkSpec {
     import spark.implicits._
     // 100 copies of ONE vector → one geometric bucket, the exact
     // input where more hyperplanes cannot help. cap=2, coarse=4 →
-    // capG=8 → m1=ceil(100/8)=13 mix cells, so the rank window never
-    // sees more than 8 rows, and every final bucket holds ≤ 2.
+    // capG=8 → m1=ceil(100/8)=13 mix cells: distinct ids spread
+    // across cells (an expectation, not a hard bound — the mix can't
+    // separate EQUAL ids), and rank-packing caps every final bucket
+    // at 2 regardless of how the cells filled.
     val e = (0 until 100)
       .map(i => (i.toLong, Array.fill(64)(1.0f)))
       .toDF("vec_id", "embedding")
@@ -47,13 +49,32 @@ class CappedBucketSpec extends SparkSpec {
     val occ = b.groupBy("bucket").agg(count(lit(1)).as("c"))
       .collect().map(_.getLong(1))
     assert(occ.max <= 2, s"flood bucket occupancy ${occ.max} exceeds cap 2")
-    // the s1 field (bits 20-39) must actually spread across cells
-    val s1s = b.select(pmod(col("bucket") / lit(1L << 20), lit(1L << 20))
+    // the s1 field (bits 24-43) must actually spread across cells
+    val s1s = b.select(pmod(floor(col("bucket") / lit(1L << 24)), lit(1L << 20))
         .cast("long").as("s1")).distinct().count()
     assert(s1s > 1, "level-1 pre-split never activated on a 100-row hot bucket")
     // linear bound under the flood: 100 rows → ≤ 50 chunk pairs
     val pairs = occ.map(c => c * (c - 1) / 2).sum
     assert(pairs <= 50, s"flood pairs $pairs exceed N(cap-1)/2 = 50")
+  }
+
+  test("field-ceiling guard raises loudly instead of merging buckets") {
+    import spark.implicits._
+    // cap=1, coarse=1 → capG=1 → m1 = n, so 1.2M identical vectors in
+    // one geometric bucket push s1 past its 2^20 field — the guard
+    // must raise a labeled error, not silently collide bucket ids
+    val e = spark.range(1200000).select(col("id").as("vec_id"),
+      array_repeat(lit(1.0f), 64).as("embedding"))
+    val ex = intercept[Exception] {
+      // materialize the bucket column — count() would prune the
+      // guarded projection away and never evaluate it
+      EmbeddingQueries.cappedBucket(e, 1, 1, 1)
+        .agg(max(col("bucket"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("cappedBucket") &&
+      m.contains("field ceiling")), s"unexpected error: ${msgs(ex).take(2)}")
   }
 
   test("partition-invariant, even with duplicate ids on identical rows") {
