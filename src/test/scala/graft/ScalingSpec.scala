@@ -224,17 +224,28 @@ class ScalingSpec extends SparkSpec {
     // overhead can't compress the measured ratio below the threshold.
     // Expected ratios: quadratic ~dataRatio^2 = 16x vs threshold 8x;
     // linear ~dataRatio = 4x. Both margins are 2x.
-    var n = 2000L
-    var tSmallQ = ScalingProbe.timeOnce(quadratic(n))
-    while (tSmallQ < 0.4 && n < 64000L) {
-      n *= 2
-      tSmallQ = ScalingProbe.timeOnce(quadratic(n))
+    def measureQuadratic(): (Long, Double, Double) = {
+      var n = 2000L
+      var tSmallQ = ScalingProbe.timeOnce(quadratic(n))
+      while (tSmallQ < 0.4 && n < 64000L) {
+        n *= 2
+        tSmallQ = ScalingProbe.timeOnce(quadratic(n))
+      }
+      assert(tSmallQ >= 0.4, s"calibration failed: $tSmallQ s at n=$n")
+      (n, tSmallQ, ScalingProbe.timeOnce(quadratic((n * dataRatio).toLong)))
     }
-    assert(tSmallQ >= 0.4, s"calibration failed: $tSmallQ s at n=$n")
-    val tLargeQ = ScalingProbe.timeOnce(quadratic((n * dataRatio).toLong))
+    // ONE retry: a scheduler stall during the small run inflates
+    // tSmallQ, passes the >=0.4 s calibration spuriously, and
+    // compresses the measured ratio (seen live this round: small read
+    // 0.44 s at an n whose steady reading is ~0.05 s → ratio 1.4x).
+    // A genuine detector regression fails BOTH independent attempts.
+    var meas = measureQuadratic()
+    if (!ScalingProbe.isFlagged(meas._3 / meas._2, meas._3, dataRatio))
+      meas = measureQuadratic()
+    val (n, tSmallQ, tLargeQ) = meas
     val qRatio = tLargeQ / tSmallQ
     assert(ScalingProbe.isFlagged(qRatio, tLargeQ, dataRatio),
-      f"quadratic probe NOT flagged: small $tSmallQ%.2fs large $tLargeQ%.2fs ratio $qRatio%.1fx (threshold ${2 * dataRatio}%.0fx) — the scaling gate cannot fire")
+      f"quadratic probe NOT flagged twice: small $tSmallQ%.2fs large $tLargeQ%.2fs ratio $qRatio%.1fx (threshold ${2 * dataRatio}%.0fx) — the scaling gate cannot fire")
 
     // linear control with the same total work as the small quadratic
     val m = n * n
