@@ -16,13 +16,21 @@ import org.apache.spark.sql.DataFrame
 object Resources {
 
   /** Deterministically free a localCheckpoint'ed frame's storage
-    * blocks (the Changelog r14 idiom): find the LogicalRDD leaf the
-    * checkpoint rebased the plan onto and unpersist its RDD.
-    * Harmless no-op on frames that aren't checkpoint-rooted. */
+    * blocks (the Changelog r14 idiom): unpersist the RDD behind the
+    * LogicalRDD the checkpoint rebased the plan onto. Acts ONLY when
+    * that LogicalRDD is the analyzed plan's ROOT — i.e. `df` is the
+    * checkpoint result itself, not something derived from one. A
+    * leaf-search would also match RDD-backed leaves EMBEDDED in a
+    * derived plan (a frame built over a cached RDD, or joining a
+    * checkpointed input another consumer still uses) and silently
+    * evict blocks that consumer depends on (review finding r15).
+    * True no-op on frames that aren't checkpoint-rooted. */
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Depth-first recursive delete; absent paths are a no-op. */
   private[graft] def deleteRecursively(dir: String): Unit = {

@@ -134,7 +134,9 @@ object EmbeddingQueries extends GroupBase {
     *      scaling_pair growth gate can assert ~3× at 3× density.
     *
     * Bucket id = gb·2^44 + s1·2^24 + chunk. Field ceilings are
-    * ENFORCED, not assumed: s1 ≥ 2^20 (one geometric bucket holding
+    * ENFORCED, not assumed — all three: gb rides the 2^44 shift, so
+    * planes is require-bounded to ≤ 19 at the call; s1 ≥ 2^20 (one
+    * geometric bucket holding
     * > cap·coarse·2^20 ≈ 4×10^9 rows) or chunk ≥ 2^24 (> cap·2^24
     * rows landing in ONE mix cell — an identical-id flood past ~10^7
     * rows) raises a labeled error instead of silently merging
@@ -149,6 +151,13 @@ object EmbeddingQueries extends GroupBase {
     * hash buckets; the cap is this engine's 100 TB discipline on top. */
   private[graft] def cappedBucket(e: DataFrame, planes: Int, cap: Int,
                                   coarse: Int = CoarseFan): DataFrame = {
+    // third field ceiling, enforced like s1 and chunk: gb < 2^planes
+    // rides the 2^44 shift, so planes >= 20 would overflow signed Long
+    // (ANSI: opaque ARITHMETIC_OVERFLOW; non-ANSI: silent bucket
+    // merges) — fail at the call with the labeled reason instead
+    require(planes >= 1 && planes <= 19,
+      s"cappedBucket: planes=$planes outside [1,19] — gb*2^44 needs " +
+        "gb < 2^19 to stay inside signed Long")
     val gb = (0 until planes).map(i =>
       when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
       .reduce(_ + _)

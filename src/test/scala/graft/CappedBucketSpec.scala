@@ -77,6 +77,22 @@ class CappedBucketSpec extends SparkSpec {
       m.contains("field ceiling")), s"unexpected error: ${msgs(ex).take(2)}")
   }
 
+  test("planes ceiling enforced at the call: gb*2^44 needs planes <= 19") {
+    import spark.implicits._
+    // the third field guard (review finding r15): gb < 2^planes rides
+    // the 2^44 shift, so planes >= 20 would overflow signed Long —
+    // under ANSI as an opaque ARITHMETIC_OVERFLOW deep in the job,
+    // with ANSI off as silently merged buckets. The require fails at
+    // the call with the labeled reason instead.
+    val e = Seq((1L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      EmbeddingQueries.cappedBucket(e, 20, 4)
+    }
+    assert(ex.getMessage.contains("planes=20"), ex.getMessage)
+    // the full legal range still constructs (19 = last safe count)
+    assert(EmbeddingQueries.cappedBucket(e, 19, 4).collect().length == 1)
+  }
+
   test("partition-invariant, even with duplicate ids on identical rows") {
     import spark.implicits._
     val rows = (0 until 60).map(i => ((i % 7).toLong,
