@@ -239,9 +239,17 @@ object Bench {
         val segTotal = results.slice(a, b).collect { case (_, v) if v >= 0 => v }.sum
         (a, b, hostScale(pa, pb), segTotal)
     }.toSeq
+    // a dead mid-run block (all three of its probes failed) degrades
+    // ITS segments to the whole-run scale instead of discarding the
+    // segment-localized headline for the entire run — the artifact
+    // still shows which segment fell back via its recorded scale
+    // (review finding r15)
+    val wholeRunScale = hostScale(calBlocks.head._2, calBlocks.last._2)
     val valueCalSeg =
-      if (segScales.nonEmpty && segScales.forall(_._3 > 0))
-        segScales.map { case (_, _, sc, st) => st / sc }.sum
+      if (segScales.nonEmpty &&
+          segScales.forall(s => s._3 > 0 || wholeRunScale > 0))
+        segScales.map { case (_, _, sc, st) =>
+          st / (if (sc > 0) sc else wholeRunScale) }.sum
       else -1.0
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sf = sfOf(sfDir).map(_.toString).getOrElse("0.1")
@@ -254,7 +262,7 @@ object Bench {
     val calSum = if (calOkS.nonEmpty) calOkS.sum else -1.0
     val calOkE = calEnd.collect { case (_, v) if v >= 0 => v }
     val calSumEnd = if (calOkE.nonEmpty) calOkE.sum else -1.0
-    val scaleVsRef = hostScale(calStart, calEnd)
+    val scaleVsRef = wholeRunScale // hostScale(calStart, calEnd)
     val valueCal = if (scaleVsRef > 0) total / scaleVsRef else -1.0
     // Suspect-retime pass (r12 verdict task #1): the calibration median
     // protects the SUITE headline, but a single-query excursion in a

@@ -203,15 +203,6 @@ object ScalingPair {
     // point, and a one-query x9 wall on a noisy host is not a bound
     // you can assert tightly without flaking the whole refresh.
     val dir9 = s"$parent/x9"
-    val ext3docs = spark.read.parquet(s"$dir/documents.parquet")
-    // second remap pass with suffix ids {0,3,6}: combined suffixes
-    // ("", ~1, ~2) x ("", ~3, ~6) are 9 distinct strings, so all 9
-    // copies stay pairwise token-disjoint (a ~1-then-~1 scheme would
-    // collide copy (1,0) with copy (0,1)); doc_id bands [0,3K) +
-    // {0,3K,6K} stay disjoint for the same reason.
-    (0 until Copies).map(j => remapDocuments(ext3docs, 3 * j))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir9/documents.parquet")
     def ckptSec(p: String): Double = {
       val t0 = System.nanoTime()
       val (b, wp) = graft.queries.DedupQueries.tfidfCheckpoints(spark, p)
@@ -224,18 +215,55 @@ object ScalingPair {
       graft.core.Resources.freeCheckpoint(wp)
       sec
     }
+    // dd_tfidf_cos materializes two localCheckpoints INTERNALLY on
+    // every evaluation, with no handle to free — and timeOnce warms
+    // then times, so an unreleased x9 run would leave up to 4 frames
+    // of 9x blocks inflating the ckpt3/ckpt9 probes measured next
+    // (the exact pressure ckptSec's own frees exist to avoid). Diff
+    // the persistent-RDD census around the call and release what the
+    // timing added (review finding r15).
+    def timeReleasing(mk: => org.apache.spark.sql.DataFrame): Double = {
+      val pre = spark.sparkContext.getPersistentRDDs.keySet
+      val sec = ScalingProbe.timeOnce(mk)
+      (spark.sparkContext.getPersistentRDDs -- pre).values
+        .foreach(_.unpersist(blocking = false))
+      sec
+    }
     val tfidf3 = rows.collectFirst { case ("dd_tfidf_cos", _, tl, _) => tl }
       .getOrElse(-1.0)
-    val tfidf9 = ScalingProbe.timeOnce(
-      SparkEntry.queries("dd_tfidf_cos")(spark, dir9))
-    val ckpt3 = ckptSec(dir)
-    val ckpt9 = ckptSec(dir9)
+    // record-only means FAILURE-ISOLATED too: the x9 corpus build /
+    // timing / checkpoint probes record -1s on any throw instead of
+    // aborting a run whose growth gates and time flags have already
+    // computed — a disk-full on the 9x write or an OOM here must not
+    // cost the gate verdict and the artifact (review finding r15)
+    val (tfidf9, ckpt3, ckpt9) = try {
+      val ext3docs = spark.read.parquet(s"$dir/documents.parquet")
+      // second remap pass with suffix ids {0,3,6}: combined suffixes
+      // ("", ~1, ~2) x ("", ~3, ~6) are 9 distinct strings, so all 9
+      // copies stay pairwise token-disjoint (a ~1-then-~1 scheme would
+      // collide copy (1,0) with copy (0,1)); doc_id bands [0,3K) +
+      // {0,3K,6K} stay disjoint for the same reason.
+      (0 until Copies).map(j => remapDocuments(ext3docs, 3 * j))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir9/documents.parquet")
+      val t9 = timeReleasing(SparkEntry.queries("dd_tfidf_cos")(spark, dir9))
+      (t9, ckptSec(dir), ckptSec(dir9))
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[scalingpair] tfidf x9 curve failed (record-only): ${e.getMessage}")
+        (-1.0, -1.0, -1.0)
+    }
     val ratio93 = if (tfidf3 > 0 && tfidf9 > 0) tfidf9 / tfidf3 else -1.0
+    // attribution only when both parts timed: a -1 checkpoint reading
+    // must not turn into a garbage "pair" of total+1
+    def pairSec(total: Double, ck: Double): Double =
+      if (total > 0 && ck > 0) total - ck else -1.0
     println(f"[scalingpair] tfidf curve: x3 ${tfidf3}%.3fs (ckpt ${ckpt3}%.3fs) " +
       f"-> x9 ${tfidf9}%.3fs (ckpt ${ckpt9}%.3fs), x9/x3 ${ratio93}%.2fx " +
       "(linear would be 3x)")
     val curveJson =
-      s"""{"x3_total":${f(tfidf3)},"x9_total":${f(tfidf9)},"ratio_9_over_3":${f(ratio93)},"x3_ckpt":${f(ckpt3)},"x9_ckpt":${f(ckpt9)},"x3_pair":${f(tfidf3 - ckpt3)},"x9_pair":${f(tfidf9 - ckpt9)}}"""
+      s"""{"x3_total":${f(tfidf3)},"x9_total":${f(tfidf9)},"ratio_9_over_3":${f(ratio93)},"x3_ckpt":${f(ckpt3)},"x9_ckpt":${f(ckpt9)},"x3_pair":${f(pairSec(tfidf3, ckpt3))},"x9_pair":${f(pairSec(tfidf9, ckpt9))}}"""
 
     val qJson = rows.map { case (n, ts, tl, r) =>
       s""""$n":{"small":${f(ts)},"large30":${f(tl)},"ratio":${f(r)}}"""

@@ -183,12 +183,18 @@ object StateSize {
   private val ScaledBatches = 12
   /** max_rows(5000 keys) / max_rows(50 keys) must read ~keys-ratio
     * (100×): well under it would mean the base point was measuring an
-    * artifact; over it would mean super-linear state in keys. The base
-    * run plateaus at exactly its keyspace (all keys hold one live
-    * partial between watermark advances), so the honest bound is tight
-    * around 100 with room for removal-lag jitter only. */
-  private val KeyRatioLo = 80.0
-  private val KeyRatioHi = 120.0
+    * artifact; over it would mean super-linear state in keys. Each
+    * point's OWN max_rows bound tolerates removal lagging a couple
+    * watermark updates (base ≤ 150, scaled ≤ 15000), so the ratio
+    * bounds must inherit that allowance or the gate flakes on a GC
+    * pause the per-point bounds were built to absorb (review finding
+    * r15): lo = ScaledKeys/150 ≈ 33 (base lagged, scaled exact), hi =
+    * 15000/Keys = 300 (scaled lagged, base exact). The discriminating
+    * power is intact — the failure modes sit decades away: state ∝
+    * batches would read ~1x (the scaled point runs FEWER batches),
+    * state ∝ keys² would read ~10000x. */
+  private val KeyRatioLo = 33.0
+  private val KeyRatioHi = 300.0
 
   def main(args: Array[String]): Unit = {
     val outJson = if (args.length > 0) args(0) else "STATE_SIZE.json"

@@ -159,11 +159,19 @@ class ScalingSpec extends SparkSpec {
       "scaling_pair.json records growth violations")
 
     // the r15 two-point dd_tfidf_cos curve (x3 and x9 documents
-    // points + checkpoint/pair attribution) must stay in the artifact
+    // points + checkpoint/pair attribution) must stay in the artifact.
+    // PRESENCE/SHAPE only: the curve is record-only by design
+    // (ScalingPair: a one-query x9 wall is not a bound you can assert
+    // without flaking the refresh) and -1 is the documented encoding
+    // of a failed x9 timing — gating on positivity here would turn
+    // the record-only instrument back into a suite gate that a single
+    // transient executor failure fails for ~100 min until the next
+    // refresh (review finding r15)
     val curve = """"tfidf_curve":\{[^}]*"ratio_9_over_3":(-?[0-9.]+)""".r
       .findFirstMatchIn(txt).map(_.group(1).toDouble)
       .getOrElse(fail("scaling_pair.json lost the tfidf_curve block"))
-    assert(curve > 0, s"tfidf curve x9 point failed to time (ratio $curve)")
+    assert(curve == -1.0 || curve > 0,
+      s"tfidf curve ratio $curve is neither a timing nor the -1 failure code")
   }
 
   test("ScalingPair.remapDocuments: copies token-disjoint, isomorphic, key-banded") {
