@@ -198,6 +198,18 @@ class ScalingSpec extends SparkSpec {
     // doc_ids land in the per-copy band
     val off = graft.tools.ScalingPair.KeyOffset
     assert(c2.select("doc_id").as[Long].collect().forall(_ / off == 2))
+    // the x9 pass composes remaps at offsets {0,3,6} over the x3
+    // output — these offsets are the ONLY x9-specific construction
+    // code, and since the curve itself is record-only (a persistent
+    // x9 breakage records -1 without failing the suite, by design),
+    // this unit coverage is what pins them: suffix spaces and bands
+    // must stay pairwise disjoint at the composed offsets too
+    val c3 = graft.tools.ScalingPair.remapDocuments(base, 3)
+    val c6 = graft.tools.ScalingPair.remapDocuments(base, 6)
+    assert(toks(c3).toSet.intersect(toks(c6).toSet).isEmpty)
+    assert(toks(c3).toSet.intersect(toks(base).toSet).isEmpty)
+    assert(toks(c6).forall(_.endsWith("~6")))
+    assert(c6.select("doc_id").as[Long].collect().forall(_ / off == 6))
   }
 
   test("Scaling30.extend triples rows with unique, FK-aligned keys") {
