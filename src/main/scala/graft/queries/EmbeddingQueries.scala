@@ -148,16 +148,70 @@ object EmbeddingQueries extends GroupBase {
     * standIn discipline). The oracle mirrors the arithmetic exactly;
     * on clean data vec_id is unique and the fingerprint never decides.
     * Reference behavior: flink-demo's ANN/dedup demos block on fixed
-    * hash buckets; the cap is this engine's 100 TB discipline on top. */
+    * hash buckets; the cap is this engine's 100 TB discipline on top.
+    *
+    * `chain = true` (the pair-generating consumers emb_neardup /
+    * emb_knn_graph) repairs the connectivity the cap costs (r15
+    * verdict #1): chunking one hot bucket bounds candidates by
+    * dropping cross-chunk pairs, but a duplicate cluster of n > cap
+    * members then splits into ⌈n/cap⌉ chunks with NO edges between
+    * them — transitive consumers (connected-components dedup with
+    * keep-one semantics) would retain ⌈n/cap⌉ representatives instead
+    * of 1, under-deduping exactly in the flood regime the cap was
+    * built for. The repair emits CHAIN CELLS — extra bucket rows in a
+    * keyspace disjoint from real buckets (real ids are ≥ 0; chain
+    * ids are negative, odd = chunk chains, even = cell chains):
+    *
+    *   - chunk chain: each chunk's rank-min member (its HEAD) lands
+    *     in chain cell −2·enc(chunk)−1 and, for chunk > 0, in
+    *     −2·enc(chunk−1)−1 — so consecutive chunks' heads meet
+    *     pairwise (O(#chunks) extra candidates, not O(#chunks²));
+    *   - cell chain: the pre-split spreads an identical-VECTOR flood
+    *     (distinct ids) across m1 mix cells with no edges between
+    *     cells, so each (gb,s1) cell's rank-min member also lands in
+    *     −2·(gb·2^44 + r)−2 and, for r > 0, in −2·(gb·2^44 + r−1)−2,
+    *     where r = the cell's rank among the gb's PRESENT cells. r
+    *     comes from a cells-count-sized hash-agg + window over that
+    *     small table, broadcast back — the corpus is never shuffled
+    *     by bare gb (a flood would concentrate one window task).
+    *
+    * Every chain pair links rank-min members of consecutive chunks /
+    * cells, so a duplicate cluster confined to one geometric bucket
+    * forms ONE connected component in the consumer pair graph
+    * (CappedBucketSpec flood test), while total candidates stay
+    * ≤ N(cap−1)/2 + O(N/cap) — the linear bound survives. Chain cells
+    * add ~2 extra emitted rows per chunk/cell (ids via one explode —
+    * the rank window is computed once, the bucketed exchange is still
+    * reused across the self-join sides). The reference treats
+    * duplicates as one identity (flink-demo
+    * `UvCountWithBloomByWindow.scala:13-39`, `DuplicatorApp.scala:
+    * 11-40`) — never ⌈n/cap⌉ survivors.
+    *
+    * Production remediation knob (documented, not implemented): a
+    * flood of rows sharing ONE vec_id co-locates in a single mix cell
+    * by construction (the id is the only oracle-expressible split
+    * key) and raises the chunk field-ceiling error past cap·2^24 rows
+    * (~10^9 at cap=64). A 100 TB operator that hits that error and
+    * does NOT need DuckDB mirroring can salt the pre-split with the
+    * row fingerprint (xxhash64(vec_id, embedding)) instead of the
+    * bare id — identical capping math, no per-id concentration —
+    * at the cost of a nondeterministic-per-engine bucket assignment
+    * that only aggregate consumers (pair counts, dedup verdicts over
+    * interchangeable duplicates) can tolerate. */
   private[graft] def cappedBucket(e: DataFrame, planes: Int, cap: Int,
-                                  coarse: Int = CoarseFan): DataFrame = {
+                                  coarse: Int = CoarseFan,
+                                  chain: Boolean = false): DataFrame = {
     // third field ceiling, enforced like s1 and chunk: gb < 2^planes
     // rides the 2^44 shift, so planes >= 20 would overflow signed Long
     // (ANSI: opaque ARITHMETIC_OVERFLOW; non-ANSI: silent bucket
-    // merges) — fail at the call with the labeled reason instead
-    require(planes >= 1 && planes <= 19,
-      s"cappedBucket: planes=$planes outside [1,19] — gb*2^44 needs " +
-        "gb < 2^19 to stay inside signed Long")
+    // merges) — fail at the call with the labeled reason instead.
+    // Chain ids double the encoding (−2·enc−{1,2}), so chain mode
+    // needs one more headroom bit: planes <= 18 (consumers use 4).
+    val maxPlanes = if (chain) 18 else 19
+    require(planes >= 1 && planes <= maxPlanes,
+      s"cappedBucket: planes=$planes outside [1,$maxPlanes] — " +
+        s"gb*2^44${if (chain) " (doubled for chain-cell ids)" else ""} " +
+        "must stay inside signed Long")
     val gb = (0 until planes).map(i =>
       when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
       .reduce(_ + _)
@@ -178,13 +232,87 @@ object EmbeddingQueries extends GroupBase {
           col("m1")), 1L << 20, "s1"))
     val w = Window.partitionBy("gb", "s1")
       .orderBy(col("vec_id"), xxhash64(col("vec_id"), col("embedding")))
-    cells
+    // rn is 0-based pack rank within the (gb, s1) cell
+    val packed = cells
+      .withColumn("rn", (row_number().over(w) - lit(1)).cast("long"))
       .withColumn("chunk", guarded(
-        floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"),
-        1L << 24, "chunk"))
-      .select(col("vec_id"), col("embedding"),
-        (col("gb") * lit(1L << 44) + col("s1") * lit(1L << 24) +
-          col("chunk")).as("bucket"))
+        floor(col("rn") / lit(cap)).cast("long"), 1L << 24, "chunk"))
+    def enc(chunk: Column): Column =
+      col("gb") * lit(1L << 44) + col("s1") * lit(1L << 24) + chunk
+    if (!chain)
+      packed.select(col("vec_id"), col("embedding"),
+        enc(col("chunk")).as("bucket"))
+    else {
+      // rank of each PRESENT (gb, s1) cell within its gb: a
+      // cells-count-sized agg (map-side combine collapses the corpus
+      // to ≤ Σ m1 rows) + a window over that small table, broadcast
+      // back — never a corpus-wide window partitioned by bare gb
+      val cellRank = cells.groupBy("gb", "s1").agg(count(lit(1)).as("nc"))
+        .withColumn("r",
+          (row_number().over(Window.partitionBy("gb").orderBy("s1")) -
+            lit(1)).cast("long"))
+        .select("gb", "s1", "r")
+      val isHead = col("rn") % lit(cap) === 0
+      val cellEnc = col("gb") * lit(1L << 44) // + r below: r < 2^20 ≤ s1
+      // one explode per row — mostly a 1-element array; heads carry
+      // their chain-cell ids too. array_compact drops the null arms.
+      val ids = array_compact(array(
+        enc(col("chunk")),
+        when(isHead, lit(-2L) * enc(col("chunk")) - lit(1L)),
+        when(isHead && col("chunk") > 0,
+          lit(-2L) * enc(col("chunk") - lit(1L)) - lit(1L)),
+        when(col("rn") === 0, lit(-2L) * (cellEnc + col("r")) - lit(2L)),
+        when(col("rn") === 0 && col("r") > 0,
+          lit(-2L) * (cellEnc + col("r") - lit(1L)) - lit(2L))))
+      packed.join(broadcast(cellRank), Seq("gb", "s1"))
+        .select(col("vec_id"), col("embedding"), explode(ids).as("bucket"))
+    }
+  }
+
+  /** Brute-force ground truth for the neardup pair set: every pair
+    * with cosine >= 0.35, no blocking. O(N²) by construction — ONLY
+    * for recall measurement at small scale (ScalingPair's recall
+    * gate at sf0.01; never a catalog query). */
+  private[graft] def bruteNeardupPairs(e: DataFrame): DataFrame =
+    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.35)
+
+  /** UNCAPPED LSH truth for the cap's recall-cost measurement: pairs
+    * sharing a bare geometric bucket (same `planes` hyperplanes, no
+    * occupancy cap, no chunking) with cosine >= 0.35. This is what
+    * the consumers would emit with the cap removed — the r14
+    * quadratic-at-density shape — so found/uncapped isolates exactly
+    * what ConsumerCap costs, separate from what the plane count
+    * costs (the latter is bruteNeardupPairs' denominator). Quadratic
+    * per bucket — measurement tool only, never a catalog query. */
+  private[graft] def uncappedLshPairs(e: DataFrame, planes: Int = 4): DataFrame = {
+    val gb = (0 until planes).map(i =>
+      when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
+      .reduce(_ + _)
+    val g = e.select(col("vec_id"), col("embedding"), gb.as("gb"))
+    g.as("x").join(g.as("y"),
+        col("x.gb") === col("y.gb") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.35)
+  }
+
+  /** emb_neardup's pair pipeline over an arbitrary embeddings frame —
+    * factored out so CappedBucketSpec can drive the REAL consumer
+    * (not a re-implementation) through a duplicate-flood fixture and
+    * assert one connected component per cluster. */
+  private[graft] def neardupPairs(e0: DataFrame, planes: Int = 4,
+                                  cap: Int = ConsumerCap,
+                                  coarse: Int = CoarseFan): DataFrame = {
+    val e = cappedBucket(e0, planes, cap, coarse, chain = true)
+      .withColumnRenamed("bucket", "bkt")
+    e.as("x").join(e.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.35)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -727,15 +855,18 @@ object EmbeddingQueries extends GroupBase {
     // k-NN GRAPH construction (the substrate for graph-based dedup,
     // diversity sampling, and label propagation): every vector's top-3
     // cosine neighbors among its LSH bucket-mates. Same 4-plane
-    // OCCUPANCY-CAPPED blocking as emb_neardup (cappedBucket,
-    // ConsumerCap=64: candidate fan-in per vector is bounded by the
-    // cap, not by bucket density — the recall knob is documented at
-    // the cap's definition) — the self-join's sides are plan-identical
-    // (ReuseExchange computes the capped-bucket table once) and the
-    // per-source top-k goes through WindowGroupLimit, so partitions
-    // stream; never all-pairs at scale, even on duplicate floods.
+    // OCCUPANCY-CAPPED + CHAIN-CELL blocking as emb_neardup
+    // (cappedBucket chain=true, ConsumerCap=64: candidate fan-in per
+    // vector is bounded by the cap, not by bucket density — the
+    // recall knob is documented at the cap's definition; chain cells
+    // keep a >cap duplicate cluster one connected component) — the
+    // self-join's sides are plan-identical (ReuseExchange computes
+    // the capped-bucket table once) and the per-source top-k goes
+    // through WindowGroupLimit, so partitions stream; never
+    // all-pairs at scale, even on duplicate floods.
     "emb_knn_graph" -> ((s, d) => {
-      val e = cappedBucket(t(s, d, "embeddings"), 4, ConsumerCap)
+      val e = cappedBucket(t(s, d, "embeddings"), 4, ConsumerCap,
+          chain = true)
         .withColumnRenamed("bucket", "bkt")
       val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
       e.as("x").join(e.as("y"),
@@ -782,20 +913,15 @@ object EmbeddingQueries extends GroupBase {
     // 4-plane OCCUPANCY-CAPPED bucket (cappedBucket, ConsumerCap=64 —
     // the recall/candidate-count knob: pairs split across chunks of
     // one hot bucket are not candidates, bounding per-bucket pair
-    // work at C(64,2) no matter how dense a duplicate cluster gets),
-    // then the exact cosine filter runs only inside buckets. The
-    // self-join's two sides are plan-identical → ReuseExchange
-    // computes the capped-bucket table once; never all-pairs at scale.
-    "emb_neardup" -> ((s, d) => {
-      val e = cappedBucket(t(s, d, "embeddings"), 4, ConsumerCap)
-        .withColumnRenamed("bucket", "bkt")
-      e.as("x").join(e.as("y"),
-          col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"),
-          cosine(col("x.embedding"), col("y.embedding")).as("cos"))
-        .filter(col("cos") >= 0.35)
-        .orderBy("da", "db")
-    }),
+    // work at C(64,2) no matter how dense a duplicate cluster gets —
+    // while the chain cells link consecutive chunks'/cells' rank-min
+    // members, so a >cap duplicate cluster still forms ONE connected
+    // component for transitive keep-one dedup), then the exact cosine
+    // filter runs only inside buckets. The self-join's two sides are
+    // plan-identical → ReuseExchange computes the capped-bucket table
+    // once; never all-pairs at scale.
+    "emb_neardup" -> ((s, d) => neardupPairs(t(s, d, "embeddings"))
+      .orderBy("da", "db")),
 
     // Maximal-marginal-relevance selection (the diversity-aware data
     // picker a fine-tune curation pass runs after retrieval): greedily
@@ -1419,30 +1545,68 @@ object EmbeddingQueries extends GroupBase {
     * relation cb(vec_id, embedding, bucket). The `(x % m + m) % m`
     * form mirrors Spark's pmod for NEGATIVE ids too (DuckDB's bare %
     * keeps the sign — a silent bucket divergence on dirty ids
-    * otherwise, review finding r15). Clean gate data has unique
-    * non-null vec_ids, so ORDER BY vec_id alone reproduces the Spark
-    * side's (vec_id, fingerprint) pack order; the field-ceiling
-    * guards never fire at oracle scales and are omitted here. */
+    * otherwise, review finding r15). The pack order is ORDER BY
+    * vec_id, which reproduces the Spark side's (vec_id, fingerprint)
+    * order ONLY when vec_ids are unique — so the mirror now ENFORCES
+    * that precondition instead of assuming it (ADVICE r15): the chk
+    * member raises error() on duplicate ids, and its 0-valued result
+    * is folded into rn so no optimizer can prune the check away. The
+    * field-ceiling guards never fire at oracle scales and are
+    * omitted. `chain = true` mirrors the chain-cell emissions (chunk
+    * chains on odd negative ids, present-cell-rank chains on even
+    * negative ids — see cappedBucket's scaladoc); dense_rank over
+    * (gb, s1-order) equals the Spark side's rank-of-present-cells
+    * broadcast. */
   private def cappedBucketSql(planes: Int, cap: Int,
-                              coarse: Int = CoarseFan): String = {
+                              coarse: Int = CoarseFan,
+                              chain: Boolean = false): String = {
     val terms = (0 until planes).map(i =>
       s"CASE WHEN ${dotSql("embedding", planeSql(i))} > 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
     val capG = cap.toLong * coarse
-    s"""g AS (SELECT vec_id, embedding, CAST($terms AS BIGINT) AS gb
+    val base =
+      s"""g AS (SELECT vec_id, embedding, CAST($terms AS BIGINT) AS gb
               FROM embeddings),
+        chk AS (SELECT CASE WHEN count(*) = count(DISTINCT vec_id) THEN 0
+                       ELSE error('cappedBucketSql: duplicate vec_ids break the ORDER BY vec_id pack-order mirror') END AS z
+                FROM g),
         o AS (SELECT gb, count(*) AS n FROM g GROUP BY gb),
         sp AS (SELECT vec_id, embedding, gb,
                       ((((vec_id % $MixMask + $MixMask) % $MixMask) * $MixA)
                         % $MixM) %
                         ((n + ${capG - 1}) // $capG) AS s1
                FROM g JOIN o USING (gb)),
+        pe AS (SELECT vec_id, embedding, gb, s1,
+                      row_number() OVER (PARTITION BY gb, s1
+                                         ORDER BY vec_id) - 1 + chk.z AS rn,
+                      dense_rank() OVER (PARTITION BY gb ORDER BY s1) - 1 AS r
+               FROM sp, chk)"""
+    if (!chain)
+      s"""$base,
         cb AS (SELECT vec_id, embedding,
-                      gb * ${1L << 44} + s1 * ${1L << 24} +
-                        (row_number() OVER (PARTITION BY gb, s1
-                                            ORDER BY vec_id) - 1) // $cap
+                      gb * ${1L << 44} + s1 * ${1L << 24} + rn // $cap
                         AS bucket
-               FROM sp)"""
+               FROM pe)"""
+    else
+      s"""$base,
+        pc AS (SELECT vec_id, embedding, gb, s1, rn, r, rn // $cap AS chunk,
+                      gb * ${1L << 44} + s1 * ${1L << 24} + rn // $cap AS enc
+               FROM pe),
+        cb AS (SELECT vec_id, embedding, enc AS bucket FROM pc
+               UNION ALL
+               SELECT vec_id, embedding, -2 * enc - 1 FROM pc
+               WHERE rn % $cap = 0
+               UNION ALL
+               SELECT vec_id, embedding, -2 * (enc - 1) - 1 FROM pc
+               WHERE rn % $cap = 0 AND chunk > 0
+               UNION ALL
+               SELECT vec_id, embedding,
+                      -2 * (gb * ${1L << 44} + r) - 2 FROM pc
+               WHERE rn = 0
+               UNION ALL
+               SELECT vec_id, embedding,
+                      -2 * (gb * ${1L << 44} + r - 1) - 2 FROM pc
+               WHERE rn = 0 AND r > 0)"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1745,7 +1909,7 @@ object EmbeddingQueries extends GroupBase {
           FROM pur CROSS JOIN mi CROSS JOIN hcv CROSS JOIN hlv"""
     },
     "emb_knn_graph" ->
-      s"""WITH ${cappedBucketSql(4, ConsumerCap)},
+      s"""WITH ${cappedBucketSql(4, ConsumerCap, chain = true)},
           scored AS (
             SELECT x.vec_id AS src, y.vec_id AS dst,
                    ${dotSql("x.embedding", "y.embedding")} /
@@ -1782,7 +1946,7 @@ object EmbeddingQueries extends GroupBase {
                  a.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
           FROM assign a ORDER BY a.vec_id""",
     "emb_neardup" ->
-      s"""WITH ${cappedBucketSql(4, ConsumerCap)}
+      s"""WITH ${cappedBucketSql(4, ConsumerCap, chain = true)}
           SELECT x.vec_id AS da, y.vec_id AS db,
                  ${dotSql("x.embedding", "y.embedding")} /
                    (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos

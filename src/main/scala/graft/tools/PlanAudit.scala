@@ -188,9 +188,18 @@ object PlanAudit {
     *    are removed by capRare before the join.
     *  - tw_cpd: the Generate is the hour-spine explode — exactly ONE
     *    row per hour of the global span, so the prefix-sum window is
-    *    span-bounded (the tw_gapfill spine class). */
+    *    span-bounded (the tw_gapfill spine class).
+    *  - emb_knn_graph: the Generate is cappedBucket's chain-id
+    *    emission (explode over a ≤5-element array — ~1 row per input
+    *    row plus 2 per chunk/cell head), and the top-3 window
+    *    partitions by `src`, whose candidate fan-in is bounded by the
+    *    occupancy cap itself (≤ cap−1 chunk-mates per membership +
+    *    ≤2 chain partners per head role) — never by bucket density.
+    *    Bounding exactly this partition is what the cap is FOR; the
+    *    long-tailed-explode-key hazard the detector hunts cannot
+    *    occur here (r16 chain cells). */
   private[graft] val expectedExplodeWin: Set[String] =
-    Set("tw_gapfill", "pipe_epochs", "dd_spans", "tw_cpd")
+    Set("tw_gapfill", "pipe_epochs", "dd_spans", "tw_cpd", "emb_knn_graph")
 
   /** Audit every registered query's plan at `d`; returns the flagged
     * (name, flags) pairs. Shared by the CLI main and the PlanSpec

@@ -127,4 +127,68 @@ class CappedBucketSpec extends SparkSpec {
     assert(fin.contains("ReusedExchange"),
       "emb_neardup's self-join recomputes the capped-bucket table")
   }
+
+  private def flood(n: Int, idBase: Long, v: Float) = {
+    import spark.implicits._
+    (0 until n).map(i => (idBase + i, Array.fill(64)(v)))
+      .toDF("vec_id", "embedding")
+  }
+  private def pairsOf(df: org.apache.spark.sql.DataFrame,
+                      cap: Int, coarse: Int): Seq[(Long, Long)] =
+    graft.queries.EmbeddingQueries.neardupPairs(df, 4, cap, coarse)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("chain cells: a >cap duplicate flood is ONE component through the real consumer") {
+    // 300 identical vectors (distinct ids), cap=8, coarse=4 → capG=32,
+    // m1=ceil(300/32)=10 mix cells of ~30 rows → ~4 chunks each: both
+    // chain layers (chunk chains within a cell, cell chains across the
+    // pre-split) must fire, or transitive keep-one dedup retains
+    // ⌈n/cap⌉·cells representatives instead of 1 (r15 verdict #1 — the
+    // under-dedup regime the cap itself created)
+    val ids = (0L until 300L).toSeq
+    val pairs = pairsOf(flood(300, 0L, 1.0f), cap = 8, coarse = 4)
+    val comps = graft.tools.ScalingPair.componentCount(ids, pairs)
+    assert(comps == 1, s"flood cluster split into $comps components")
+    // the linear candidate bound must survive the chains: ≤ N(cap−1)/2
+    // packed pairs + O(N/cap) chain links (generously: + N)
+    assert(pairs.size <= 300 * 7 / 2 + 300,
+      s"chain cells blew the linear candidate bound: ${pairs.size} pairs")
+    // chain buckets hold at most 2 rows, so NO bucket — real or chain —
+    // exceeds the cap
+    val occ = EmbeddingQueries.cappedBucket(flood(300, 0L, 1.0f), 4, 8, 4,
+        chain = true)
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .agg(max("c")).collect()(0).getLong(0)
+    assert(occ <= 8, s"chain-mode bucket occupancy $occ exceeds cap 8")
+  }
+
+  test("chain cells do not bridge separate clusters (different geometric buckets)") {
+    // all-ones lands in gb=2, all-minus-ones in gb=9 (plane sums
+    // -3/5/0/-5 vs 3/-5/0/5): two duplicate clusters that never share
+    // a bucket must stay TWO components — the chains repair
+    // within-cluster connectivity, they must not invent cross-cluster
+    // edges (cos(a,-a) = -1 < 0.35 would also filter any candidate)
+    val a = flood(150, 0L, 1.0f)
+    val b = flood(150, 1000L, -1.0f)
+    val ids = (0L until 150L) ++ (1000L until 1150L)
+    val pairs = pairsOf(a.unionByName(b), cap = 8, coarse = 4)
+    val comps = graft.tools.ScalingPair.componentCount(ids, pairs)
+    assert(comps == 2, s"expected 2 components (one per cluster), got $comps")
+  }
+
+  test("chain=true assignment is partition-invariant") {
+    import spark.implicits._
+    val rows = (0 until 90).map(i => (i.toLong,
+      Array.tabulate(64)(j => (((i % 2) * 2 - 1) * (j % 5 + 1)).toFloat)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EmbeddingQueries.cappedBucket(df, 4, 3, 4, chain = true)
+        .select("vec_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val base = run(rows.toDF("vec_id", "embedding"))
+    val repart = run(rows.toDF("vec_id", "embedding").repartition(13))
+    assert(base == repart, "chain-cell assignment depends on input partitioning")
+    // chain rows are present (negative ids) and real rows unchanged
+    assert(base.exists(_._2 < 0), "no chain cells emitted on a multi-chunk input")
+  }
 }
