@@ -24,11 +24,17 @@ object Resources {
     * derived plan (a frame built over a cached RDD, or joining a
     * checkpointed input another consumer still uses) and silently
     * evict blocks that consumer depends on (review finding r15).
-    * True no-op on frames that aren't checkpoint-rooted. */
-  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    * True no-op on frames that aren't checkpoint-rooted.
+    * `blocking = true` is for measurement-hygiene callers (the
+    * scaling/bench probes): an async release may not finish before
+    * the next probe starts timing, re-leaking the pressure the free
+    * exists to remove (ADVICE r15). Latency-sensitive streaming
+    * callers (Changelog's per-batch roll) keep the async default. */
+  private[graft] def freeCheckpoint(df: DataFrame,
+                                    blocking: Boolean = false): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+        lr.rdd.unpersist(blocking = blocking)
       case _ => ()
     }
 

@@ -111,6 +111,108 @@ object ScalingPair {
     def ok: Boolean = ratio >= lo && ratio <= hi
   }
 
+  /** Recall floor for the clean-corpus half of the capped-consumer
+    * recall gate (r15 verdict #4): the CAP's recall cost —
+    * emb_neardup's found pairs over the UNCAPPED 4-plane LSH truth
+    * (what the consumer would emit with ConsumerCap removed). On a
+    * clean corpus buckets rarely exceed the cap, so the cap must
+    * cost ~nothing (>= 0.95); on floods it deliberately drops pairs,
+    * which the flood fixture records as the documented cost.
+    * ConsumerCap=64 was a documented recall knob with NO measured
+    * recall — this pins the measurement as a gated artifact number.
+    * The blocking's OWN recall vs the brute-force cos>=0.35 ground
+    * truth is recorded un-gated alongside: a 4-plane single-table
+    * LSH keeps only ~(1-θ/π)^4 of threshold-grade pairs (~0.17
+    * measured at sf0.01) while near-dup-grade pairs collide far more
+    * often — the plane count, not the cap, is that knob. */
+  private[graft] val RecallFloor = 0.95
+  private[graft] val FloodN = 500
+
+  /** Connected components over an edge list — driver-side union-find
+    * for the flood-connectivity check (the pair set is candidate-
+    * bounded at N(cap-1)/2 + O(N/cap), thousands of rows, tool-only). */
+  private[graft] def componentCount(ids: Seq[Long],
+                                    pairs: Seq[(Long, Long)]): Int = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      // path-compress so repeated finds over a long chain stay cheap
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      if (parent.contains(a) && parent.contains(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+    }
+    ids.map(find).distinct.size
+  }
+
+  /** The capped-consumer recall gate (r15 verdict #4). Two fixtures:
+    *
+    *   clean — emb_neardup's blocked pairs on the sf0.01 corpus (500
+    *   vectors — the O(N²) truths are measurement tools, never
+    *   catalog shapes) against TWO denominators: (1) the UNCAPPED
+    *   4-plane LSH pair set — found/uncapped isolates the CAP's own
+    *   recall cost, GATED >= floor (clean buckets rarely exceed 64,
+    *   so the cap must cost ~nothing; chain pairs are a subset of
+    *   same-gb pairs, so found ⊆ uncapped holds and the intersection
+    *   join is belt-and-braces against a blocking bug emitting
+    *   duplicate or spurious pairs); (2) the brute-force cos>=0.35
+    *   ground truth — recorded UN-GATED as the blocking's own recall
+    *   (the plane-count knob, not the cap knob).
+    *
+    *   flood — FloodN identical vectors under distinct ids at the
+    *   consumer's production parameters (cap=64, coarse=1024):
+    *   ⌈N/cap⌉ chunks whose pair sets the cap deliberately separates.
+    *   Gate: the chain cells (r15 verdict #1) keep the cluster ONE
+    *   connected component in the consumer pair output. The flood
+    *   pair recall vs C(N,2) is recorded un-gated — it IS the cap's
+    *   documented candidate-bound cost (≈ (cap-1)/(N-1) per member).
+    */
+  private[graft] def recallGate(s: SparkSession, small: String)
+  : (String, Boolean) = {
+    import graft.queries.EmbeddingQueries
+    val emb = graft.core.Tables.load(s, small, "embeddings")
+    val bruteDf = EmbeddingQueries.bruteNeardupPairs(emb)
+      .select("da", "db").localCheckpoint()
+    val bruteN = bruteDf.count()
+    val uncappedDf = EmbeddingQueries.uncappedLshPairs(emb)
+      .select("da", "db").localCheckpoint()
+    val uncappedN = uncappedDf.count()
+    val foundDf = EmbeddingQueries.neardupPairs(emb)
+      .select("da", "db").localCheckpoint()
+    val hitUncapped = foundDf.join(uncappedDf, Seq("da", "db")).count()
+    val hitBrute = foundDf.join(bruteDf, Seq("da", "db")).count()
+    val capRecall = if (uncappedN > 0) hitUncapped.toDouble / uncappedN else -1.0
+    val lshRecall = if (bruteN > 0) hitBrute.toDouble / bruteN else -1.0
+    Seq(bruteDf, uncappedDf, foundDf)
+      .foreach(graft.core.Resources.freeCheckpoint(_, blocking = true))
+
+    val floodIds = (0 until FloodN).map(i => 1000000L + i)
+    val flood = s.range(FloodN.toLong)
+      .select((col("id") + lit(1000000L)).as("vec_id"),
+        array_repeat(lit(1.0f), 64).as("embedding"))
+    val floodPairs = graft.queries.EmbeddingQueries.neardupPairs(flood)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val comps = componentCount(floodIds, floodPairs)
+    val floodRecall = floodPairs.size.toDouble / (FloodN.toLong * (FloodN - 1) / 2)
+    val ok = capRecall >= RecallFloor && comps == 1
+    println(f"[scalingpair] recall gate: cap cost $hitUncapped/$uncappedN = " +
+      f"${capRecall}%.4f (floor $RecallFloor, gated) | blocking recall " +
+      f"$hitBrute/$bruteN = ${lshRecall}%.4f (record-only: the plane-count " +
+      f"knob) | flood n=$FloodN components=$comps (must be 1) " +
+      f"pair_recall=${floodRecall}%.4f (record-only: the cap's candidate bound)" +
+      (if (ok) " ok" else "  << GATE VIOLATED"))
+    def f3(v: Double) = graft.Bench.fmt3(v)
+    (s"""{"uncapped_lsh_pairs":$uncappedN,"found_pairs_in_uncapped":$hitUncapped,"cap_recall":${f3(capRecall)},"floor":$RecallFloor,"brute_truth_pairs":$bruteN,"found_pairs_in_brute":$hitBrute,"lsh_recall":${f3(lshRecall)},"flood_n":$FloodN,"flood_components":$comps,"flood_pair_recall":${f3(floodRecall)},"ok":$ok}""",
+      ok)
+  }
+
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -176,14 +278,41 @@ object ScalingPair {
       println(f"[scalingpair] growth ${g.name}%-13s ${g.base}%9d -> ${g.ext}%9d  ratio ${g.ratio}%5.2fx (bound ${g.lo}-${g.hi})$mark")
     }
 
+    // ---- capped-consumer recall gate (r15 verdict #4) ----
+    val (recallJson, recallOk) = recallGate(spark, small)
+
+    // dd_tfidf_cos materializes two localCheckpoints INTERNALLY on
+    // every evaluation, with no handle to free — and timeOnce warms
+    // then times, so an unreleased run leaves up to 4 frames of
+    // blocks inflating whatever is measured next (the exact pressure
+    // ckptSec's own frees exist to avoid). Diff the persistent-RDD
+    // census around the call and release what the timing added
+    // (review finding r15). blocking = true: these frees are
+    // measurement hygiene OFF the timed path, and an async release
+    // may not complete before the next probe starts timing —
+    // leaking exactly the pressure the free exists to remove
+    // (ADVICE r15).
+    def timeReleasing(mk: => org.apache.spark.sql.DataFrame): Double = {
+      val pre = spark.sparkContext.getPersistentRDDs.keySet
+      val sec = ScalingProbe.timeOnce(mk)
+      (spark.sparkContext.getPersistentRDDs -- pre).values
+        .foreach(_.unpersist(blocking = true))
+      sec
+    }
+
     // ---- per-query wall-clock, small sf0.01 vs extended (30×) ----
     val names = selected
     println(s"[scalingpair] ${names.size} pair-math queries, data ratio " +
       s"${dataRatio.toInt}x (3x-extended $base — SYNTHETIC, docs token-remapped)")
     val rows = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val ts = ScalingProbe.timeOnce(fn(spark, small))
-      val tl = ScalingProbe.timeOnce(fn(spark, dir))
+      // census-diff release around BOTH timings: queries that
+      // localCheckpoint internally (dd_tfidf_cos's tokenize-once
+      // base) otherwise leak their blocks into every later probe's
+      // memory/GC pressure — the x9 fix of r15, now applied to the
+      // whole loop (BENCH_NOTES r15 item 13b)
+      val ts = timeReleasing(fn(spark, small))
+      val tl = timeReleasing(fn(spark, dir))
       val ratio = if (ts > 0 && tl > 0) tl / ts else -1.0
       (name, ts, tl, ratio)
     }
@@ -210,33 +339,29 @@ object ScalingPair {
       // Dataset.unpersist is a silent NO-OP on localCheckpoint blocks
       // (they are not CacheManager entries) — release through the
       // LogicalRDD leaf so the x3 probe's blocks don't inflate the
-      // x9 probe's memory/GC pressure (review finding r15)
-      graft.core.Resources.freeCheckpoint(b)
-      graft.core.Resources.freeCheckpoint(wp)
-      sec
-    }
-    // dd_tfidf_cos materializes two localCheckpoints INTERNALLY on
-    // every evaluation, with no handle to free — and timeOnce warms
-    // then times, so an unreleased x9 run would leave up to 4 frames
-    // of 9x blocks inflating the ckpt3/ckpt9 probes measured next
-    // (the exact pressure ckptSec's own frees exist to avoid). Diff
-    // the persistent-RDD census around the call and release what the
-    // timing added (review finding r15).
-    def timeReleasing(mk: => org.apache.spark.sql.DataFrame): Double = {
-      val pre = spark.sparkContext.getPersistentRDDs.keySet
-      val sec = ScalingProbe.timeOnce(mk)
-      (spark.sparkContext.getPersistentRDDs -- pre).values
-        .foreach(_.unpersist(blocking = false))
+      // x9 probe's memory/GC pressure (review finding r15); blocking,
+      // for the same measurement-hygiene reason as timeReleasing
+      graft.core.Resources.freeCheckpoint(b, blocking = true)
+      graft.core.Resources.freeCheckpoint(wp, blocking = true)
       sec
     }
     val tfidf3 = rows.collectFirst { case ("dd_tfidf_cos", _, tl, _) => tl }
       .getOrElse(-1.0)
-    // record-only means FAILURE-ISOLATED too: the x9 corpus build /
-    // timing / checkpoint probes record -1s on any throw instead of
-    // aborting a run whose growth gates and time flags have already
-    // computed — a disk-full on the 9x write or an OOM here must not
-    // cost the gate verdict and the artifact (review finding r15)
-    val (tfidf9, ckpt3, ckpt9) = try {
+    // record-only means FAILURE-ISOLATED too — now PER PROBE: a throw
+    // in any one of the build / x9 timing / ckpt3 / ckpt9 probes
+    // records -1 for THAT reading instead of discarding the others
+    // (r15's all-or-nothing try threw away valid tfidf9/ckpt3 when
+    // ckptSec(dir9), the LAST probe, failed — BENCH_NOTES item 13a).
+    // ckpt3 reads only the x3 corpus, so it runs even when the x9
+    // corpus build failed.
+    def probeRec(label: String)(body: => Double): Double =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[scalingpair] tfidf curve probe $label failed (record-only): ${e.getMessage}")
+          -1.0
+      }
+    val built = probeRec("build-x9") {
       val ext3docs = spark.read.parquet(s"$dir/documents.parquet")
       // second remap pass with suffix ids {0,3,6}: combined suffixes
       // ("", ~1, ~2) x ("", ~3, ~6) are 9 distinct strings, so all 9
@@ -246,24 +371,36 @@ object ScalingPair {
       (0 until Copies).map(j => remapDocuments(ext3docs, 3 * j))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir9/documents.parquet")
-      val t9 = timeReleasing(SparkEntry.queries("dd_tfidf_cos")(spark, dir9))
-      (t9, ckptSec(dir), ckptSec(dir9))
-    } catch {
-      case e: Throwable =>
-        System.err.println(
-          s"[scalingpair] tfidf x9 curve failed (record-only): ${e.getMessage}")
-        (-1.0, -1.0, -1.0)
-    }
+      0.0
+    } >= 0
+    val tfidf9 =
+      if (built)
+        probeRec("tfidf9")(
+          timeReleasing(SparkEntry.queries("dd_tfidf_cos")(spark, dir9)))
+      else -1.0
+    val ckpt3 = probeRec("ckpt3")(ckptSec(dir))
+    val ckpt9 = if (built) probeRec("ckpt9")(ckptSec(dir9)) else -1.0
+    // per-point corpus sizes (ADVICE r15): without them the committed
+    // ratio invites misreading — a 1.07x at "3x data" really means
+    // both points are overhead-dominated at demo scale, which only
+    // the row counts make visible in the artifact itself
+    def docCount(p: String): Long =
+      probeRec(s"count $p")(
+        spark.read.parquet(s"$p/documents.parquet").count().toDouble).toLong
+    val docs3 = docCount(dir)
+    val docs9 = if (built) docCount(dir9) else -1L
     val ratio93 = if (tfidf3 > 0 && tfidf9 > 0) tfidf9 / tfidf3 else -1.0
     // attribution only when both parts timed: a -1 checkpoint reading
     // must not turn into a garbage "pair" of total+1
     def pairSec(total: Double, ck: Double): Double =
       if (total > 0 && ck > 0) total - ck else -1.0
-    println(f"[scalingpair] tfidf curve: x3 ${tfidf3}%.3fs (ckpt ${ckpt3}%.3fs) " +
-      f"-> x9 ${tfidf9}%.3fs (ckpt ${ckpt9}%.3fs), x9/x3 ${ratio93}%.2fx " +
-      "(linear would be 3x)")
+    println(f"[scalingpair] tfidf curve: x3 ${tfidf3}%.3fs (ckpt ${ckpt3}%.3fs, " +
+      f"$docs3%d docs) -> x9 ${tfidf9}%.3fs (ckpt ${ckpt9}%.3fs, $docs9%d docs), " +
+      f"x9/x3 ${ratio93}%.2fx (linear would be 3x; a ratio well under it means " +
+      "both points are overhead-dominated at this scale — read the marginal " +
+      "attribution, not the headline ratio)")
     val curveJson =
-      s"""{"x3_total":${f(tfidf3)},"x9_total":${f(tfidf9)},"ratio_9_over_3":${f(ratio93)},"x3_ckpt":${f(ckpt3)},"x9_ckpt":${f(ckpt9)},"x3_pair":${f(pairSec(tfidf3, ckpt3))},"x9_pair":${f(pairSec(tfidf9, ckpt9))}}"""
+      s"""{"x3_total":${f(tfidf3)},"x9_total":${f(tfidf9)},"ratio_9_over_3":${f(ratio93)},"x3_ckpt":${f(ckpt3)},"x9_ckpt":${f(ckpt9)},"x3_pair":${f(pairSec(tfidf3, ckpt3))},"x9_pair":${f(pairSec(tfidf9, ckpt9))},"x3_docs":$docs3,"x9_docs":$docs9}"""
 
     val qJson = rows.map { case (n, ts, tl, r) =>
       s""""$n":{"small":${f(ts)},"large30":${f(tl)},"ratio":${f(r)}}"""
@@ -273,17 +410,19 @@ object ScalingPair {
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("scaling_pair.json"),
-      s"""{"action":"30x-pair-math-scaling-probe","synthetic":"large side is $base x3: documents token-remapped per copy (cross-copy shingle-disjoint), embeddings identical per copy (density model), fact keys offset, dims fixed; tfidf_curve adds a x9 documents-only point (3x remap of the x3)","data_ratio":${f(dataRatio)},"n_queries":${rows.size},"n_flagged":${flagged.size},"n_growth_violations":${growthBad.size},"growth":$gJson,"tfidf_curve":$curveJson,"queries":$qJson,${graft.core.Provenance.jsonFields}}""")
+      s"""{"action":"30x-pair-math-scaling-probe","synthetic":"large side is $base x3: documents token-remapped per copy (cross-copy shingle-disjoint), embeddings identical per copy (density model), fact keys offset, dims fixed; tfidf_curve adds a x9 documents-only point (3x remap of the x3); recall gate runs on the sf0.01 corpus + an identical-vector flood fixture","data_ratio":${f(dataRatio)},"n_queries":${rows.size},"n_flagged":${flagged.size},"n_growth_violations":${growthBad.size},"growth":$gJson,"recall":$recallJson,"tfidf_curve":$curveJson,"queries":$qJson,${graft.core.Provenance.jsonFields}}""")
     rows.sortBy(-_._4).take(15).foreach { case (n, ts, tl, r) =>
       val mark = if (flagged.exists(_._1 == n)) "  << SUPERLINEAR" else ""
       println(f"[scalingpair] $n%-22s ${ts}%7.3fs -> ${tl}%7.3fs  ratio ${r}%6.2fx$mark")
     }
-    println(s"[scalingpair] flagged: ${flagged.size}/${rows.size}; growth violations: ${growthBad.size}/3")
+    println(s"[scalingpair] flagged: ${flagged.size}/${rows.size}; growth violations: ${growthBad.size}/3; recall gate ${if (recallOk) "ok" else "VIOLATED"}")
     spark.stop()
     if (flagged.nonEmpty)
       System.err.println(s"[scalingpair] FLAGGED: ${flagged.map(_._1).mkString(",")}")
     growthBad.foreach(g => System.err.println(
       s"[scalingpair] GROWTH OUT OF BOUNDS: ${g.name} ratio ${g.ratio}"))
-    flagged.isEmpty && growthBad.isEmpty
+    if (!recallOk)
+      System.err.println("[scalingpair] RECALL GATE VIOLATED (see recall block)")
+    flagged.isEmpty && growthBad.isEmpty && recallOk
   }
 }

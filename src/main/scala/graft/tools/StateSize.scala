@@ -181,20 +181,27 @@ object StateSize {
     * linearity in keys directly. */
   private val ScaledKeys = 5000
   private val ScaledBatches = 12
+  /** Per-point max_rows bounds for the seqpattern key-axis pair: each
+    * tolerates removal lagging a couple watermark updates (~3× the
+    * live keyspace); the scaled bound is the base bound scaled
+    * linearly with the key axis — the claim under test. */
+  private val SeqMaxRowsBound = 150L
+  private val SeqScaledMaxRowsBound = SeqMaxRowsBound * (ScaledKeys / Keys)
   /** max_rows(5000 keys) / max_rows(50 keys) must read ~keys-ratio
     * (100×): well under it would mean the base point was measuring an
-    * artifact; over it would mean super-linear state in keys. Each
-    * point's OWN max_rows bound tolerates removal lagging a couple
-    * watermark updates (base ≤ 150, scaled ≤ 15000), so the ratio
-    * bounds must inherit that allowance or the gate flakes on a GC
-    * pause the per-point bounds were built to absorb (review finding
-    * r15): lo = ScaledKeys/150 ≈ 33 (base lagged, scaled exact), hi =
-    * 15000/Keys = 300 (scaled lagged, base exact). The discriminating
-    * power is intact — the failure modes sit decades away: state ∝
-    * batches would read ~1x (the scaled point runs FEWER batches),
-    * state ∝ keys² would read ~10000x. */
-  private val KeyRatioLo = 33.0
-  private val KeyRatioHi = 300.0
+    * artifact; over it would mean super-linear state in keys. The
+    * ratio bounds INHERIT each point's removal-lag allowance or the
+    * gate flakes on a GC pause the per-point bounds were built to
+    * absorb (review finding r15) — and they are DERIVED from the same
+    * constants the per-point bounds use, not hardcoded copies of the
+    * derivation (BENCH_NOTES r15 item 13c): lo = worst base lag with
+    * the scaled point exact (ScaledKeys/SeqMaxRowsBound ≈ 33), hi =
+    * worst scaled lag with the base exact (SeqScaledMaxRowsBound/Keys
+    * = 300). The discriminating power is intact — the failure modes
+    * sit decades away: state ∝ batches would read ~1x (the scaled
+    * point runs FEWER batches), state ∝ keys² would read ~10000x. */
+  private val KeyRatioLo = ScaledKeys.toDouble / SeqMaxRowsBound
+  private val KeyRatioHi = SeqScaledMaxRowsBound.toDouble / Keys
 
   def main(args: Array[String]): Unit = {
     val outJson = if (args.length > 0) args(0) else "STATE_SIZE.json"
@@ -208,10 +215,10 @@ object StateSize {
     // pmod(key, 20) = 20-group aggregate, not the 50 input keys)
     val ops = Seq(
       ("seqpattern", () => seqpattern(spark, Keys, Batches),
-        Keys, Batches, 150L, 5L),
+        Keys, Batches, SeqMaxRowsBound, 5L),
       (s"seqpattern_keys$ScaledKeys",
         () => seqpattern(spark, ScaledKeys, ScaledBatches),
-        ScaledKeys, ScaledBatches, 15000L, 5L),
+        ScaledKeys, ScaledBatches, SeqScaledMaxRowsBound, 5L),
       ("latewindow", () => latewindow(spark), Keys, Batches, 250L, 5L),
       ("changelog_complete", () => changelogComplete(spark), 20, Batches, 25L, 25L))
     val results = try ops.map { case (name, run, keys, batches, boundMax, boundFinal) =>

@@ -172,6 +172,25 @@ class ScalingSpec extends SparkSpec {
       .getOrElse(fail("scaling_pair.json lost the tfidf_curve block"))
     assert(curve == -1.0 || curve > 0,
       s"tfidf curve ratio $curve is neither a timing nor the -1 failure code")
+    // per-point corpus sizes (ADVICE r15): the curve ratio is only
+    // interpretable next to the row counts that reveal overhead
+    // domination at demo scale
+    assert(txt.contains("\"x3_docs\":") && txt.contains("\"x9_docs\":"),
+      "tfidf_curve lost its per-point document counts")
+
+    // the r16 capped-consumer recall gate (r15 verdict #4): clean
+    // recall >= floor AND the duplicate-flood cluster reads as ONE
+    // connected component through the chain cells — both inside the
+    // committed artifact, both required green
+    val recall = """"recall":\{[^}]*\}""".r.findFirstIn(txt)
+      .getOrElse(fail("scaling_pair.json lost the recall gate block"))
+    assert(recall.contains("\"ok\":true"),
+      s"capped-consumer recall gate violated: $recall")
+    val comps = """"flood_components":([0-9]+)""".r
+      .findFirstMatchIn(recall).map(_.group(1).toInt)
+      .getOrElse(fail("recall block lost flood_components"))
+    assert(comps == 1,
+      s"duplicate-flood cluster split into $comps components — chain cells broken")
   }
 
   test("ScalingPair.remapDocuments: copies token-disjoint, isomorphic, key-banded") {
@@ -260,8 +279,21 @@ class ScalingSpec extends SparkSpec {
     // 0.44 s at an n whose steady reading is ~0.05 s → ratio 1.4x).
     // A genuine detector regression fails BOTH independent attempts.
     var meas = measureQuadratic()
-    if (!ScalingProbe.isFlagged(meas._3 / meas._2, meas._3, dataRatio))
+    if (!ScalingProbe.isFlagged(meas._3 / meas._2, meas._3, dataRatio)) {
+      val first = meas
       meas = measureQuadratic()
+      // retry-path sanity (ADVICE r15): the retry halves the test's
+      // sensitivity by design, so pin that the retry's small run is
+      // not ITSELF degraded — a systematically-slowed host must not
+      // silently pass via retry. Normalize per unit work (quadratic:
+      // n²) since the calibration loop may settle on different n.
+      val perWork1 = first._2 / (first._1.toDouble * first._1)
+      val perWork2 = meas._2 / (meas._1.toDouble * meas._1)
+      assert(perWork2 <= 2.0 * perWork1,
+        f"retry's small quadratic run is slower per unit work than the " +
+          f"attempt it is adjudicating (${perWork2 / perWork1}%.1fx): " +
+          f"host degraded between attempts — rerun on a calm host")
+    }
     val (n, tSmallQ, tLargeQ) = meas
     val qRatio = tLargeQ / tSmallQ
     assert(ScalingProbe.isFlagged(qRatio, tLargeQ, dataRatio),
