@@ -132,19 +132,29 @@ object Bench {
   private[graft] val SuspectSlackSec = 0.75
   private[graft] val MaxRetimes = 15
 
-  /** Names to re-time, worst absolute excess first. `scale` is the
-    * run's host_scale (floored at 1 internally — a fast host must not
-    * shrink the calm references). Unknown names (no committed ref) and
-    * failed queries (-1) are never suspects. */
+  /** Names to re-time, worst absolute excess first. `scaleOf` gives
+    * each query ITS OWN host scale — since r16 the segment-localized
+    * scale from the query's bracketing calibration blocks (the r15
+    * driver run proved the whole-run scale over-credits a localized
+    * degradation by ~35%: endpoint probes priced the entire run for
+    * an excursion the segment data placed in 2 of 6 blocks). Floored
+    * at 1 internally — a fast host must not shrink the calm
+    * references. Unknown names (no committed ref) and failed queries
+    * (-1) are never suspects. */
   private[graft] def suspectsOf(results: Seq[(String, Double)],
-                                scale: Double): Seq[String] = {
-    val floor = math.max(1.0, scale)
+                                scaleOf: String => Double): Seq[String] =
     results.collect {
       case (name, sec) if sec >= 0 && BenchRefs.calm.get(name).exists { ref =>
+        val floor = math.max(1.0, scaleOf(name))
         sec > SuspectFactor * ref * floor && sec > ref * floor + SuspectSlackSec
-      } => name -> (sec - BenchRefs.calm(name) * floor)
+      } => name -> (sec - BenchRefs.calm(name) * math.max(1.0, scaleOf(name)))
     }.sortBy(-_._2).take(MaxRetimes).map(_._1)
-  }
+
+  /** Whole-run-scale convenience (unit tests, callers without
+    * segment data). */
+  private[graft] def suspectsOf(results: Seq[(String, Double)],
+                                scale: Double): Seq[String] =
+    suspectsOf(results, (_: String) => scale)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,9 +212,13 @@ object Bench {
     // bracketing blocks (min-of-endpoints per probe, median across
     // probes — the hostScale discipline), so a mid-run excursion
     // re-prices only the queries it actually co-ran with.
-    // `value_cal` keeps its historical definition (start/end blocks
-    // only) for cross-round comparability; `value_cal_seg` is the
-    // segment-localized headline.
+    // `value_cal_seg` is the HEADLINE drift-normalized number as of
+    // r16 (the r15 driver run proved the whole-run host_scale
+    // over-credits localized degradation by ~35%: value_cal 64.1 s vs
+    // value_cal_seg 98.2 s on the same run, with the excursion
+    // localized to 2 of 6 blocks); `value_cal` keeps its historical
+    // definition (start/end blocks only) as a SECONDARY for
+    // cross-round comparability.
     val SegmentEvery = 50
     val calBlocks =
       scala.collection.mutable.ListBuffer.empty[(Int, Seq[(String, Double)])]
@@ -244,7 +258,7 @@ object Bench {
     // segment-localized headline for the entire run — the artifact
     // still shows which segment fell back via its recorded scale
     // (review finding r15)
-    val wholeRunScale = hostScale(calBlocks.head._2, calBlocks.last._2)
+    val wholeRunScale = hostScale(calStart, calEnd)
     val valueCalSeg =
       if (segScales.nonEmpty &&
           segScales.forall(s => s._3 > 0 || wholeRunScale > 0))
@@ -262,7 +276,7 @@ object Bench {
     val calSum = if (calOkS.nonEmpty) calOkS.sum else -1.0
     val calOkE = calEnd.collect { case (_, v) if v >= 0 => v }
     val calSumEnd = if (calOkE.nonEmpty) calOkE.sum else -1.0
-    val scaleVsRef = wholeRunScale // hostScale(calStart, calEnd)
+    val scaleVsRef = wholeRunScale
     val valueCal = if (scaleVsRef > 0) total / scaleVsRef else -1.0
     // Suspect-retime pass (r12 verdict task #1): the calibration median
     // protects the SUITE headline, but a single-query excursion in a
@@ -275,7 +289,18 @@ object Bench {
     // `value_retimed` is the total with each suspect replaced by its
     // better reading — a real regression reproduces in the retime, an
     // environment excursion adjudicates itself.
-    val suspects = suspectsOf(results, scaleVsRef)
+    // The trigger normalizes by each query's SEGMENT scale (falling
+    // back to the whole-run scale where a segment's own scale is
+    // dead): a query that co-ran with a localized degradation is
+    // priced against what the host delivered THEN, not the run's
+    // endpoint average (value_cal_seg promotion, r15 verdict #3).
+    val segIndex = results.map(_._1).zipWithIndex.toMap
+    def segScaleOf(name: String): Double = {
+      val i = segIndex.getOrElse(name, -1)
+      segScales.find(s => i >= s._1 && i < s._2).map(_._3).filter(_ > 0)
+        .getOrElse(wholeRunScale)
+    }
+    val suspects = suspectsOf(results, segScaleOf _)
     val retimed = suspects.map { name =>
       System.gc()
       val t0 = System.nanoTime()
@@ -300,8 +325,12 @@ object Bench {
           val r = if (best.isEmpty) -1.0 else best.min / CalRefProbes(k)
           "\"" + k + "\":" + fmt(r)
       }.mkString(",")
-      s"""{"start":{$s},"end":{$e},"cal_total":${fmt(calSum)},"cal_total_end":${fmt(calSumEnd)},"probe_ratios":{$ratios},"cal_ref":${fmt(CalRef)},"host_scale":${fmt(scaleVsRef)},"value_cal":${fmt(valueCal)},"value_cal_seg":${fmt(valueCalSeg)},"n_cal_blocks":${calBlocks.size}}"""
+      // seg leads: it is the headline the segment instrument earns
+      s"""{"start":{$s},"end":{$e},"cal_total":${fmt(calSum)},"cal_total_end":${fmt(calSumEnd)},"probe_ratios":{$ratios},"cal_ref":${fmt(CalRef)},"host_scale":${fmt(scaleVsRef)},"value_cal_seg":${fmt(valueCalSeg)},"value_cal":${fmt(valueCal)},"n_cal_blocks":${calBlocks.size}}"""
     }
+    println(f"[bench] headline value_cal_seg=${fmt(valueCalSeg)}s " +
+      f"(secondary value_cal=${fmt(valueCal)}s, raw=${fmt(total)}s, " +
+      f"host_scale=${fmt(scaleVsRef)})")
     // full per-block probes + per-segment scales (bench_full.json
     // only: the stdout line is budget-capped and the driver needs only
     // the headline; humans read the segment table from the file)
