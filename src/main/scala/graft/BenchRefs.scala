@@ -92,15 +92,19 @@ object BenchRefs {
     "emb_ch_index"->0.642, "emb_decontam"->0.201, "emb_drift"->0.270,
     "emb_hardneg"->0.388, "emb_ivf_assign"->0.223, "emb_ivf_knn"->0.385,
     "emb_ivfpq"->0.695, "emb_kcenter"->0.722, "emb_kmeans"->0.370,
-    // emb_lsh_buckets / emb_neardup re-pinned round 15 (deliberate
-    // move: the occupancy-capped bucketer adds an occupancy agg +
-    // broadcast join + rank-pack window to the old pure-scan
-    // assignment); values are warm timeOnce readings on the builder
-    // host at the change commit — within the 3x drift-gate tolerance
-    // of any calm run, re-pin from the next calm bench_full if needed
-    "emb_knn"->0.234, "emb_knn_graph"->0.537, "emb_lsh_buckets"->0.233,
+    // emb_lsh_buckets / emb_neardup / emb_knn_graph re-pinned round 16
+    // from a calm full bench_full run (raw 91.9 s, host_scale 1.064,
+    // zero retimes; values are raw/host_scale — ADVICE r15 asked for
+    // exactly this re-pin after r15's one-off warm readings). The
+    // moves are the r16 chain cells (deliberate): the consumers pay a
+    // cells-count agg + broadcast + explode for flood connectivity —
+    // emb_neardup 0.406→0.664, emb_knn_graph 0.537→1.037 (its top-3
+    // window also ranks the chain candidates); emb_lsh_buckets stays
+    // chain-free (0.233→0.256 is noise-level drift re-pinned while
+    // here).
+    "emb_knn"->0.234, "emb_knn_graph"->1.037, "emb_lsh_buckets"->0.256,
     "emb_matryoshka"->0.424, "emb_mips"->0.201, "emb_mmr"->0.986,
-    "emb_mrr"->1.041, "emb_neardup"->0.406, "emb_norms"->0.058,
+    "emb_mrr"->1.041, "emb_neardup"->0.664, "emb_norms"->0.058,
     "emb_pca"->0.699, "emb_pca_scores"->0.788, "emb_pq"->0.407,
     "emb_probe"->1.345, "emb_purity"->0.725, "emb_recall"->0.706,
     "emb_rq"->0.266, "emb_semdedup"->0.210, "emb_sq8"->0.206,
