@@ -176,10 +176,17 @@ object EmbeddingQueries extends GroupBase {
     *     by bare gb (a flood would concentrate one window task).
     *
     * Every chain pair links rank-min members of consecutive chunks /
-    * cells, so a duplicate cluster confined to one geometric bucket
-    * forms ONE connected component in the consumer pair graph
-    * (CappedBucketSpec flood test), while total candidates stay
-    * ≤ N(cap−1)/2 + O(N/cap) — the linear bound survives. Chain cells
+    * cells, so a duplicate cluster that DOMINATES its cells — the
+    * flood regime the cap created — forms ONE connected component in
+    * the consumer pair graph (CappedBucketSpec flood test), while
+    * total candidates stay ≤ N(cap−1)/2 + O(N/cap) — the linear
+    * bound survives. SCOPE: chain candidates still pass the
+    * consumer's cosine filter, so in a bucket MIXING a duplicate
+    * cluster with unrelated same-sign-pattern vectors (interleaved
+    * by the id mix), a chain link whose head is a non-cluster row is
+    * filtered out and the cluster can still split — the chains
+    * repair the flood regime, they are NOT an unconditional
+    * connectivity guarantee on mixed-density buckets. Chain cells
     * add ~2 extra emitted rows per chunk/cell (ids via one explode —
     * the rank window is computed once, the bucketed exchange is still
     * reused across the self-join sides). The reference treats
@@ -198,6 +205,14 @@ object EmbeddingQueries extends GroupBase {
     * at the cost of a nondeterministic-per-engine bucket assignment
     * that only aggregate consumers (pair counts, dedup verdicts over
     * interchangeable duplicates) can tolerate. */
+  /** Sign pattern of the `planes` fixed hyperplanes as a bucket id —
+    * THE blocking key; shared by cappedBucket and the recall gate's
+    * uncapped truth so the two can never diverge. */
+  private def gbCol(planes: Int): Column =
+    (0 until planes).map(i =>
+      when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
+      .reduce(_ + _)
+
   private[graft] def cappedBucket(e: DataFrame, planes: Int, cap: Int,
                                   coarse: Int = CoarseFan,
                                   chain: Boolean = false): DataFrame = {
@@ -212,10 +227,7 @@ object EmbeddingQueries extends GroupBase {
       s"cappedBucket: planes=$planes outside [1,$maxPlanes] — " +
         s"gb*2^44${if (chain) " (doubled for chain-cell ids)" else ""} " +
         "must stay inside signed Long")
-    val gb = (0 until planes).map(i =>
-      when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
-      .reduce(_ + _)
-    val g = e.select(col("vec_id"), col("embedding"), gb.as("gb"))
+    val g = e.select(col("vec_id"), col("embedding"), gbCol(planes).as("gb"))
     val occ = g.groupBy("gb").agg(count(lit(1)).as("n"))
     val capG = cap.toLong * coarse
     // loud ceiling guard: a value past its encoding field would
@@ -244,14 +256,14 @@ object EmbeddingQueries extends GroupBase {
         enc(col("chunk")).as("bucket"))
     else {
       // rank of each PRESENT (gb, s1) cell within its gb: a
-      // cells-count-sized agg (map-side combine collapses the corpus
-      // to ≤ Σ m1 rows) + a window over that small table, broadcast
-      // back — never a corpus-wide window partitioned by bare gb
-      val cellRank = cells.groupBy("gb", "s1").agg(count(lit(1)).as("nc"))
+      // cells-count-sized distinct (map-side partial agg collapses
+      // the corpus to ≤ Σ m1 rows) + a window over that small table,
+      // broadcast back — never a corpus-wide window partitioned by
+      // bare gb
+      val cellRank = cells.select("gb", "s1").distinct()
         .withColumn("r",
           (row_number().over(Window.partitionBy("gb").orderBy("s1")) -
             lit(1)).cast("long"))
-        .select("gb", "s1", "r")
       val isHead = col("rn") % lit(cap) === 0
       val cellEnc = col("gb") * lit(1L << 44) // + r below: r < 2^20 ≤ s1
       // one explode per row — mostly a 1-element array; heads carry
@@ -288,10 +300,7 @@ object EmbeddingQueries extends GroupBase {
     * costs (the latter is bruteNeardupPairs' denominator). Quadratic
     * per bucket — measurement tool only, never a catalog query. */
   private[graft] def uncappedLshPairs(e: DataFrame, planes: Int = 4): DataFrame = {
-    val gb = (0 until planes).map(i =>
-      when(dot(col("embedding"), plane(i)) > 0, 1L << i).otherwise(0L))
-      .reduce(_ + _)
-    val g = e.select(col("vec_id"), col("embedding"), gb.as("gb"))
+    val g = e.select(col("vec_id"), col("embedding"), gbCol(planes).as("gb"))
     g.as("x").join(g.as("y"),
         col("x.gb") === col("y.gb") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"),
