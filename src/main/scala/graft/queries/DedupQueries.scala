@@ -142,18 +142,29 @@ object DedupQueries extends GroupBase {
     // array_distinct (no global distinct exchange), ShingleDf.capRare
     // rare-shingle blocking (a hot boilerplate shingle generates no
     // candidates), ReuseExchange on the self-join. The only deltas:
-    // the pair predicate is <> (both directions are emitted — the
-    // score is asymmetric) and the denominator is the SOURCE side's
-    // shingle count only.
+    // the output is BOTH directions of each pair (the score is
+    // asymmetric) and the denominator is the SOURCE side's shingle
+    // count only. r16 optimization (guide §3, avoid exploding joins):
+    // the candidate join runs ONCE per unordered pair (`<`, exactly
+    // dd_jaccard's predicate — |S(A)∩S(B)| is symmetric), and the two
+    // directed rows unfold AFTER the pair aggregate via one explode
+    // over the already-collapsed (da,db) table — half the join output
+    // and half the aggregate input vs the former `<>` join, identical
+    // result rows.
     "dd_containment" -> ((s, d) => {
       val sh = blockedShingles(s, d)
       sh.as("a").join(sh.as("b").hint("shuffle_hash"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.n").as("na"))
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+          col("a.n").as("nx"), col("b.n").as("ny"))
         .agg(count(lit(1)).as("inter"))
-        .select(col("da"), col("db"), col("na"), col("inter"),
-          (col("inter").cast("double") / col("na")).as("cont"))
+        .select(explode(array(
+          struct(col("x").as("da"), col("y").as("db"), col("nx").as("na")),
+          struct(col("y").as("da"), col("x").as("db"), col("ny").as("na"))))
+          .as("p"), col("inter"))
+        .select(col("p.da").as("da"), col("p.db").as("db"),
+          col("p.na").as("na"), col("inter"),
+          (col("inter").cast("double") / col("p.na")).as("cont"))
         .filter(col("cont") >= 0.5)
         .orderBy("da", "db")
     }),

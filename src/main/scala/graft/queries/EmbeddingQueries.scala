@@ -878,10 +878,21 @@ object EmbeddingQueries extends GroupBase {
           chain = true)
         .withColumnRenamed("bucket", "bkt")
       val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      // r16 optimization (guide §3): join each unordered pair ONCE
+      // (`<`) and unfold the two directed rows afterwards with one
+      // explode riding the same Generate — the cosine kernel runs once
+      // per pair instead of twice (dot and norm·norm are commutative
+      // single IEEE ops, so cosine(x,y) ≡ cosine(y,x) bit-exact), and
+      // the join probe emits half the rows. The window input is
+      // unchanged — identical rows, identical result.
       e.as("x").join(e.as("y"),
-          col("x.bkt") === col("y.bkt") && col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+          col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+        .select(explode(array(
+          struct(col("x.vec_id").as("src"), col("y.vec_id").as("dst")),
+          struct(col("y.vec_id").as("src"), col("x.vec_id").as("dst"))))
+          .as("p"),
           cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"), col("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("src", "dst", "rank", "cos")
