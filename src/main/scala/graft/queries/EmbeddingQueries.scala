@@ -414,7 +414,10 @@ object EmbeddingQueries extends GroupBase {
     "emb_recall" -> ((s, d) => {
       val truth = bruteKnn(s, d).filter(col("qid") < 5 && col("rank") <= 3)
         .select(col("qid"), col("nid"))
-      def hits(p: Int) = ivfKnn(s, d, p).select(col("qid"), col("nid"))
+      // r16: one shared candidate sweep for the three probe arms
+      // (ivfProbeCands/ivfArm — see emb_mrr), not three ivfKnn runs.
+      val cand = ivfProbeCands(s, d, 4)
+      def hits(p: Int) = ivfArm(cand, p).select(col("qid"), col("nid"))
         .join(truth.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
         .groupBy("qid")
         .agg(sum(coalesce(col("hit"), lit(0))).as(s"n_hit_p$p"))
@@ -1111,7 +1114,11 @@ object EmbeddingQueries extends GroupBase {
     "emb_mrr" -> ((s, d) => {
       val truth1 = bruteKnn(s, d).filter(col("qid") < 5 && col("rank") === 1)
         .select(col("qid"), col("nid"))
-      def rr(p: Int) = ivfKnn(s, d, p)
+      // r16: the three probe arms share ONE candidate sweep
+      // (ivfProbeCands) instead of three full ivfKnn pipelines —
+      // identical per-arm rows, one corpus pass (guide §2.4).
+      val cand = ivfProbeCands(s, d, 4)
+      def rr(p: Int) = ivfArm(cand, p)
         .join(truth1, Seq("qid", "nid"), "left_semi")
         .select(col("qid"), (lit(1.0) / col("rank")).as(s"rr_p$p"))
       val base = truth1.select("qid")
@@ -1381,13 +1388,82 @@ object EmbeddingQueries extends GroupBase {
       .select("qid", "nid", "rank")
   }
 
+  /** Multi-probe-SWEEP candidate table (r16, guide §2.4 "remove
+    * shuffles outright"): the probe-budget evals emb_recall/emb_mrr
+    * compare P = 1/2/4 arms, and composing three ivfKnn calls re-ran
+    * the centroid scoring scan, the cell-assignment aggregate and the
+    * candidate scoring join once PER ARM. This helper runs them ONCE
+    * at the widest budget, tags every candidate with the probe rank
+    * `pr` of the cell it came from (a property of (qid, cell), so
+    * `pr <= p` reproduces arm p's candidate set exactly — cells are
+    * disjoint per corpus vector), and computes EVERY arm's rank in a
+    * single window pass: rank within arm p = the running count of
+    * `pr <= p` rows in (cos DESC, nid) order — identical to
+    * row_number over the filtered subset, which inherits the same
+    * total order. The three running sums share one frame spec, so
+    * they ride ONE WindowExec / one exchange / one sort, and the
+    * whole sweep is a single lineage: no per-arm filter can push
+    * back below the join (the first cut — filter-then-window per arm
+    * over a shared repartition — lost the sharing exactly that way:
+    * Catalyst pushed `pr <= p` into the broadcast query side and
+    * re-specialized each arm's join). */
+  private def ivfProbeCands(s: SparkSession, d: String,
+                            maxProbes: Int): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val cents = standIn(e, 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        cosine(col("embedding"), col("cv")).as("ccos"), col("cid"))
+    val assign = scored
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("cid")),
+        struct(col("ccos"), Exact.negId(col("cid")))).as("r"))
+      .select(col("vec_id"), col("r.embedding").as("embedding"),
+        col("r.cid").as("cell"))
+    val pw = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val q = scored.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("ccos"), col("cid"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= maxProbes)
+      .select(col("qid"), col("qv"), col("cid").as("cell"), col("pr"))
+    val cand = assign.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("pr"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+    val rw = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Seq(1, 2, 4).filter(_ <= maxProbes).foldLeft(cand) { (df, p) =>
+      df.withColumn(s"rank_p$p",
+        sum(when(col("pr") <= p, 1L).otherwise(0L)).over(rw))
+    }
+      // one eager materialization shared by the three arm consumers
+      // (the dd_tfidf_cos/text_langid_nb constructor-barrier
+      // discipline): without it each arm re-executes the window stage
+      // over the full sweep (the shared exchange dedups only the work
+      // BELOW it). The table is (#queries x probed-cell members) —
+      // bounded by the query budget, far under corpus scale; a
+      // production pipeline would persist it to storage.
+      .localCheckpoint()
+  }
+
+  /** One probe-budget arm over the shared sweep table: identical
+    * rows to `ivfKnn(s, d, p).select(qid, nid, rank)` (rank is LONG
+    * here — the running-count formulation — vs row_number's INT;
+    * no consumer emits it to a result schema). */
+  private def ivfArm(cand: DataFrame, p: Int): DataFrame =
+    cand.filter(col("pr") <= p && col(s"rank_p$p") <= 3)
+      .select(col("qid"), col("nid"), col(s"rank_p$p").as("rank"))
+
   /** IVF top-3 search for query vectors vec_id < 5, probing each
     * query's top-`probes` cells — the multi-probe knob every
     * production IVF index exposes: recall climbs with P at linear
     * candidate cost (candidates ≈ P/#cells of the corpus), because
     * true neighbors near a cell boundary land in the runner-up cell.
     * P=1 is exactly probe-own-cell. Shared by emb_ivf_knn (P=2
-    * registered) and emb_recall (P=1 vs P=2 comparison). */
+    * registered); the P-sweep evals (emb_recall/emb_mrr) go through
+    * ivfProbeCands/ivfArm instead — one corpus pass for all arms. */
   private def ivfKnn(s: SparkSession, d: String, probes: Int = 1): DataFrame = {
     val e = t(s, d, "embeddings")
     val cents = standIn(e, 8)
