@@ -1237,14 +1237,34 @@ object EmbeddingQueries extends GroupBase {
             aggregate(transform(col("w"), x => x * x),
               lit(0.0), (a, b) => a + b)), 6).as("wnorm"))))
           .select(lit(step).as("step"), col("mse"), col("wnorm"))
+      // r16 (guide §1.2 step 1 — don't scan twice for what one pass
+      // yields): the gradient aggregate now also carries m2 =
+      // fsum(err²) per dimension, and the step's loss row reads
+      // dimension 0's m2 — every doc contributes exactly one row per
+      // pos, and fsum is order-independent on the exact 2^53 grid, so
+      // per-pos fsum(err²) is BIT-IDENTICAL to the global fsum(err²)
+      // the separate loss scan computed. Steps 0-2 thus ride the
+      // gradient pass (max(when(pos=0,..)) keeps the empty-input
+      // null-mse row of the old global agg); only the final step pays
+      // a dedicated loss scan. 7 corpus scans -> 4.
+      def lossRowFrom(step: Int, ga: DataFrame, w: DataFrame): DataFrame =
+        ga.crossJoin(broadcast(nr))
+          .agg(round(max(when(col("pos") === 0, col("m2"))) /
+            max(col("n")).cast("double"), 6).as("mse"))
+          .crossJoin(broadcast(w.select(round(sqrt(
+            aggregate(transform(col("w"), x => x * x),
+              lit(0.0), (a, b) => a + b)), 6).as("wnorm"))))
+          .select(lit(step).as("step"), col("mse"), col("wnorm"))
       var w = s.range(1).select(
         transform(sequence(lit(0), lit(63)), _ => lit(0.0)).as("w"))
-      val rows = scala.collection.mutable.ListBuffer(lossRow(0, w))
+      val rows = scala.collection.mutable.ListBuffer.empty[DataFrame]
       for (step <- 1 to 3) {
         val g = scored(w)
           .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("err"))
           .groupBy("pos")
-          .agg(Exact.fsum(col("err") * col("x").cast("double")).as("gs"))
+          .agg(Exact.fsum(col("err") * col("x").cast("double")).as("gs"),
+            Exact.fsum(col("err") * col("err")).as("m2"))
+        rows += lossRowFrom(step - 1, g, w)
         // NOTE: a per-step localCheckpoint on the weight row was
         // measured 1.1 -> 1.3 s WORSE (3 eager jobs vs the cheap
         // re-execution of 1-row assemblies); unlike emb_mmr, the
@@ -1258,8 +1278,8 @@ object EmbeddingQueries extends GroupBase {
             Exact.q6(coalesce(try_element_at(col("w"), col("pos") + 1),
               lit(0.0)) -
               lit(Lr) * col("gs") / col("n").cast("double")).as("nw")), "nw")
-        rows += lossRow(step, w)
       }
+      rows += lossRow(3, w)
       rows.reduce(_.unionByName(_)).orderBy("step")
     }),
 
