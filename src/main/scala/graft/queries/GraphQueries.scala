@@ -107,28 +107,33 @@ object GraphQueries extends GroupBase {
       val (nodes, edges) = graph(s, d)
       val ns = nodes.filter(col("doc_id") % 11 === 1)
         .agg(count(lit(1)).as("ns"))
+      // r17: ONE localCheckpoint on base, and NONE inside the loop.
+      // base is joined by every round, so barriering it once stops each
+      // round re-deriving the node scan; the per-round rank barrier
+      // that used to sit in the loop was REMOVED after a warm A/B at
+      // sf0.1/32c showed it buys nothing (base-ck-only 1.31 s vs
+      // base+rank-ck 1.35 s vs no-ck 1.7 s) — the two consumers per
+      // round (edge contributions + dangling mass) share the replayed
+      // lineage via AQE runtime stage reuse, so the feared 2^k growth
+      // never executes. Dropping the 3 eager per-round checkpoint jobs
+      // also removes the fixed per-job scheduling overhead that grew
+      // with core count (the r16 8c/32c anti-scaling finding).
       val base = nodes.crossJoin(broadcast(ns))
         .withColumn("p",
           when(col("doc_id") % 11 === 1, lit(1.0) / col("ns"))
             .otherwise(lit(0.0)))
+        .localCheckpoint()
       var ranks = base.select(col("doc_id"), col("p"), col("p").as("r"))
       for (_ <- 1 to 3) {
         val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
           .groupBy(col("dst")).agg(Exact.fsum(col("r") / col("deg")).as("s"))
         val dm = ranks.filter(col("doc_id") % 7 === 0)
           .agg(Exact.fsum(col("r")).as("dm"))
-        // each round's rank vector feeds TWO consumers next round
-        // (edge contributions + dangling mass), so without a lineage
-        // barrier round k's plan re-executes round k-1 twice — 2^k
-        // growth (the graph_domainrank lesson). localCheckpoint
-        // truncates to a node-count-sized LogicalRDD; .cache() is
-        // deliberately avoided (InMemoryRelation blocks AQE).
         ranks = base.join(contrib, base("doc_id") === contrib("dst"), "left")
           .crossJoin(broadcast(dm))
           .select(base("doc_id"), col("p"),
             (lit(0.15) * col("p") + lit(0.85) *
               (coalesce(col("s"), lit(0.0)) + col("dm") * col("p"))).as("r"))
-          .localCheckpoint()
       }
       ranks.filter(col("r") > lit(0.0))
         .select(col("doc_id"), col("r").as("ppr"),
@@ -332,10 +337,18 @@ object GraphQueries extends GroupBase {
     // hash-agg with map-side partials) and drops deg < K; 3 rounds
     // approximate the fixpoint from above — peeling is monotone, so
     // survivors here are a superset of the true 3-core (a production
-    // run iterates until no node drops, the graph_cc convention). The
-    // carried active set feeds both endpoint filters next round, so
-    // its lineage is barriered per round (the graph_ppr lesson —
-    // corpus-derived joins in the replayed lineage).
+    // run iterates until no node drops, the graph_cc convention).
+    // r17: the per-round active-set localCheckpoint was REMOVED — the
+    // graph_hits lesson re-measured here: 4 eager barrier jobs (each
+    // re-deriving the symmetrized edge distinct) cost 3.2 s warm at
+    // sf0.1/32c where the single unbarriered lineage runs 0.8 s,
+    // because AQE runtime stage reuse already dedups the identical
+    // exchange subtrees (the static plan's repeated scans never
+    // re-execute). The 2^round static-plan growth is bounded (3
+    // rounds) and rounds replay over REUSED shuffle output, so one
+    // job, no per-round full-width barriers — the shape that also
+    // removes the 8-core/32-core anti-scaling the r16 driver measured
+    // (fixed per-job scheduling overhead × rounds grew with cores).
     "graph_kcore" -> ((s, d) => {
       val K = 3
       val (nodes, edges) = graph(s, d)
@@ -350,7 +363,6 @@ object GraphQueries extends GroupBase {
       for (_ <- 1 to 3) {
         active = coreDeg(active).filter(col("deg") >= K)
           .select(col("src").as("doc_id"))
-          .localCheckpoint()
       }
       val fdeg = coreDeg(active)
       nodes.select(col("doc_id"))

@@ -240,6 +240,167 @@ object Scratch {
       time("w_ck_both")(variant(ckBase = true, ckDtm = true))
       spark.stop(); return
     }
+    if (sys.env.get("SCRATCH_Q").contains("_graphprof")) {
+      import org.apache.spark.sql.{Column, DataFrame}
+      import graft.core.Exact
+      def time(tag: String)(f: => Long): Unit =
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[graphprof] $tag run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        }
+      val docs = Tables.load(spark, sfDir, "documents")
+      val nrow = docs.agg(count(lit(1)).as("n_nodes"))
+      val nodes = docs.select(col("doc_id")).crossJoin(broadcast(nrow))
+      val edges = nodes.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("ds", array_distinct(filter(
+          concat(array(col("doc_id") % 10),
+            transform(sequence(lit(1), lit(3)),
+              j => (pmod(col("doc_id"), col("n_nodes")) * 31 + j * 17) %
+                col("n_nodes"))),
+          x => x =!= col("doc_id"))))
+        .select(col("doc_id").as("src"), size(col("ds")).as("deg"),
+          explode(col("ds")).as("dst"))
+      // kcore variants
+      def kcore(ckUnd: Boolean, ckAct: Boolean): Long = {
+        val K = 3
+        val und0 = edges.select(col("src"), col("dst"))
+          .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val und = if (ckUnd) und0.localCheckpoint() else und0
+        def coreDeg(active: DataFrame): DataFrame = und
+          .join(active.select(col("doc_id").as("src")), Seq("src"))
+          .join(active.select(col("doc_id").as("dst")), Seq("dst"))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+        var active = nodes.select(col("doc_id"))
+        for (_ <- 1 to 3) {
+          val nxt = coreDeg(active).filter(col("deg") >= K)
+            .select(col("src").as("doc_id"))
+          active = if (ckAct) nxt.localCheckpoint() else nxt
+        }
+        val fdeg = coreDeg(active)
+        nodes.select(col("doc_id"))
+          .join(fdeg.select(col("src").as("doc_id"), col("deg").as("deg_core")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("deg_core").isNotNull.as("in_core3"),
+            coalesce(col("deg_core"), lit(0L)).as("deg_core"))
+          .orderBy("doc_id").count()
+      }
+      time("kcore_z_current")(
+        graft.SparkEntry.queries("graph_kcore")(spark, sfDir).count())
+      time("kcore_y_undck_actck")(kcore(ckUnd = true, ckAct = true))
+      time("kcore_x_undck_noact")(kcore(ckUnd = true, ckAct = false))
+      time("kcore_w_nobarriers")(kcore(ckUnd = false, ckAct = false))
+      // ppr variants
+      def ppr(ckRanks: Boolean, ckBase: Boolean): Long = {
+        val ns = nodes.filter(col("doc_id") % 11 === 1)
+          .agg(count(lit(1)).as("ns"))
+        val base0 = nodes.crossJoin(broadcast(ns))
+          .withColumn("p",
+            when(col("doc_id") % 11 === 1, lit(1.0) / col("ns"))
+              .otherwise(lit(0.0)))
+        val base = if (ckBase) base0.localCheckpoint() else base0
+        var ranks = base.select(col("doc_id"), col("p"), col("p").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
+            .groupBy(col("dst")).agg(Exact.fsum(col("r") / col("deg")).as("s"))
+          val dm = ranks.filter(col("doc_id") % 7 === 0)
+            .agg(Exact.fsum(col("r")).as("dm"))
+          val nxt = base.join(contrib, base("doc_id") === contrib("dst"), "left")
+            .crossJoin(broadcast(dm))
+            .select(base("doc_id"), col("p"),
+              (lit(0.15) * col("p") + lit(0.85) *
+                (coalesce(col("s"), lit(0.0)) + col("dm") * col("p"))).as("r"))
+          ranks = if (ckRanks) nxt.localCheckpoint() else nxt
+        }
+        ranks.filter(col("r") > lit(0.0))
+          .select(col("doc_id"), col("r").as("ppr"),
+            (col("doc_id") % 11 === 1).as("seed"))
+          .orderBy(col("ppr").desc, col("doc_id")).limit(25).count()
+      }
+      time("ppr_z_current")(
+        graft.SparkEntry.queries("graph_ppr")(spark, sfDir).count())
+      time("ppr_y_nock")(ppr(ckRanks = false, ckBase = false))
+      time("ppr_x_baseck_only")(ppr(ckRanks = false, ckBase = true))
+      time("ppr_w_baseck_rankck")(ppr(ckRanks = true, ckBase = true))
+      time("dr_z_current")(
+        graft.SparkEntry.queries("graph_domainrank")(spark, sfDir).count())
+      // domainrank variants: which of the two one-time checkpoints pay?
+      def domainrank(ckDe: Boolean, ckBase: Boolean): Long = {
+        val dom = docs.select(col("doc_id"), col("source"))
+        val de0 = edges
+          .join(dom.select(col("doc_id").as("src"), col("source").as("sdom")),
+            Seq("src"))
+          .join(dom.select(col("doc_id").as("dst"), col("source").as("ddom")),
+            Seq("dst"))
+          .filter(col("sdom") =!= col("ddom"))
+          .groupBy("sdom", "ddom").agg(count(lit(1)).as("w"))
+        val de = if (ckDe) de0.localCheckpoint() else de0
+        val outw = de.groupBy("sdom").agg(sum(col("w")).as("outw"))
+        val doms = dom.select(col("source").as("dm")).distinct()
+        val nd = doms.agg(count(lit(1)).as("nd"))
+        val base0 = doms.crossJoin(broadcast(nd))
+        val base = if (ckBase) base0.localCheckpoint() else base0
+        var ranks = base.select(col("dm"), (lit(1.0) / col("nd")).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = de.join(outw, Seq("sdom"))
+            .join(ranks, col("sdom") === col("dm"))
+            .groupBy(col("ddom"))
+            .agg(Exact.fsum(col("r") * col("w") / col("outw")).as("s"))
+          val dmass = ranks.join(outw, ranks("dm") === outw("sdom"), "left_anti")
+            .agg(Exact.fsum(col("r")).as("dmass"))
+          ranks = base.join(contrib, base("dm") === contrib("ddom"), "left")
+            .crossJoin(broadcast(dmass))
+            .select(col("dm"),
+              (lit(0.15) / col("nd") + lit(0.85) *
+                (coalesce(col("s"), lit(0.0)) +
+                  coalesce(col("dmass"), lit(0.0)) / col("nd"))).as("r"))
+        }
+        ranks.join(outw, ranks("dm") === outw("sdom"), "left")
+          .select(col("dm").as("domain"), col("r").as("rank"),
+            coalesce(col("outw"), lit(0L)).as("out_links"))
+          .orderBy(col("rank").desc, col("domain")).count()
+      }
+      time("dr_y_deck_nobase")(domainrank(ckDe = true, ckBase = false))
+      time("dr_x_nock")(domainrank(ckDe = false, ckBase = false))
+      time("pagerank_control")(
+        graft.SparkEntry.queries("graph_pagerank")(spark, sfDir).count())
+      spark.stop(); return
+    }
+    if (sys.env.get("SCRATCH_Q").contains("_scanbytes")) {
+      // corpus-pass accounting: total task input bytes across a query's
+      // jobs / bytes of one full scan = effective number of passes
+      val target = sys.env.getOrElse("SCRATCH_SCAN_TARGET", "emb_probe")
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (e.taskMetrics != null) {
+            bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+            recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+          }
+        }
+      }
+      def measure(tag: String)(f: => Long): Unit = {
+        f // warm (codegen, broadcast relations) off the meter
+        spark.sparkContext.addSparkListener(listener)
+        bytes.set(0L); recs.set(0L)
+        val t0 = System.nanoTime()
+        val n = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; give the bus a moment
+        Thread.sleep(1500)
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[scanbytes] $tag ${bytes.get} bytes ${recs.get} records $sec%.2f s ($n rows)")
+      }
+      val tbl = if (target.startsWith("emb")) "embeddings" else "documents"
+      measure("one_full_scan")(
+        Tables.load(spark, sfDir, tbl).count())
+      measure(target)(
+        graft.SparkEntry.queries(target)(spark, sfDir).count())
+      spark.stop(); return
+    }
     val df = graft.SparkEntry.queries(sys.env.getOrElse("SCRATCH_Q", "dd_minhash"))(spark, sfDir)
     // SCRATCH_RUN=1: execute THIS queryExecution (toRdd, not count —
     // count builds a new one) so AQE finalizes and stage reuse shows
