@@ -179,7 +179,15 @@ object CurationQueries extends GroupBase {
     // both engines iterate from identical bits. Round 1's p = 0.5
     // exactly (w=0), making round 1 fully exact.
     "pipe_classify_train" -> ((s, d) => {
-      val f = trainFeatures(t(s, d, "documents")).cache()
+      // localCheckpoint, NOT .cache(): a cache is keyed on the
+      // canonicalized plan in the session CacheManager, so a second
+      // invocation of this query (bench warm run, then timed run)
+      // silently reads the first run's materialized features instead
+      // of scanning the corpus — a timed-region integrity hole. A
+      // localCheckpoint is a fresh RDD per invocation (the
+      // dd_tfidf_cos / pipe_ccnet convention) and still gives the 4 GD
+      // consumers their multi-read barrier.
+      val f = trainFeatures(t(s, d, "documents")).localCheckpoint()
       val w0 = s.range(1).select(
         lit(0.0).as("w0"), lit(0.0).as("w1"),
         lit(0.0).as("w2"), lit(0.0).as("w3"))
